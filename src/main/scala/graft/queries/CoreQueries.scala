@@ -1,0 +1,503 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+/** Relational operator coverage (SURVEY.md §2.4-2.8) expressed over the
+  * driver testdata tables, each with a DuckDB oracle.
+  *
+  * Numeric-parity policy: floating-point SUM/AVG is order-dependent, and
+  * Spark's partial aggregation order differs from DuckDB's; DECIMAL is no
+  * interchange format either (DuckDB's wide-DECIMAL→DOUBLE cast is not
+  * correctly rounded). All monetary/fixed-point aggregates therefore scale
+  * per-row to integer units (the source values are exact at a known number
+  * of decimals, so rounding can never hit a tie), sum exactly as BIGINT,
+  * and divide back once in double — bit-identical in both engines.
+  * Percentile interpolation is rounded to 6 decimals on both sides.
+  */
+object CoreQueries {
+
+  /** Exact, order-independent sum of a fixed-point double column with
+    * `digits` true decimal places. Long accumulation overflows only past
+    * ~9e18 scaled units — not reachable even at the 100 TB target.
+    */
+  private def fsum(c: Column, digits: Int): Column = {
+    val scale = math.pow(10, digits)
+    sum(round(c * lit(scale), 0).cast("long")).cast("double") / lit(scale)
+  }
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  // ---------------------------------------------------------------- q01
+  /** TPC-H Q1-shaped pricing summary: filter + groupBy agg with map-side
+    * partial aggregation (A-family; reference A1-A3 analogue).
+    */
+  val q01AggPricing: QueryDef = QueryDef(
+    "q01_agg_pricing",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") < lit("2000-01-01").cast("timestamp"))
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          fsum(col("l_quantity"), 0).as("sum_qty"),
+          fsum(col("l_extendedprice"), 2).as("sum_base_price"),
+          fsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+            .as("sum_disc_price"),
+          (fsum(col("l_quantity"), 0) / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+        CAST(SUM(CAST(ROUND(l_quantity * 1.0) AS BIGINT)) AS DOUBLE) / 1.0 AS sum_qty,
+        CAST(SUM(CAST(ROUND(l_extendedprice * 100.0) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_base_price,
+        CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_disc_price,
+        CAST(SUM(CAST(ROUND(l_quantity * 1.0) AS BIGINT)) AS DOUBLE) / 1.0 / COUNT(*) AS avg_qty,
+        COUNT(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate < TIMESTAMP '2000-01-01'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""),
+    headline = true,
+  )
+
+  // ---------------------------------------------------------------- q02
+  /** Projection + conjunctive filter; both must reach the parquet scan
+    * (PushedFilters / pruned ReadSchema). Reference P4-shaped.
+    */
+  val q02FilterProject: QueryDef = QueryDef(
+    "q02_filter_project",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+          col("l_discount") > 0.05 && col("l_quantity") < 10.0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")),
+    Some("""
+      SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+        AND l_discount > 0.05 AND l_quantity < 10.0
+      ORDER BY l_orderkey, l_linenumber"""),
+  )
+
+  // ---------------------------------------------------------------- q03
+  /** Multi-way join + agg: fact-fact shuffle join (lineitem⋈orders) with
+    * broadcast dims (customer/nation at test SF; nation always broadcast).
+    * Reference J1/J3-shaped at scale.
+    */
+  val q03JoinRevenue: QueryDef = QueryDef(
+    "q03_join_revenue",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          fsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+            .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("n_name"))
+    },
+    Some("""
+      SELECT n_name,
+        CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
+        COUNT(*) AS n_items
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name
+      ORDER BY n_name"""),
+    headline = true,
+  )
+
+  // ---------------------------------------------------------------- q04
+  /** Global top-k (reference O1 serving sort): Spark plans
+    * TakeOrderedAndProject — no full sort, no single-node shuffle.
+    */
+  val q04TopK: QueryDef = QueryDef(
+    "q04_topk",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20),
+    Some("""
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 20"""),
+  )
+
+  // ---------------------------------------------------------------- q05
+  /** Latest-per-key collapse (reference A7): row_number window, fully
+    * shuffle-partitioned by the key.
+    */
+  val q05WindowLatest: QueryDef = QueryDef(
+    "q05_window_latest",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      t(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      SELECT user_id, event_id, event_type, value
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) q
+      WHERE rn = 1
+      ORDER BY user_id"""),
+  )
+
+  // ---------------------------------------------------------------- q06
+  /** Keyed dedup, keep-first in a deterministic order (reference P2: pandas
+    * `~index.duplicated(keep='first')`). `dropDuplicates` is nondeterministic
+    * → row_number over an explicit ordering instead.
+    */
+  val q06DedupFirst: QueryDef = QueryDef(
+    "q06_dedup_first",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          col("value"))
+        .orderBy(col("user_id"), col("event_type"))
+    },
+    Some("""
+      SELECT user_id, event_type, event_id, value
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+        FROM events) q
+      WHERE rn = 1
+      ORDER BY user_id, event_type"""),
+  )
+
+  // ---------------------------------------------------------------- q07
+  /** Quantile outlier filter (reference P1, analysis.py:11-28): exact
+    * linear-interpolated p99 per column, drop rows where col == q
+    * (the reference's deliberate `==` quirk). Two-pass: tiny agg collected
+    * to the driver, then a scan-side filter — at 100 TB the first pass is a
+    * single shuffle-light agg and the second is embarrassingly parallel.
+    */
+  val q07QuantileOutlier: QueryDef = QueryDef(
+    "q07_quantile_outlier",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val qs = li.agg(
+        expr("percentile(l_quantity, 0.99)").as("q_qty"),
+        expr("percentile(l_extendedprice, 0.99)").as("q_price"))
+        .head()
+      val (qQty, qPrice) = (qs.getDouble(0), qs.getDouble(1))
+      li.filter(!(col("l_quantity") === qQty ||
+          col("l_extendedprice") === qPrice))
+        .agg(
+          count(lit(1)).as("n_kept"),
+          round(lit(qQty), 6).as("q_qty"),
+          round(lit(qPrice), 6).as("q_price"))
+    },
+    Some("""
+      WITH q AS (
+        SELECT quantile_cont(l_quantity, 0.99) AS q_qty,
+               quantile_cont(l_extendedprice, 0.99) AS q_price
+        FROM lineitem)
+      SELECT COUNT(*) AS n_kept,
+             ROUND(MAX(q.q_qty), 6) AS q_qty,
+             ROUND(MAX(q.q_price), 6) AS q_price
+      FROM lineitem, q
+      WHERE NOT (l_quantity = q.q_qty OR l_extendedprice = q.q_price)"""),
+  )
+
+  // ---------------------------------------------------------------- q08
+  /** Anti join (reference P2/cache-guard pattern): customers with no
+    * high-value order. The filtered build side shrinks before the join —
+    * broadcast-able at scale; otherwise shuffled hash anti-join.
+    */
+  val q08AntiJoin: QueryDef = QueryDef(
+    "q08_anti_join",
+    (s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").filter(col("o_totalprice") > 400000.0),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .orderBy(col("c_custkey")),
+    Some("""
+      SELECT c_custkey, c_name, c_mktsegment
+      FROM customer c
+      WHERE NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND o.o_totalprice > 400000.0)
+      ORDER BY c_custkey"""),
+  )
+
+  // ---------------------------------------------------------------- q09
+  /** Semi join: parts that ship in bulk (EXISTS). */
+  val q09SemiJoin: QueryDef = QueryDef(
+    "q09_semi_join",
+    (s, dir) =>
+      t(s, dir, "part")
+        .join(
+          t(s, dir, "lineitem").filter(col("l_quantity") > 45.0),
+          col("p_partkey") === col("l_partkey"), "left_semi")
+        .select(col("p_partkey"), col("p_name"), col("p_brand"))
+        .orderBy(col("p_partkey")),
+    Some("""
+      SELECT p_partkey, p_name, p_brand
+      FROM part p
+      WHERE EXISTS (SELECT 1 FROM lineitem l
+                    WHERE l.l_partkey = p.p_partkey AND l.l_quantity > 45.0)
+      ORDER BY p_partkey"""),
+  )
+
+  // ---------------------------------------------------------------- q10
+  /** Left join with miss-rows (reference J1 geocode join semantics:
+    * unmatched → null, original rows all kept).
+    */
+  val q10LeftJoinMiss: QueryDef = QueryDef(
+    "q10_left_join_miss",
+    (s, dir) => {
+      val rich = t(s, dir, "customer").filter(col("c_acctbal") > 5000.0)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      t(s, dir, "orders")
+        .join(broadcast(rich), col("o_custkey") === col("c_custkey"), "left")
+        .select(col("o_orderkey"), col("o_custkey"), col("c_name"),
+          col("c_acctbal"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""
+      SELECT o_orderkey, o_custkey, c_name, c_acctbal
+      FROM orders
+      LEFT JOIN (SELECT c_custkey, c_name, c_acctbal FROM customer
+                 WHERE c_acctbal > 5000.0) c
+        ON o_custkey = c_custkey
+      ORDER BY o_orderkey"""),
+  )
+
+  // ---------------------------------------------------------------- q11
+  /** Per-row array aggregates (reference D2-D4: n_stations /
+    * walk_time min / avg) via higher-order functions over the embedding
+    * array — no UDF, stays in codegen.
+    */
+  val q11ArrayStats: QueryDef = QueryDef(
+    "q11_array_stats",
+    (s, dir) =>
+      t(s, dir, "embeddings")
+        .select(
+          col("vec_id"),
+          size(col("embedding")).as("dim"),
+          col("embedding").getItem(0).cast("double").as("first_elem"),
+          array_min(col("embedding")).cast("double").as("min_elem"),
+          round(
+            aggregate(col("embedding"), lit(0.0),
+              (acc, x) => acc + x.cast("double")) / size(col("embedding")),
+            4).as("avg_elem"))
+        .orderBy(col("vec_id")),
+    Some("""
+      SELECT vec_id,
+        len(embedding) AS dim,
+        CAST(embedding[1] AS DOUBLE) AS first_elem,
+        CAST(list_min(embedding) AS DOUBLE) AS min_elem,
+        ROUND(list_sum(CAST(embedding AS DOUBLE[])) / len(embedding), 4) AS avg_elem
+      FROM embeddings
+      ORDER BY vec_id"""),
+  )
+
+  // ---------------------------------------------------------------- q12
+  /** MAE-style metric (reference A3/A4): exact decimal accumulation. */
+  val q12Mae: QueryDef = QueryDef(
+    "q12_mae",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .select(
+          col("l_extendedprice").as("y"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("y_pred"))
+        .agg(
+          (fsum(abs(col("y") - col("y_pred")), 4) / count(lit(1))).as("mae"),
+          count(lit(1)).as("n")),
+    Some("""
+      SELECT
+        CAST(SUM(CAST(ROUND(ABS(l_extendedprice - l_extendedprice * (1.0 - l_discount)) * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0 / COUNT(*) AS mae,
+        COUNT(*) AS n
+      FROM lineitem"""),
+  )
+
+  // ---------------------------------------------------------------- q13
+  /** Grouped quantiles (reference A5 leaf-wise quantiles): exact
+    * percentile per group, rounded for cross-engine interpolation parity.
+    */
+  val q13GroupQuantiles: QueryDef = QueryDef(
+    "q13_group_quantiles",
+    (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          round(expr("percentile(value, 0.25)"), 6).as("p25"),
+          round(expr("percentile(value, 0.5)"), 6).as("p50"),
+          round(expr("percentile(value, 0.75)"), 6).as("p75"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type")),
+    Some("""
+      SELECT event_type,
+        ROUND(quantile_cont(value, 0.25), 6) AS p25,
+        ROUND(quantile_cont(value, 0.5), 6) AS p50,
+        ROUND(quantile_cont(value, 0.75), 6) AS p75,
+        COUNT(*) AS n
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type"""),
+  )
+
+  // ---------------------------------------------------------------- q14
+  /** Daily rollup (reference F14 iso2date + daily batch): date_trunc
+    * group-by; partition-prunable at scale when data is dt-partitioned.
+    */
+  val q14DailyRollup: QueryDef = QueryDef(
+    "q14_daily_rollup",
+    (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n"), fsum(col("value"), 2).as("total_value"))
+        .orderBy(col("day")),
+    Some("""
+      SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
+      FROM events
+      GROUP BY 1
+      ORDER BY day"""),
+    headline = true,
+  )
+
+  // ---------------------------------------------------------------- q15
+  /** Tumbling-window aggregation — the batch-parity shape of the
+    * Structured Streaming windowed agg (SURVEY §2.10). Epoch-aligned
+    * 6-hour buckets, keyed by (bucket, event_type).
+    */
+  val q15TumblingWindow: QueryDef = QueryDef(
+    "q15_tumbling_window",
+    (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(
+          window(col("ts"), "6 hours").getField("start").cast("long")
+            .as("bucket_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), fsum(col("value"), 2).as("total_value"))
+        .orderBy(col("bucket_start"), col("event_type")),
+    Some("""
+      SELECT CAST(FLOOR(epoch(ts) / 21600) * 21600 AS BIGINT) AS bucket_start,
+        event_type,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY bucket_start, event_type"""),
+  )
+
+  // ---------------------------------------------------------------- q16
+  /** Exact distinct aggregation (expand + two-phase agg in Spark). */
+  val q16DistinctAgg: QueryDef = QueryDef(
+    "q16_distinct_agg",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag")),
+    Some("""
+      SELECT l_returnflag,
+        COUNT(DISTINCT l_partkey) AS n_parts,
+        COUNT(DISTINCT l_suppkey) AS n_supps,
+        COUNT(*) AS n
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""),
+  )
+
+  // ---------------------------------------------------------------- q17
+  /** Serving join + score + sort (reference J2/J3 + D8/D9 + O1): a
+    * "prediction" per order (group mean by priority) re-joined onto the
+    * full table, scored, renamed, top-50 by score.
+    */
+  val q17ScoreServe: QueryDef = QueryDef(
+    "q17_score_serve",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val pred = o.groupBy(col("o_orderpriority"))
+        .agg((fsum(col("o_totalprice"), 2) / count(lit(1))).as("y_pred"))
+      o.join(broadcast(pred), Seq("o_orderpriority"), "left")
+        .withColumn("score", round(col("y_pred") / col("o_totalprice"), 6))
+        .select(col("o_orderkey"), col("o_totalprice").as("monthly_cost"),
+          round(col("y_pred"), 6).as("monthly_cost_predicted"),
+          col("score"))
+        .orderBy(col("score").desc, col("o_orderkey"))
+        .limit(50)
+    },
+    Some("""
+      WITH pred AS (
+        SELECT o_orderpriority,
+          CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(*) AS y_pred
+        FROM orders GROUP BY o_orderpriority)
+      SELECT o_orderkey,
+        o_totalprice AS monthly_cost,
+        ROUND(y_pred, 6) AS monthly_cost_predicted,
+        ROUND(y_pred / o_totalprice, 6) AS score
+      FROM orders LEFT JOIN pred USING (o_orderpriority)
+      ORDER BY score DESC, o_orderkey
+      LIMIT 50"""),
+    headline = true,
+  )
+
+  // ---------------------------------------------------------------- q18
+  /** Seeded deterministic split sizes (reference X1: exact-count split).
+    * Row membership is engine-specific (rand(seed)), but the *sizes* are
+    * exact by construction — the oracle checks them.
+    */
+  val q18SplitSizes: QueryDef = QueryDef(
+    "q18_split_sizes",
+    (s, dir) => {
+      val splits = graft.operators.Splits.threeWay(
+        t(s, dir, "orders"), valRatio = 0.1875, testRatio = 0.25, seed = 123L)
+      splits("train").agg(count(lit(1)).as("n")).withColumn("part", lit("train"))
+        .unionAll(splits("val").agg(count(lit(1)).as("n")).withColumn("part", lit("val")))
+        .unionAll(splits("test").agg(count(lit(1)).as("n")).withColumn("part", lit("test")))
+        .select(col("part"), col("n"))
+        .orderBy(col("part"))
+    },
+    Some("""
+      WITH n AS (SELECT COUNT(*) AS total FROM orders)
+      SELECT part, n FROM (
+        SELECT 'test' AS part, CAST(FLOOR(total * 0.25) AS BIGINT) AS n FROM n
+        UNION ALL
+        SELECT 'train', total - CAST(FLOOR(total * 0.25) AS BIGINT)
+                              - CAST(FLOOR(total * 0.1875) AS BIGINT) FROM n
+        UNION ALL
+        SELECT 'val', CAST(FLOOR(total * 0.1875) AS BIGINT) FROM n) q
+      ORDER BY part"""),
+  )
+
+  val all: Seq[QueryDef] = Seq(
+    q01AggPricing, q02FilterProject, q03JoinRevenue, q04TopK,
+    q05WindowLatest, q06DedupFirst, q07QuantileOutlier, q08AntiJoin,
+    q09SemiJoin, q10LeftJoinMiss, q11ArrayStats, q12Mae,
+    q13GroupQuantiles, q14DailyRollup, q15TumblingWindow, q16DistinctAgg,
+    q17ScoreServe, q18SplitSizes)
+}
