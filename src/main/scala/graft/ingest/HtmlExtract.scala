@@ -1,0 +1,119 @@
+package graft.ingest
+
+import scala.annotation.tailrec
+import scala.collection.mutable.ArrayBuffer
+
+/** Minimal class-anchored HTML element scanner — the JVM replacement for
+  * the reference's BeautifulSoup selectors (libs/otokuna/scraping.py:
+  * 189-235, 268-288). The Suumo page structure the reference consumes is
+  * a stable set of class-tagged blocks (FIXTURES.md §1), so a tolerant
+  * tag-balance scanner is sufficient; no general HTML parser is needed.
+  *
+  * Matching mirrors bs4: a class selector matches when every requested
+  * token appears in the element's class attribute token list.
+  */
+object HtmlExtract {
+
+  private val TagAttrClass = """class\s*=\s*["']([^"']*)["']""".r
+
+  /** All elements `<tag ... class~=cls...>`, returned as inner HTML. */
+  def elementsByClass(html: String, tag: String, cls: String): Vector[String] =
+    elements(html, tag, Some(cls))
+
+  /** All elements of `tag` regardless of class. */
+  def elementsByTag(html: String, tag: String): Vector[String] =
+    elements(html, tag, None)
+
+  private def elements(html: String, tag: String,
+      cls: Option[String]): Vector[String] = {
+    val wanted: Set[String] = cls.map(_.split("\\s+").toSet).getOrElse(Set.empty)
+    val out = ArrayBuffer.empty[String]
+    val openRe = s"(?i)<$tag(\\s[^>]*)?>".r
+    val it = openRe.findAllMatchIn(html)
+    var searchFrom = 0
+    for (m <- it if m.start >= searchFrom) {
+      val attrs = Option(m.group(1)).getOrElse("")
+      val classTokens = TagAttrClass.findFirstMatchIn(attrs)
+        .map(_.group(1).split("\\s+").filter(_.nonEmpty).toSet)
+        .getOrElse(Set.empty[String])
+      if (wanted.subsetOf(classTokens)) {
+        val innerStart = m.end
+        val innerEnd = findElementEnd(html, tag, innerStart)
+        out += html.substring(innerStart, innerEnd)
+        // do not re-match nested same-class elements inside this one
+        searchFrom = innerEnd
+      }
+    }
+    out.toVector
+  }
+
+  /** Index just before this element's closing tag, balancing nesting. */
+  private def findElementEnd(html: String, tag: String, from: Int): Int = {
+    val lower = html.toLowerCase
+    val open = s"<${tag.toLowerCase}"
+    val close = s"</${tag.toLowerCase}"
+    @tailrec
+    def loop(pos: Int, depth: Int): Int = {
+      val nextOpen = lower.indexOf(open, pos)
+      val nextClose = lower.indexOf(close, pos)
+      if (nextClose < 0) html.length
+      else if (nextOpen >= 0 && nextOpen < nextClose) {
+        // guard against prefix collisions (<td matching <table, …)
+        if (isTagBoundary(lower, nextOpen + open.length))
+          loop(nextOpen + open.length, depth + 1)
+        else loop(nextOpen + open.length, depth)
+      } else if (!isTagBoundary(lower, nextClose + close.length))
+        loop(nextClose + close.length, depth) // </td matching </tbody, …
+      else if (depth == 0) nextClose
+      else loop(nextClose + close.length, depth - 1)
+    }
+    loop(from, 0)
+  }
+
+  private def isTagBoundary(s: String, i: Int): Boolean =
+    i >= s.length || s.charAt(i) == '>' || s.charAt(i).isWhitespace || s.charAt(i) == '/'
+
+  def firstByClass(html: String, tag: String, cls: String): Option[String] =
+    elementsByClass(html, tag, cls).headOption
+
+  /** True if any element carries the class (bs4 find(class_=...) != None). */
+  def existsClass(html: String, cls: String): Boolean =
+    TagAttrClass.findAllMatchIn(html)
+      .exists(_.group(1).split("\\s+").contains(cls))
+
+  /** First attribute value of the first matching element. */
+  def attrFirstByClass(html: String, tag: String, cls: String,
+      attr: String): Option[String] = {
+    val wanted = cls.split("\\s+").toSet
+    val openRe = s"(?i)<$tag(\\s[^>]*)?>".r
+    openRe.findAllMatchIn(html).collectFirst {
+      case m if {
+        val attrs = Option(m.group(1)).getOrElse("")
+        val tokens = TagAttrClass.findFirstMatchIn(attrs)
+          .map(_.group(1).split("\\s+").filter(_.nonEmpty).toSet)
+          .getOrElse(Set.empty[String])
+        wanted.subsetOf(tokens)
+      } =>
+        val attrs = Option(m.group(1)).getOrElse("")
+        s"""$attr\\s*=\\s*["']([^"']*)["']""".r
+          .findFirstMatchIn(attrs).map(_.group(1))
+    }.flatten
+  }
+
+  /** Concatenated text of all text nodes (bs4 `.text`): tags stripped,
+    * basic entities decoded, whitespace preserved.
+    */
+  def text(inner: String): String =
+    decodeEntities(inner.replaceAll("<[^>]*>", ""))
+
+  /** bs4 `stripped_strings`: per-text-node, trimmed, non-empty. */
+  def strippedStrings(inner: String): Vector[String] =
+    inner.split("<[^>]*>").iterator
+      .map(s => decodeEntities(s).trim)
+      .filter(_.nonEmpty)
+      .toVector
+
+  private def decodeEntities(s: String): String =
+    s.replace("&amp;", "&").replace("&lt;", "<").replace("&gt;", ">")
+      .replace("&quot;", "\"").replace("&#39;", "'").replace("&nbsp;", " ")
+}

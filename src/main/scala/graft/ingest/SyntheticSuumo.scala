@@ -1,0 +1,131 @@
+package graft.ingest
+
+import java.nio.file.{Files, Path}
+
+/** Deterministic synthetic Suumo-shaped pages (FIXTURES.md §1). The real
+  * fixture cannot be redistributed (reference README.md:166-167), so both
+  * the golden tests and the pipeline demo query synthesize pages with the
+  * same class-tagged structure the reference's selectors consume.
+  */
+object SyntheticSuumo {
+
+  def room(rent: String, admin: String, deposit: String, gratuity: String,
+      layout: String, area: String, floor: String, jnc: String,
+      newArrival: Boolean = false): String = {
+    val na = if (newArrival)
+      """<span class="cassetteitem_other-checkbox--newarrival">本日の新着物件</span>"""
+    else ""
+    s"""<tbody>
+       |<tr>
+       |<td>x</td><td>y</td>
+       |<td> $floor </td>
+       |<td><span class="cassetteitem_price cassetteitem_price--rent">$rent</span>
+       |<span class="cassetteitem_price cassetteitem_price--administration">$admin</span></td>
+       |<td><span class="cassetteitem_price cassetteitem_price--deposit">$deposit</span>
+       |<span class="cassetteitem_price cassetteitem_price--gratuity">$gratuity</span></td>
+       |<td><span class="cassetteitem_madori">$layout</span>
+       |<span class="cassetteitem_menseki">$area</span></td>
+       |<td class="ui-text--midium ui-text--bold"><a href="/chintai/jnc_$jnc/?bc=100">詳細</a></td>
+       |<td>$na</td>
+       |</tr>
+       |</tbody>""".stripMargin
+  }
+
+  def building(category: String, title: String, address: String,
+      transport: Seq[String], age: String, floors: String,
+      rooms: Seq[String]): String =
+    s"""<div class="cassetteitem">
+       |<div class="cassetteitem_content-label">$category</div>
+       |<div class="cassetteitem_content-title">$title</div>
+       |<ul>
+       |<li class="cassetteitem_detail-col1">$address</li>
+       |<li class="cassetteitem_detail-col2">${transport.map(t => s"<div>$t</div>").mkString}</li>
+       |<li class="cassetteitem_detail-col3"><div>$age</div><div>$floors</div></li>
+       |</ul>
+       |<table class="cassetteitem_other">${rooms.mkString}</table>
+       |</div>""".stripMargin
+
+  def pageHtml(buildings: Seq[String], bannerMs: Option[Long]): String = {
+    val script = bannerMs
+      .map(ms => s"""<script>var ad = "https://x.example/?a=1&amp;times=$ms&amp;b=2";</script>""")
+      .getOrElse("<script>var nothing = 1;</script>")
+    s"<html><head>$script</head><body>${buildings.mkString}</body></html>"
+  }
+
+  private val wards = Vector("渋谷区", "台東区", "新宿区", "世田谷区", "目黒区")
+  private val districts = Vector("恵比寿南", "元浅草", "神泉町", "三軒茶屋", "中目黒")
+  private val layouts = Vector("1K", "2DK", "3LDK", "ワンルーム", "4SLDK")
+
+  /** Deterministic page: `idx` seeds every field. Roughly 1-in-13 rooms
+    * carries an unparseable rent (the reference's skip path) and every
+    * 11th building a non-Tokyo address.
+    */
+  def page(idx: Int, buildingsPerPage: Int = 10,
+      roomsPerBuilding: Int = 3): String = {
+    val bs = (0 until buildingsPerPage).map { b =>
+      val n = idx * buildingsPerPage + b
+      val bad = n % 11 == 10
+      val address =
+        if (bad) s"神奈川県横浜市中区山下町${n % 30 + 1}"
+        else s"東京都${wards(n % 5)}${districts(n % 5)}${n % 12 + 1}"
+      val rooms = (0 until roomsPerBuilding).map { r =>
+        val k = n * roomsPerBuilding + r
+        val rent = if (k % 13 == 12) "8.万円" else s"${5 + k % 20}.${k % 10}万円"
+        room(rent,
+          admin = if (k % 4 == 0) "-" else s"${1000 + k % 9 * 500}円",
+          deposit = s"${5 + k % 20}万円",
+          gratuity = if (k % 3 == 0) "-" else s"${5 + k % 10}万円",
+          layout = layouts(k % 5),
+          area = s"${15 + k % 60}.${k % 100 / 10}m2",
+          floor = k % 7 match {
+            case 6 => "B1-1階"
+            case 5 => s"${k % 4 + 2}-${k % 4 + 4}階"
+            case f => s"${f + 1}階"
+          },
+          jnc = f"${k % 9000}%012d", // collisions → dedup work
+          newArrival = k % 5 == 0)
+      }
+      building(
+        category = if (n % 2 == 0) "賃貸マンション" else "アパート",
+        title = s"グラフト荘$n",
+        address = address,
+        transport = Seq(s"ＪＲ山手線/駅${n % 9} 歩${n % 15 + 1}分",
+          s"東京メトロ/駅${n % 7} 歩${n % 9 + 2}分"),
+        age = if (n % 17 == 0) "新築" else s"築${n % 40 + 1}年",
+        floors = s"${n % 12 + 2}階建",
+        rooms = rooms)
+    }
+    pageHtml(bs, bannerMs = Some(1609140469000L + idx))
+  }
+
+  /** Write n deterministic pages into dir; idempotent. */
+  def writePages(dir: Path, n: Int): Path = {
+    Files.createDirectories(dir)
+    (0 until n).foreach { i =>
+      val p = dir.resolve(f"page_$i%06d.html")
+      if (!Files.exists(p)) Files.writeString(p, page(i))
+    }
+    dir
+  }
+
+  /** Synthetic SJIS location-reference CSV covering the wards above. */
+  def writeLocationCsv(dir: Path): Path = {
+    Files.createDirectories(dir)
+    val header = "都道府県コード,都道府県名,市区町村コード,市区町村名," +
+      "大字町丁目コード,大字町丁目名,緯度,経度,原典資料コード,大字・字・丁目区分コード"
+    val rows = for {
+      (w, wi) <- wards.zipWithIndex
+      (d, di) <- districts.zipWithIndex
+      chome <- 1 to 12
+    } yield {
+      val lat = 35.6 + wi * 0.01 + di * 0.001 + chome * 0.0001
+      val lon = 139.7 + wi * 0.01 + di * 0.001 + chome * 0.0001
+      val name = s"$d${graft.functions.JpText.int2kanji(chome)}丁目"
+      f"13,東京都,131$wi%02d,$w,13113000$wi$di$chome,$name,$lat%.6f,$lon%.6f,1,3"
+    }
+    val p = dir.resolve("location_reference.csv")
+    Files.write(p, (header + "\n" + rows.mkString("\n"))
+      .getBytes(java.nio.charset.Charset.forName("Shift_JIS")))
+    p
+  }
+}
