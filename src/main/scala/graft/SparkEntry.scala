@@ -11,7 +11,8 @@ object SparkEntry {
     queries_.distinctBy(_.name)
 
   private def queries_ : Seq[QueryDef] =
-    graft.queries.CoreQueries.all ++ graft.queries.DomainQueries.all
+    graft.queries.CoreQueries.all ++ graft.queries.DomainQueries.all ++
+      graft.queries.ScaleQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

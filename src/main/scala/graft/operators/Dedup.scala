@@ -1,0 +1,167 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication family for the 100 TB training-data pipeline: exact,
+  * n-gram Jaccard (exact, inverted-index), MinHash+LSH (banded candidates
+  * + exact verify), SimHash (pigeonhole-blocked Hamming), embedding
+  * cosine. Every variant's output is either exactly the set of true
+  * near-dup pairs (verifiable in SQL) or explicitly approximate.
+  */
+object Dedup {
+
+  /** Exact dedup by an arbitrary key expression (hash-groupBy): one
+    * representative (min id) + group size per key. One shuffle on the
+    * key; map-side partial aggregation keeps it skew-tolerant.
+    */
+  def exactByKey(df: DataFrame, key: Column, id: Column): DataFrame =
+    df.groupBy(key.as("dedup_key"))
+      .agg(min(id).as("rep_id"), count(lit(1)).as("group_size"))
+
+  /** Exact all-pairs n-gram Jaccard ≥ threshold with prefix filtering.
+    *
+    * Naive inverted-index joins explode when shingles are frequent
+    * (every pair sharing ANY shingle becomes a candidate). Prefix
+    * filtering is lossless: J(A,B) ≥ τ implies |A∩B| ≥ ⌈τ·|A|⌉, so if
+    * the first |A| − ⌈τ·|A|⌉ + 1 shingles of A (in a canonical
+    * rarest-first order) share nothing with B, the intersection cannot
+    * fit in the remaining suffix — contradiction. Candidates are
+    * therefore prefix(A) ⋈ full(B), then verified with the exact set
+    * intersection. Rarest-first ordering makes prefix buckets tiny, so
+    * the candidate join stays ~linear at scale.
+    */
+  def ngramJaccardPairs(docs: DataFrame, id: Column, text: Column,
+      n: Int, threshold: Double): DataFrame = {
+    // Shingles are hashed to longs (xxhash64: collision-free w.h.p, so
+    // set sizes/intersections are unchanged) and materialized once via an
+    // eager localCheckpoint — the frame feeds 4 plan branches and
+    // re-deriving the shingling each time dominated the runtime.
+    val sh = docs.select(id.as("id"),
+        transform(TextFunctions.shingles(text, n), g => xxhash64(g)).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .localCheckpoint()
+    val inv = sh.select(col("id"), explode(col("sh")).as("g"))
+    val freq = inv.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    // canonical rarest-first order; prefix = n_sh - ceil(τ*n_sh) + 1
+    val ordered = inv.join(freq, Seq("g"))
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("g"))))
+        .getField("g").as("sorted_sh"))
+      .withColumn("n_sh", size(col("sorted_sh")))
+      .withColumn("prefix_len",
+        col("n_sh") - ceil(col("n_sh") * threshold).cast("int") + 1)
+    val prefixInv = ordered
+      .select(col("id"), explode(slice(col("sorted_sh"), lit(1), col("prefix_len"))).as("g"))
+    val fullInv = inv
+    val cand = prefixInv.select(col("id").as("p_id"), col("g"))
+      .join(fullInv.select(col("id").as("f_id"), col("g")), Seq("g"))
+      .filter(col("p_id") =!= col("f_id"))
+      .select(least(col("p_id"), col("f_id")).as("id_a"),
+        greatest(col("p_id"), col("f_id")).as("id_b"))
+      .distinct()
+    val sets = sh
+    cand
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("inter",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** MinHash+LSH near-dup pairs: banded signature buckets generate
+    * candidates (the scale path — candidate count is ~linear for
+    * realistic dup rates), then an exact Jaccard verify keeps only true
+    * pairs. With bands=32, rowsPerBand=4 the miss probability at
+    * j ≥ 0.8 is (1-0.8⁴)³² ≈ 5e-8, so the output matches the exact
+    * all-pairs oracle.
+    */
+  def minhashLshPairs(docs: DataFrame, id: Column, text: Column, n: Int,
+      threshold: Double, bands: Int = 32, rowsPerBand: Int = 4): DataFrame = {
+    val k = bands * rowsPerBand
+    val sh = docs.select(id.as("id"),
+        transform(TextFunctions.shingles(text, n), g => xxhash64(g)).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .localCheckpoint()
+    val sig = sh.withColumn("sig",
+      TextFunctions.minhashSignatureFromHashes(col("sh"), k))
+    val banded = sig.select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          bd => slice(col("sig"), bd * rowsPerBand + 1, lit(rowsPerBand)))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_sig")
+    val ca = banded.select(col("id").as("id_a"), col("band"), col("band_sig"))
+    val cb = banded.select(col("id").as("id_b"), col("band"), col("band_sig"))
+    val candidates = ca.join(cb, Seq("band", "band_sig"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    // exact verify on the (small) candidate set
+    val sets = sh.select(col("id"), col("sh"))
+    candidates
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming.
+    * Pigeonhole blocking: split the 32-bit signature into maxHamming+1
+    * chunks — any pair within the radius shares at least one exact
+    * chunk — then verify with bit_count(xor). Exact (blocking is
+    * lossless by pigeonhole), linear-ish candidates at scale.
+    */
+  def simhashPairs(docs: DataFrame, id: Column, text: Column,
+      maxHamming: Int = 3): DataFrame = {
+    val chunks = maxHamming + 1
+    val chunkBits = 32 / chunks
+    val sig = docs.select(id.as("id"), TextFunctions.simhash(text).as("sig"))
+      .localCheckpoint()
+    val blocked = sig.select(col("id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(chunks - 1)), ch =>
+        graft.functions.TextFunctions.shiftRight(col("sig"),
+            (ch * chunkBits).cast("int"))
+          .bitwiseAND((1L << chunkBits) - 1))))
+      .withColumnRenamed("pos", "chunk")
+      .withColumnRenamed("col", "chunk_val")
+    val ba = blocked.select(col("id").as("id_a"), col("sig").as("sig_a"),
+      col("chunk"), col("chunk_val"))
+    val bb = blocked.select(col("id").as("id_b"), col("sig").as("sig_b"),
+      col("chunk"), col("chunk_val"))
+    ba.join(bb, Seq("chunk", "chunk_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sig_a", "sig_b").distinct()
+      .withColumn("hamming",
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** Exact embedding-cosine near-dup pairs (brute force — the baseline;
+    * the ANN path in Similarity is the approximate scale variant). Dot
+    * products in double with a sequential left fold, matching the oracle
+    * bit-for-bit.
+    */
+  def cosinePairs(emb: DataFrame, id: Column, vec: Column,
+      threshold: Double): DataFrame = {
+    val e = emb.select(id.as("id"), vec.as("v"))
+      .withColumn("norm", sqrt(aggregate(col("v"), lit(0.0),
+        (acc, x) => acc + x.cast("double") * x.cast("double"))))
+    val a = e.select(col("id").as("id_a"), col("v").as("v_a"), col("norm").as("n_a"))
+    val b = e.select(col("id").as("id_b"), col("v").as("v_b"), col("norm").as("n_b"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dot", aggregate(
+        zip_with(col("v_a"), col("v_b"), (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x))
+      .withColumn("cosine", col("dot") / (col("n_a") * col("n_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+  }
+}

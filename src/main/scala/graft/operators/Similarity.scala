@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  * Brute-force cosine top-k is the exact baseline (broadcast the query
+  * batch, scan the corpus once — embarrassingly parallel at 100 TB);
+  * the random-hyperplane LSH variant is the sublinear scale path
+  * (approximate: candidates only from matching buckets).
+  */
+object Similarity {
+
+  private def dotCos(vA: Column, vB: Column, nA: Column, nB: Column): Column =
+    aggregate(zip_with(vA, vB, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x) / (nA * nB)
+
+  private def withNorm(df: DataFrame, id: Column, vec: Column): DataFrame =
+    df.select(id.as("id"), vec.as("v"))
+      .withColumn("norm", sqrt(aggregate(col("v"), lit(0.0),
+        (acc, x) => acc + x.cast("double") * x.cast("double"))))
+
+  /** Exact top-k cosine neighbors for each query vector. The query side
+    * is broadcast; the corpus is scanned once; per-query top-k via a
+    * rank window partitioned by query id.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+      id: Column, vec: Column, k: Int): DataFrame = {
+    val c = withNorm(corpus, id, vec)
+    val q = withNorm(queries, id, vec)
+    val scored = c.select(col("id").as("n_id"), col("v").as("n_v"), col("norm").as("n_norm"))
+      .crossJoin(broadcast(
+        q.select(col("id").as("q_id"), col("v").as("q_v"), col("norm").as("q_norm"))))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cosine", dotCos(col("q_v"), col("n_v"), col("q_norm"), col("n_norm")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim) —
+    * fixed so bucket assignment is stable across runs.
+    */
+  private def planeComponent(plane: Int, dim: Int): Double =
+    (((plane * 73856093L + dim * 19349663L + 83492791L) % 1001L) - 500L) / 500.0
+
+  /** Random-hyperplane LSH bucket signature (nPlanes sign bits). */
+  def lshBucket(vec: Column, nPlanes: Int, dims: Int): Column = {
+    val bits = (0 until nPlanes).map { p =>
+      val dot = (0 until dims).map { d =>
+        element_at(vec, d + 1).cast("double") * lit(planeComponent(p, d))
+      }.reduce(_ + _)
+      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Approximate top-k: candidates restricted to the query's LSH bucket
+    * (single-probe). Sublinear at scale; recall depends on nPlanes.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, id: Column, vec: Column,
+      k: Int, nPlanes: Int = 8, dims: Int = 64): DataFrame = {
+    val c = withNorm(corpus, id, vec).withColumn("bucket", lshBucket(col("v"), nPlanes, dims))
+    val q = withNorm(queries, id, vec).withColumn("bucket", lshBucket(col("v"), nPlanes, dims))
+    val scored = c.select(col("id").as("n_id"), col("v").as("n_v"),
+        col("norm").as("n_norm"), col("bucket"))
+      .join(broadcast(q.select(col("id").as("q_id"), col("v").as("q_v"),
+        col("norm").as("q_norm"), col("bucket"))), Seq("bucket"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cosine", dotCos(col("q_v"), col("n_v"), col("q_norm"), col("n_norm")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+}

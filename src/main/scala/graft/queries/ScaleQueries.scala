@@ -1,0 +1,308 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.functions.TextFunctions
+import graft.multimodal.Multimodal
+import graft.operators.{Dedup, Similarity}
+import graft.plans.RollingHash.rolling_hash
+import org.apache.spark.sql.functions._
+
+/** The 100 TB training-data-pipeline operators as graded queries:
+  * text analysis, fingerprints, the dedup family, similarity search,
+  * streaming, multimodal plumbing. Oracles compute the same
+  * engine-independent arithmetic (rolling hash, integer set ops, double
+  * left-folds) in DuckDB.
+  */
+object ScaleQueries {
+
+  /** Shared oracle fragment: per-token / per-text rolling hash. */
+  private val FpLambda =
+    "list_reduce([0::BIGINT] || [unicode(x)::BIGINT for x in string_split(%s, '')], (a, c) -> (a * 31 + c) %% 1000000007)"
+
+  // ---------------------------------------------------------------- q30
+  val q30TextStats: QueryDef = QueryDef(
+    "q30_text_stats",
+    (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens"),
+          length(col("text")).cast("long").as("n_chars"),
+          round(TextFunctions.punctRatio(col("text")), 6).as("punct_ratio"),
+          round(TextFunctions.stopwordRatio(col("text"),
+            TextFunctions.EnglishStopwords), 6).as("stop_ratio"),
+          TextFunctions.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id")),
+    Some("""
+      WITH t AS (
+        SELECT doc_id, text, string_split(text, ' ') AS toks,
+          CASE WHEN length(text) > 0 THEN
+            CAST(length(text) - length(regexp_replace(text, '[.,!?;:''"()\[\]{}-]', '', 'g')) AS DOUBLE) / length(text)
+          ELSE 0.0 END AS praw,
+          CASE WHEN len(string_split(text, ' ')) > 0 THEN
+            CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the','a','is','of','and'))) AS DOUBLE) / len(string_split(text, ' '))
+          ELSE 0.0 END AS sraw
+        FROM documents)
+      SELECT doc_id,
+        len(toks) AS n_tokens,
+        length(text) AS n_chars,
+        ROUND(praw, 6) AS punct_ratio,
+        ROUND(sraw, 6) AS stop_ratio,
+        ROUND(0.3 * LEAST(1.0, CAST(len(toks) AS DOUBLE) / 100.0)
+            + 0.3 * (1.0 - praw)
+            + 0.4 * LEAST(1.0, sraw * 5.0), 6) AS quality
+      FROM t
+      ORDER BY doc_id"""),
+    headline = true,
+  )
+
+  // ---------------------------------------------------------------- q31
+  val q31LangId: QueryDef = QueryDef(
+    "q31_lang_id",
+    (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.langId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id")),
+    Some("""
+      WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      c AS (
+        SELECT doc_id,
+          len(list_filter(toks, x -> x IN ('the','a','is','and','of'))) AS c_en,
+          len(list_filter(toks, x -> x IN ('der','die','das','und','ist'))) AS c_de,
+          len(list_filter(toks, x -> x IN ('el','la','los','es','y'))) AS c_es,
+          len(list_filter(toks, x -> x IN ('le','les','est','et','une'))) AS c_fr,
+          len(list_filter(toks, x -> x IN ('的','是','了','在','我'))) AS c_zh
+        FROM t)
+      SELECT doc_id,
+        CASE
+          WHEN c_en = 0 AND c_de = 0 AND c_es = 0 AND c_fr = 0 AND c_zh = 0 THEN 'unknown'
+          WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr AND c_en >= c_zh THEN 'en'
+          WHEN c_de >= c_en AND c_de >= c_es AND c_de >= c_fr AND c_de >= c_zh THEN 'de'
+          WHEN c_es >= c_en AND c_es >= c_de AND c_es >= c_fr AND c_es >= c_zh THEN 'es'
+          WHEN c_fr >= c_en AND c_fr >= c_de AND c_fr >= c_es AND c_fr >= c_zh THEN 'fr'
+          ELSE 'zh'
+        END AS lang_pred
+      FROM c
+      ORDER BY doc_id"""),
+  )
+
+  // ---------------------------------------------------------------- q32
+  val q32Fingerprint: QueryDef = QueryDef(
+    "q32_fingerprint",
+    (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          rolling_hash(col("text")).as("fingerprint"),
+          TextFunctions.simhash(col("text")).as("simhash"))
+        .orderBy(col("doc_id")),
+    Some(s"""
+      WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+      fp AS (SELECT doc_id, ${FpLambda.format("text")} AS fingerprint FROM t),
+      tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+      th AS (SELECT doc_id, ${FpLambda.format("tk")} AS h FROM tok),
+      bits AS (
+        SELECT doc_id, b, SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        FROM th, (SELECT unnest(range(0, 32)) AS b)
+        GROUP BY doc_id, b),
+      sim AS (
+        SELECT doc_id, SUM(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+        FROM bits GROUP BY doc_id)
+      SELECT fp.doc_id, fp.fingerprint, sim.simhash
+      FROM fp JOIN sim ON fp.doc_id = sim.doc_id
+      ORDER BY fp.doc_id"""),
+  )
+
+  // ---------------------------------------------------------------- q33
+  val q33DedupExact: QueryDef = QueryDef(
+    "q33_dedup_exact",
+    (s, dir) =>
+      Dedup.exactByKey(Tables(s, dir, "documents"),
+          substring(col("text"), 1, 100), col("doc_id"))
+        .select(col("rep_id"), col("group_size"))
+        .orderBy(col("rep_id")),
+    Some("""
+      SELECT MIN(doc_id) AS rep_id, COUNT(*) AS group_size
+      FROM documents
+      GROUP BY substr(text, 1, 100)
+      ORDER BY rep_id"""),
+  )
+
+  private val JaccardOracle = """
+      WITH docs AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      sh AS (
+        SELECT doc_id,
+          list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)]) AS shingles
+        FROM docs WHERE len(t) >= 3),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+            / len(list_distinct(a.shingles || b.shingles)) AS j
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      SELECT id_a, id_b, ROUND(j, 6) AS jaccard
+      FROM pairs WHERE j >= 0.8
+      ORDER BY id_a, id_b"""
+
+  // ---------------------------------------------------------------- q34
+  val q34NgramJaccard: QueryDef = QueryDef(
+    "q34_ngram_jaccard",
+    (s, dir) =>
+      Dedup.ngramJaccardPairs(Tables(s, dir, "documents"),
+          col("doc_id"), col("text"), n = 3, threshold = 0.8)
+        .orderBy(col("id_a"), col("id_b")),
+    Some(JaccardOracle),
+    headline = true,
+  )
+
+  // ---------------------------------------------------------------- q35
+  /** LSH candidates + exact verify ⇒ equal to the exact all-pairs oracle
+    * (miss probability ≈ 5e-8 at j = 0.8 with 32×4 banding).
+    */
+  val q35MinhashLsh: QueryDef = QueryDef(
+    "q35_minhash_lsh",
+    (s, dir) =>
+      Dedup.minhashLshPairs(Tables(s, dir, "documents"),
+          col("doc_id"), col("text"), n = 3, threshold = 0.8)
+        .orderBy(col("id_a"), col("id_b")),
+    Some(JaccardOracle),
+  )
+
+  // ---------------------------------------------------------------- q36
+  val q36SimhashPairs: QueryDef = QueryDef(
+    "q36_simhash_pairs",
+    (s, dir) =>
+      Dedup.simhashPairs(Tables(s, dir, "documents"),
+          col("doc_id"), col("text"), maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b")),
+    Some(s"""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+      th AS (SELECT doc_id, ${FpLambda.format("tk")} AS h FROM tok),
+      bits AS (
+        SELECT doc_id, b, SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        FROM th, (SELECT unnest(range(0, 32)) AS b)
+        GROUP BY doc_id, b),
+      sim AS (
+        SELECT doc_id, SUM(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+        FROM bits GROUP BY doc_id)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        bit_count(xor(a.simhash, b.simhash)) AS hamming
+      FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+      ORDER BY id_a, id_b"""),
+  )
+
+  /** Oracle fragment: exact double cosine with strict left-fold sums. */
+  private val CosineE = """
+      e AS (
+        SELECT vec_id, embedding,
+          sqrt(list_reduce([0.0::DOUBLE] || [CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding], (a, v) -> a + v)) AS nrm
+        FROM embeddings)"""
+
+  // ---------------------------------------------------------------- q37
+  val q37CosinePairs: QueryDef = QueryDef(
+    "q37_cosine_pairs",
+    (s, dir) =>
+      Dedup.cosinePairs(Tables(s, dir, "embeddings"),
+          col("vec_id"), col("embedding"), threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b")),
+    Some(s"""
+      WITH $CosineE,
+      pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          list_reduce([0.0::DOUBLE] || [CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) for i in range(1, len(a.embedding) + 1)], (x, v) -> x + v)
+            / (a.nrm * b.nrm) AS cosine
+        FROM e a JOIN e b ON a.vec_id < b.vec_id)
+      SELECT id_a, id_b, ROUND(cosine, 6) AS cosine
+      FROM pairs WHERE cosine >= 0.5
+      ORDER BY id_a, id_b"""),
+  )
+
+  // ---------------------------------------------------------------- q38
+  val q38AnnTopK: QueryDef = QueryDef(
+    "q38_ann_topk",
+    (s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5),
+          col("vec_id"), col("embedding"), k = 10)
+        .orderBy(col("q_id"), col("rank"))
+    },
+    Some(s"""
+      WITH $CosineE,
+      q AS (SELECT * FROM e WHERE vec_id < 5),
+      scored AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+          list_reduce([0.0::DOUBLE] || [CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE) for i in range(1, len(q.embedding) + 1)], (x, v) -> x + v)
+            / (q.nrm * c.nrm) AS cosine
+        FROM q JOIN e c ON c.vec_id != q.vec_id),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank
+        FROM scored)
+      SELECT q_id, rank, n_id, ROUND(cosine, 6) AS cosine
+      FROM ranked WHERE rank <= 10
+      ORDER BY q_id, rank"""),
+    headline = true,
+  )
+
+  // ---------------------------------------------------------------- q39
+  /** Approximate (single-probe LSH) — intentionally no oracle. */
+  val q39AnnLsh: QueryDef = QueryDef(
+    "q39_ann_lsh",
+    (s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5),
+          col("vec_id"), col("embedding"), k = 10)
+        .orderBy(col("q_id"), col("rank"))
+    },
+    oracle = None,
+  )
+
+  // ---------------------------------------------------------------- q40
+  val q40StreamWindow: QueryDef = QueryDef(
+    "q40_stream_window",
+    (s, dir) => graft.streaming.EventsStream.windowedCounts(s, dir),
+    Some("""
+      SELECT CAST(FLOOR(epoch(ts) / 10800) * 10800 AS BIGINT) AS bucket_start,
+        event_type, COUNT(*) AS n
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY bucket_start, event_type"""),
+  )
+
+  // ---------------------------------------------------------------- q41
+  val q41StreamDedup: QueryDef = QueryDef(
+    "q41_stream_dedup",
+    (s, dir) => graft.streaming.EventsStream.dedupCount(s, dir),
+    Some("""
+      SELECT event_type, COUNT(DISTINCT event_id) AS n
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type"""),
+  )
+
+  // ---------------------------------------------------------------- q42
+  val q42Multimodal: QueryDef = QueryDef(
+    "q42_multimodal",
+    (s, dir) =>
+      Multimodal.decodeFeatures(
+          Multimodal.mediaFromDocuments(Tables(s, dir, "documents")))
+        .orderBy(col("media_id")),
+    Some(s"""
+      SELECT doc_id AS media_id,
+        CASE CAST(doc_id % 3 AS INT)
+          WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        octet_length(encode(text)) AS n_bytes,
+        CASE WHEN length(text) > 0 THEN unicode(substr(text, 1, 1))::BIGINT ELSE -1 END AS header_byte,
+        ${FpLambda.format("substr(text, 1, 16)")} AS checksum,
+        octet_length(encode(text)) // 256 + 1 AS n_frames
+      FROM documents
+      ORDER BY media_id"""),
+  )
+
+  val all: Seq[QueryDef] = Seq(
+    q30TextStats, q31LangId, q32Fingerprint, q33DedupExact,
+    q34NgramJaccard, q35MinhashLsh, q36SimhashPairs, q37CosinePairs,
+    q38AnnTopK, q39AnnLsh, q40StreamWindow, q41StreamDedup, q42Multimodal)
+}

@@ -1,0 +1,110 @@
+package graft
+
+import graft.functions.TextFunctions
+import graft.multimodal.Multimodal
+import graft.operators.{Dedup, Similarity}
+import graft.plans.RollingHash
+import org.apache.spark.sql.functions._
+
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("RollingHash: known values, null, and codegen path") {
+    assert(RollingHash.hash("") === 0L)
+    assert(RollingHash.hash("a") === 97L)
+    assert(RollingHash.hash("ab") === (97L * 31 + 98) % 1000000007L)
+    val got = Seq(("x", "ab"), ("y", null))
+      .toDF("id", "s")
+      .select(col("id"), RollingHash.rolling_hash(col("s")).as("h"))
+      .orderBy("id").collect()
+    assert(got(0).getLong(1) === (97L * 31 + 98) % 1000000007L)
+    assert(got(1).isNullAt(1))
+  }
+
+  test("shingles: distinct word trigrams") {
+    val out = Seq("a b c d a b c d", "a b").toDF("t")
+      .select(TextFunctions.shingles(col("t"), 3).as("sh"))
+      .collect()
+    assert(out(0).getSeq[String](0).toSet ===
+      Set("a b c", "b c d", "c d a", "d a b"))
+    assert(out(1).getSeq[String](0).isEmpty)
+  }
+
+  test("langId heuristic picks stopword-dominant language") {
+    val out = Seq("der hund und die katze", "the cat is on the mat",
+      "el gato y la casa", "xyzzy plugh").toDF("t")
+      .select(TextFunctions.langId(col("t")).as("l")).as[String].collect()
+    assert(out.toSeq === Seq("de", "en", "es", "unknown"))
+  }
+
+  test("simhash: identical texts share signatures; hamming 0") {
+    val df = Seq((1L, "spark scans fast tables"), (2L, "spark scans fast tables"),
+      (3L, "completely different words here")).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(df, col("doc_id"), col("text"), maxHamming = 0)
+      .collect()
+    assert(pairs.exists(r => r.getLong(0) === 1L && r.getLong(1) === 2L &&
+      r.getLong(2) === 0L))
+  }
+
+  test("minhash LSH pairs equal exact n-gram Jaccard pairs (sf0.001)") {
+    val docs = Tables(spark, sfDir, "documents")
+    val exact = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"), 3, 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLshPairs(docs, col("doc_id"), col("text"), 3, 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    assert(lsh === exact)
+  }
+
+  test("exact dedup groups near-identical prefixes") {
+    val docs = Tables(spark, sfDir, "documents")
+    val groups = Dedup.exactByKey(docs, substring(col("text"), 1, 50), col("doc_id"))
+    assert(groups.agg(sum("group_size")).head().getLong(0) === docs.count())
+  }
+
+  test("brute-force top-k returns k ranked neighbors per query") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val topk = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 3),
+      col("vec_id"), col("embedding"), k = 5)
+    val counts = topk.groupBy("q_id").count().as[(Long, Long)].collect().toMap
+    assert(counts.size === 3)
+    assert(counts.values.forall(_ === 5L))
+    // rank 1 has the highest cosine per query
+    val r = topk.filter(col("q_id") === 0).orderBy("rank")
+      .select("cosine").as[Double].collect()
+    assert(r.toSeq === r.sorted(Ordering[Double].reverse).toSeq)
+  }
+
+  test("LSH top-k neighbors are a subset of the corpus with sane ranks") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val topk = Similarity.lshTopK(emb, emb.filter(col("vec_id") < 3),
+      col("vec_id"), col("embedding"), k = 5)
+    assert(topk.filter(col("rank") > 5).count() === 0)
+  }
+
+  test("multimodal decode stub: schema + deterministic features") {
+    val docs = Seq((0L, "hello world this is a test document"),
+      (1L, ""), (2L, "short")).toDF("doc_id", "text")
+    val out = Multimodal.decodeFeatures(Multimodal.mediaFromDocuments(docs))
+      .orderBy("media_id").collect()
+    assert(out(0).getAs[String]("kind") === "image")
+    assert(out(1).getAs[String]("kind") === "audio")
+    assert(out(2).getAs[String]("kind") === "video")
+    assert(out(0).getAs[Long]("n_bytes") === 35L)
+    assert(out(0).getAs[Long]("header_byte") === 'h'.toLong)
+    assert(out(0).getAs[Long]("checksum") ===
+      RollingHash.hash("hello world this"))
+    assert(out(1).getAs[Long]("header_byte") === -1L)
+    assert(out(1).getAs[Long]("n_frames") === 1L)
+  }
+
+  test("streaming windowed counts equal the batch aggregation") {
+    val streamed = graft.streaming.EventsStream.windowedCounts(spark, sfDir)
+    val batch = Tables(spark, sfDir, "events")
+      .groupBy((floor(col("ts").cast("long") / 10800) * 10800).as("bucket_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch.select("bucket_start", "event_type", "n")).count() === 0)
+  }
+}
