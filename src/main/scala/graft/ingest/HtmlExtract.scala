@@ -116,4 +116,33 @@ object HtmlExtract {
   private def decodeEntities(s: String): String =
     s.replace("&amp;", "&").replace("&lt;", "<").replace("&gt;", ">")
       .replace("&quot;", "\"").replace("&#39;", "'").replace("&nbsp;", " ")
+
+  private val AttrRe = """([a-zA-Z_:][-a-zA-Z0-9_:.]*)\s*=\s*["']([^"']*)["']""".r
+
+  /** Attribute maps of every `<tag ...>` occurrence — for void elements
+    * (input, img, …) that have no closing tag and therefore no "inner".
+    */
+  def tagAttrs(html: String, tag: String): Vector[Map[String, String]] =
+    s"(?i)<$tag(\\s[^>]*)?/?>".r.findAllMatchIn(html).map { m =>
+      val attrs = Option(m.group(1)).getOrElse("")
+      AttrRe.findAllMatchIn(attrs)
+        .map(a => a.group(1).toLowerCase -> a.group(2)).toMap
+    }.toVector
+
+  /** Inner HTML of every element of `tag` whose attribute `attr` equals
+    * `value` (e.g. label[for=checkbox-id]).
+    */
+  def elementsByAttr(html: String, tag: String, attr: String,
+      value: String): Vector[String] = {
+    val out = ArrayBuffer.empty[String]
+    val openRe = s"(?i)<$tag(\\s[^>]*)?>".r
+    for (m <- openRe.findAllMatchIn(html)) {
+      val attrs = Option(m.group(1)).getOrElse("")
+      val attrMap = AttrRe.findAllMatchIn(attrs)
+        .map(a => a.group(1).toLowerCase -> a.group(2)).toMap
+      if (attrMap.get(attr.toLowerCase).contains(value))
+        out += html.substring(m.end, findElementEnd(html, tag, m.end))
+    }
+    out.toVector
+  }
 }

@@ -187,6 +187,39 @@ object DomainQueries {
     oracle = None,
   )
 
+  // ---------------------------------------------------------------- q23
+  /** M1-M5: the ML lifecycle — split, train GBT (absolute loss), score
+    * with re-join, evaluate MAE per split. Not SQL-expressible (no GBT in
+    * DuckDB) → rows-only check; invariants live in MlSpec.
+    */
+  val q23MlScore: QueryDef = QueryDef(
+    "q23_ml_score",
+    (s, _) => {
+      val csv = SyntheticSuumo.writeLocationCsv(
+        Paths.get(System.getProperty("java.io.tmpdir"), "graft_synth_loc"))
+      val props = PropertiesFrame.scrape(s, synthPages(6),
+        fetchedAt = Some(1.6254e9))
+      val dim = Geocode.readLocationReference(s, csv.toString)
+      val cleaned = Clean.cleanDf(Clean.addTargetVariable(
+        Geocode.addAddressCoords(props, dim))).cache()
+      val splits = graft.operators.Splits.threeWay(cleaned, 0.1875, 0.25, 123L)
+      val model = graft.ml.Scoring.trainGbt(splits("train"),
+        Some(splits("val")), maxIter = 20)
+      Seq("train", "val", "test").map { name =>
+        val scored = graft.ml.Scoring.predict(model, splits(name))
+        val m = graft.ml.Scoring.mae(scored)
+        (name, scored.count(), m)
+      }.foldLeft(Option.empty[org.apache.spark.sql.DataFrame]) {
+        case (acc, (name, n, m)) =>
+          import s.implicits._
+          val row = Seq((name, n, m)).toDF("split", "n", "mae")
+          Some(acc.map(_.unionAll(row)).getOrElse(row))
+      }.get.orderBy(col("split"))
+    },
+    oracle = None,
+  )
+
   val all: Seq[QueryDef] =
-    Seq(q19ParseGolden, q20KanjiAddress, q21ScrapePipeline, q22FullPipeline)
+    Seq(q19ParseGolden, q20KanjiAddress, q21ScrapePipeline, q22FullPipeline,
+      q23MlScore)
 }

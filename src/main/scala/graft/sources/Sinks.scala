@@ -1,0 +1,58 @@
+package graft.sources
+
+import java.nio.file.{Files, Path}
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sinks (SURVEY §2.1 K1-K5). Parquet replaces pickle (K2/S6); CSV keeps
+  * the reference's to_csv surface with array columns JSON-encoded
+  * (pandas wrote python tuple reprs — not a parseable interchange
+  * format, so we do better on purpose); JSON covers the job-info record
+  * sink (K5).
+  */
+object Sinks {
+
+  /** K1/K2: columnar result sink. */
+  def writeParquet(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+
+  /** K1: CSV sink; array columns serialized as JSON strings. */
+  def writeCsv(df: DataFrame, path: String): Unit = {
+    val flat = df.schema.fields.foldLeft(df) { (d, f) =>
+      f.dataType match {
+        case _: org.apache.spark.sql.types.ArrayType =>
+          d.withColumn(f.name, to_json(col(f.name)))
+        case _ => d
+      }
+    }
+    flat.write.mode("overwrite").option("header", "true").csv(path)
+  }
+
+  /** K5: JSON-lines sink. */
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  /** K3: one file per page, page_%06d.html (dumping.py:223-226). */
+  def writeHtmlPages(pages: Seq[(Int, String)], dir: Path): Unit = {
+    Files.createDirectories(dir)
+    pages.foreach { case (page, html) =>
+      Files.writeString(dir.resolve(f"page_$page%06d.html"), html)
+    }
+  }
+
+  /** K4: zip repack preserving mtimes (svc/zip_property_data.py:34-100).
+    * Entry times carry the original file mtimes (2 s zip resolution).
+    */
+  def writeZip(files: Seq[(String, Array[Byte], Long)], out: Path): Unit = {
+    val zos = new ZipOutputStream(Files.newOutputStream(out))
+    try files.foreach { case (name, bytes, mtimeSec) =>
+      val e = new ZipEntry(name)
+      e.setTime(mtimeSec * 1000L)
+      zos.putNextEntry(e)
+      zos.write(bytes)
+      zos.closeEntry()
+    } finally zos.close()
+  }
+}

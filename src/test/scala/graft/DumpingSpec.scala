@@ -1,0 +1,109 @@
+package graft
+
+import graft.ingest.Dumping
+
+/** Semantics ported from libs/tests/test_dumping.py (URL editing,
+  * pagination, condition codes) on synthesized fixtures.
+  */
+class DumpingSpec extends SparkSpec {
+
+  test("F13: remove/add params preserve order and multiplicity") {
+    assert(Dumping.removePageParam("https://x/y?page=2&pc=50") === "https://x/y?pc=50")
+    assert(Dumping.removePageParam("https://x/y?pc=50") === "https://x/y?pc=50")
+    assert(Dumping.removePageParam("https://x/y") === "https://x/y")
+    assert(Dumping.addResultsPerPageParam("https://x/y?a=1") === "https://x/y?a=1&pc=50")
+    // existing pc collapses to one value, in place
+    assert(Dumping.addResultsPerPageParam("https://x/y?pc=10&a=1&pc=20") ===
+      "https://x/y?pc=50&a=1")
+    // multi-valued params survive a round trip
+    assert(Dumping.addParams("https://x/y?sc=1&sc=2", Seq("page" -> Seq("3"))) ===
+      "https://x/y?sc=1&sc=2&page=3")
+  }
+
+  val conditionPage: String =
+    """<html><body>
+      |<input type="checkbox" name="ts" id="ts1" value="1"><label for="ts1">マンション</label>
+      |<input type="checkbox" name="ts" id="ts2" value="2"><label for="ts2">アパート</label>
+      |<input type="checkbox" name="sc" id="sc1" value="13104"><label for="sc1">新宿区</label>
+      |<input type="checkbox" name="sc" id="sc2" value="13113"><label for="sc2">渋谷区</label>
+      |<input type="checkbox" name="tc" id="tc1" value="0401303"><label for="tc1">本日の新着物件</label>
+      |</body></html>""".stripMargin
+
+  test("J4: condition codes from checkbox/label pairs") {
+    assert(Dumping.conditionCodesByValue(conditionPage, "ts") ===
+      Map("マンション" -> "1", "アパート" -> "2"))
+    assert(Dumping.conditionCodesByValue(conditionPage, "sc") ===
+      Map("新宿区" -> "13104", "渋谷区" -> "13113"))
+  }
+
+  test("P5: unknown condition values raise") {
+    val e = intercept[RuntimeException] {
+      Dumping.buildConditionCodes(conditionPage, Some(Seq("ビル")), None, None)
+    }
+    assert(e.getMessage.contains("ts"))
+  }
+
+  test("build_search_url appends sorted condition codes") {
+    val url = Dumping.buildSearchUrl(conditionPage,
+      buildingCategories = Seq("マンション"),
+      wards = Seq("渋谷区", "新宿区"), onlyToday = true)
+    assert(url.contains("pc=50"))
+    assert(url.contains("ts=1"))
+    assert(url.contains("sc=13104&sc=13113")) // sorted codes
+    assert(url.contains("tc=0401303"))
+    assert(url.startsWith("https://suumo.jp/jj/chintai/ichiran/FR301FC001/?ar=030"))
+  }
+
+  def pageWithPagination(nPages: Int, current: Int): String = {
+    val links = (1 to nPages).map(i => s"""<li><a href="/p$i">$i</a></li>""").mkString
+    val next = if (current < nPages)
+      s"""<div class="pagination pagination_set-nav"><p><a href="/next$current">次へ</a></p></div>"""
+    else """<div class="pagination pagination_set-nav"><p></p></div>"""
+    s"""<html><body><ol class="pagination-parts">$links</ol>$next</body></html>"""
+  }
+
+  test("A6: page count from pagination links; single page without links") {
+    assert(Dumping.scrapeNumberOfPages(pageWithPagination(1607, 1)) === 1607)
+    assert(Dumping.scrapeNumberOfPages(
+      """<html><ol class="pagination-parts"><li>1</li></ol></html>""") === 1)
+  }
+
+  test("A6: next-page link presence") {
+    assert(Dumping.scrapeNextPageUrl(pageWithPagination(3, 1)) ===
+      Some("https://suumo.jp/next1"))
+    assert(Dumping.scrapeNextPageUrl(pageWithPagination(3, 3)) === None)
+  }
+
+  test("A6: search conditions prefer the long form") {
+    val longForm =
+      """<p class="conditionbox-info-txt">short</p>
+        |<p class="conditionbox-info-txt conditionbox-info-txt--all"> full conditions </p>""".stripMargin
+    assert(Dumping.scrapeSearchConditions(longForm) === "full conditions")
+    assert(Dumping.scrapeSearchConditions(
+      """<p class="conditionbox-info-txt">short</p>""") === "short")
+  }
+
+  test("S7: sequential iterator follows 次へ until the last page") {
+    val pages = (1 to 3).map(i => pageWithPagination(3, i))
+    val fetched = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = Dumping.iterSearchResults("https://x/search?pc=50", url => {
+      fetched += url
+      val p = "page=(\\d+)".r.findFirstMatchIn(url).get.group(1).toInt
+      pages(p - 1)
+    })
+    val out = it.toVector
+    assert(out.map(_._1) === Vector(1, 2, 3))
+    assert(fetched.toVector === Vector(
+      "https://x/search?pc=50&page=1",
+      "https://x/search?pc=50&page=2",
+      "https://x/search?pc=50&page=3"))
+  }
+
+  test("S8: parallel fetch fans pages out as Spark tasks") {
+    val out = Dumping.parallelFetchPages(spark, "https://x/s?pc=50",
+        nPages = 20, parallelism = 4,
+        url => s"<html>${url.takeRight(2)}</html>")
+      .collect().toMap
+    assert(out.keySet === (1 to 20).toSet)
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.ingest.{PropertiesFrame, SyntheticSuumo}
+import graft.ml.Scoring
+import graft.operators.Splits
+import graft.transform.{Clean, Geocode}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class MlSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Cleaned synthetic properties with coords + y — the training frame. */
+  lazy val trainingData: DataFrame = {
+    val pages = SyntheticSuumo.writePages(
+      Files.createTempDirectory("graft_ml_pages"), 8)
+    val csv = SyntheticSuumo.writeLocationCsv(
+      Files.createTempDirectory("graft_ml_loc"))
+    val props = PropertiesFrame.scrape(spark, pages.toString,
+      fetchedAt = Some(1.6254e9))
+    val dim = Geocode.readLocationReference(spark, csv.toString)
+    Clean.cleanDf(Clean.addTargetVariable(
+      Geocode.addAddressCoords(props, dim))).cache()
+  }
+
+  test("M1+M5: GBT with absolute loss trains and beats the mean baseline") {
+    val splits = Splits.threeWay(trainingData, 0.2, 0.2, seed = 123L)
+    val model = Scoring.trainGbt(splits("train"), Some(splits("val")), maxIter = 30)
+    val scored = Scoring.predict(model, splits("test"))
+    val gbtMae = Scoring.mae(scored)
+    val meanY = splits("train").agg(avg("y")).head().getDouble(0)
+    val baselineMae = Scoring.mae(
+      splits("test").withColumn("y_pred", lit(meanY)))
+    assert(gbtMae.isFinite && gbtMae > 0)
+    assert(gbtMae < baselineMae * 1.2,
+      s"GBT MAE $gbtMae should not be far above mean-baseline $baselineMae")
+  }
+
+  test("M2/J2: unscorable rows keep null y_pred") {
+    val model = Scoring.trainGbt(trainingData, maxIter = 5)
+    val withBroken = trainingData
+      .unionByName(trainingData.limit(1)
+        .withColumn("latitude", lit(null).cast("double"))
+        .withColumn("jnc_id", lit("__broken__")))
+    val scored = Scoring.predict(model, withBroken)
+    assert(scored.count() === trainingData.count() + 1)
+    val broken = scored.filter(col("jnc_id") === "__broken__").head()
+    assert(broken.isNullAt(broken.fieldIndex("y_pred")))
+  }
+
+  test("M3: saved and reloaded model predictions are identical") {
+    val model = Scoring.trainGbt(trainingData, maxIter = 5)
+    val path = Files.createTempDirectory("graft_model").resolve("gbt").toString
+    val ape = Scoring.saveLoadParity(model, trainingData, path,
+      sampleFraction = 0.5)
+    assert(ape < 1e-9, s"save/load max APE $ape")
+  }
+
+  test("M4/A5: leaf quantiles on separable data are exact") {
+    // two separable clusters like libs/tests/test_tree.py:10-36
+    val df = ((1 to 50).map(i => (s"a$i", 0.0, 100.0 + i)) ++
+      (1 to 50).map(i => (s"b$i", 10.0, 1000.0 + i)))
+      .toDF("jnc_id", "x", "y")
+    val assembled = new org.apache.spark.ml.feature.VectorAssembler()
+      .setInputCols(Array("x")).setOutputCol("features").transform(df)
+    val (tree, leafQ) = Scoring.trainLeafQuantiles(assembled,
+      quantiles = Seq(0.0, 0.5, 1.0), maxDepth = 1)
+    val out = Scoring.predictQuantiles(tree, leafQ, assembled)
+    val lowCluster = out.filter(col("x") === 0.0)
+      .select("quantiles").head().getSeq[Double](0)
+    assert(lowCluster === Seq(101.0, 125.5, 150.0))
+    val highCluster = out.filter(col("x") === 10.0)
+      .select("quantiles").head().getSeq[Double](0)
+    assert(highCluster === Seq(1001.0, 1025.5, 1050.0))
+  }
+}
