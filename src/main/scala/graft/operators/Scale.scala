@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale mechanics: skew-tolerant joins and bucketed co-located joins —
+  * the knobs that matter at 1000 executors, demonstrated and
+  * plan-audited at test scale (see SCALING.md).
+  */
+object Scale {
+
+  /** Salted equi-join for skewed keys: the big side gets a deterministic
+    * salt in [0, buckets); the small side is replicated once per salt.
+    * A hot key's rows then spread over `buckets` reducers instead of one.
+    * Result is row-identical to the plain join (inner/left). AQE's
+    * skew-join handles moderate skew automatically; salting is for the
+    * pathological keys AQE cannot split (e.g. a single giant group).
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+      buckets: Int, joinType: String = "inner"): DataFrame = {
+    val saltedBig = big.withColumn("__salt",
+      pmod(xxhash64(col(key), monotonically_increasing_id()), lit(buckets)))
+    val saltedSmall = small.withColumn("__salt",
+      explode(sequence(lit(0L), lit(buckets - 1L))))
+    saltedBig.join(saltedSmall, Seq(key, "__salt"), joinType)
+      .drop("__salt")
+  }
+
+  /** Bucketed, sorted table write: subsequent equi-joins between tables
+    * bucketed on the same key and count need no shuffle (plan shows
+    * SortMergeJoin without Exchange).
+    */
+  def writeBucketed(df: DataFrame, tableName: String, key: String,
+      buckets: Int): Unit =
+    df.write
+      .mode("overwrite")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(tableName)
+
+  def bucketedJoin(spark: SparkSession, leftTable: String,
+      rightTable: String, key: String): DataFrame =
+    spark.table(leftTable).join(spark.table(rightTable), Seq(key))
+}

@@ -301,8 +301,50 @@ object ScaleQueries {
       ORDER BY media_id"""),
   )
 
+  private val SessionOracle = """
+      WITH ev AS (
+        SELECT user_id, event_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec, value
+        FROM events),
+      w AS (
+        SELECT *, LAG(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS prev
+        FROM ev),
+      s AS (
+        SELECT *, CASE WHEN prev IS NULL OR sec - prev > 1800 THEN 1 ELSE 0 END AS ns
+        FROM w),
+      c AS (
+        SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY sec, event_id
+          ROWS UNBOUNDED PRECEDING) AS sid
+        FROM s)
+      SELECT user_id, MIN(sec) AS session_start, MAX(sec) AS session_end,
+        COUNT(*) AS n_events,
+        CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
+      FROM c GROUP BY user_id, sid
+      ORDER BY user_id, session_start"""
+
+  // ---------------------------------------------------------------- q43
+  /** Stateful sessionization via flatMapGroupsWithState (30-min gap). */
+  val q43SessionizeState: QueryDef = QueryDef(
+    "q43_sessionize_state",
+    (s, dir) => graft.streaming.Sessionize.run(s, dir, gapSeconds = 1800)
+      .orderBy(col("user_id"), col("session_start")),
+    Some(SessionOracle),
+  )
+
+  // ---------------------------------------------------------------- q44
+  /** The same sessions via the declarative window-lag plan — the two
+    * implementations are proven equivalent against one oracle.
+    */
+  val q44SessionizeBatch: QueryDef = QueryDef(
+    "q44_sessionize_batch",
+    (s, dir) => graft.streaming.Sessionize.sessionizeBatch(
+        Tables(s, dir, "events"), gapSeconds = 1800)
+      .orderBy(col("user_id"), col("session_start")),
+    Some(SessionOracle),
+  )
+
   val all: Seq[QueryDef] = Seq(
     q30TextStats, q31LangId, q32Fingerprint, q33DedupExact,
     q34NgramJaccard, q35MinhashLsh, q36SimhashPairs, q37CosinePairs,
-    q38AnnTopK, q39AnnLsh, q40StreamWindow, q41StreamDedup, q42Multimodal)
+    q38AnnTopK, q39AnnLsh, q40StreamWindow, q41StreamDedup, q42Multimodal,
+    q43SessionizeState, q44SessionizeBatch)
 }

@@ -1,0 +1,71 @@
+package graft
+
+import graft.operators.Scale
+import graft.plans.GraftExtensions
+import graft.streaming.Sessionize
+import org.apache.spark.sql.functions._
+
+class ScaleDesignSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted join is row-identical to the plain join") {
+    val big = Tables(spark, sfDir, "events")
+      .select(col("user_id"), col("event_id"), col("value"))
+    val small = Tables(spark, sfDir, "events")
+      .groupBy("user_id").agg(count(lit(1)).as("n_user_events"))
+    val plain = big.join(small, Seq("user_id"))
+    val salted = Scale.saltedJoin(big, small, "user_id", buckets = 8)
+    assert(salted.count() === plain.count())
+    assert(salted.exceptAll(plain).count() === 0)
+    assert(plain.exceptAll(salted).count() === 0)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val orders = Tables(spark, sfDir, "orders")
+      val customers = Tables(spark, sfDir, "customer")
+        .withColumnRenamed("c_custkey", "o_custkey")
+      Scale.writeBucketed(orders, "graft_orders_b", "o_custkey", 8)
+      Scale.writeBucketed(customers, "graft_customer_b", "o_custkey", 8)
+      val joined = Scale.bucketedJoin(spark, "graft_orders_b",
+        "graft_customer_b", "o_custkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"bucketed join should not shuffle:\n$plan")
+      assert(joined.count() > 0)
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
+  test("rolling_hash is callable from SQL via extensions registration") {
+    GraftExtensions.register(spark)
+    val out = spark.sql("SELECT rolling_hash('ab') AS h").head().getLong(0)
+    assert(out === (97L * 31 + 98) % 1000000007L)
+  }
+
+  test("stateful and windowed sessionization agree") {
+    val state = Sessionize.run(spark, sfDir, gapSeconds = 1800)
+    val batch = Sessionize.sessionizeBatch(
+      Tables(spark, sfDir, "events"), gapSeconds = 1800)
+    assert(state.count() === batch.count())
+    assert(state.exceptAll(batch).count() === 0)
+  }
+
+  test("sessions respect the idle gap") {
+    val sessions = Sessionize.run(spark, sfDir, gapSeconds = 1800)
+      .select("user_id", "session_start", "session_end")
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1)
+    sessions.values.foreach { ss =>
+      val sorted = ss.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array((_, _, end1), (_, start2, _)) =>
+          assert(start2 - end1 > 1800,
+            s"adjacent sessions closer than the gap: $end1 -> $start2")
+        case _ =>
+      }
+    }
+  }
+}
