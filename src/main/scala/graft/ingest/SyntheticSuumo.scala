@@ -99,11 +99,13 @@ object SyntheticSuumo {
   }
 
   /** Write n deterministic pages into dir; idempotent. */
-  def writePages(dir: Path, n: Int): Path = {
+  def writePages(dir: Path, n: Int, buildingsPerPage: Int = 10,
+      roomsPerBuilding: Int = 3): Path = {
     Files.createDirectories(dir)
     (0 until n).foreach { i =>
       val p = dir.resolve(f"page_$i%06d.html")
-      if (!Files.exists(p)) Files.writeString(p, page(i))
+      if (!Files.exists(p))
+        Files.writeString(p, page(i, buildingsPerPage, roomsPerBuilding))
     }
     dir
   }

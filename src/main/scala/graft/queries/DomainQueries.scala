@@ -219,7 +219,33 @@ object DomainQueries {
     oracle = None,
   )
 
+  // ---------------------------------------------------------------- q24
+  /** Scrape THROUGHPUT at reference shape: ~198 rooms/page (50 buildings
+    * × 4 rooms, the reference's observed fan-out) at a page count scaled
+    * by SF. The reference scrapes one day's 92 MB dump in ~3.6 min
+    * single-threaded (BASELINE.md); this is the direct head-to-head.
+    * Rows-only check (HTML parse has no SQL oracle; exactness lives in
+    * IngestSpec).
+    */
+  val q24ScrapeBench: QueryDef = QueryDef(
+    "q24_scrape_bench",
+    (s, dir) => {
+      val nPages =
+        if (dir.contains("0.001")) 3
+        else if (dir.contains("0.01")) 15
+        else 150
+      val pages = SyntheticSuumo.writePages(
+        Paths.get(System.getProperty("java.io.tmpdir"),
+          s"graft_bench_pages_$nPages"),
+        nPages, buildingsPerPage = 50, roomsPerBuilding = 4)
+      PropertiesFrame.scrape(s, pages.toString, fetchedAt = Some(1.6254e9))
+        .drop("source_file", "source_order")
+    },
+    oracle = None,
+    headline = true,
+  )
+
   val all: Seq[QueryDef] =
     Seq(q19ParseGolden, q20KanjiAddress, q21ScrapePipeline, q22FullPipeline,
-      q23MlScore)
+      q23MlScore, q24ScrapeBench)
 }
