@@ -59,6 +59,59 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** IVF (inverted-file) ANN: a k-means coarse quantizer partitions the
+    * corpus into nCentroids cells; each query probes its nProbe nearest
+    * cells and scores only those vectors. nProbe = nCentroids degrades
+    * gracefully to exact brute force (used by the spec as the recall
+    * anchor); smaller nProbe trades recall for a 1/nCentroids·nProbe
+    * scan fraction — the standard billion-scale layout.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, id: Column, vec: Column,
+      k: Int, nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+
+    val c = withNorm(corpus, id, vec)
+      .withColumn("fv", array_to_vector(col("v").cast("array<double>")))
+      .localCheckpoint()
+    val km = new KMeans().setK(nCentroids).setSeed(42L)
+      .setFeaturesCol("fv").setPredictionCol("cell")
+    val model = km.fit(c)
+    val assigned = model.transform(c)
+      .select(col("id").as("n_id"), col("v").as("n_v"),
+        col("norm").as("n_norm"), col("cell"))
+
+    // tiny centroid table: (cell, center)
+    val centers = spark.createDataFrame(
+      model.clusterCenters.zipWithIndex.map { case (ctr, i) =>
+        (i, ctr.toArray.toSeq)
+      }.toSeq).toDF("cell", "center")
+
+    val q = withNorm(queries, id, vec)
+      .select(col("id").as("q_id"), col("v").as("q_v"), col("norm").as("q_norm"))
+    // per query: nProbe nearest cells by L2 distance to the centroid
+    val qCells = q.crossJoin(broadcast(centers))
+      .withColumn("dist2", aggregate(
+        zip_with(col("q_v"), col("center"),
+          (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+        lit(0.0), (acc, x) => acc + x))
+      .withColumn("probe_rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("dist2"), col("cell"))))
+      .filter(col("probe_rank") <= nProbe)
+      .select("q_id", "q_v", "q_norm", "cell")
+
+    val scored = assigned.join(broadcast(qCells), Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cosine", dotCos(col("q_v"), col("n_v"), col("q_norm"), col("n_norm")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
   /** Approximate top-k: candidates restricted to the query's LSH bucket
     * (single-probe). Sublinear at scale; recall depends on nPlanes.
     */

@@ -342,9 +342,26 @@ object ScaleQueries {
     Some(SessionOracle),
   )
 
+  // ---------------------------------------------------------------- q45
+  /** IVF ANN with full probing (nProbe = nCentroids) — exact by
+    * construction, so it shares the brute-force oracle; drop nProbe for
+    * the sublinear scale path (see SimilaritySpec recall checks).
+    */
+  val q45AnnIvf: QueryDef = QueryDef(
+    "q45_ann_ivf",
+    (s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5),
+          col("vec_id"), col("embedding"), k = 10,
+          nCentroids = 8, nProbe = 8)
+        .orderBy(col("q_id"), col("rank"))
+    },
+    q38AnnTopK.oracle,
+  )
+
   val all: Seq[QueryDef] = Seq(
     q30TextStats, q31LangId, q32Fingerprint, q33DedupExact,
     q34NgramJaccard, q35MinhashLsh, q36SimhashPairs, q37CosinePairs,
     q38AnnTopK, q39AnnLsh, q40StreamWindow, q41StreamDedup, q42Multimodal,
-    q43SessionizeState, q44SessionizeBatch)
+    q43SessionizeState, q44SessionizeBatch, q45AnnIvf)
 }

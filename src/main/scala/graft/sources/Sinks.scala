@@ -34,6 +34,18 @@ object Sinks {
   def writeJson(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
 
+  /** Date-partitioned parquet layout (`dt=YYYY-MM-DD/`) — the daily-drop
+    * layout (reference: date-keyed S3 prefixes,
+    * svc/generate_base_path.py:14-15). Readers with a `dt` predicate get
+    * Catalyst partition pruning: only matching directories are scanned.
+    */
+  def writePartitionedByDate(df: DataFrame, tsCol: String,
+      path: String): Unit =
+    df.withColumn("dt", date_format(col(tsCol), "yyyy-MM-dd"))
+      .write.mode("overwrite")
+      .partitionBy("dt")
+      .parquet(path)
+
   /** K3: one file per page, page_%06d.html (dumping.py:223-226). */
   def writeHtmlPages(pages: Seq[(Int, String)], dir: Path): Unit = {
     Files.createDirectories(dir)

@@ -53,6 +53,36 @@ class ScaleDesignSpec extends SparkSpec {
     assert(state.exceptAll(batch).count() === 0)
   }
 
+  test("IVF with full probing equals brute force; partial probe is sane") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 3)
+    val brute = operators.Similarity.bruteForceTopK(emb, queries,
+      col("vec_id"), col("embedding"), k = 5)
+    val ivfFull = operators.Similarity.ivfTopK(emb, queries,
+      col("vec_id"), col("embedding"), k = 5, nCentroids = 8, nProbe = 8)
+    assert(ivfFull.exceptAll(brute).count() === 0)
+    assert(brute.exceptAll(ivfFull).count() === 0)
+    val ivfPartial = operators.Similarity.ivfTopK(emb, queries,
+      col("vec_id"), col("embedding"), k = 5, nCentroids = 8, nProbe = 2)
+    // partial probe returns <= k ranked rows per query from real cells
+    assert(ivfPartial.filter(col("rank") > 5).count() === 0)
+    assert(ivfPartial.select("q_id").distinct().count() === 3)
+  }
+
+  test("date-partitioned writes get partition pruning on read") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    graft.sources.Sinks.writePartitionedByDate(
+      Tables(spark, sfDir, "events"), "ts", dir)
+    val read = spark.read.parquet(dir).filter(col("dt") === "2024-01-05")
+    val plan = read.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(dt"),
+      s"no partition pruning:\n$plan")
+    assert(read.count() > 0)
+    // non-matching partitions are not even listed as input files
+    assert(read.select(input_file_name()).distinct().collect()
+      .forall(_.getString(0).contains("dt=2024-01-05")))
+  }
+
   test("sessions respect the idle gap") {
     val sessions = Sessionize.run(spark, sfDir, gapSeconds = 1800)
       .select("user_id", "session_start", "session_end")
