@@ -38,7 +38,7 @@ object Similarity {
       .orderBy(col("cosine").desc, col("n_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("n_id"),
+      .select(col("q_id"), col("rank").cast("long").as("rank"), col("n_id"),
         round(col("cosine"), 6).as("cosine"))
   }
 
@@ -108,7 +108,7 @@ object Similarity {
       .orderBy(col("cosine").desc, col("n_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("n_id"),
+      .select(col("q_id"), col("rank").cast("long").as("rank"), col("n_id"),
         round(col("cosine"), 6).as("cosine"))
   }
 
@@ -129,7 +129,7 @@ object Similarity {
       .orderBy(col("cosine").desc, col("n_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("n_id"),
+      .select(col("q_id"), col("rank").cast("long").as("rank"), col("n_id"),
         round(col("cosine"), 6).as("cosine"))
   }
 }

@@ -301,7 +301,7 @@ object CoreQueries {
       t(s, dir, "embeddings")
         .select(
           col("vec_id"),
-          size(col("embedding")).as("dim"),
+          size(col("embedding")).cast("long").as("dim"),
           col("embedding").getItem(0).cast("double").as("first_elem"),
           array_min(col("embedding")).cast("double").as("min_elem"),
           round(

@@ -107,7 +107,7 @@ object ScaleQueries {
         FROM th, (SELECT unnest(range(0, 32)) AS b)
         GROUP BY doc_id, b),
       sim AS (
-        SELECT doc_id, SUM(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+        SELECT doc_id, CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
         FROM bits GROUP BY doc_id)
       SELECT fp.doc_id, fp.fingerprint, sim.simhash
       FROM fp JOIN sim ON fp.doc_id = sim.doc_id
@@ -185,10 +185,10 @@ object ScaleQueries {
         FROM th, (SELECT unnest(range(0, 32)) AS b)
         GROUP BY doc_id, b),
       sim AS (
-        SELECT doc_id, SUM(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+        SELECT doc_id, CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
         FROM bits GROUP BY doc_id)
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        bit_count(xor(a.simhash, b.simhash)) AS hamming
+        CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
       FROM sim a JOIN sim b ON a.doc_id < b.doc_id
       WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
       ORDER BY id_a, id_b"""),

@@ -46,6 +46,10 @@ def main(sf_dir: str, out_dir: str) -> int:
         ok_shape = got.shape == exp.shape and list(got.columns) == list(exp.columns)
         ok = False
         if ok_shape:
+            for c in got.columns:
+                if str(got[c].dtype) != str(exp[c].dtype):
+                    print(f"WARN {name}: dtype mismatch on {c}: "
+                          f"spark={got[c].dtype} oracle={exp[c].dtype}")
             try:
                 pd.testing.assert_frame_equal(
                     got, exp, check_dtype=False, check_exact=True)
