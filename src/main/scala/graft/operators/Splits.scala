@@ -20,8 +20,12 @@ object Splits {
     val n = df.count()
     val nVal = (n * valRatio).toLong
     val nTest = (n * testRatio).toLong
+    // rand(seed) is seeded per PARTITION, so membership would change with
+    // the partition count; a content hash is pseudo-random, seeded, and
+    // fully partition-independent — Verify output stays byte-stable.
+    val rnd = xxhash64(df.columns.map(col) :+ lit(seed): _*)
     val idx = df
-      .withColumn("__rnd", rand(seed))
+      .withColumn("__rnd", rnd)
       .withColumn("__idx", row_number().over(Window.orderBy(col("__rnd"))))
     def slice(lo: Long, hi: Long) =
       idx.filter(col("__idx") > lo && col("__idx") <= hi)
