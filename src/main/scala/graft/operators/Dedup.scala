@@ -20,28 +20,53 @@ object Dedup {
     df.groupBy(key.as("dedup_key"))
       .agg(min(id).as("rep_id"), count(lit(1)).as("group_size"))
 
-  /** Exact all-pairs n-gram Jaccard ≥ threshold with prefix filtering.
+  /** Exact all-pairs n-gram Jaccard ≥ threshold. Two exact strategies,
+    * both fed by shingles hashed to longs (xxhash64: collision-free
+    * w.h.p, so set sizes/intersections are unchanged) and materialized
+    * once via an eager localCheckpoint (the frame feeds several plan
+    * branches and re-deriving the shingling dominated the runtime):
     *
-    * Naive inverted-index joins explode when shingles are frequent
-    * (every pair sharing ANY shingle becomes a candidate). Prefix
-    * filtering is lossless: J(A,B) ≥ τ implies |A∩B| ≥ ⌈τ·|A|⌉, so if
-    * the first |A| − ⌈τ·|A|⌉ + 1 shingles of A (in a canonical
-    * rarest-first order) share nothing with B, the intersection cannot
-    * fit in the remaining suffix — contradiction. Candidates are
-    * therefore prefix(A) ⋈ full(B), then verified with the exact set
-    * intersection. Rarest-first ordering makes prefix buckets tiny, so
-    * the candidate join stays ~linear at scale.
+    *  - `prefixFilter = false` (default): inverted-index count join —
+    *    pairs sharing a shingle, pre-pruned by the size-compatibility
+    *    bound (J ≥ τ ⟹ τ·|B| ≤ |A|), co-occurrence count = exact
+    *    |A∩B|. Best when per-shingle document frequency is modest.
+    *
+    *  - `prefixFilter = true`: lossless prefix filtering — J(A,B) ≥ τ
+    *    implies |A∩B| ≥ ⌈τ·|A|⌉, so if A's first |A|−⌈τ·|A|⌉+1 shingles
+    *    (canonical rarest-first order) share nothing with B, the
+    *    intersection cannot fit in the remaining suffix. Candidates =
+    *    prefix(A) ⋈ full(B) + exact verify. Wins when frequent shingles
+    *    make the count join quadratic (long docs, skewed df) — the
+    *    100 TB default.
     */
   def ngramJaccardPairs(docs: DataFrame, id: Column, text: Column,
-      n: Int, threshold: Double): DataFrame = {
-    // Shingles are hashed to longs (xxhash64: collision-free w.h.p, so
-    // set sizes/intersections are unchanged) and materialized once via an
-    // eager localCheckpoint — the frame feeds 4 plan branches and
-    // re-deriving the shingling each time dominated the runtime.
+      n: Int, threshold: Double, prefixFilter: Boolean = false): DataFrame = {
     val sh = docs.select(id.as("id"),
         transform(TextFunctions.shingles(text, n), g => xxhash64(g)).as("sh"))
       .filter(size(col("sh")) > 0)
       .localCheckpoint()
+    if (prefixFilter) prefixFilterPairs(sh, threshold)
+    else countJoinPairs(sh, threshold)
+  }
+
+  private def countJoinPairs(sh: DataFrame, threshold: Double): DataFrame = {
+    val inv = sh.select(col("id"), size(col("sh")).cast("long").as("n"),
+      explode(col("sh")).as("g"))
+    val a = inv.select(col("id").as("id_a"), col("n").as("n_a"), col("g"))
+    val b = inv.select(col("id").as("id_b"), col("n").as("n_b"), col("g"))
+    a.join(b, Seq("g"))
+      .filter(col("id_a") < col("id_b") &&
+        col("n_a") >= ceil(col("n_b") * threshold) &&
+        col("n_b") >= ceil(col("n_a") * threshold))
+      .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  private def prefixFilterPairs(sh: DataFrame, threshold: Double): DataFrame = {
     val inv = sh.select(col("id"), explode(col("sh")).as("g"))
     val freq = inv.groupBy(col("g")).agg(count(lit(1)).as("df"))
     // canonical rarest-first order; prefix = n_sh - ceil(τ*n_sh) + 1
@@ -54,17 +79,15 @@ object Dedup {
         col("n_sh") - ceil(col("n_sh") * threshold).cast("int") + 1)
     val prefixInv = ordered
       .select(col("id"), explode(slice(col("sorted_sh"), lit(1), col("prefix_len"))).as("g"))
-    val fullInv = inv
     val cand = prefixInv.select(col("id").as("p_id"), col("g"))
-      .join(fullInv.select(col("id").as("f_id"), col("g")), Seq("g"))
+      .join(inv.select(col("id").as("f_id"), col("g")), Seq("g"))
       .filter(col("p_id") =!= col("f_id"))
       .select(least(col("p_id"), col("f_id")).as("id_a"),
         greatest(col("p_id"), col("f_id")).as("id_b"))
       .distinct()
-    val sets = sh
     cand
-      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("inter",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
       .withColumn("jaccard", col("inter").cast("double") /

@@ -56,6 +56,17 @@ class ScaleSpec extends SparkSpec {
     assert(lsh === exact)
   }
 
+  test("count-join and prefix-filter Jaccard strategies are identical") {
+    val docs = Tables(spark, sfDir, "documents")
+    val a = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"), 3, 0.8,
+      prefixFilter = false)
+    val b = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"), 3, 0.8,
+      prefixFilter = true)
+    assert(a.count() > 0)
+    assert(a.exceptAll(b).count() === 0)
+    assert(b.exceptAll(a).count() === 0)
+  }
+
   test("exact dedup groups near-identical prefixes") {
     val docs = Tables(spark, sfDir, "documents")
     val groups = Dedup.exactByKey(docs, substring(col("text"), 1, 50), col("doc_id"))
