@@ -30,6 +30,9 @@ object HtmlExtract {
     val out = ArrayBuffer.empty[String]
     val openRe = s"(?i)<$tag(\\s[^>]*)?>".r
     val it = openRe.findAllMatchIn(html)
+    // lowercase once per scan — per-element lowering is quadratic on
+    // MB-sized pages (it dominated scrape throughput before this)
+    lazy val lower = html.toLowerCase
     var searchFrom = 0
     for (m <- it if m.start >= searchFrom) {
       val attrs = Option(m.group(1)).getOrElse("")
@@ -38,7 +41,7 @@ object HtmlExtract {
         .getOrElse(Set.empty[String])
       if (wanted.subsetOf(classTokens)) {
         val innerStart = m.end
-        val innerEnd = findElementEnd(html, tag, innerStart)
+        val innerEnd = findElementEnd(html, lower, tag, innerStart)
         out += html.substring(innerStart, innerEnd)
         // do not re-match nested same-class elements inside this one
         searchFrom = innerEnd
@@ -47,9 +50,11 @@ object HtmlExtract {
     out.toVector
   }
 
-  /** Index just before this element's closing tag, balancing nesting. */
-  private def findElementEnd(html: String, tag: String, from: Int): Int = {
-    val lower = html.toLowerCase
+  /** Index just before this element's closing tag, balancing nesting.
+    * `lower` is the pre-lowercased html (same indices).
+    */
+  private def findElementEnd(html: String, lower: String, tag: String,
+      from: Int): Int = {
     val open = s"<${tag.toLowerCase}"
     val close = s"</${tag.toLowerCase}"
     @tailrec
@@ -141,7 +146,8 @@ object HtmlExtract {
       val attrMap = AttrRe.findAllMatchIn(attrs)
         .map(a => a.group(1).toLowerCase -> a.group(2)).toMap
       if (attrMap.get(attr.toLowerCase).contains(value))
-        out += html.substring(m.end, findElementEnd(html, tag, m.end))
+        out += html.substring(m.end,
+          findElementEnd(html, html.toLowerCase, tag, m.end))
     }
     out.toVector
   }
