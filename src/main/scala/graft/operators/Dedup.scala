@@ -104,7 +104,8 @@ object Dedup {
     * all-pairs oracle.
     */
   def minhashLshPairs(docs: DataFrame, id: Column, text: Column, n: Int,
-      threshold: Double, bands: Int = 32, rowsPerBand: Int = 4): DataFrame = {
+      threshold: Double, bands: Int = 32, rowsPerBand: Int = 4,
+      maxBucketSize: Long = 10000L): DataFrame = {
     val k = bands * rowsPerBand
     val sh = docs.select(id.as("id"),
         transform(TextFunctions.shingles(text, n), g => xxhash64(g)).as("sh"))
@@ -117,8 +118,17 @@ object Dedup {
           bd => slice(col("sig"), bd * rowsPerBand + 1, lit(rowsPerBand)))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_sig")
-    val ca = banded.select(col("id").as("id_a"), col("band"), col("band_sig"))
-    val cb = banded.select(col("id").as("id_b"), col("band"), col("band_sig"))
+    // Skew guard: a band bucket of B docs yields B² candidate rows. A
+    // bucket past maxBucketSize means a giant near-identical cluster —
+    // cap it (those docs still pair up via their other 31 bands and/or
+    // the exact-dedup pass that should precede near-dedup at scale).
+    val bucketSizes = banded.groupBy(col("band"), col("band_sig"))
+      .agg(count(lit(1)).as("__bs"))
+    val bounded = banded.join(bucketSizes, Seq("band", "band_sig"))
+      .filter(col("__bs") <= maxBucketSize)
+      .drop("__bs")
+    val ca = bounded.select(col("id").as("id_a"), col("band"), col("band_sig"))
+    val cb = bounded.select(col("id").as("id_b"), col("band"), col("band_sig"))
     val candidates = ca.join(cb, Seq("band", "band_sig"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()

@@ -112,18 +112,31 @@ object Similarity {
         round(col("cosine"), 6).as("cosine"))
   }
 
-  /** Approximate top-k: candidates restricted to the query's LSH bucket
-    * (single-probe). Sublinear at scale; recall depends on nPlanes.
+  /** Approximate top-k: candidates restricted to the query's LSH bucket,
+    * plus every 1-bit-flip neighbor bucket when multiProbe is on (a
+    * hyperplane the vector sits near is the likeliest bit to disagree —
+    * multi-probe recovers most of that recall for nPlanes+1× the
+    * candidate volume). Sublinear at scale; recall tunes via nPlanes and
+    * probing.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, id: Column, vec: Column,
-      k: Int, nPlanes: Int = 8, dims: Int = 64): DataFrame = {
+      k: Int, nPlanes: Int = 8, dims: Int = 64,
+      multiProbe: Boolean = true): DataFrame = {
     val c = withNorm(corpus, id, vec).withColumn("bucket", lshBucket(col("v"), nPlanes, dims))
-    val q = withNorm(queries, id, vec).withColumn("bucket", lshBucket(col("v"), nPlanes, dims))
+    val q0 = withNorm(queries, id, vec).withColumn("bucket", lshBucket(col("v"), nPlanes, dims))
+    val q = if (!multiProbe) q0
+    else {
+      val probes = array(lit(0L) +: (0 until nPlanes).map(p => lit(1L << p)): _*)
+      q0.withColumn("bucket",
+        explode(transform(probes, m => col("bucket").bitwiseXOR(m))))
+    }
     val scored = c.select(col("id").as("n_id"), col("v").as("n_v"),
         col("norm").as("n_norm"), col("bucket"))
       .join(broadcast(q.select(col("id").as("q_id"), col("v").as("q_v"),
         col("norm").as("q_norm"), col("bucket"))), Seq("bucket"))
       .filter(col("q_id") =!= col("n_id"))
+      // multi-probe can surface the same neighbor via several buckets
+      .dropDuplicates("q_id", "n_id")
       .withColumn("cosine", dotCos(col("q_v"), col("n_v"), col("q_norm"), col("n_norm")))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cosine").desc, col("n_id"))
