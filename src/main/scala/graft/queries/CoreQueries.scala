@@ -494,7 +494,38 @@ object CoreQueries {
       ORDER BY part"""),
   )
 
+  // ---------------------------------------------------------------- q25
+  /** Semi-structured extraction: JSON path over the events.props string
+    * column (get_json_object → codegen'd JsonPath evaluation), grouped
+    * stats over the extracted field.
+    */
+  val q25JsonExtract: QueryDef = QueryDef(
+    "q25_json_extract",
+    (s, dir) =>
+      t(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"),
+          countDistinct(col("k")).as("n_distinct_k"))
+        .orderBy(col("event_type")),
+    Some("""
+      SELECT event_type,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+        COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_distinct_k
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type"""),
+  )
+
   val all: Seq[QueryDef] = Seq(
+    q25JsonExtract,
     q01AggPricing, q02FilterProject, q03JoinRevenue, q04TopK,
     q05WindowLatest, q06DedupFirst, q07QuantileOutlier, q08AntiJoin,
     q09SemiJoin, q10LeftJoinMiss, q11ArrayStats, q12Mae,
