@@ -155,17 +155,31 @@ object TextFunctions {
         org.apache.spark.sql.graft.Bridge.expression(v),
         org.apache.spark.sql.graft.Bridge.expression(s)))
 
-  /** 32-bit SimHash over token rolling-hashes: per bit, majority vote of
-    * +1/-1 across tokens.
+  /** SimHash over token rolling-hashes: per bit, majority vote of +1/-1
+    * across tokens. Default 32 bits (the DuckDB-oracle form); use up to
+    * 62 bits at scale — the 32-bit space saturates on very large corpora
+    * (nBits > 62 would need sign-bit handling in both engines). The
+    * RollingHash modulus is ~2^30, so wider signatures mix bit b with
+    * bit b mod 30 of a second-round hash.
     */
-  def simhash(c: Column): Column =
+  def simhash(c: Column, nBits: Int = 32): Column = {
+    require(nBits >= 1 && nBits <= 62, s"nBits out of range: $nBits")
     bind(transform(tokens(c), tk => rolling_hash(tk)), hashes => {
-      val bits = transform(sequence(lit(0), lit(31)), b => {
-        val vote = aggregate(hashes, lit(0L), (acc, h) =>
-          acc + when(shr(h, b.cast("int")).bitwiseAND(1L) === 1L, 1L)
-            .otherwise(-1L))
+      val bits = transform(sequence(lit(0), lit(nBits - 1)), b => {
+        val vote = aggregate(hashes, lit(0L), (acc, h) => {
+          // Bits 0..31 read the rolling hash directly (the DuckDB-oracle
+          // form, q32/q36). RollingHash values are < 2^30, so bits past
+          // 31 come from a second-round LCG hash instead of being
+          // degenerate zeros.
+          val mixed = when(b < 32, h)
+            .otherwise(pmod(h * 1103515245L + 12345L, lit(1073741789L)))
+          val shift = when(b < 32, b).otherwise(pmod(b - 32, lit(30)))
+          acc + when(shr(mixed, shift.cast("int"))
+            .bitwiseAND(1L) === 1L, 1L).otherwise(-1L)
+        })
         when(vote > 0, shl(lit(1L), b.cast("int"))).otherwise(lit(0L))
       })
       aggregate(bits, lit(0L), (acc, x) => acc + x)
     })
+  }
 }

@@ -151,10 +151,11 @@ object Dedup {
     * lossless by pigeonhole), linear-ish candidates at scale.
     */
   def simhashPairs(docs: DataFrame, id: Column, text: Column,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, nBits: Int = 32): DataFrame = {
     val chunks = maxHamming + 1
-    val chunkBits = 32 / chunks
-    val sig = docs.select(id.as("id"), TextFunctions.simhash(text).as("sig"))
+    val chunkBits = nBits / chunks
+    val sig = docs.select(id.as("id"),
+        TextFunctions.simhash(text, nBits).as("sig"))
       .localCheckpoint()
     val blocked = sig.select(col("id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(chunks - 1)), ch =>

@@ -30,6 +30,35 @@ object Clean {
     withRatio.filter(!outlier).drop("rent_admin_fee_ratio")
   }
 
+  /** The 100 TB variant of removeOutliers: approx_percentile (a
+    * mergeable quantile sketch — constant memory per partition, single
+    * pass) instead of exact percentile (which buffers all values). With
+    * `accuracy` ε, the returned quantile's rank error is ≤ ε·n; the
+    * exact form stays the default because the oracle (and the
+    * reference's `== q` quirk) demand the interpolated value.
+    */
+  def removeOutliersApprox(df: DataFrame, thres: Double = 0.99,
+      accuracy: Int = 10000): DataFrame = {
+    val withRatio = df.withColumn("rent_admin_fee_ratio",
+      col("admin_fee").cast("double") / col("rent").cast("double"))
+    val cols = Seq("area", "n_rooms", "building_age", "rent",
+      "rent_admin_fee_ratio")
+    val qRow = withRatio.agg(
+      expr(s"approx_percentile(${cols.head}, $thres, $accuracy)"),
+      cols.tail.map(c => expr(s"approx_percentile($c, $thres, $accuracy)")): _*)
+      .head()
+    val outlier: Column = cols.zipWithIndex
+      .map { case (c, i) =>
+        // approx_percentile preserves the input type (long cols → long)
+        val q = qRow.get(i) match {
+          case n: java.lang.Number => n.doubleValue()
+        }
+        col(c).cast("double") === lit(q)
+      }
+      .reduce(_ || _)
+    withRatio.filter(!outlier).drop("rent_admin_fee_ratio")
+  }
+
   /** P2 keep-first dedup (analysis.py:85): pandas keeps the first
     * occurrence in file order. Reproduced with a row_number over the
     * carried (source_file, source_order) — deterministic, unlike

@@ -46,6 +46,18 @@ class ScaleSpec extends SparkSpec {
       r.getLong(2) === 0L))
   }
 
+  test("62-bit simhash: wider signatures, same dup detection, more spread") {
+    val df = Seq((1L, "spark scans fast tables"), (2L, "spark scans fast tables"),
+      (3L, "completely different words here")).toDF("doc_id", "text")
+    val pairs62 = Dedup.simhashPairs(df, col("doc_id"), col("text"),
+      maxHamming = 0, nBits = 62).collect()
+    assert(pairs62.exists(r => r.getLong(0) === 1L && r.getLong(1) === 2L))
+    // wide signatures actually use the high bits (not degenerate zeros)
+    val sigs = df.select(graft.functions.TextFunctions
+      .simhash(col("text"), 62).as("s")).as[Long].collect()
+    assert(sigs.exists(s => (s >>> 32) != 0L), "high bits never set")
+  }
+
   test("minhash LSH pairs equal exact n-gram Jaccard pairs (sf0.001)") {
     val docs = Tables(spark, sfDir, "documents")
     val exact = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"), 3, 0.8)

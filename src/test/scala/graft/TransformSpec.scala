@@ -69,6 +69,17 @@ class TransformSpec extends SparkSpec {
     assert(kept2.filter($"jnc_id" === "100").count() === 1) // max row kept
   }
 
+  test("P1 approx variant: sketch-based quantiles, same behavior here") {
+    val df = (0 to 100).map { i =>
+      (i.toString, (i + 1).toDouble, i.toLong, i.toLong,
+        1000L * (i + 1), i.toLong * (i + 1))
+    }.toDF("jnc_id", "area", "n_rooms", "building_age", "rent", "admin_fee")
+    val kept = Clean.removeOutliersApprox(df)
+    // at this size the sketch is exact: the rank-99 row is dropped
+    assert(kept.count() === 100)
+    assert(kept.filter($"jnc_id" === "99").count() === 0)
+  }
+
   test("P2: keep-first dedup follows (file, order), not arbitrary") {
     val df = Seq(
       ("x", "f1", 0L, "first"),
