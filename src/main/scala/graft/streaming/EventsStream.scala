@@ -62,6 +62,33 @@ object EventsStream {
       .orderBy(col("bucket_start"), col("event_type"))
   }
 
+  /** Production-shaped sink: append-mode windowed aggregation to a real
+    * parquet sink with a checkpoint directory. Append emits a window only
+    * once the watermark passes its end, so after draining a bounded
+    * source the output contains exactly the closed windows (the trailing
+    * ones stay in state — that is append-mode semantics, verified in
+    * StreamSinkSpec against the batch aggregation).
+    */
+  def windowedToParquetSink(spark: SparkSession, sfDir: String,
+      outDir: String, checkpointDir: String): Unit = {
+    val agg = eventsStream(spark, sfDir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "3 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window").getField("start").cast("long").as("bucket_start"),
+        col("window").getField("end").cast("long").as("bucket_end"),
+        col("event_type"), col("n"))
+    val q = agg.writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .start()
+    try {
+      q.processAllAvailable()
+    } finally q.stop()
+  }
+
   /** Streaming keyed dedup: dropDuplicates on event_id within the
     * watermark — the streaming face of P2.
     */
