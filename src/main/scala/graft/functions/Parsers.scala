@@ -140,9 +140,14 @@ object Parsers {
           if (Set("千駄ヶ谷", "富ヶ谷", "幡ヶ谷").contains(d0))
             d0.replace('ヶ', 'ケ')
           else d0
-        val streetJp =
-          if (num.nonEmpty) JpText.int2kanji(num.toInt) + "丁目" else ""
-        pref + ward + district + streetJp
+        // a pathological digit-run (>= 10^8) must degrade to "" like any
+        // other unparseable address — a throw inside a UDF would abort
+        // the whole job
+        val streetJp: Option[String] =
+          if (num.isEmpty) Some("")
+          else if (num.length > 8) None
+          else Some(JpText.int2kanji(num.toLong) + "丁目")
+        streetJp.map(pref + ward + district + _).getOrElse("")
     }
   }
 

@@ -167,13 +167,12 @@ object TextFunctions {
     bind(transform(tokens(c), tk => rolling_hash(tk)), hashes => {
       val bits = transform(sequence(lit(0), lit(nBits - 1)), b => {
         val vote = aggregate(hashes, lit(0L), (acc, h) => {
-          // Bits 0..31 read the rolling hash directly (the DuckDB-oracle
-          // form, q32/q36). RollingHash values are < 2^30, so bits past
-          // 31 come from a second-round LCG hash instead of being
-          // degenerate zeros.
-          val mixed = when(b < 32, h)
+          // RollingHash values are < 2^30, so only bits 0..29 of h are
+          // informative; bits 30+ read a second-round LCG hash (mirrored
+          // in the q32/q36 DuckDB oracle) instead of degenerating to 0.
+          val mixed = when(b < 30, h)
             .otherwise(pmod(h * 1103515245L + 12345L, lit(1073741789L)))
-          val shift = when(b < 32, b).otherwise(pmod(b - 32, lit(30)))
+          val shift = when(b < 30, b).otherwise(pmod(b - 30, lit(30)))
           acc + when(shr(mixed, shift.cast("int"))
             .bitwiseAND(1L) === 1L, 1L).otherwise(-1L)
         })

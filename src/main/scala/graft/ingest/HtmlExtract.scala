@@ -16,6 +16,22 @@ object HtmlExtract {
 
   private val TagAttrClass = """class\s*=\s*["']([^"']*)["']""".r
 
+  /** ASCII-only lowering: String.toLowerCase is locale-sensitive (a
+    * Turkish-locale JVM lowers I→ı) and can CHANGE LENGTH (İ → i̇),
+    * which would shift every index findElementEnd computes. Tag names
+    * are ASCII, so this is both correct and cheaper.
+    */
+  private def asciiLower(s: String): String = {
+    val arr = s.toCharArray
+    var i = 0
+    while (i < arr.length) {
+      val c = arr(i)
+      if (c >= 'A' && c <= 'Z') arr(i) = (c + 32).toChar
+      i += 1
+    }
+    new String(arr)
+  }
+
   /** All elements `<tag ... class~=cls...>`, returned as inner HTML. */
   def elementsByClass(html: String, tag: String, cls: String): Vector[String] =
     elements(html, tag, Some(cls))
@@ -32,7 +48,7 @@ object HtmlExtract {
     val it = openRe.findAllMatchIn(html)
     // lowercase once per scan — per-element lowering is quadratic on
     // MB-sized pages (it dominated scrape throughput before this)
-    lazy val lower = html.toLowerCase
+    lazy val lower = asciiLower(html)
     var searchFrom = 0
     for (m <- it if m.start >= searchFrom) {
       val attrs = Option(m.group(1)).getOrElse("")
@@ -55,8 +71,8 @@ object HtmlExtract {
     */
   private def findElementEnd(html: String, lower: String, tag: String,
       from: Int): Int = {
-    val open = s"<${tag.toLowerCase}"
-    val close = s"</${tag.toLowerCase}"
+    val open = s"<${asciiLower(tag)}"
+    val close = s"</${asciiLower(tag)}"
     @tailrec
     def loop(pos: Int, depth: Int): Int = {
       val nextOpen = lower.indexOf(open, pos)
@@ -131,7 +147,7 @@ object HtmlExtract {
     s"(?i)<$tag(\\s[^>]*)?/?>".r.findAllMatchIn(html).map { m =>
       val attrs = Option(m.group(1)).getOrElse("")
       AttrRe.findAllMatchIn(attrs)
-        .map(a => a.group(1).toLowerCase -> a.group(2)).toMap
+        .map(a => asciiLower(a.group(1)) -> a.group(2)).toMap
     }.toVector
 
   /** Inner HTML of every element of `tag` whose attribute `attr` equals
@@ -141,13 +157,13 @@ object HtmlExtract {
       value: String): Vector[String] = {
     val out = ArrayBuffer.empty[String]
     val openRe = s"(?i)<$tag(\\s[^>]*)?>".r
+    lazy val lower = asciiLower(html)
     for (m <- openRe.findAllMatchIn(html)) {
       val attrs = Option(m.group(1)).getOrElse("")
       val attrMap = AttrRe.findAllMatchIn(attrs)
-        .map(a => a.group(1).toLowerCase -> a.group(2)).toMap
-      if (attrMap.get(attr.toLowerCase).contains(value))
-        out += html.substring(m.end,
-          findElementEnd(html, html.toLowerCase, tag, m.end))
+        .map(a => asciiLower(a.group(1)) -> a.group(2)).toMap
+      if (attrMap.get(asciiLower(attr)).contains(value))
+        out += html.substring(m.end, findElementEnd(html, lower, tag, m.end))
     }
     out.toVector
   }

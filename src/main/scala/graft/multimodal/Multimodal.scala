@@ -33,14 +33,17 @@ object Multimodal {
     * audio duration / sampled video frames here.
     */
   private def decodeStub(m: MediaRecord): MediaFeatures = {
-    val header = if (m.payload.nonEmpty) (m.payload(0) & 0xff).toLong else -1L
-    val first16 = new String(m.payload.take(16), "UTF-8")
+    // decode BEFORE slicing: payload.take(16) would cut a multi-byte
+    // UTF-8 sequence mid-codepoint and diverge from the oracle's
+    // character-based substr/unicode on non-ASCII text
+    val s = new String(m.payload, "UTF-8")
+    val header = if (s.nonEmpty) s.codePointAt(0).toLong else -1L
     MediaFeatures(
       media_id = m.media_id,
       kind = m.kind,
       n_bytes = m.payload.length.toLong,
       header_byte = header,
-      checksum = graft.plans.RollingHash.hash(first16),
+      checksum = graft.plans.RollingHash.hash(s.take(16)),
       n_frames = m.payload.length / 256 + 1)
   }
 

@@ -22,7 +22,9 @@ object Splits {
     val nTest = (n * testRatio).toLong
     // rand(seed) is seeded per PARTITION, so membership would change with
     // the partition count; a content hash is pseudo-random, seeded, and
-    // fully partition-independent — Verify output stays byte-stable.
+    // partition-independent — Verify output stays byte-stable. (Byte-
+    // identical rows tie on the hash and row_number splits them
+    // arbitrarily, but interchangeable rows make that unobservable.)
     val rnd = xxhash64(df.columns.map(col) :+ lit(seed): _*)
     val idx = df
       .withColumn("__rnd", rnd)

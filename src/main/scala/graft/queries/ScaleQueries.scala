@@ -103,7 +103,11 @@ object ScaleQueries {
       tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
       th AS (SELECT doc_id, ${FpLambda.format("tk")} AS h FROM tok),
       bits AS (
-        SELECT doc_id, b, SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        SELECT doc_id, b,
+          SUM(CASE WHEN ((CASE WHEN b < 30 THEN h
+                          ELSE (h * 1103515245 + 12345) % 1073741789 END)
+                    >> (CASE WHEN b < 30 THEN b ELSE (b - 30) % 30 END)) & 1 = 1
+              THEN 1 ELSE -1 END) AS v
         FROM th, (SELECT unnest(range(0, 32)) AS b)
         GROUP BY doc_id, b),
       sim AS (
@@ -181,7 +185,11 @@ object ScaleQueries {
       tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
       th AS (SELECT doc_id, ${FpLambda.format("tk")} AS h FROM tok),
       bits AS (
-        SELECT doc_id, b, SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        SELECT doc_id, b,
+          SUM(CASE WHEN ((CASE WHEN b < 30 THEN h
+                          ELSE (h * 1103515245 + 12345) % 1073741789 END)
+                    >> (CASE WHEN b < 30 THEN b ELSE (b - 30) % 30 END)) & 1 = 1
+              THEN 1 ELSE -1 END) AS v
         FROM th, (SELECT unnest(range(0, 32)) AS b)
         GROUP BY doc_id, b),
       sim AS (

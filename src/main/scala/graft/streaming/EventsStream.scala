@@ -7,8 +7,8 @@ import org.apache.spark.sql.types._
 /** Structured Streaming ingestion of the events table (SURVEY §2.10
   * extension): file source → watermark → tumbling-window aggregation,
   * drained synchronously with processAllAvailable for batch-parity
-  * checks. At scale this runs continuously with the same plan; the
-  * watermark bounds state.
+  * checks. At scale the same plans run continuously; every stateful op
+  * here expires its state by the watermark.
   */
 object EventsStream {
 
@@ -24,7 +24,8 @@ object EventsStream {
     StructField("props", StringType)))
 
   /** The streaming file source requires a directory: stream the sf dir
-    * with a glob filter selecting only events.parquet.
+    * with a glob filter selecting only events.parquet. Sets the
+    * nanos-as-long conf the read depends on.
     */
   private def eventsStream(spark: SparkSession, sfDir: String) = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -35,20 +36,23 @@ object EventsStream {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
-  /** 3-hour tumbling-window counts per event type, computed as a real
-    * streaming query over the parquet file source. Complete output mode
-    * so the drained result equals the batch aggregation exactly.
+  /** The one windowed aggregation both the memory-drain query (q40) and
+    * the parquet sink share — kept single-sourced so they cannot drift.
     */
-  def windowedCounts(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stream = eventsStream(spark, sfDir)
-    val agg = stream
+  private def windowedAgg(spark: SparkSession, sfDir: String): DataFrame =
+    eventsStream(spark, sfDir)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "3 hours"), col("event_type"))
       .agg(count(lit(1)).as("n"))
-    val name = "graft_stream_" +
-      java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = agg.writeStream
+
+  /** Drain a streaming frame through a memory sink and return the rows
+    * materialized (the temp view is dropped — otherwise every call leaks
+    * a full result copy in the session catalog).
+    */
+  private def drainToLocal(df: DataFrame, prefix: String): DataFrame = {
+    val spark = df.sparkSession
+    val name = prefix + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = df.writeStream
       .outputMode("complete")
       .format("memory")
       .queryName(name)
@@ -56,11 +60,23 @@ object EventsStream {
     try {
       q.processAllAvailable()
     } finally q.stop()
-    spark.table(name)
+    val result = spark.table(name)
+    val materialized = spark.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(result.collect(): _*)),
+      result.schema)
+    spark.catalog.dropTempView(name)
+    materialized
+  }
+
+  /** 3-hour tumbling-window counts per event type, computed as a real
+    * streaming query over the parquet file source. Complete output mode
+    * so the drained result equals the batch aggregation exactly.
+    */
+  def windowedCounts(spark: SparkSession, sfDir: String): DataFrame =
+    drainToLocal(windowedAgg(spark, sfDir), "graft_stream_")
       .select(col("window").getField("start").cast("long").as("bucket_start"),
         col("event_type"), col("n"))
       .orderBy(col("bucket_start"), col("event_type"))
-  }
 
   /** Production-shaped sink: append-mode windowed aggregation to a real
     * parquet sink with a checkpoint directory. Append emits a window only
@@ -71,10 +87,7 @@ object EventsStream {
     */
   def windowedToParquetSink(spark: SparkSession, sfDir: String,
       outDir: String, checkpointDir: String): Unit = {
-    val agg = eventsStream(spark, sfDir)
-      .withWatermark("ts", "1 hour")
-      .groupBy(window(col("ts"), "3 hours"), col("event_type"))
-      .agg(count(lit(1)).as("n"))
+    val agg = windowedAgg(spark, sfDir)
       .select(col("window").getField("start").cast("long").as("bucket_start"),
         col("window").getField("end").cast("long").as("bucket_end"),
         col("event_type"), col("n"))
@@ -89,27 +102,18 @@ object EventsStream {
     } finally q.stop()
   }
 
-  /** Streaming keyed dedup: dropDuplicates on event_id within the
-    * watermark — the streaming face of P2.
+  /** Streaming keyed dedup — the streaming face of P2.
+    * dropDuplicatesWithinWatermark is the state-bounded form: plain
+    * dropDuplicates("event_id") would keep every id seen FOREVER (the
+    * watermark only expires dedup state when the event-time column is
+    * part of the key set), which OOMs a continuous run.
     */
   def dedupCount(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stream = eventsStream(spark, sfDir)
-    val deduped = stream
+    val deduped = eventsStream(spark, sfDir)
       .withWatermark("ts", "1 hour")
-      .dropDuplicates("event_id")
+      .dropDuplicatesWithinWatermark("event_id")
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"))
-    val name = "graft_dedup_" +
-      java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = deduped.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(name)
-      .start()
-    try {
-      q.processAllAvailable()
-    } finally q.stop()
-    spark.table(name).orderBy(col("event_type"))
+    drainToLocal(deduped, "graft_dedup_").orderBy(col("event_type"))
   }
 }

@@ -16,19 +16,8 @@ object Clean {
     * aggregate collected to the driver (a single value per column — cheap
     * at any scale), then an embarrassingly parallel filter.
     */
-  def removeOutliers(df: DataFrame, thres: Double = 0.99): DataFrame = {
-    val withRatio = df.withColumn("rent_admin_fee_ratio",
-      col("admin_fee").cast("double") / col("rent").cast("double"))
-    val cols = Seq("area", "n_rooms", "building_age", "rent",
-      "rent_admin_fee_ratio")
-    val qRow = withRatio.agg(
-      expr(s"percentile(${cols.head}, $thres)"),
-      cols.tail.map(c => expr(s"percentile($c, $thres)")): _*).head()
-    val outlier: Column = cols.zipWithIndex
-      .map { case (c, i) => col(c).cast("double") === lit(qRow.getDouble(i)) }
-      .reduce(_ || _)
-    withRatio.filter(!outlier).drop("rent_admin_fee_ratio")
-  }
+  def removeOutliers(df: DataFrame, thres: Double = 0.99): DataFrame =
+    removeOutliersWith(df, c => s"percentile($c, $thres)")
 
   /** The 100 TB variant of removeOutliers: approx_percentile (a
     * mergeable quantile sketch — constant memory per partition, single
@@ -38,25 +27,33 @@ object Clean {
     * reference's `== q` quirk) demand the interpolated value.
     */
   def removeOutliersApprox(df: DataFrame, thres: Double = 0.99,
-      accuracy: Int = 10000): DataFrame = {
+      accuracy: Int = 10000): DataFrame =
+    removeOutliersWith(df, c => s"approx_percentile($c, $thres, $accuracy)")
+
+  private def removeOutliersWith(df: DataFrame,
+      quantileExpr: String => String): DataFrame = {
     val withRatio = df.withColumn("rent_admin_fee_ratio",
       col("admin_fee").cast("double") / col("rent").cast("double"))
     val cols = Seq("area", "n_rooms", "building_age", "rent",
       "rent_admin_fee_ratio")
     val qRow = withRatio.agg(
-      expr(s"approx_percentile(${cols.head}, $thres, $accuracy)"),
-      cols.tail.map(c => expr(s"approx_percentile($c, $thres, $accuracy)")): _*)
-      .head()
-    val outlier: Column = cols.zipWithIndex
-      .map { case (c, i) =>
-        // approx_percentile preserves the input type (long cols → long)
-        val q = qRow.get(i) match {
-          case n: java.lang.Number => n.doubleValue()
-        }
-        col(c).cast("double") === lit(q)
+      expr(quantileExpr(cols.head)),
+      cols.tail.map(c => expr(quantileExpr(c))): _*).head()
+    // an empty (or all-null) input yields null quantiles → no outliers;
+    // approx_percentile also preserves the input type (long cols → long)
+    val flags = cols.zipWithIndex.flatMap { case (c, i) =>
+      if (qRow.isNullAt(i)) None
+      else qRow.get(i) match {
+        case n: java.lang.Number =>
+          Some(col(c).cast("double") === lit(n.doubleValue()))
+        case other =>
+          throw new IllegalStateException(s"unexpected quantile: $other")
       }
-      .reduce(_ || _)
-    withRatio.filter(!outlier).drop("rent_admin_fee_ratio")
+    }
+    val filtered =
+      if (flags.isEmpty) withRatio
+      else withRatio.filter(!flags.reduce(_ || _))
+    filtered.drop("rent_admin_fee_ratio")
   }
 
   /** P2 keep-first dedup (analysis.py:85): pandas keeps the first

@@ -106,7 +106,7 @@ class ParsersSpec extends SparkSpec {
       cases.map(_._2))
   }
 
-  test("int2kanji covers composite numerals") {
+  test("int2kanji covers composite numerals including 万") {
     assert(JpText.int2kanji(1) === "一")
     assert(JpText.int2kanji(10) === "十")
     assert(JpText.int2kanji(12) === "十二")
@@ -114,5 +114,17 @@ class ParsersSpec extends SparkSpec {
     assert(JpText.int2kanji(30) === "三十")
     assert(JpText.int2kanji(111) === "百十一")
     assert(JpText.int2kanji(2345) === "二千三百四十五")
+    assert(JpText.int2kanji(10000) === "一万")
+    assert(JpText.int2kanji(12345) === "一万二千三百四十五")
+    assert(JpText.int2kanji(20000000) === "二千万")
+  }
+
+  test("F11 degrades (never throws) on pathological digit runs") {
+    assert(Parsers.buildAddressKanjiFn("東京都渋谷区恵比寿南12345") ===
+      "東京都渋谷区恵比寿南一万二千三百四十五丁目")
+    // >= 10^8: unrepresentable street number → "" like any parse failure
+    assert(Parsers.buildAddressKanjiFn("東京都渋谷区恵比寿南123456789") === "")
+    assert(Parsers.buildAddressKanjiFn(
+      "東京都渋谷区恵比寿南999999999999999999999") === "")
   }
 }

@@ -69,6 +69,13 @@ class TransformSpec extends SparkSpec {
     assert(kept2.filter($"jnc_id" === "100").count() === 1) // max row kept
   }
 
+  test("P1: empty input passes through both outlier variants") {
+    val empty = Seq.empty[(String, Double, Long, Long, Long, Long)]
+      .toDF("jnc_id", "area", "n_rooms", "building_age", "rent", "admin_fee")
+    assert(Clean.removeOutliers(empty).count() === 0)
+    assert(Clean.removeOutliersApprox(empty).count() === 0)
+  }
+
   test("P1 approx variant: sketch-based quantiles, same behavior here") {
     val df = (0 to 100).map { i =>
       (i.toString, (i + 1).toDouble, i.toLong, i.toLong,
