@@ -14,7 +14,8 @@ import scala.collection.mutable.ArrayBuffer
   */
 object HtmlExtract {
 
-  private val TagAttrClass = """class\s*=\s*["']([^"']*)["']""".r
+  // (?i) covers CLASS=/Class=; the captured value stays case-sensitive
+  private val TagAttrClass = """(?i)class\s*=\s*["']([^"']*)["']""".r
 
   /** ASCII-only lowering: String.toLowerCase is locale-sensitive (a
     * Turkish-locale JVM lowers I→ı) and can CHANGE LENGTH (İ → i̇),

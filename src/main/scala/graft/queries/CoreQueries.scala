@@ -524,8 +524,31 @@ object CoreQueries {
       ORDER BY event_type"""),
   )
 
+  // ---------------------------------------------------------------- q26
+  /** ROLLUP hierarchy totals (year → status → grand total): Spark's
+    * Expand-based grouping sets, exact-cent money sums.
+    */
+  val q26Rollup: QueryDef = QueryDef(
+    "q26_rollup",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .rollup(year(col("o_orderdate")).cast("long").as("order_year"),
+          col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), fsum(col("o_totalprice"), 2).as("total"))
+        .orderBy(col("order_year").asc_nulls_first,
+          col("o_orderstatus").asc_nulls_first),
+    Some("""
+      SELECT CAST(date_part('year', o_orderdate) AS BIGINT) AS order_year,
+        o_orderstatus,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS DOUBLE) / 100.0 AS total
+      FROM orders
+      GROUP BY ROLLUP(order_year, o_orderstatus)
+      ORDER BY order_year ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST"""),
+  )
+
   val all: Seq[QueryDef] = Seq(
-    q25JsonExtract,
+    q25JsonExtract, q26Rollup,
     q01AggPricing, q02FilterProject, q03JoinRevenue, q04TopK,
     q05WindowLatest, q06DedupFirst, q07QuantileOutlier, q08AntiJoin,
     q09SemiJoin, q10LeftJoinMiss, q11ArrayStats, q12Mae,

@@ -1,0 +1,32 @@
+package graft
+
+import graft.transform.QueryService
+import graft.transform.QueryService._
+
+class QueryServiceSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val df = QueryService.cached(Tables(spark, sfDir, "orders"))
+
+  test("O4: filter + sort + project + limit compose into one plan") {
+    val out = QueryService.run(df, Request(
+      filters = Seq(Filter("o_orderstatus", Eq, "F"),
+        Filter("o_totalprice", Gt, 100000.0)),
+      sorts = Seq(Sort("o_totalprice", ascending = false)),
+      columns = Seq("o_orderkey", "o_totalprice"),
+      limit = Some(10)))
+    val rows = out.collect()
+    assert(rows.length === 10)
+    assert(rows.forall(_.getDouble(1) > 100000.0))
+    val prices = rows.map(_.getDouble(1)).toSeq
+    assert(prices === prices.sorted.reverse)
+    assert(out.columns.toSeq === Seq("o_orderkey", "o_totalprice"))
+  }
+
+  test("contains filter and empty request") {
+    val contains = QueryService.run(df,
+      Request(filters = Seq(Filter("o_orderpriority", Contains, "URGENT"))))
+    assert(contains.count() > 0)
+    assert(QueryService.run(df, Request()).count() === df.count())
+  }
+}
