@@ -102,7 +102,12 @@ object SuumoPages {
     */
   def rawProperties(pages: Dataset[Page]): Dataset[RawProperty] = {
     implicit val enc = org.apache.spark.sql.Encoders.product[RawProperty]
-    pages.flatMap(p => extractPage(p.html, p.mtimeSec, p.file))
+    // binaryFile packs many small pages into few input partitions
+    // (maxPartitionBytes), which would serialize extraction — spread
+    // pages across the cluster before the parse fan-out
+    val spread = pages.repartition(
+      pages.sparkSession.sparkContext.defaultParallelism)
+    spread.flatMap(p => extractPage(p.html, p.mtimeSec, p.file))
   }
 
   /** Pure structural extraction of one page. */
