@@ -98,16 +98,23 @@ object SyntheticSuumo {
     pageHtml(bs, bannerMs = Some(1609140469000L + idx))
   }
 
-  /** Write n deterministic pages into dir; idempotent. */
+  /** Write n deterministic pages under dir; idempotent. The child
+    * directory is keyed by a content hash of the generated first page,
+    * so editing the generator can never leave stale fixtures from a
+    * previous code version in place.
+    */
   def writePages(dir: Path, n: Int, buildingsPerPage: Int = 10,
       roomsPerBuilding: Int = 3): Path = {
-    Files.createDirectories(dir)
+    val version = Integer.toHexString(
+      page(0, buildingsPerPage, roomsPerBuilding).hashCode)
+    val target = dir.resolve(s"v$version-n$n")
+    Files.createDirectories(target)
     (0 until n).foreach { i =>
-      val p = dir.resolve(f"page_$i%06d.html")
+      val p = target.resolve(f"page_$i%06d.html")
       if (!Files.exists(p))
         Files.writeString(p, page(i, buildingsPerPage, roomsPerBuilding))
     }
-    dir
+    target
   }
 
   /** Synthetic SJIS location-reference CSV covering the wards above. */

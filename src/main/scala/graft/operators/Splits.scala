@@ -26,9 +26,12 @@ object Splits {
     // identical rows tie on the hash and row_number splits them
     // arbitrarily, but interchangeable rows make that unobservable.)
     val rnd = xxhash64(df.columns.map(col) :+ lit(seed): _*)
+    // localCheckpoint: the three slices (and their consumers) would each
+    // re-run the global sort + row_number otherwise
     val idx = df
       .withColumn("__rnd", rnd)
       .withColumn("__idx", row_number().over(Window.orderBy(col("__rnd"))))
+      .localCheckpoint()
     def slice(lo: Long, hi: Long) =
       idx.filter(col("__idx") > lo && col("__idx") <= hi)
         .drop("__rnd", "__idx")

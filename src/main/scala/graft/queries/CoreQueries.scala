@@ -201,26 +201,32 @@ object CoreQueries {
     "q07_quantile_outlier",
     (s, dir) => {
       val li = t(s, dir, "lineitem")
+      // The equality filter compares against the 6-decimal-rounded
+      // quantile on BOTH sides: the two engines' interpolation formulas
+      // can differ by 1 ulp, and an unrounded == would then diverge by
+      // whole data-value groups. (The reference-exact == survives in
+      // Clean.removeOutliers; this query is the cross-engine parity
+      // form.)
       val qs = li.agg(
-        expr("percentile(l_quantity, 0.99)").as("q_qty"),
-        expr("percentile(l_extendedprice, 0.99)").as("q_price"))
+        round(expr("percentile(l_quantity, 0.99)"), 6).as("q_qty"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 6).as("q_price"))
         .head()
       val (qQty, qPrice) = (qs.getDouble(0), qs.getDouble(1))
       li.filter(!(col("l_quantity") === qQty ||
           col("l_extendedprice") === qPrice))
         .agg(
           count(lit(1)).as("n_kept"),
-          round(lit(qQty), 6).as("q_qty"),
-          round(lit(qPrice), 6).as("q_price"))
+          lit(qQty).as("q_qty"),
+          lit(qPrice).as("q_price"))
     },
     Some("""
       WITH q AS (
-        SELECT quantile_cont(l_quantity, 0.99) AS q_qty,
-               quantile_cont(l_extendedprice, 0.99) AS q_price
+        SELECT ROUND(quantile_cont(l_quantity, 0.99), 6) AS q_qty,
+               ROUND(quantile_cont(l_extendedprice, 0.99), 6) AS q_price
         FROM lineitem)
       SELECT COUNT(*) AS n_kept,
-             ROUND(MAX(q.q_qty), 6) AS q_qty,
-             ROUND(MAX(q.q_price), 6) AS q_price
+             MAX(q.q_qty) AS q_qty,
+             MAX(q.q_price) AS q_price
       FROM lineitem, q
       WHERE NOT (l_quantity = q.q_qty OR l_extendedprice = q.q_price)"""),
   )
@@ -314,7 +320,7 @@ object CoreQueries {
         len(embedding) AS dim,
         CAST(embedding[1] AS DOUBLE) AS first_elem,
         CAST(list_min(embedding) AS DOUBLE) AS min_elem,
-        ROUND(list_sum(CAST(embedding AS DOUBLE[])) / len(embedding), 4) AS avg_elem
+        ROUND(list_reduce([0.0::DOUBLE] || [CAST(x AS DOUBLE) for x in embedding], (a, v) -> a + v) / len(embedding), 4) AS avg_elem
       FROM embeddings
       ORDER BY vec_id"""),
   )
@@ -401,7 +407,7 @@ object CoreQueries {
         .agg(count(lit(1)).as("n"), fsum(col("value"), 2).as("total_value"))
         .orderBy(col("bucket_start"), col("event_type")),
     Some("""
-      SELECT CAST(FLOOR(epoch(ts) / 21600) * 21600 AS BIGINT) AS bucket_start,
+      SELECT (epoch_us(ts) // 1000000) // 21600 * 21600 AS bucket_start,
         event_type,
         COUNT(*) AS n,
         CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value

@@ -202,19 +202,17 @@ object DomainQueries {
       val dim = Geocode.readLocationReference(s, csv.toString)
       val cleaned = Clean.cleanDf(Clean.addTargetVariable(
         Geocode.addAddressCoords(props, dim))).cache()
-      val splits = graft.operators.Splits.threeWay(cleaned, 0.1875, 0.25, 123L)
-      val model = graft.ml.Scoring.trainGbt(splits("train"),
-        Some(splits("val")), maxIter = 20)
-      Seq("train", "val", "test").map { name =>
-        val scored = graft.ml.Scoring.predict(model, splits(name))
-        val m = graft.ml.Scoring.mae(scored)
-        (name, scored.count(), m)
-      }.foldLeft(Option.empty[org.apache.spark.sql.DataFrame]) {
-        case (acc, (name, n, m)) =>
-          import s.implicits._
-          val row = Seq((name, n, m)).toDF("split", "n", "mae")
-          Some(acc.map(_.unionAll(row)).getOrElse(row))
-      }.get.orderBy(col("split"))
+      try {
+        val splits = graft.operators.Splits.threeWay(cleaned, 0.1875, 0.25, 123L)
+        val model = graft.ml.Scoring.trainGbt(splits("train"),
+          Some(splits("val")), maxIter = 20)
+        val rows = Seq("train", "val", "test").map { name =>
+          val scored = graft.ml.Scoring.predict(model, splits(name))
+          (name, scored.count(), graft.ml.Scoring.mae(scored))
+        }
+        import s.implicits._
+        rows.toDF("split", "n", "mae").orderBy(col("split"))
+      } finally cleaned.unpersist() // don't pin blocks for later queries
     },
     oracle = None,
   )
@@ -230,13 +228,13 @@ object DomainQueries {
   val q24ScrapeBench: QueryDef = QueryDef(
     "q24_scrape_bench",
     (s, dir) => {
-      val nPages =
-        if (dir.contains("0.001")) 3
-        else if (dir.contains("0.01")) 15
-        else 150
+      // page count scales with the sf encoded in the dir basename
+      // (sfX → ~X*1500 pages, floor 3); unknown layouts get bench scale
+      val sf = "sf([0-9.]+)".r.findFirstMatchIn(
+        new java.io.File(dir).getName).map(_.group(1).toDouble)
+      val nPages = sf.map(v => math.max(3, (v * 1500).toInt)).getOrElse(150)
       val pages = SyntheticSuumo.writePages(
-        Paths.get(System.getProperty("java.io.tmpdir"),
-          s"graft_bench_pages_$nPages"),
+        Paths.get(System.getProperty("java.io.tmpdir"), "graft_bench_pages"),
         nPages, buildingsPerPage = 50, roomsPerBuilding = 4)
       PropertiesFrame.scrape(s, pages.toString, fetchedAt = Some(1.6254e9))
         .drop("source_file", "source_order")

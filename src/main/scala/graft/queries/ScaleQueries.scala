@@ -272,7 +272,7 @@ object ScaleQueries {
     "q40_stream_window",
     (s, dir) => graft.streaming.EventsStream.windowedCounts(s, dir),
     Some("""
-      SELECT CAST(FLOOR(epoch(ts) / 10800) * 10800 AS BIGINT) AS bucket_start,
+      SELECT (epoch_us(ts) // 1000000) // 10800 * 10800 AS bucket_start,
         event_type, COUNT(*) AS n
       FROM events
       GROUP BY 1, 2
@@ -280,6 +280,13 @@ object ScaleQueries {
   )
 
   // ---------------------------------------------------------------- q41
+  /** Data contract: event_ids are unique in the testdata, so the
+    * SQL-expressible global distinct count equals the watermark-bounded
+    * streaming dedup. A duplicate id arriving > watermark after its
+    * first occurrence ACROSS micro-batches would be counted twice by
+    * design (bounded state) — that semantics is the operator's point
+    * and cannot be expressed in the batch oracle.
+    */
   val q41StreamDedup: QueryDef = QueryDef(
     "q41_stream_dedup",
     (s, dir) => graft.streaming.EventsStream.dedupCount(s, dir),
@@ -311,7 +318,7 @@ object ScaleQueries {
 
   private val SessionOracle = """
       WITH ev AS (
-        SELECT user_id, event_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec, value
+        SELECT user_id, event_id, epoch_us(ts) // 1000000 AS sec, value
         FROM events),
       w AS (
         SELECT *, LAG(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS prev

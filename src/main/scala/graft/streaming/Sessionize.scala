@@ -79,8 +79,12 @@ object Sessionize {
               st = null
             }
             if (st == null) st = SessionState(sec, sec, 0L, 0L)
-            st = st.copy(last = sec, n = st.n + 1,
-              cents = st.cents + math.rint(e.value * 100).toLong)
+            // half-away rounding to match Spark round()/DuckDB ROUND —
+            // math.rint is half-EVEN and would diverge on exact .5 cents
+            val cents =
+              if (e.value >= 0) math.floor(e.value * 100 + 0.5).toLong
+              else math.ceil(e.value * 100 - 0.5).toLong
+            st = st.copy(last = sec, n = st.n + 1, cents = st.cents + cents)
           }
           if (st != null) {
             if (emitOpen) { // batch drain: flush the trailing session
