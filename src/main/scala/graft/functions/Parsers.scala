@@ -151,6 +151,9 @@ object Parsers {
     }
   }
 
+  /** Column form — a native codegen'd expression, not a UDF (see
+    * graft.plans.KanjiAddressKey).
+    */
   def buildAddressKanji(c: Column): Column =
-    udf(buildAddressKanjiFn).apply(c)
+    graft.plans.KanjiAddressKey.kanji_address_key(c)
 }

@@ -16,6 +16,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.rollingHashDescriptor)
+    ext.injectFunction(GraftExtensions.kanjiAddressKeyDescriptor)
   }
 }
 
@@ -27,10 +28,18 @@ object GraftExtensions {
     new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
     (children: Seq[Expression]) => RollingHash(children.head))
 
+  val kanjiAddressKeyDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("kanji_address_key"),
+    new ExpressionInfo(classOf[KanjiAddressKey].getName, "kanji_address_key"),
+    (children: Seq[Expression]) => KanjiAddressKey(children.head))
+
   /** Imperative registration for an already-built session (tests, REPL). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val registry: FunctionRegistry = spark.sessionState.functionRegistry
-    val (ident, info, builder) = rollingHashDescriptor
-    registry.registerFunction(ident, info, builder)
+    Seq(rollingHashDescriptor, kanjiAddressKeyDescriptor).foreach {
+      case (ident, info, builder) =>
+        registry.registerFunction(ident, info, builder)
+    }
   }
 }

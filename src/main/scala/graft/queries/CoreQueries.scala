@@ -553,8 +553,68 @@ object CoreQueries {
       ORDER BY order_year ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST"""),
   )
 
+  // ---------------------------------------------------------------- q27
+  /** Set operations (X3 family): customers with recent orders EXCEPT
+    * big-spender customers, plus the INTERSECT count.
+    */
+  val q27SetOps: QueryDef = QueryDef(
+    "q27_set_ops",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val recent = o.filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+        .select(col("o_custkey"))
+      val big = o.filter(col("o_totalprice") > 300000.0).select(col("o_custkey"))
+      recent.distinct().exceptAll(big.distinct())
+        .withColumn("src", lit("recent_not_big"))
+        .unionAll(recent.intersect(big).withColumn("src", lit("both")))
+        .orderBy(col("src"), col("o_custkey"))
+    },
+    Some("""
+      WITH recent AS (
+        SELECT DISTINCT o_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '2000-01-01'),
+      big AS (
+        SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 300000.0)
+      SELECT o_custkey, 'recent_not_big' AS src
+      FROM (SELECT o_custkey FROM recent EXCEPT SELECT o_custkey FROM big) e
+      UNION ALL
+      SELECT o_custkey, 'both' AS src
+      FROM (SELECT o_custkey FROM recent INTERSECT SELECT o_custkey FROM big) i
+      ORDER BY src, o_custkey"""),
+  )
+
+  // ---------------------------------------------------------------- q28
+  /** Running (cumulative) aggregate per key — the window frame shape the
+    * reference never needed but any serving layer does. Exact integer
+    * cents keep the running sums bit-identical.
+    */
+  val q28RunningTotal: QueryDef = QueryDef(
+    "q28_running_total",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .withColumn("cents", round(col("value") * 100, 0).cast("long"))
+        .withColumn("running_value",
+          (sum(col("cents")).over(w)).cast("double") / 100.0)
+        .filter(col("user_id") < 20)
+        .select(col("user_id"), col("event_id"), col("running_value"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+    Some("""
+      SELECT user_id, event_id,
+        CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0
+          AS running_value
+      FROM events
+      WHERE user_id < 20
+      ORDER BY user_id, event_id"""),
+  )
+
   val all: Seq[QueryDef] = Seq(
-    q25JsonExtract, q26Rollup,
+    q25JsonExtract, q26Rollup, q27SetOps, q28RunningTotal,
     q01AggPricing, q02FilterProject, q03JoinRevenue, q04TopK,
     q05WindowLatest, q06DedupFirst, q07QuantileOutlier, q08AntiJoin,
     q09SemiJoin, q10LeftJoinMiss, q11ArrayStats, q12Mae,
