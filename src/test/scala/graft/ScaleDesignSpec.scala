@@ -83,6 +83,23 @@ class ScaleDesignSpec extends SparkSpec {
       .forall(_.getString(0).contains("dt=2024-01-05")))
   }
 
+  test("KMV distinct sketch estimates within its error bound") {
+    val li = Tables(spark, sfDir, "lineitem")
+    val exact = li.select(countDistinct(col("l_partkey"))).head().getLong(0)
+    val est = li.select(
+      graft.plans.KmvDistinctSketch.distinctSketch(col("l_partkey"), 256)
+        .as("est")).head().getLong(0)
+    // SE ≈ 1/sqrt(k-2) ≈ 6.3%; allow 4 sigma
+    val tol = math.max(8.0, exact * 4.0 / math.sqrt(254.0))
+    assert(math.abs(est - exact) <= tol, s"est $est vs exact $exact")
+    // below-k cardinalities are exact by construction
+    val small = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_linestatus")).as("exact"),
+        graft.plans.KmvDistinctSketch.distinctSketch(col("l_linestatus"))
+          .as("est"))
+    assert(small.filter(col("exact") =!= col("est")).count() === 0)
+  }
+
   test("sessions respect the idle gap") {
     val sessions = Sessionize.run(spark, sfDir, gapSeconds = 1800)
       .select("user_id", "session_start", "session_end")
