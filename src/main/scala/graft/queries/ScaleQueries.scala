@@ -374,9 +374,30 @@ object ScaleQueries {
     q38AnnTopK.oracle,
   )
 
+  // ---------------------------------------------------------------- q46
+  /** KMV sketch vs exact distinct per group. The estimate depends on
+    * xxhash64, so it is not DuckDB-replicable → rows-only check; the
+    * error-bound assertions live in ScaleDesignSpec.
+    */
+  val q46DistinctSketch: QueryDef = QueryDef(
+    "q46_distinct_sketch",
+    (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("exact"),
+          graft.plans.KmvDistinctSketch.distinctSketch(col("l_partkey"))
+            .as("estimate"))
+        .withColumn("rel_err",
+          round(abs(col("estimate") - col("exact")).cast("double") /
+            col("exact"), 4))
+        .orderBy(col("l_returnflag")),
+    oracle = None,
+  )
+
   val all: Seq[QueryDef] = Seq(
     q30TextStats, q31LangId, q32Fingerprint, q33DedupExact,
     q34NgramJaccard, q35MinhashLsh, q36SimhashPairs, q37CosinePairs,
     q38AnnTopK, q39AnnLsh, q40StreamWindow, q41StreamDedup, q42Multimodal,
-    q43SessionizeState, q44SessionizeBatch, q45AnnIvf)
+    q43SessionizeState, q44SessionizeBatch, q45AnnIvf, q46DistinctSketch)
 }

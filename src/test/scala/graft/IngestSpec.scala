@@ -124,6 +124,26 @@ class IngestSpec extends SparkSpec {
     assert(a.exceptAll(b).count() === 0)
   }
 
+  test("multiple zip archives parallelize: one glob read covers all") {
+    val dir = Files.createTempDirectory("graft_multizip")
+    (0 until 3).foreach { z =>
+      val zos = new java.util.zip.ZipOutputStream(
+        Files.newOutputStream(dir.resolve(f"day_$z%02d.zip")))
+      zos.putNextEntry(new java.util.zip.ZipEntry(s"page_$z.html"))
+      zos.write(pageHtml(Seq(
+        building("アパート", s"多層荘$z", "東京都台東区元浅草１",
+          Seq("都営大江戸線/新御徒町駅 歩4分"), "築3年", "2階建",
+          Seq(room("6万円", "-", "-", "-", "1K", "18m2", "1階",
+            f"00000000100$z")))), Some(1L)).getBytes("UTF-8"))
+      zos.closeEntry(); zos.close()
+    }
+    val pages = graft.ingest.SuumoPages.readHtmlZip(spark, dir.toString + "/*.zip")
+    assert(pages.count() === 3)
+    val props = graft.ingest.PropertiesFrame.fromRaw(
+      graft.ingest.SuumoPages.rawProperties(pages).toDF())
+    assert(props.count() === 3)
+  }
+
   test("no banner script → null banner timestamp") {
     val dir = Files.createTempDirectory("graft_html2")
     Files.writeString(dir.resolve("p.html"), pageHtml(Seq(
