@@ -71,7 +71,7 @@ class KmvDistinctSketch(k: Int)
 object KmvDistinctSketch {
 
   /** Approximate COUNT(DISTINCT c) as a Column aggregate. */
-  def distinctSketch(c: Column, k: Int = 256): Column =
+  def distinctSketch(c: Column, k: Int = 1024): Column =
     org.apache.spark.sql.functions.udaf(new KmvDistinctSketch(k))
       .apply(xxhash64(c))
 }
