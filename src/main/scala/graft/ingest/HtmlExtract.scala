@@ -11,6 +11,14 @@ import scala.collection.mutable.ArrayBuffer
   *
   * Matching mirrors bs4: a class selector matches when every requested
   * token appears in the element's class attribute token list.
+  *
+  * One deliberate deviation from bs4 `find_all`: once an element
+  * matches, the scan resumes AFTER its closing tag, so a nested element
+  * that would match the same tag+class selector is not returned
+  * separately (bs4 would include it). Safe for every current Suumo
+  * selector — cassetteitem blocks never nest — but a selector
+  * targeting genuinely nestable structure would under-extract; prefer
+  * a second elementsBy* pass over the matched inner HTML for that.
   */
 object HtmlExtract {
 

@@ -59,11 +59,14 @@ object Scoring {
 
   /** M2 + J2 (svc/predict.py:27-54): score the feature-complete rows,
     * then left-join predictions back onto ALL input rows so unscorable
-    * rows surface as null y_pred.
+    * rows surface as null y_pred. The reference's predict service runs
+    * `df.dropna()` over ALL columns (svc/predict.py:36) before feature
+    * assembly, so a row that is null only in a non-feature column also
+    * gets a null y_pred — reproduced with the all-column na.drop.
     */
   def predict(model: GBTRegressionModel, df: DataFrame): DataFrame = {
     val scorable = assembleIfNeeded(
-      df.na.drop(Clean.indepVars))
+      df.na.drop())
     val scored = model.transform(scorable)
       .select(col("jnc_id"), col("prediction").as("y_pred"))
     df.select(col("jnc_id"), col("y").cast("double").as("y"))

@@ -26,21 +26,22 @@ object Dedup {
     * once via an eager localCheckpoint (the frame feeds several plan
     * branches and re-deriving the shingling dominated the runtime):
     *
-    *  - `prefixFilter = false` (default): inverted-index count join —
-    *    pairs sharing a shingle, pre-pruned by the size-compatibility
-    *    bound (J ≥ τ ⟹ τ·|B| ≤ |A|), co-occurrence count = exact
-    *    |A∩B|. Best when per-shingle document frequency is modest.
+    *  - `prefixFilter = true` (default): lossless prefix filtering —
+    *    J(A,B) ≥ τ implies |A∩B| ≥ ⌈τ·|A|⌉, so if A's first
+    *    |A|−⌈τ·|A|⌉+1 shingles (canonical rarest-first order) share
+    *    nothing with B, the intersection cannot fit in the remaining
+    *    suffix. Candidates = prefix(A) ⋈ full(B) + exact verify. The
+    *    100 TB default: frequent shingles would make the count join
+    *    quadratic (long docs, skewed df), while the prefix inverted
+    *    index only posts each document's rarest shingles.
     *
-    *  - `prefixFilter = true`: lossless prefix filtering — J(A,B) ≥ τ
-    *    implies |A∩B| ≥ ⌈τ·|A|⌉, so if A's first |A|−⌈τ·|A|⌉+1 shingles
-    *    (canonical rarest-first order) share nothing with B, the
-    *    intersection cannot fit in the remaining suffix. Candidates =
-    *    prefix(A) ⋈ full(B) + exact verify. Wins when frequent shingles
-    *    make the count join quadratic (long docs, skewed df) — the
-    *    100 TB default.
+    *  - `prefixFilter = false`: inverted-index count join — pairs
+    *    sharing a shingle, pre-pruned by the size-compatibility bound
+    *    (J ≥ τ ⟹ τ·|B| ≤ |A|), co-occurrence count = exact |A∩B|.
+    *    Best when per-shingle document frequency is modest.
     */
   def ngramJaccardPairs(docs: DataFrame, id: Column, text: Column,
-      n: Int, threshold: Double, prefixFilter: Boolean = false): DataFrame = {
+      n: Int, threshold: Double, prefixFilter: Boolean = true): DataFrame = {
     val sh = docs.select(id.as("id"),
         transform(TextFunctions.shingles(text, n), g => xxhash64(g)).as("sh"))
       .filter(size(col("sh")) > 0)

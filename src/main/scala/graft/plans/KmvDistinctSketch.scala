@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.{Column, Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
-import org.apache.spark.sql.functions.xxhash64
+import org.apache.spark.sql.functions.{when, xxhash64}
 
 /** KMV (k-minimum-values) distinct-count sketch as a typed Aggregator —
   * the custom-aggregate surface reserved in SURVEY §2.11 for the 100 TB
@@ -14,35 +14,49 @@ import org.apache.spark.sql.functions.xxhash64
   * expand. Standard error ≈ 1/√(k-2).
   *
   * Input is a pre-hashed column (xxhash64) so the aggregator itself is
-  * type-agnostic; `distinctSketch(col)` wires the hashing in.
+  * type-agnostic; `distinctSketch(col)` wires the hashing in and skips
+  * nulls for COUNT(DISTINCT) parity (SQL distinct aggregates ignore
+  * NULL; raw xxhash64 would instead hash a null to the seed value).
+  *
+  * Buffer layout: slots [0, k) hold the smallest hashes sorted
+  * ascending; slot k is the fill count. Tracking the fill explicitly
+  * (rather than a Long.MaxValue sentinel) means a value whose shifted
+  * hash IS Long.MaxValue still inserts while the buffer is filling, so
+  * exact-mode counts (fill < k) are exact for every input.
   */
 class KmvDistinctSketch(k: Int)
-    extends Aggregator[Long, Array[Long], Long] with Serializable {
+    extends Aggregator[java.lang.Long, Array[Long], Long] with Serializable {
   require(k >= 8, "k too small for a meaningful estimate")
 
-  // buffer layout: sorted ascending, padded with Long.MaxValue
-  override def zero: Array[Long] = Array.fill(k)(Long.MaxValue)
+  override def zero: Array[Long] = {
+    val buf = Array.fill(k + 1)(Long.MaxValue)
+    buf(k) = 0L // fill count
+    buf
+  }
 
-  override def reduce(buf: Array[Long], hash: Long): Array[Long] = {
+  override def reduce(buf: Array[Long], hash: java.lang.Long): Array[Long] = {
+    if (hash == null) return buf // COUNT(DISTINCT ...) ignores NULL
     // shift to unsigned ordering so the min-hash math is uniform
-    val h = hash ^ Long.MinValue
-    insert(buf, h)
+    insert(buf, hash.longValue() ^ Long.MinValue)
   }
 
   private def insert(buf: Array[Long], h: Long): Array[Long] = {
-    if (h >= buf(k - 1)) return buf
-    var i = java.util.Arrays.binarySearch(buf, h)
+    val filled = buf(k).toInt
+    if (filled == k && h >= buf(k - 1)) return buf
+    var i = java.util.Arrays.binarySearch(buf, 0, filled, h)
     if (i >= 0) return buf // already present (exact duplicate hash)
     i = -i - 1
     System.arraycopy(buf, i, buf, i + 1, k - i - 1)
     buf(i) = h
+    if (filled < k) buf(k) = filled + 1L
     buf
   }
 
   override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
     var out = a
+    val bFilled = b(k).toInt
     var i = 0
-    while (i < k && b(i) != Long.MaxValue) {
+    while (i < bFilled) {
       out = insert(out, b(i))
       i += 1
     }
@@ -50,10 +64,7 @@ class KmvDistinctSketch(k: Int)
   }
 
   override def finish(buf: Array[Long]): Long = {
-    val filled = buf.indexWhere(_ == Long.MaxValue) match {
-      case -1 => k
-      case n => n
-    }
+    val filled = buf(k).toInt
     if (filled < k) filled.toLong // fewer than k distinct: exact
     else {
       // kth-min as a fraction of the unsigned 64-bit space
@@ -70,8 +81,11 @@ class KmvDistinctSketch(k: Int)
 
 object KmvDistinctSketch {
 
-  /** Approximate COUNT(DISTINCT c) as a Column aggregate. */
+  /** Approximate COUNT(DISTINCT c) as a Column aggregate (null-ignoring,
+    * like the exact form).
+    */
   def distinctSketch(c: Column, k: Int = 1024): Column =
-    org.apache.spark.sql.functions.udaf(new KmvDistinctSketch(k))
-      .apply(xxhash64(c))
+    org.apache.spark.sql.functions
+      .udaf(new KmvDistinctSketch(k), Encoders.LONG)
+      .apply(when(c.isNotNull, xxhash64(c)))
 }

@@ -151,6 +151,11 @@ object DomainQueries {
         fetchedAt = Some(1.6254e9))
       props.orderBy(col("source_file"), col("source_order"))
         .drop("source_file", "source_order")
+        // graded projection only: the driver's rows-only checker hashes
+        // via pandas sort_values, which cannot sort an array column —
+        // serialize it; the library API keeps the array form
+        .withColumn("building_transportation",
+          to_json(col("building_transportation")))
     },
     oracle = None,
   )
@@ -238,6 +243,9 @@ object DomainQueries {
         nPages, buildingsPerPage = 50, roomsPerBuilding = 4)
       PropertiesFrame.scrape(s, pages.toString, fetchedAt = Some(1.6254e9))
         .drop("source_file", "source_order")
+        // serialized for the driver's pandas checker (see q21)
+        .withColumn("building_transportation",
+          to_json(col("building_transportation")))
     },
     oracle = None,
     headline = true,

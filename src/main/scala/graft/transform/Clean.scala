@@ -41,11 +41,21 @@ object Clean {
       cols.tail.map(c => expr(quantileExpr(c))): _*).head()
     // an empty (or all-null) input yields null quantiles → no outliers;
     // approx_percentile also preserves the input type (long cols → long)
+    //
+    // Each equality flag is coalesced to false: a null comparand (a
+    // genuinely-null column, or the null ratio Spark's non-ANSI Divide
+    // yields for rent == 0 — a legal value, parse_money maps '-' to 0)
+    // must KEEP the row here, matching pandas where ratio = inf and
+    // `inf == q` is False. Rows with real missing data are still dropped
+    // afterwards by dropMissing, preserving the reference's dropna
+    // ordering; the transient ratio column is dropped before that, so
+    // zero-rent rows survive cleaning exactly as in the reference.
     val flags = cols.zipWithIndex.flatMap { case (c, i) =>
       if (qRow.isNullAt(i)) None
       else qRow.get(i) match {
         case n: java.lang.Number =>
-          Some(col(c).cast("double") === lit(n.doubleValue()))
+          Some(coalesce(col(c).cast("double") === lit(n.doubleValue()),
+            lit(false)))
         case other =>
           throw new IllegalStateException(s"unexpected quantile: $other")
       }
