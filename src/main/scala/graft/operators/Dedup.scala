@@ -26,27 +26,51 @@ object Dedup {
     * once via an eager localCheckpoint (the frame feeds several plan
     * branches and re-deriving the shingling dominated the runtime):
     *
-    *  - `prefixFilter = true` (default): lossless prefix filtering —
+    *  - `prefixFilter = Some(true)`: lossless prefix filtering —
     *    J(A,B) ≥ τ implies |A∩B| ≥ ⌈τ·|A|⌉, so if A's first
     *    |A|−⌈τ·|A|⌉+1 shingles (canonical rarest-first order) share
     *    nothing with B, the intersection cannot fit in the remaining
     *    suffix. Candidates = prefix(A) ⋈ full(B) + exact verify. The
-    *    100 TB default: frequent shingles would make the count join
-    *    quadratic (long docs, skewed df), while the prefix inverted
-    *    index only posts each document's rarest shingles.
+    *    skew-safe path: frequent shingles make the count join quadratic
+    *    (long docs, skewed df), while the prefix inverted index only
+    *    posts each document's rarest shingles.
     *
-    *  - `prefixFilter = false`: inverted-index count join — pairs
+    *  - `prefixFilter = Some(false)`: inverted-index count join — pairs
     *    sharing a shingle, pre-pruned by the size-compatibility bound
     *    (J ≥ τ ⟹ τ·|B| ≤ |A|), co-occurrence count = exact |A∩B|.
-    *    Best when per-shingle document frequency is modest.
+    *    Cheaper when per-shingle document frequency is modest (no
+    *    document-frequency ranking pass, one join instead of three).
+    *
+    *  - `None` (default): adaptive — measure the count join's exact
+    *    candidate volume Σ_g df(g)·(df(g)−1)/2 from a (cheap,
+    *    map-side-combinable) document-frequency aggregate and take the
+    *    count join unless candidates dwarf the posting count
+    *    (> 64·Σdf). The prefix path replaces the candidate join with
+    *    three extra posting-sized passes (freq join, rarity window,
+    *    array-intersect verify), so it only wins once per-candidate work
+    *    exceeds per-posting work by that margin — a skewed corpus (one
+    *    shingle with df in the millions) blows past the bound
+    *    immediately, while a modest-df corpus stays on the cheaper join.
+    *    Both strategies are exact, so the choice is invisible in the
+    *    output — a physical-plan decision made from data statistics,
+    *    the same way AQE picks join strategies.
     */
   def ngramJaccardPairs(docs: DataFrame, id: Column, text: Column,
-      n: Int, threshold: Double, prefixFilter: Boolean = true): DataFrame = {
+      n: Int, threshold: Double, prefixFilter: Option[Boolean] = None): DataFrame = {
     val sh = docs.select(id.as("id"),
         transform(TextFunctions.shingles(text, n), g => xxhash64(g)).as("sh"))
       .filter(size(col("sh")) > 0)
       .localCheckpoint()
-    if (prefixFilter) prefixFilterPairs(sh, threshold)
+    val usePrefix = prefixFilter.getOrElse {
+      val stats = sh.select(explode(col("sh")).as("g"))
+        .groupBy(col("g")).agg(count(lit(1)).as("df"))
+        .agg(sum(col("df") * (col("df") - 1)).as("cand2"),
+          sum(col("df")).as("postings")).head()
+      val candidates = (if (stats.isNullAt(0)) 0L else stats.getLong(0)) / 2
+      val postings = if (stats.isNullAt(1)) 0L else stats.getLong(1)
+      candidates > 64L * postings
+    }
+    if (usePrefix) prefixFilterPairs(sh, threshold)
     else countJoinPairs(sh, threshold)
   }
 
@@ -68,18 +92,21 @@ object Dedup {
   }
 
   private def prefixFilterPairs(sh: DataFrame, threshold: Double): DataFrame = {
-    val inv = sh.select(col("id"), explode(col("sh")).as("g"))
+    import org.apache.spark.sql.expressions.Window
+    val inv = sh.select(col("id"), size(col("sh")).as("n_sh"),
+      explode(col("sh")).as("g"))
     val freq = inv.groupBy(col("g")).agg(count(lit(1)).as("df"))
-    // canonical rarest-first order; prefix = n_sh - ceil(τ*n_sh) + 1
-    val ordered = inv.join(freq, Seq("g"))
-      .groupBy(col("id"))
-      .agg(sort_array(collect_list(struct(col("df"), col("g"))))
-        .getField("g").as("sorted_sh"))
-      .withColumn("n_sh", size(col("sorted_sh")))
-      .withColumn("prefix_len",
-        col("n_sh") - ceil(col("n_sh") * threshold).cast("int") + 1)
-    val prefixInv = ordered
-      .select(col("id"), explode(slice(col("sorted_sh"), lit(1), col("prefix_len"))).as("g"))
+    // Canonical rarest-first rank per document; a posting survives into
+    // the prefix inverted index iff rank ≤ n_sh − ⌈τ·n_sh⌉ + 1. Ranking
+    // via a window (one exchange on id, spillable sort) instead of
+    // collect_list + sort_array keeps per-task memory bounded even for a
+    // pathologically long document — the full shingle array is never
+    // re-materialized per row.
+    val byRarity = Window.partitionBy(col("id")).orderBy(col("df"), col("g"))
+    val prefixInv = inv.join(freq, Seq("g"))
+      .withColumn("rk", row_number().over(byRarity))
+      .filter(col("rk") <= col("n_sh") - ceil(col("n_sh") * threshold).cast("int") + 1)
+      .select(col("id"), col("g"))
     val cand = prefixInv.select(col("id").as("p_id"), col("g"))
       .join(inv.select(col("id").as("f_id"), col("g")), Seq("g"))
       .filter(col("p_id") =!= col("f_id"))

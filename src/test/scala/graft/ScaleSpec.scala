@@ -71,9 +71,9 @@ class ScaleSpec extends SparkSpec {
   test("count-join and prefix-filter Jaccard strategies are identical") {
     val docs = Tables(spark, sfDir, "documents")
     val a = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"), 3, 0.8,
-      prefixFilter = false)
+      prefixFilter = Some(false))
     val b = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"), 3, 0.8,
-      prefixFilter = true)
+      prefixFilter = Some(true))
     assert(a.count() > 0)
     assert(a.exceptAll(b).count() === 0)
     assert(b.exceptAll(a).count() === 0)
