@@ -205,25 +205,49 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
-  /** Exact embedding-cosine near-dup pairs (brute force — the baseline;
-    * the ANN path in Similarity is the approximate scale variant). Dot
-    * products in double with a sequential left fold, matching the oracle
-    * bit-for-bit.
+  /** Exact embedding-cosine near-dup pairs via a triangular grid-tile
+    * join — the distributed form of a blocked matrix product.
+    *
+    * For dense embeddings at an arbitrary threshold there is no lossless
+    * sublinear candidate filter (sign-LSH bit agreement for *orthogonal*
+    * vectors is already 0.5, so no banding scheme can separate τ ≈ 0.5
+    * pairs from noise without missing true pairs) — an exact answer
+    * inherently scores all n² pairs. What must NOT happen at scale is a
+    * CartesianProduct: one unsplittable task, or n× replication of one
+    * side. Instead each vector is hashed to one of G blocks and the
+    * upper-triangle tile set {(i,j) : i ≤ j} is enumerated through an
+    * ordinary equi-join on the tile key: the left role replicates a row
+    * to tiles (blk, j ≥ blk), the right role to (i ≤ blk, blk), so every
+    * unordered pair meets in exactly one tile. Replication is ~G/2 per
+    * side (vs n for a broadcast NL join), tiles are uniform (hash
+    * blocks), and G(G+1)/2 independent tasks spread over the cluster —
+    * G ≈ √(2·cores) locally, larger on a real cluster. Per-pair scoring
+    * is the codegen'd [[graft.plans.DotProduct]] fold, bit-identical to
+    * the SQL oracle. For gapped/high-threshold regimes prefer the
+    * genuinely sublinear paths: [[minhashLshPairs]] (sets) or
+    * [[graft.operators.Similarity.lshTopK]] (vectors, approximate).
     */
   def cosinePairs(emb: DataFrame, id: Column, vec: Column,
-      threshold: Double): DataFrame = {
+      threshold: Double, gridSide: Int = 8): DataFrame = {
+    import graft.plans.DotProduct.dot_product
     val e = emb.select(id.as("id"), vec.as("v"))
-      .withColumn("norm", sqrt(aggregate(col("v"), lit(0.0),
-        (acc, x) => acc + x.cast("double") * x.cast("double"))))
-    val a = e.select(col("id").as("id_a"), col("v").as("v_a"), col("norm").as("n_a"))
-    val b = e.select(col("id").as("id_b"), col("v").as("v_b"), col("norm").as("n_b"))
-    a.crossJoin(b)
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("dot", aggregate(
-        zip_with(col("v_a"), col("v_b"), (x, y) => x.cast("double") * y.cast("double")),
-        lit(0.0), (acc, x) => acc + x))
-      .withColumn("cosine", col("dot") / (col("n_a") * col("n_b")))
+      .withColumn("norm", sqrt(dot_product(col("v"), col("v"))))
+      .withColumn("blk", pmod(xxhash64(col("id")), lit(gridSide)).cast("int"))
+    val left = e.select(col("id").as("id_l"), col("v").as("v_l"),
+        col("norm").as("n_l"), col("blk").as("ti"))
+      .withColumn("tj", explode(sequence(col("ti"), lit(gridSide - 1))))
+    val right = e.select(col("id").as("id_r"), col("v").as("v_r"),
+        col("norm").as("n_r"), col("blk").as("tj"))
+      .withColumn("ti", explode(sequence(lit(0), col("tj"))))
+    left.join(right, Seq("ti", "tj"))
+      // off-diagonal tiles see each pair once; diagonal tiles see both
+      // orderings, so break the tie on id there
+      .filter(col("ti") < col("tj") || col("id_l") < col("id_r"))
+      .withColumn("cosine",
+        dot_product(col("v_l"), col("v_r")) / (col("n_l") * col("n_r")))
       .filter(col("cosine") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+      .select(least(col("id_l"), col("id_r")).as("id_a"),
+        greatest(col("id_l"), col("id_r")).as("id_b"),
+        round(col("cosine"), 6).as("cosine"))
   }
 }

@@ -12,14 +12,15 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  // codegen'd fold (bit-identical to the aggregate(zip_with(...)) form
+  // and to the DuckDB list_reduce oracle) — the per-pair hot loop
   private def dotCos(vA: Column, vB: Column, nA: Column, nB: Column): Column =
-    aggregate(zip_with(vA, vB, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x) / (nA * nB)
+    graft.plans.DotProduct.dot_product(vA, vB) / (nA * nB)
 
   private def withNorm(df: DataFrame, id: Column, vec: Column): DataFrame =
     df.select(id.as("id"), vec.as("v"))
-      .withColumn("norm", sqrt(aggregate(col("v"), lit(0.0),
-        (acc, x) => acc + x.cast("double") * x.cast("double"))))
+      .withColumn("norm",
+        sqrt(graft.plans.DotProduct.dot_product(col("v"), col("v"))))
 
   /** Exact top-k cosine neighbors for each query vector. The query side
     * is broadcast; the corpus is scanned once; per-query top-k via a

@@ -50,6 +50,13 @@ class PlanSpec extends SparkSpec {
       "scan pipeline fell out of whole-stage codegen")
   }
 
+  test("q37: cosine pair generation is a tiled equi-join, never cartesian") {
+    val plan = planOf("q37_cosine_pairs")
+    assert(!plan.contains("CartesianProduct"), s"cartesian product:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"nested-loop join:\n$plan")
+  }
+
   test("geocode join broadcasts the location dimension") {
     val dim = graft.ingest.SyntheticSuumo.writeLocationCsv(
       java.nio.file.Files.createTempDirectory("graft_plan_loc"))

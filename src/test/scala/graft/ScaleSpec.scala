@@ -85,6 +85,39 @@ class ScaleSpec extends SparkSpec {
     assert(groups.agg(sum("group_size")).head().getLong(0) === docs.count())
   }
 
+  test("DotProduct: sequential double fold, null-safe, matches zip_with form") {
+    val got = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)),
+        (Array(0.5f), Array(0.25f)))
+      .toDF("a", "b")
+      .select(graft.plans.DotProduct.dot_product(col("a"), col("b")).as("d"))
+      .orderBy(col("d").desc).as[Double].collect()
+    assert(got(0) === 1.0 * 4 + 2.0 * 5 + 3.0 * 6)
+    assert(got(1) === 0.125)
+    val n = Seq((Array(1.0f), null.asInstanceOf[Array[Float]])).toDF("a", "b")
+      .select(graft.plans.DotProduct.dot_product(col("a"), col("b"))).collect()
+    assert(n(0).isNullAt(0))
+  }
+
+  test("grid-blocked cosine pairs equal all-pairs brute force") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val blocked = Dedup.cosinePairs(emb, col("vec_id"), col("embedding"), 0.4)
+      .as[(Long, Long, Double)].collect().toSet
+    val e = emb.select(col("vec_id").as("id"), col("embedding").as("v"))
+      .withColumn("norm",
+        sqrt(graft.plans.DotProduct.dot_product(col("v"), col("v"))))
+    val brute = e.select(col("id").as("id_a"), col("v").as("v_a"), col("norm").as("n_a"))
+      .crossJoin(e.select(col("id").as("id_b"), col("v").as("v_b"), col("norm").as("n_b")))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine",
+        graft.plans.DotProduct.dot_product(col("v_a"), col("v_b")) /
+          (col("n_a") * col("n_b")))
+      .filter(col("cosine") >= 0.4)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(brute.nonEmpty)
+    assert(blocked === brute)
+  }
+
   test("brute-force top-k returns k ranked neighbors per query") {
     val emb = Tables(spark, sfDir, "embeddings")
     val topk = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 3),
