@@ -161,9 +161,28 @@ object DomainQueries {
   )
 
   // ---------------------------------------------------------------- q22
+  /** The geocoded scrape frame's 34 columns (PropertiesFrame.fromRaw's
+    * projection + the geocode join's latitude/longitude) — the dropna
+    * ("any") clause of the oracle must test exactly these.
+    */
+  private val q22BaseCols: Seq[String] = Seq(
+    "jnc_id", "building_category", "building_title", "building_address",
+    "building_transportation", "building_age", "building_floors", "rent",
+    "admin_fee", "deposit", "gratuity", "layout", "area", "min_floor",
+    "max_floor", "url", "new_arrival", "html_file_banner_timestamp",
+    "html_file_last_modified_at", "n_rooms", "service_room", "living_room",
+    "dining_room", "kitchen", "n_stations", "walk_time_station_min",
+    "walk_time_station_avg", "ward", "district", "html_file_fetched_at",
+    "source_file", "source_order", "latitude", "longitude")
+
+  private val q22BasePath = "/tmp/graft_q22_base.parquet"
+
   /** The full batch lifecycle: scrape → geocode join (J1) → target (D7) →
     * clean (P1+P2+P3) → stub-model scoring (J2) → serving join/sort
-    * (J3/D8/O1/D9). Rows-only check; semantics covered by TransformSpec.
+    * (J3/D8/O1/D9). The geocoded frame is materialized to parquet so the
+    * DuckDB oracle replays clean → score → serve over the same bits (the
+    * scrape/HTML half is not SQL-expressible; its exactness lives in the
+    * golden IngestSpec and q19).
     */
   val q22FullPipeline: QueryDef = QueryDef(
     "q22_full_pipeline",
@@ -175,8 +194,10 @@ object DomainQueries {
       val props = PropertiesFrame.scrape(s, synthPages(6),
         fetchedAt = Some(1.6254e9))
       val dim = Geocode.readLocationReference(s, csv.toString)
-      val withCoords = Geocode.addAddressCoords(props, dim)
-      val cleaned = Clean.cleanDf(Clean.addTargetVariable(withCoords))
+      Geocode.addAddressCoords(props, dim)
+        .write.mode("overwrite").parquet(q22BasePath)
+      val base = s.read.parquet(q22BasePath)
+      val cleaned = Clean.cleanDf(Clean.addTargetVariable(base))
       // deterministic stub model: ward-mean rent as the prediction
       val pred = cleaned.groupBy(col("ward"))
         .agg(avg(col("y")).as("y_pred_ward"))
@@ -189,7 +210,48 @@ object DomainQueries {
           "otokuna_score", "building_title", "ward", "district",
           "latitude", "longitude")
     },
-    oracle = None,
+    oracle = Some(s"""
+      WITH base AS (
+        SELECT * FROM read_parquet('$q22BasePath/*.parquet')),
+      tgt AS (SELECT *, rent + admin_fee AS y FROM base),
+      dedup AS (
+        SELECT * FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY jnc_id ORDER BY source_file, source_order) AS __rn
+          FROM tgt) d
+        WHERE __rn = 1),
+      -- Spark's non-ANSI divide yields NULL for rent = 0 (pandas-inf
+      -- rows that the == filter must keep); mirror that here so the
+      -- quantile sees the same population
+      wr AS (
+        SELECT *, CASE WHEN rent = 0 THEN NULL
+          ELSE CAST(admin_fee AS DOUBLE) / CAST(rent AS DOUBLE) END AS __ratio
+        FROM dedup),
+      q AS (
+        SELECT quantile_cont(CAST(area AS DOUBLE), 0.99) AS q_area,
+               quantile_cont(CAST(n_rooms AS DOUBLE), 0.99) AS q_rooms,
+               quantile_cont(CAST(building_age AS DOUBLE), 0.99) AS q_age,
+               quantile_cont(CAST(rent AS DOUBLE), 0.99) AS q_rent,
+               quantile_cont(__ratio, 0.99) AS q_ratio
+        FROM wr),
+      cleaned AS (
+        SELECT wr.* FROM wr, q
+        WHERE NOT (COALESCE(CAST(area AS DOUBLE) = q.q_area, false)
+          OR COALESCE(CAST(n_rooms AS DOUBLE) = q.q_rooms, false)
+          OR COALESCE(CAST(building_age AS DOUBLE) = q.q_age, false)
+          OR COALESCE(CAST(rent AS DOUBLE) = q.q_rent, false)
+          OR COALESCE(__ratio = q.q_ratio, false))
+          AND ${q22BaseCols.map(c => s"$c IS NOT NULL").mkString(" AND ")}),
+      pred AS (SELECT ward, avg(y) AS y_pred FROM cleaned GROUP BY ward),
+      scored AS (
+        SELECT c.jnc_id, CAST(c.y AS DOUBLE) AS y, p.y_pred
+        FROM cleaned c LEFT JOIN pred p USING (ward))
+      SELECT s.jnc_id, s.y AS monthly_cost,
+             s.y_pred AS monthly_cost_predicted,
+             s.y_pred / s.y AS otokuna_score,
+             c.building_title, c.ward, c.district, c.latitude, c.longitude
+      FROM scored s LEFT JOIN cleaned c ON s.jnc_id = c.jnc_id
+      ORDER BY otokuna_score DESC, s.jnc_id"""),
   )
 
   // ---------------------------------------------------------------- q23
