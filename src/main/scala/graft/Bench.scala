@@ -15,6 +15,10 @@ object Bench {
       .master(s"local[$cpus]")
       .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
+      // one small file per scan split (binaryFile HTML pages fan out
+      // across cores without a repartition shuffle); the SF-scale
+      // parquet tables are below this bound either way
+      .config("spark.sql.files.maxPartitionBytes", s"${4 * 1024 * 1024}")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

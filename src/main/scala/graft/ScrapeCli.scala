@@ -45,6 +45,8 @@ object ScrapeCli {
       .master(s"local[$cpus]")
       .appName("graft-scrape")
       .config("spark.sql.shuffle.partitions", cpus)
+      // small scan splits: HTML pages fan out without a repartition
+      .config("spark.sql.files.maxPartitionBytes", s"${4 * 1024 * 1024}")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -102,12 +102,14 @@ object SuumoPages {
     */
   def rawProperties(pages: Dataset[Page]): Dataset[RawProperty] = {
     implicit val enc = org.apache.spark.sql.Encoders.product[RawProperty]
-    // binaryFile packs many small pages into few input partitions
-    // (maxPartitionBytes), which would serialize extraction — spread
-    // pages across the cluster before the parse fan-out
-    val spread = pages.repartition(
-      pages.sparkSession.sparkContext.defaultParallelism)
-    spread.flatMap(p => extractPage(p.html, p.mtimeSec, p.file))
+    // Parallelism comes from the input splits, NOT a repartition: a
+    // shuffle here moves the raw HTML bytes over the network — a full
+    // extra pass over the corpus at scale. binaryFile packs small pages
+    // `spark.sql.files.openCostInBytes` apart up to
+    // `spark.sql.files.maxPartitionBytes` per split, so a small corpus
+    // spreads by lowering maxPartitionBytes (the entry mains set 4 MiB;
+    // a real 100 TB dump saturates the cluster at the default 128 MiB).
+    pages.flatMap(p => extractPage(p.html, p.mtimeSec, p.file))
   }
 
   /** Pure structural extraction of one page. */

@@ -50,6 +50,15 @@ class PlanSpec extends SparkSpec {
       "scan pipeline fell out of whole-stage codegen")
   }
 
+  test("scrape parse path has no Exchange before the flatMap") {
+    val dir = graft.ingest.SyntheticSuumo.writePages(
+      java.nio.file.Files.createTempDirectory("graft_plan_pages"), 2)
+    val plan = graft.ingest.SuumoPages.rawProperties(
+        graft.ingest.SuumoPages.readHtmlDir(spark, dir.toString))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"shuffle on raw page bytes:\n$plan")
+  }
+
   test("q37: cosine pair generation is a tiled equi-join, never cartesian") {
     val plan = planOf("q37_cosine_pairs")
     assert(!plan.contains("CartesianProduct"), s"cartesian product:\n$plan")
