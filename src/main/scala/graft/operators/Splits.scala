@@ -1,39 +1,73 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Seeded dataset splits (reference: libs/otokuna/analysis.py:115-149,
   * split_dataset — shuffle indices, slice exact counts n_val = int(n*r)).
   *
-  * `threeWay` reproduces the exact-count semantics: a seeded random order +
-  * row_number slicing, so |val| == floor(n*valRatio) and
-  * |test| == floor(n*testRatio) exactly. The global row_number is a total
-  * sort — fine for ML-split-sized tables; for 100 TB-scale sampling use
-  * `fractionSample` (no shuffle, scan-local).
+  * `threeWay` reproduces the exact-count semantics: a seeded pseudo-random
+  * order + exact dense ranking, so |val| == floor(n*valRatio) and
+  * |test| == floor(n*testRatio) exactly. Ranking is two-phase (range
+  * partition + per-partition offsets), never a single-partition window.
   */
 object Splits {
 
+  /** Exact dense 0-based global rank by `key`, scale-safe: no task ever
+    * sees more than one partition's rows.
+    *
+    *  1. `repartitionByRange` on the key — Spark samples split points, so
+    *     every partition holds a contiguous, roughly equal key range.
+    *  2. Sort within partitions; `monotonically_increasing_id` then
+    *     encodes (partition, local position) — local position is the
+    *     local rank, with no extra exchange.
+    *  3. Per-partition counts (a ≤`shuffle.partitions`-row aggregate)
+    *     become cumulative offsets on the driver; a broadcast join adds
+    *     them back: rank = offset(partition) + local position.
+    *
+    * The frame is localCheckpoint'ed: the id assignment must be computed
+    * once (three slices + their consumers would otherwise re-run it, and
+    * `monotonically_increasing_id` is assignment-order-dependent).
+    */
+  private[graft] def rangeRanked(df: DataFrame, key: Column): DataFrame = {
+    val spark = df.sparkSession
+    val keyed = rangeKeyed(df, key).localCheckpoint()
+    val counts = keyed.groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val offsets = counts.map(_._1)
+      .zip(counts.scanLeft(0L)(_ + _._2).init).toSeq
+    import spark.implicits._
+    keyed.join(broadcast(offsets.toDF("__pid", "__off")), Seq("__pid"))
+      .withColumn("__idx", col("__local") + col("__off"))
+      .drop("__pid", "__local", "__off")
+  }
+
+  /** The lazy phase-1 plan of [[rangeRanked]] (exposed for plan audits). */
+  private[graft] def rangeKeyed(df: DataFrame, key: Column): DataFrame =
+    df.withColumn("__rnd", key)
+      .repartitionByRange(col("__rnd"))
+      .sortWithinPartitions(col("__rnd"))
+      .withColumn("__mid", monotonically_increasing_id())
+      // documented mid layout: partition index in the upper 31 bits,
+      // in-partition record position in the lower 33
+      .withColumn("__pid", shiftright(col("__mid"), 33))
+      .withColumn("__local", col("__mid").bitwiseAND(lit((1L << 33) - 1)))
+      .drop("__mid")
+
   def threeWay(df: DataFrame, valRatio: Double, testRatio: Double,
       seed: Long): Map[String, DataFrame] = {
-    val n = df.count()
-    val nVal = (n * valRatio).toLong
-    val nTest = (n * testRatio).toLong
     // rand(seed) is seeded per PARTITION, so membership would change with
     // the partition count; a content hash is pseudo-random, seeded, and
     // partition-independent — Verify output stays byte-stable. (Byte-
-    // identical rows tie on the hash and row_number splits them
+    // identical rows tie on the hash and ranking splits them
     // arbitrarily, but interchangeable rows make that unobservable.)
     val rnd = xxhash64(df.columns.map(col) :+ lit(seed): _*)
-    // localCheckpoint: the three slices (and their consumers) would each
-    // re-run the global sort + row_number otherwise
-    val idx = df
-      .withColumn("__rnd", rnd)
-      .withColumn("__idx", row_number().over(Window.orderBy(col("__rnd"))))
-      .localCheckpoint()
+    val idx = rangeRanked(df, rnd)
+    val n = idx.count()
+    val nVal = (n * valRatio).toLong
+    val nTest = (n * testRatio).toLong
     def slice(lo: Long, hi: Long) =
-      idx.filter(col("__idx") > lo && col("__idx") <= hi)
+      idx.filter(col("__idx") >= lo && col("__idx") < hi)
         .drop("__rnd", "__idx")
     Map(
       "test" -> slice(0L, nTest),

@@ -59,6 +59,15 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"shuffle on raw page bytes:\n$plan")
   }
 
+  test("split ranking range-partitions, never a single-partition window") {
+    val df = spark.range(1000).toDF("v")
+    val plan = graft.operators.Splits.rangeKeyed(df, xxhash64(col("v"), lit(7)))
+      .queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("rangepartitioning"),
+      s"no range exchange:\n$plan")
+    assert(!plan.contains("SinglePartition"), s"global funnel:\n$plan")
+  }
+
   test("q37: cosine pair generation is a tiled equi-join, never cartesian") {
     val plan = planOf("q37_cosine_pairs")
     assert(!plan.contains("CartesianProduct"), s"cartesian product:\n$plan")
