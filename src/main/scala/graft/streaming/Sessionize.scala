@@ -54,46 +54,97 @@ object Sessionize {
         "total_value")
   }
 
+  /** One-pass lazy fold over a TIME-SORTED event iterator: sessions
+    * stream out as they close; the only retained state is the open
+    * session (4 longs) — a hot key never buffers its events or its
+    * emitted sessions. The GroupState is written as the input exhausts,
+    * which is safe: FlatMapGroupsWithStateExec commits state after the
+    * returned iterator completes.
+    */
+  private def sessionIterator(userId: Long, events: Iterator[Event],
+      state: GroupState[SessionState], gapSeconds: Long,
+      emitOpen: Boolean): Iterator[Session] = new Iterator[Session] {
+    private var st: SessionState = state.getOption.orNull
+    private var pending: Session = null
+    private var done = false
+
+    private def emit(s: SessionState): Session =
+      Session(userId, s.start, s.last, s.n, s.cents / 100.0)
+
+    private def advance(): Unit = {
+      while (pending == null && !done) {
+        if (!events.hasNext) {
+          done = true
+          if (st != null) {
+            if (emitOpen) { pending = emit(st); state.remove() }
+            else state.update(st)
+            st = null
+          }
+        } else {
+          val e = events.next()
+          val sec = e.ts.getTime / 1000
+          if (st != null && sec - st.last > gapSeconds) {
+            pending = emit(st)
+            st = null
+          }
+          if (st == null) st = SessionState(sec, sec, 0L, 0L)
+          // half-away rounding to match Spark round()/DuckDB ROUND —
+          // math.rint is half-EVEN and would diverge on exact .5 cents
+          val cents =
+            if (e.value >= 0) math.floor(e.value * 100 + 0.5).toLong
+            else math.ceil(e.value * 100 - 0.5).toLong
+          st = st.copy(last = sec, n = st.n + 1, cents = st.cents + cents)
+        }
+      }
+    }
+
+    def hasNext: Boolean = { advance(); pending != null }
+    def next(): Session = {
+      advance()
+      val s = pending; pending = null; s
+    }
+  }
+
   /** Streaming sessionization: per-user state carries the open session;
     * an event past the gap closes and emits it. Event-time timeout would
     * drive emission in production; draining the bounded file source
     * closes remaining sessions via the final timeout pass — here we emit
     * closed sessions on arrival and flush open ones with a sentinel
     * batch, keeping the example deterministic.
+    *
+    * Scale shape: in batch mode the events are secondary-sorted — one
+    * hash exchange on user_id plus a spillable within-partition sort on
+    * (user_id, ts, event_id). That already satisfies the stateful
+    * operator's distribution AND (by prefix) its ordering requirement,
+    * so Catalyst inserts no further exchange or sort and the group
+    * iterator arrives time-ordered: the fold is fully incremental and a
+    * hot key never materializes in memory. In streaming mode a
+    * per-micro-batch sort stands in (sorting is unsupported on
+    * unbounded frames) — there the buffered unit is one user's slice of
+    * one trigger, which the trigger interval bounds.
     */
   def sessionize(events: Dataset[Event], gapSeconds: Long,
       emitOpen: Boolean = false): Dataset[Session] = {
     import events.sparkSession.implicits._
-    events
-      .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionState, Session](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        case (userId, it, state: GroupState[SessionState]) =>
-          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          val out = scala.collection.mutable.ArrayBuffer.empty[Session]
-          var st = state.getOption.orNull
-          for (e <- sorted) {
-            val sec = e.ts.getTime / 1000
-            if (st != null && sec - st.last > gapSeconds) {
-              out += Session(userId, st.start, st.last, st.n, st.cents / 100.0)
-              st = null
-            }
-            if (st == null) st = SessionState(sec, sec, 0L, 0L)
-            // half-away rounding to match Spark round()/DuckDB ROUND —
-            // math.rint is half-EVEN and would diverge on exact .5 cents
-            val cents =
-              if (e.value >= 0) math.floor(e.value * 100 + 0.5).toLong
-              else math.ceil(e.value * 100 - 0.5).toLong
-            st = st.copy(last = sec, n = st.n + 1, cents = st.cents + cents)
-          }
-          if (st != null) {
-            if (emitOpen) { // batch drain: flush the trailing session
-              out += Session(userId, st.start, st.last, st.n, st.cents / 100.0)
-              state.remove()
-            } else state.update(st)
-          }
-          out.iterator
-      }
+    if (events.isStreaming)
+      events.groupByKey(_.user_id)
+        .flatMapGroupsWithState[SessionState, Session](
+          OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+          case (userId, it, state: GroupState[SessionState]) =>
+            sessionIterator(userId,
+              it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).iterator,
+              state, gapSeconds, emitOpen)
+        }
+    else
+      events.repartition(col("user_id"))
+        .sortWithinPartitions(col("user_id"), col("ts"), col("event_id"))
+        .as[Event]
+        .groupBy(col("user_id")).as[Long, Event]
+        .flatMapGroupsWithState[SessionState, Session](
+          OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+          case (userId, it, state: GroupState[SessionState]) =>
+            sessionIterator(userId, it, state, gapSeconds, emitOpen)
+        }
   }
 
   /** Drain the events table through the sessionizer (batch mode: each

@@ -53,6 +53,41 @@ class ScaleDesignSpec extends SparkSpec {
     assert(state.exceptAll(batch).count() === 0)
   }
 
+  test("batch sessionize plans exactly one exchange and one sort") {
+    val ev = Tables(spark, sfDir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[Sessionize.Event]
+    val plan = Sessionize.sessionize(ev, 1800, emitOpen = true)
+      .queryExecution.executedPlan.toString
+    // the secondary sort's own exchange + sort satisfy the stateful
+    // operator's requirements — Catalyst must not add a second of either
+    assert(plan.split("Exchange").length - 1 === 1, s"extra exchange:\n$plan")
+    assert(plan.split("SortExec").length - 1 <= 1, s"extra sort:\n$plan")
+    assert(!plan.contains("SinglePartition"), s"global funnel:\n$plan")
+  }
+
+  test("incremental sessionizer equals the window twin on adversarial order") {
+    // seeded random events, deliberately presented in scrambled order —
+    // the secondary sort must restore time order before the fold
+    val rnd = new scala.util.Random(20260812L)
+    val evs = (0 until 2000).map { i =>
+      Sessionize.Event(
+        event_id = i.toLong,
+        ts = new java.sql.Timestamp(
+          1700000000000L + rnd.nextInt(500000) * 1000L),
+        user_id = rnd.nextInt(17).toLong,
+        event_type = "e",
+        value = math.round(rnd.nextDouble() * 10000) / 100.0)
+    }
+    val scrambled = rnd.shuffle(evs).toDS().repartition(7)
+    val stateful = Sessionize.sessionize(scrambled, 600, emitOpen = true).toDF()
+    val batch = Sessionize.sessionizeBatch(scrambled.toDF(), 600)
+    assert(stateful.count() > 0)
+    assert(stateful.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(stateful).count() === 0)
+  }
+
   test("IVF with full probing equals brute force; partial probe is sane") {
     val emb = Tables(spark, sfDir, "embeddings")
     val queries = emb.filter(col("vec_id") < 3)
