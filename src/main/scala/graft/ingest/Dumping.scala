@@ -175,16 +175,43 @@ object Dumping {
 
   // ---- S7: sequential pagination driver (dumping.py:170-207) -------------
 
-  /** Iterate result pages by following 次へ links; fetch is injected
-    * (retries/politeness sleep belong to the caller's fetch impl).
+  /** The reference's `_get_page` retry loop (dumping.py:194-207): up to
+    * `maxAttempts` tries, sleeping `backoffMillis` after EVERY failure
+    * (including the last, as the reference does), then RuntimeException.
+    * `sleep` is injectable so specs don't wait wall-clock.
+    */
+  def retryingFetch(fetch: String => String, maxAttempts: Int = 3,
+      backoffMillis: Long = 10000L,
+      sleep: Long => Unit = Thread.sleep): String => String = url => {
+    var attempt = 0
+    var out: Option[String] = None
+    while (out.isEmpty && attempt < maxAttempts) {
+      try out = Some(fetch(url))
+      catch {
+        case scala.util.control.NonFatal(_) =>
+          attempt += 1
+          sleep(backoffMillis)
+      }
+    }
+    out.getOrElse(throw new RuntimeException(s"Could not get: $url"))
+  }
+
+  /** Iterate result pages by following 次へ links. `fetch` is injected;
+    * wrap it with [[retryingFetch]] for the reference's retry behavior.
+    * `politenessMillis` reproduces the reference's between-page sleep
+    * (dumping.py:190-191); the fetch site stays a sequential driver-side
+    * loop exactly because the target rate-limits — parallelism belongs
+    * to [[parallelFetchPages]] when the target allows it.
     */
   def iterSearchResults(searchUrl: String,
-      fetch: String => String): Iterator[(Int, String)] =
+      fetch: String => String, politenessMillis: Long = 0L,
+      sleep: Long => Unit = Thread.sleep): Iterator[(Int, String)] =
     new Iterator[(Int, String)] {
       private var page = 1
       private var done = false
       override def hasNext: Boolean = !done
       override def next(): (Int, String) = {
+        if (page > 1 && politenessMillis > 0) sleep(politenessMillis)
         val html = fetch(addParams(searchUrl, Seq("page" -> Seq(page.toString))))
         if (scrapeNextPageUrl(html).isEmpty) done = true
         val out = (page, html)

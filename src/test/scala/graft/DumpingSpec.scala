@@ -99,6 +99,39 @@ class DumpingSpec extends SparkSpec {
       "https://x/search?pc=50&page=3"))
   }
 
+  test("S7: retryingFetch retries with backoff, then raises") {
+    val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var calls = 0
+    val flaky = Dumping.retryingFetch(url => {
+      calls += 1
+      if (calls < 3) throw new RuntimeException("boom")
+      s"ok:$url"
+    }, maxAttempts = 3, backoffMillis = 10000L, sleep = sleeps += _)
+    assert(flaky("https://x/p") === "ok:https://x/p")
+    assert(calls === 3)
+    assert(sleeps.toVector === Vector(10000L, 10000L))
+
+    sleeps.clear()
+    val dead = Dumping.retryingFetch(
+      _ => throw new RuntimeException("down"),
+      maxAttempts = 3, backoffMillis = 10000L, sleep = sleeps += _)
+    val err = intercept[RuntimeException](dead("https://x/q"))
+    assert(err.getMessage.contains("https://x/q"))
+    // the reference sleeps after every failed attempt, including the last
+    assert(sleeps.toVector === Vector(10000L, 10000L, 10000L))
+  }
+
+  test("S7: politeness sleep between pages, none before the first") {
+    val pages = (1 to 3).map(i => pageWithPagination(3, i))
+    val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val out = Dumping.iterSearchResults("https://x/search?pc=50", url => {
+      val p = "page=(\\d+)".r.findFirstMatchIn(url).get.group(1).toInt
+      pages(p - 1)
+    }, politenessMillis = 1500L, sleep = sleeps += _).toVector
+    assert(out.map(_._1) === Vector(1, 2, 3))
+    assert(sleeps.toVector === Vector(1500L, 1500L))
+  }
+
   test("S8: parallel fetch fans pages out as Spark tasks") {
     val out = Dumping.parallelFetchPages(spark, "https://x/s?pc=50",
         nPages = 20, parallelism = 4,
