@@ -313,7 +313,52 @@ object DomainQueries {
     headline = true,
   )
 
+  // ---------------------------------------------------------------- q47
+  private val q47JobsPath = "/tmp/graft_q47_jobs.json"
+
+  /** K5+O3 job-info lifecycle (svc/save_job_info.py:18-36 writes
+    * job_info.json; app/app.py:313-322 lists, parses, and sorts by
+    * (timestamp, user_id)): a deterministic job frame derived from
+    * orders goes through the JSON sink, is read back, and sorted. The
+    * oracle replays parse + sort over the same JSON bytes in DuckDB,
+    * proving the round-trip — timestamps deliberately collide so the
+    * user_id tiebreak is exercised.
+    */
+  val q47JobInfo: QueryDef = QueryDef(
+    "q47_job_info",
+    (s, dir) => {
+      val jobs = graft.Tables(s, dir, "orders")
+        .filter(col("o_orderkey") % 97 === 0)
+        .select(
+          concat(lit("job_"), col("o_orderkey")).as("job_id"),
+          (col("o_orderkey") % 7).cast("double").as("timestamp"),
+          concat(lit("u"), col("o_custkey")).as("user_id"),
+          concat(lit("https://suumo.jp/jj/?page="), col("o_orderkey"))
+            .as("search_url"),
+          col("o_orderpriority").as("search_conditions"),
+          concat(lit("raw/"), col("o_orderkey"), lit(".zip"))
+            .as("raw_data_key"),
+          concat(lit("scraped/"), col("o_orderkey"), lit(".pickle"))
+            .as("scraped_data_key"),
+          concat(lit("prediction/"), col("o_orderkey"), lit(".pickle"))
+            .as("prediction_data_key"))
+      graft.sources.Sinks.writeJson(jobs, q47JobsPath)
+      val schema = "job_id string, timestamp double, user_id string, " +
+        "search_url string, search_conditions string, raw_data_key string, " +
+        "scraped_data_key string, prediction_data_key string"
+      graft.transform.AppServe.sortJobs(
+        s.read.schema(schema).json(q47JobsPath))
+    },
+    oracle = Some(s"""
+      SELECT job_id, CAST(timestamp AS DOUBLE) AS timestamp, user_id,
+             search_url, search_conditions, raw_data_key,
+             scraped_data_key, prediction_data_key
+      FROM read_json_auto('$q47JobsPath/*.json',
+        format='newline_delimited')
+      ORDER BY timestamp, user_id, job_id"""),
+  )
+
   val all: Seq[QueryDef] =
     Seq(q19ParseGolden, q20KanjiAddress, q21ScrapePipeline, q22FullPipeline,
-      q23MlScore, q24ScrapeBench)
+      q23MlScore, q24ScrapeBench, q47JobInfo)
 }
