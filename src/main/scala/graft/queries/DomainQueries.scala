@@ -220,11 +220,13 @@ object DomainQueries {
             PARTITION BY jnc_id ORDER BY source_file, source_order) AS __rn
           FROM tgt) d
         WHERE __rn = 1),
-      -- Spark's non-ANSI divide yields NULL for rent = 0 (pandas-inf
-      -- rows that the == filter must keep); mirror that here so the
-      -- quantile sees the same population
+      -- pandas-inf parity (Clean.removeOutliers): rent = 0 with a
+      -- positive fee ranks as +inf (MaxValue sentinel); 0/0 is NaN,
+      -- skipped by the quantile and kept by the == filter
       wr AS (
-        SELECT *, CASE WHEN rent = 0 THEN NULL
+        SELECT *, CASE
+          WHEN rent = 0 AND admin_fee > 0 THEN 1.7976931348623157e308
+          WHEN rent = 0 THEN NULL
           ELSE CAST(admin_fee AS DOUBLE) / CAST(rent AS DOUBLE) END AS __ratio
         FROM dedup),
       q AS (
@@ -240,7 +242,9 @@ object DomainQueries {
           OR COALESCE(CAST(n_rooms AS DOUBLE) = q.q_rooms, false)
           OR COALESCE(CAST(building_age AS DOUBLE) = q.q_age, false)
           OR COALESCE(CAST(rent AS DOUBLE) = q.q_rent, false)
-          OR COALESCE(__ratio = q.q_ratio, false))
+          OR COALESCE(CASE WHEN q.q_ratio >= 1e250
+               THEN __ratio = 1.7976931348623157e308
+               ELSE __ratio = q.q_ratio END, false))
           AND ${q22BaseCols.map(c => s"$c IS NOT NULL").mkString(" AND ")}),
       pred AS (SELECT ward, avg(y) AS y_pred FROM cleaned GROUP BY ward),
       scored AS (

@@ -30,10 +30,32 @@ object Clean {
       accuracy: Int = 10000): DataFrame =
     removeOutliersWith(df, c => s"approx_percentile($c, $thres, $accuracy)")
 
+  /** Stand-in for pandas' +inf ratio (admin_fee / 0 with a positive
+    * numerator). Ranks above every real ratio in the quantile, exactly
+    * as inf does, while staying a legal Spark double.
+    */
+  private[graft] val InfSentinel: Double = Double.MaxValue
+
+  /** A quantile at or above this is "contaminated" by the sentinel
+    * block: pandas' linear interpolation against inf yields inf for any
+    * fraction > 0, and `inf == inf` then drops every zero-rent row. No
+    * real rent ratio approaches this magnitude.
+    */
+  private[graft] val ContaminatedQ: Double = 1e250
+
   private def removeOutliersWith(df: DataFrame,
       quantileExpr: String => String): DataFrame = {
+    // pandas parity for the transient ratio: admin_fee/rent in pandas is
+    // +inf when rent == 0 with a positive fee (parse_money maps '-' to
+    // 0, so it is a legal value) and NaN for 0/0. Spark's non-ANSI
+    // Divide nulls both, which would HIDE the inf rows from the
+    // percentile's ranking; substituting InfSentinel for the +inf case
+    // ranks them exactly as pandas does, while 0/0 stays null (pandas
+    // NaN is likewise skipped by quantile and kept by `==`).
     val withRatio = df.withColumn("rent_admin_fee_ratio",
-      col("admin_fee").cast("double") / col("rent").cast("double"))
+      when(col("rent").cast("double") === 0.0 &&
+          col("admin_fee").cast("double") > 0.0, lit(InfSentinel))
+        .otherwise(col("admin_fee").cast("double") / col("rent").cast("double")))
     val cols = Seq("area", "n_rooms", "building_age", "rent",
       "rent_admin_fee_ratio")
     val qRow = withRatio.agg(
@@ -42,20 +64,22 @@ object Clean {
     // an empty (or all-null) input yields null quantiles → no outliers;
     // approx_percentile also preserves the input type (long cols → long)
     //
-    // Each equality flag is coalesced to false: a null comparand (a
-    // genuinely-null column, or the null ratio Spark's non-ANSI Divide
-    // yields for rent == 0 — a legal value, parse_money maps '-' to 0)
-    // must KEEP the row here, matching pandas where ratio = inf and
-    // `inf == q` is False. Rows with real missing data are still dropped
-    // afterwards by dropMissing, preserving the reference's dropna
-    // ordering; the transient ratio column is dropped before that, so
-    // zero-rent rows survive cleaning exactly as in the reference.
+    // Each equality flag is coalesced to false: a null comparand
+    // (genuinely-null column, or the 0/0 ratio) must KEEP the row,
+    // matching pandas where `NaN == q` is False. A contaminated ratio
+    // quantile (pandas: inf) drops exactly the sentinel rows, as
+    // pandas' `inf == inf` does. Rows with real missing data are still
+    // dropped afterwards by dropMissing, preserving the reference's
+    // dropna ordering; the transient ratio column is dropped before that.
     val flags = cols.zipWithIndex.flatMap { case (c, i) =>
       if (qRow.isNullAt(i)) None
       else qRow.get(i) match {
         case n: java.lang.Number =>
-          Some(coalesce(col(c).cast("double") === lit(n.doubleValue()),
-            lit(false)))
+          val q = n.doubleValue()
+          if (c == "rent_admin_fee_ratio" && q >= ContaminatedQ)
+            Some(coalesce(col(c) === lit(InfSentinel), lit(false)))
+          else
+            Some(coalesce(col(c).cast("double") === lit(q), lit(false)))
         case other =>
           throw new IllegalStateException(s"unexpected quantile: $other")
       }

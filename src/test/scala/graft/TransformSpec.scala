@@ -69,6 +69,26 @@ class TransformSpec extends SparkSpec {
     assert(kept2.filter($"jnc_id" === "100").count() === 1) // max row kept
   }
 
+  test("P1: zero-rent rows rank as pandas inf in the ratio quantile") {
+    // 200 varied rows + 1 zero-rent row: the single inf sits past the
+    // p99 rank, the interpolated quantile stays real, inf == q is False
+    // → the zero-rent row SURVIVES the outlier pass (pandas behavior)
+    def mk(n: Int, nZero: Int) = {
+      val real = (1 to n).map(i => (s"r$i", 20.0 + (i % 37), 1L + i % 3,
+        (i % 40).toLong, 50000L + 13L * i * i % 90000, 100L * (i % 23)))
+      val zero = (1 to nZero).map(i => (s"z$i", 25.0 + i, 2L, 5L, 0L, 3000L))
+      (real ++ zero).toDF(
+        "jnc_id", "area", "n_rooms", "building_age", "rent", "admin_fee")
+    }
+    val few = Clean.removeOutliers(mk(200, 1))
+    assert(few.filter($"jnc_id" === "z1").count() === 1)
+    // >1% zero-rent rows: pandas' p99 interpolates into the inf block,
+    // q = inf, and inf == inf drops EVERY zero-rent row
+    val many = Clean.removeOutliers(mk(200, 10))
+    assert(many.filter($"jnc_id".startsWith("z")).count() === 0)
+    assert(many.filter($"jnc_id".startsWith("r")).count() > 0)
+  }
+
   test("P1: empty input passes through both outlier variants") {
     val empty = Seq.empty[(String, Double, Long, Long, Long, Long)]
       .toDF("jnc_id", "area", "n_rooms", "building_age", "rent", "admin_fee")
