@@ -57,7 +57,33 @@ object QueryService {
   }
 
   /** Serve a dataset repeatedly: cache once, answer many requests —
-    * the Redis-memo replacement (app/app.py:172-196).
+    * the in-process half of the reference's memo (app/app.py:172-196).
     */
   def cached(df: DataFrame): DataFrame = df.cache()
+
+  /** Cross-process memo — the Redis serving-frame memo
+    * (app/app.py:172-196) re-expressed storage-side: the first caller
+    * materializes the frame to `<storeDir>/<key>` parquet; every later
+    * caller, in this or ANY other Spark application, reads the snapshot
+    * instead of recomputing (`compute` is by-name and never evaluated on
+    * a hit). Publication is atomic like the Redis SETNX pattern: losers
+    * of a write race rename-fail and clean up their staging dir, so
+    * readers only ever see one complete snapshot — and the payload stays
+    * distributed parquet, with no Redis-value-sized ceiling. Keys should
+    * be content-versioned (the reference keys by data date).
+    */
+  def memoized(spark: org.apache.spark.sql.SparkSession, storeDir: String,
+      key: String)(compute: => DataFrame): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val dest = new Path(storeDir, key)
+    val fs = dest.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(new Path(dest, "_SUCCESS"))) {
+      val staging = new Path(storeDir,
+        s".${key}__staging_${java.util.UUID.randomUUID()}")
+      compute.write.mode("overwrite").parquet(staging.toString)
+      fs.mkdirs(dest.getParent)
+      if (!fs.rename(staging, dest)) fs.delete(staging, true)
+    }
+    spark.read.parquet(dest.toString)
+  }
 }

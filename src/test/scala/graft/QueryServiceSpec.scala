@@ -23,6 +23,25 @@ class QueryServiceSpec extends SparkSpec {
     assert(out.columns.toSeq === Seq("o_orderkey", "o_totalprice"))
   }
 
+  test("memoized computes once; later callers read the snapshot") {
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_memo").toString
+    var computes = 0
+    def frame = { computes += 1; Tables(spark, sfDir, "region") }
+    val first = QueryService.memoized(spark, store, "serve_2024-01-05")(frame)
+    assert(first.count() === Tables(spark, sfDir, "region").count())
+    assert(computes === 1)
+    // a hit must not evaluate the by-name compute at all
+    val second = QueryService.memoized(spark, store, "serve_2024-01-05") {
+      fail("memo hit recomputed the frame"); ???
+    }
+    assert(second.count() === first.count())
+    assert(computes === 1)
+    // different key → fresh compute
+    QueryService.memoized(spark, store, "serve_2024-01-06")(frame)
+    assert(computes === 2)
+  }
+
   test("contains filter and empty request") {
     val contains = QueryService.run(df,
       Request(filters = Seq(Filter("o_orderpriority", Contains, "URGENT"))))
