@@ -250,4 +250,55 @@ object Dedup {
         greatest(col("id_l"), col("id_r")).as("id_b"),
         round(col("cosine"), 6).as("cosine"))
   }
+
+  /** Approximate embedding-cosine near-dup pairs — the sublinear scale
+    * path for NEAR-DUP thresholds (τ ≳ 0.85), mirroring
+    * [[minhashLshPairs]]' candidates+verify structure with sign-LSH:
+    * each vector gets `bands`×`rowsPerBand` random-hyperplane sign bits
+    * (seeded, deterministic); vectors agreeing on every bit of a band
+    * share a bucket; bucketed candidates are verified with the exact
+    * codegen'd cosine, so every emitted pair is a TRUE pair — only
+    * recall is approximate. A pair at cosine c agrees per bit w.p.
+    * 1 − arccos(c)/π (≈0.856 at c = 0.9), so at the defaults the miss
+    * probability is (1 − 0.856⁸)³² ≈ 2 %, falling fast above the
+    * threshold. Candidate volume is sublinear for gapped corpora; the
+    * same `maxBucketSize` guard caps degenerate buckets. For exact
+    * answers (or low thresholds, where no sign-LSH separates pairs from
+    * noise) use [[cosinePairs]].
+    */
+  def cosinePairsApprox(emb: DataFrame, id: Column, vec: Column,
+      threshold: Double, bands: Int = 32, rowsPerBand: Int = 8,
+      seed: Long = 42L, maxBucketSize: Long = 10000L): DataFrame = {
+    import graft.plans.DotProduct.dot_product
+    val nPlanes = bands * rowsPerBand
+    val e = emb.select(id.as("id"), vec.as("v"))
+      .withColumn("norm", sqrt(dot_product(col("v"), col("v"))))
+      .withColumn("sig",
+        graft.plans.SrpSignature.srp_signature(col("v"), nPlanes, seed))
+      .localCheckpoint()
+    val banded = e.select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          bd => slice(col("sig"), bd * rowsPerBand + 1, lit(rowsPerBand)))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_sig")
+    val bucketSizes = banded.groupBy(col("band"), col("band_sig"))
+      .agg(count(lit(1)).as("__bs"))
+    val bounded = banded.join(bucketSizes, Seq("band", "band_sig"))
+      .filter(col("__bs") <= maxBucketSize)
+      .drop("__bs")
+    val ca = bounded.select(col("id").as("id_a"), col("band"), col("band_sig"))
+    val cb = bounded.select(col("id").as("id_b"), col("band"), col("band_sig"))
+    val candidates = ca.join(cb, Seq("band", "band_sig"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    candidates
+      .join(e.select(col("id").as("id_a"), col("v").as("v_a"),
+        col("norm").as("n_a")), Seq("id_a"))
+      .join(e.select(col("id").as("id_b"), col("v").as("v_b"),
+        col("norm").as("n_b")), Seq("id_b"))
+      .withColumn("cosine",
+        dot_product(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+  }
 }

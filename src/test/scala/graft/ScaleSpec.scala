@@ -118,6 +118,26 @@ class ScaleSpec extends SparkSpec {
     assert(blocked === brute)
   }
 
+  test("SRP approximate cosine pairs find planted near-dups exactly") {
+    val emb = Tables(spark, sfDir, "embeddings")
+      .filter(col("vec_id") < 200)
+      .select(col("vec_id"), col("embedding"))
+    // plant near-dups: small directional jitter → cosine ≈ 0.9999,
+    // far above the 0.9 threshold where SRP recall is near-certain
+    val dups = emb.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 1000).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          (x.cast("double") + sin(i.cast("double")) * 0.02).cast("float"))
+          .as("embedding"))
+    val all = emb.unionByName(dups)
+    val exact = Dedup.cosinePairs(all, col("vec_id"), col("embedding"), 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val approx = Dedup.cosinePairsApprox(all, col("vec_id"), col("embedding"), 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.size >= 10)
+    assert(approx === exact)
+  }
+
   test("brute-force top-k returns k ranked neighbors per query") {
     val emb = Tables(spark, sfDir, "embeddings")
     val topk = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 3),
