@@ -553,6 +553,35 @@ object CoreQueries {
       ORDER BY order_year ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST"""),
   )
 
+  // ---------------------------------------------------------------- q48
+  /** CUBE over (year, status) with grouping_id disambiguating a NULL
+    * group value from a ROLLUP/CUBE subtotal row — the full grouping-sets
+    * surface beyond q26's hierarchy. Spark plans one Expand + one
+    * aggregate (each input row fans out to its grouping sets before the
+    * map-side partial agg), so the cube costs one shuffle like a plain
+    * groupBy.
+    */
+  val q48Cube: QueryDef = QueryDef(
+    "q48_cube",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .cube(year(col("o_orderdate")).cast("long").as("order_year"),
+          col("o_orderstatus"))
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n"), fsum(col("o_totalprice"), 2).as("total"))
+        .orderBy(col("gid"), col("order_year").asc_nulls_first,
+          col("o_orderstatus").asc_nulls_first),
+    Some("""
+      SELECT CAST(date_part('year', o_orderdate) AS BIGINT) AS order_year,
+        o_orderstatus,
+        CAST(GROUPING(order_year, o_orderstatus) AS BIGINT) AS gid,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS DOUBLE) / 100.0 AS total
+      FROM orders
+      GROUP BY CUBE(order_year, o_orderstatus)
+      ORDER BY gid, order_year ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST"""),
+  )
+
   // ---------------------------------------------------------------- q27
   /** Set operations (X3 family): customers with recent orders EXCEPT
     * big-spender customers, plus the INTERSECT count.
@@ -614,7 +643,7 @@ object CoreQueries {
   )
 
   val all: Seq[QueryDef] = Seq(
-    q25JsonExtract, q26Rollup, q27SetOps, q28RunningTotal,
+    q25JsonExtract, q26Rollup, q27SetOps, q28RunningTotal, q48Cube,
     q01AggPricing, q02FilterProject, q03JoinRevenue, q04TopK,
     q05WindowLatest, q06DedupFirst, q07QuantileOutlier, q08AntiJoin,
     q09SemiJoin, q10LeftJoinMiss, q11ArrayStats, q12Mae,

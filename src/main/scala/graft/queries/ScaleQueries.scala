@@ -395,9 +395,41 @@ object ScaleQueries {
     oracle = None,
   )
 
+  // ---------------------------------------------------------------- q49
+  /** Vocabulary mining: corpus-wide term frequency + document frequency,
+    * top 100 by df — the stopword/vocab-building pass of a training-data
+    * pipeline. One explode + one hash aggregate on the term (map-side
+    * partial agg collapses each partition to its distinct terms before
+    * the shuffle); the top-k is TakeOrderedAndProject, never a global
+    * sort.
+    */
+  val q49Vocab: QueryDef = QueryDef(
+    "q49_vocab",
+    (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(TextFunctions.tokens(col("text"))).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy(col("term"))
+        .agg(count(lit(1)).as("tf"),
+          count_distinct(col("doc_id")).as("df"))
+        .orderBy(col("df").desc, col("tf").desc, col("term"))
+        .limit(100),
+    Some("""
+      SELECT term, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+      FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents)
+      WHERE term <> ''
+      GROUP BY term
+      ORDER BY df DESC, tf DESC, term
+      LIMIT 100"""),
+  )
+
   val all: Seq[QueryDef] = Seq(
     q30TextStats, q31LangId, q32Fingerprint, q33DedupExact,
     q34NgramJaccard, q35MinhashLsh, q36SimhashPairs, q37CosinePairs,
     q38AnnTopK, q39AnnLsh, q40StreamWindow, q41StreamDedup, q42Multimodal,
-    q43SessionizeState, q44SessionizeBatch, q45AnnIvf, q46DistinctSketch)
+    q43SessionizeState, q44SessionizeBatch, q45AnnIvf, q46DistinctSketch,
+    q49Vocab)
 }
