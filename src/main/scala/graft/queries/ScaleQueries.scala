@@ -426,10 +426,55 @@ object ScaleQueries {
       LIMIT 100"""),
   )
 
+  // ---------------------------------------------------------------- q50
+  /** Backward as-of join: every purchase event aligned with the user's
+    * most recent click at or before it — the no-leakage feature-snapshot
+    * attach of a training pipeline. Spark side is the sort-merge union +
+    * carry-forward window ([[graft.operators.AsOfJoin]], one exchange);
+    * DuckDB's NATIVE `ASOF LEFT JOIN` grades the semantics, so the two
+    * engines implement the operator entirely independently. The right
+    * side is pre-aggregated to one row per (user, ts) — the tie contract
+    * both implementations share.
+    */
+  val q50AsofJoin: QueryDef = QueryDef(
+    "q50_asof_join",
+    (s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("click_id"),
+          max_by(col("value"), col("event_id")).as("click_value"))
+      graft.operators.AsOfJoin.backward(purchases, clicks,
+          keyCols = Seq("user_id"), tsCol = "ts",
+          payloadCols = Seq("click_id", "click_value"))
+        .select(col("event_id"), col("user_id"),
+          col("ts").cast("long").as("ts_sec"),
+          col("click_id"), round(col("click_value"), 6).as("click_value"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      WITH p AS (
+        SELECT event_id, user_id, ts FROM events
+        WHERE event_type = 'purchase'),
+      c AS (
+        SELECT user_id, ts, MAX(event_id) AS click_id,
+               MAX_BY(value, event_id) AS click_value
+        FROM events WHERE event_type = 'click'
+        GROUP BY user_id, ts)
+      SELECT p.event_id, p.user_id,
+             CAST(FLOOR(epoch(p.ts)) AS BIGINT) AS ts_sec,
+             c.click_id, ROUND(c.click_value, 6) AS click_value
+      FROM p ASOF LEFT JOIN c
+        ON p.user_id = c.user_id AND c.ts <= p.ts
+      ORDER BY p.event_id"""),
+  )
+
   val all: Seq[QueryDef] = Seq(
     q30TextStats, q31LangId, q32Fingerprint, q33DedupExact,
     q34NgramJaccard, q35MinhashLsh, q36SimhashPairs, q37CosinePairs,
     q38AnnTopK, q39AnnLsh, q40StreamWindow, q41StreamDedup, q42Multimodal,
     q43SessionizeState, q44SessionizeBatch, q45AnnIvf, q46DistinctSketch,
-    q49Vocab)
+    q49Vocab, q50AsofJoin)
 }

@@ -88,6 +88,27 @@ class ScaleDesignSpec extends SparkSpec {
     assert(batch.exceptAll(stateful).count() === 0)
   }
 
+  test("as-of join: inclusive at equal ts, null before first, one exchange") {
+    import java.sql.Timestamp
+    def t(s: Long) = new Timestamp(s * 1000)
+    val facts = Seq((1L, 10L, t(100)), (2L, 10L, t(200)), (3L, 10L, t(50)),
+        (4L, 20L, t(100)))
+      .toDF("fact_id", "k", "ts")
+    val refs = Seq((10L, t(100), "a"), (10L, t(150), "b"), (30L, t(10), "z"))
+      .toDF("k", "ts", "snap")
+    val out = graft.operators.AsOfJoin.backward(facts, refs,
+        keyCols = Seq("k"), tsCol = "ts", payloadCols = Seq("snap"))
+      .select("fact_id", "snap").as[(Long, Option[String])].collect().toMap
+    assert(out(1L) === Some("a")) // equal ts is visible (ASOF <=)
+    assert(out(2L) === Some("b")) // most recent, not first
+    assert(out(3L) === None)      // nothing at or before t=50
+    assert(out(4L) === None)      // key with no refs at all
+    val plan = graft.operators.AsOfJoin.backward(facts, refs,
+        Seq("k"), "ts", Seq("snap")).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), s"nested loop:\n$plan")
+  }
+
   test("IVF with full probing equals brute force; partial probe is sane") {
     val emb = Tables(spark, sfDir, "embeddings")
     val queries = emb.filter(col("vec_id") < 3)
