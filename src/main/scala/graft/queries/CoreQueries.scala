@@ -582,6 +582,43 @@ object CoreQueries {
       ORDER BY gid, order_year ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST"""),
   )
 
+  // ---------------------------------------------------------------- q51
+  /** Binned range join: orders counted into ±3% price bands around
+    * sampled anchor orders. Spark would plan the bare BETWEEN condition
+    * as a nested loop; [[graft.operators.RangeJoin]] discretizes the
+    * price axis so an equi-join on the bin key + exact residual filter
+    * does the work. DuckDB's native IEJoin grades the semantics.
+    */
+  val q51RangeJoin: QueryDef = QueryDef(
+    "q51_range_join",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val intervals = o.filter(col("o_orderkey") % 50 === 0)
+        .select(col("o_orderkey").as("ikey"),
+          (col("o_totalprice") * 0.97).as("lo"),
+          (col("o_totalprice") * 1.03).as("hi"))
+      val points = o.select(col("o_totalprice").as("v"))
+      val matched = graft.operators.RangeJoin.pointInInterval(
+        points, intervals, "v", "lo", "hi", binWidth = 10000.0)
+      intervals.join(
+          matched.groupBy(col("ikey")).agg(count(lit(1)).as("n_in_band")),
+          Seq("ikey"), "left")
+        .select(col("ikey"),
+          coalesce(col("n_in_band"), lit(0L)).as("n_in_band"))
+        .orderBy(col("ikey"))
+    },
+    Some("""
+      WITH i AS (
+        SELECT o_orderkey AS ikey, o_totalprice * 0.97 AS lo,
+               o_totalprice * 1.03 AS hi
+        FROM orders WHERE o_orderkey % 50 = 0),
+      p AS (SELECT o_totalprice AS v FROM orders)
+      SELECT i.ikey, COUNT(p.v) AS n_in_band
+      FROM i LEFT JOIN p ON p.v BETWEEN i.lo AND i.hi
+      GROUP BY i.ikey
+      ORDER BY i.ikey"""),
+  )
+
   // ---------------------------------------------------------------- q27
   /** Set operations (X3 family): customers with recent orders EXCEPT
     * big-spender customers, plus the INTERSECT count.
@@ -644,6 +681,7 @@ object CoreQueries {
 
   val all: Seq[QueryDef] = Seq(
     q25JsonExtract, q26Rollup, q27SetOps, q28RunningTotal, q48Cube,
+    q51RangeJoin,
     q01AggPricing, q02FilterProject, q03JoinRevenue, q04TopK,
     q05WindowLatest, q06DedupFirst, q07QuantileOutlier, q08AntiJoin,
     q09SemiJoin, q10LeftJoinMiss, q11ArrayStats, q12Mae,

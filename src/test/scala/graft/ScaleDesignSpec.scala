@@ -109,6 +109,32 @@ class ScaleDesignSpec extends SparkSpec {
       !plan.contains("CartesianProduct"), s"nested loop:\n$plan")
   }
 
+  test("binned range join equals the nested-loop reference, no BNLJ") {
+    val points = Tables(spark, sfDir, "orders")
+      .select(col("o_orderkey").as("pkey"), col("o_totalprice").as("v"))
+    val intervals = Tables(spark, sfDir, "orders")
+      .filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey").as("ikey"),
+        (col("o_totalprice") - 5000).as("lo"),
+        (col("o_totalprice") + 5000).as("hi"))
+    val binned = graft.operators.RangeJoin.pointInInterval(
+      points, intervals, "v", "lo", "hi", binWidth = 7000.0)
+    val naive = points.join(intervals,
+      col("v") >= col("lo") && col("v") <= col("hi"))
+    assert(binned.count() === naive.count())
+    assert(binned.select("pkey", "ikey")
+      .exceptAll(naive.select("pkey", "ikey")).count() === 0)
+    val plan = binned.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), s"nested loop:\n$plan")
+    // degenerate interval (hi < lo) matches nothing, like SQL BETWEEN
+    import spark.implicits._
+    val deg = graft.operators.RangeJoin.pointInInterval(
+      Seq(5.0).toDF("v"), Seq((1L, 10.0, 0.0)).toDF("ikey", "lo", "hi"),
+      "v", "lo", "hi", binWidth = 1.0)
+    assert(deg.count() === 0)
+  }
+
   test("IVF with full probing equals brute force; partial probe is sane") {
     val emb = Tables(spark, sfDir, "embeddings")
     val queries = emb.filter(col("vec_id") < 3)
