@@ -31,6 +31,18 @@ object TextFunctions {
 
   def tokenCount(c: Column): Column = size(tokens(c)).cast("long")
 
+  /** BPE-ish subword-proxy tokenization: letter runs, single digits,
+    * single other marks — the GPT-2 pre-tokenizer shape without a
+    * merges table. A vocabulary-free corpus-cost estimator
+    * (chars/token ≈ 4-5 for English prose, → 1 for noise); pure
+    * codegen'd regexp, identical under Java regex and RE2 so the
+    * DuckDB oracle computes the same counts.
+    */
+  val BpeIshPattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+
+  def bpeIshTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit(BpeIshPattern), lit(0))).cast("long")
+
   /** Distinct word n-gram shingles (space-joined). */
   def shingles(c: Column, n: Int): Column =
     bind(tokens(c), t => {

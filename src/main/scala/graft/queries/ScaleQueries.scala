@@ -471,10 +471,43 @@ object ScaleQueries {
       ORDER BY p.event_id"""),
   )
 
+  // ---------------------------------------------------------------- q52
+  /** Token-cost estimation: whitespace tokens vs BPE-ish subword-proxy
+    * tokens and the chars-per-token ratio — the pre-training budget
+    * pass. Narrow-only (scan-bound, no shuffle); both engines run the
+    * same regex (Java regex and RE2 agree on the pattern).
+    */
+  val q52TokenCost: QueryDef = QueryDef(
+    "q52_token_cost",
+    (s, dir) =>
+      Tables(s, dir, "documents").select(
+        col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_ws_tokens"),
+        TextFunctions.bpeIshTokenCount(col("text")).as("n_bpe_tokens"),
+        when(TextFunctions.bpeIshTokenCount(col("text")) > 0,
+          round(length(col("text")).cast("double") /
+            TextFunctions.bpeIshTokenCount(col("text")), 6))
+          .as("chars_per_token"))
+        .orderBy(col("doc_id")),
+    Some("""
+      WITH t AS (
+        SELECT doc_id, text,
+          CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe
+        FROM documents)
+      SELECT doc_id,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+        n_bpe AS n_bpe_tokens,
+        CASE WHEN n_bpe > 0
+          THEN ROUND(CAST(length(text) AS DOUBLE) / n_bpe, 6) END
+          AS chars_per_token
+      FROM t
+      ORDER BY doc_id"""),
+  )
+
   val all: Seq[QueryDef] = Seq(
     q30TextStats, q31LangId, q32Fingerprint, q33DedupExact,
     q34NgramJaccard, q35MinhashLsh, q36SimhashPairs, q37CosinePairs,
     q38AnnTopK, q39AnnLsh, q40StreamWindow, q41StreamDedup, q42Multimodal,
     q43SessionizeState, q44SessionizeBatch, q45AnnIvf, q46DistinctSketch,
-    q49Vocab, q50AsofJoin)
+    q49Vocab, q50AsofJoin, q52TokenCost)
 }

@@ -30,6 +30,15 @@ class ScaleSpec extends SparkSpec {
     assert(out(1).getSeq[String](0).isEmpty)
   }
 
+  test("BPE-ish token count: letter runs, single digits, single marks") {
+    val got = Seq("hello world", "abc123!?", "", "a  b", "2026-08-12")
+      .toDF("t")
+      .select(graft.functions.TextFunctions.bpeIshTokenCount(col("t")))
+      .as[Long].collect().toSeq
+    // "abc123!?" → abc,1,2,3,!,? = 6; "2026-08-12" → 2,0,2,6,-,0,8,-,1,2 = 10
+    assert(got === Seq(2L, 6L, 0L, 2L, 10L))
+  }
+
   test("langId heuristic picks stopword-dominant language") {
     val out = Seq("der hund und die katze", "the cat is on the mat",
       "el gato y la casa", "xyzzy plugh").toDF("t")
