@@ -80,4 +80,15 @@ object Splits {
     */
   def fractionSample(df: DataFrame, fraction: Double, seed: Long): DataFrame =
     df.sample(withReplacement = false, fraction, seed)
+
+  /** Stratified seeded sample: per-stratum Bernoulli fractions (the
+    * class-rebalancing pass of a training-data pipeline — e.g.
+    * downsample boilerplate-heavy languages, keep rare ones whole).
+    * Scan-local like [[fractionSample]]: each row consults only its own
+    * stratum's fraction, no shuffle, no per-stratum pass. Strata absent
+    * from `fractions` are dropped (fraction 0).
+    */
+  def stratifiedSample(df: DataFrame, strataCol: String,
+      fractions: Map[String, Double], seed: Long): DataFrame =
+    df.stat.sampleBy(strataCol, fractions, seed)
 }

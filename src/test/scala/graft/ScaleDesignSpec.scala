@@ -88,6 +88,24 @@ class ScaleDesignSpec extends SparkSpec {
     assert(batch.exceptAll(stateful).count() === 0)
   }
 
+  test("stratified sample: seeded, per-stratum fractions, no shuffle") {
+    val ev = Tables(spark, sfDir, "events")
+    val fr = Map("click" -> 0.5, "purchase" -> 1.0)
+    val a = operators.Splits.stratifiedSample(ev, "event_type", fr, 7L)
+    val b = operators.Splits.stratifiedSample(ev, "event_type", fr, 7L)
+    // deterministic under a fixed seed; unlisted strata dropped
+    assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0)
+    assert(a.filter(!col("event_type").isin("click", "purchase"))
+      .count() === 0)
+    // fraction-1.0 stratum survives whole; 0.5 stratum thins
+    val nPurch = ev.filter(col("event_type") === "purchase").count()
+    assert(a.filter(col("event_type") === "purchase").count() === nPurch)
+    val nClick = ev.filter(col("event_type") === "click").count()
+    val got = a.filter(col("event_type") === "click").count()
+    assert(got > nClick / 4 && got < 3 * nClick / 4)
+    assert(!a.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
   test("as-of join: inclusive at equal ts, null before first, one exchange") {
     import java.sql.Timestamp
     def t(s: Long) = new Timestamp(s * 1000)
