@@ -18,6 +18,49 @@ object Sinks {
   def writeParquet(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
 
+  /** Keep-latest upsert into a plain-parquet snapshot — MERGE semantics
+    * without a table format: union the current snapshot with the batch,
+    * keep the best row per key (greatest `orderCol`; the incoming batch
+    * wins ties, so re-delivering a batch is idempotent), publish via a
+    * staging dir + rename swap so readers see the old or the new
+    * snapshot, never a mix. One shuffle on the key — the compaction a
+    * log-structured table (Delta/Iceberg) eventually pays anyway,
+    * without the dependency. Single-writer by contract; concurrent
+    * writers need a real table format's log.
+    */
+  def upsertParquet(batch: DataFrame, path: String, keyCols: Seq[String],
+      orderCol: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val spark = batch.sparkSession
+    val dest = new Path(path)
+    val fs = dest.getFileSystem(spark.sessionState.newHadoopConf())
+    val merged =
+      if (!fs.exists(new Path(dest, "_SUCCESS"))) batch
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keyCols.map(col): _*)
+          .orderBy(col(orderCol).desc, col("__src").desc)
+        spark.read.parquet(path).withColumn("__src", lit(0))
+          .unionByName(batch.withColumn("__src", lit(1)))
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .drop("__rn", "__src")
+      }
+    val staging = new Path(dest.getParent,
+      s".${dest.getName}__staging_${java.util.UUID.randomUUID()}")
+    merged.write.mode("overwrite").parquet(staging.toString)
+    val trash = new Path(dest.getParent,
+      s".${dest.getName}__old_${java.util.UUID.randomUUID()}")
+    if (fs.exists(dest)) fs.rename(dest, trash)
+    if (!fs.rename(staging, dest)) {
+      // restore on failure so the snapshot never disappears
+      if (fs.exists(trash)) fs.rename(trash, dest)
+      fs.delete(staging, true)
+      throw new java.io.IOException(s"upsert swap failed for $path")
+    }
+    fs.delete(trash, true)
+  }
+
   /** K1: CSV sink; array columns serialized as JSON strings. */
   def writeCsv(df: DataFrame, path: String): Unit = {
     val flat = df.schema.fields.foldLeft(df) { (d, f) =>

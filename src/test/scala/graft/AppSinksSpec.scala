@@ -48,6 +48,28 @@ class AppSinksSpec extends SparkSpec {
       jobs.columns.sorted.toSeq)
   }
 
+  test("K2: parquet upsert keeps the latest row per key; batch wins ties") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert")
+      .resolve("store").toString
+    val b1 = Seq(("a", 1L, "v1"), ("b", 1L, "v1"), ("c", 1L, "v1"))
+      .toDF("k", "ver", "v")
+    graft.sources.Sinks.upsertParquet(b1, dir, Seq("k"), "ver")
+    // b updated, c re-delivered at the same version, d inserted
+    val b2 = Seq(("b", 2L, "v2"), ("c", 1L, "v1-redelivered"), ("d", 5L, "v5"))
+      .toDF("k", "ver", "v")
+    graft.sources.Sinks.upsertParquet(b2, dir, Seq("k"), "ver")
+    val got = spark.read.parquet(dir).as[(String, Long, String)]
+      .collect().toSet
+    assert(got === Set(("a", 1L, "v1"), ("b", 2L, "v2"),
+      ("c", 1L, "v1-redelivered"), ("d", 5L, "v5")))
+    // a stale batch never regresses a newer snapshot row
+    graft.sources.Sinks.upsertParquet(
+      Seq(("b", 1L, "stale")).toDF("k", "ver", "v"), dir, Seq("k"), "ver")
+    val after = spark.read.parquet(dir).filter($"k" === "b")
+      .select("v").as[String].collect().toSeq
+    assert(after === Seq("v2"))
+  }
+
   test("K1: CSV sink JSON-encodes array columns") {
     val df = Seq(("a", Seq("x", "y"))).toDF("id", "arr")
     val dir = Files.createTempDirectory("graft_csv").resolve("out").toString
