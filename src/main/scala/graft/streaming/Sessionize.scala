@@ -147,6 +147,52 @@ object Sessionize {
         }
   }
 
+  /** Production streaming sessionization: watermark-driven emission.
+    * The caller applies `withWatermark("ts", ...)` upstream; closed
+    * sessions emit on arrival (in-batch gap), and an OPEN session emits
+    * when the event-time timeout fires — i.e. once the watermark passes
+    * last-activity + gap, the point after which no admissible event can
+    * extend it. State per user is one open session (4 longs), removed on
+    * timeout; the per-trigger sort is bounded by the trigger's slice.
+    * The timeout target is clamped above the current watermark for late
+    * slices (Spark rejects a timeout at or before the watermark).
+    */
+  def sessionizeStream(events: Dataset[Event],
+      gapSeconds: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (userId, _, state) if state.hasTimedOut =>
+          val st = state.get
+          state.remove()
+          Iterator.single(
+            Session(userId, st.start, st.last, st.n, st.cents / 100.0))
+        case (userId, it, state: GroupState[SessionState]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+          var st = state.getOption.orNull
+          for (e <- it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))) {
+            val sec = e.ts.getTime / 1000
+            if (st != null && sec - st.last > gapSeconds) {
+              out += Session(userId, st.start, st.last, st.n, st.cents / 100.0)
+              st = null
+            }
+            if (st == null) st = SessionState(sec, sec, 0L, 0L)
+            val cents =
+              if (e.value >= 0) math.floor(e.value * 100 + 0.5).toLong
+              else math.ceil(e.value * 100 - 0.5).toLong
+            st = st.copy(last = sec, n = st.n + 1, cents = st.cents + cents)
+          }
+          if (st != null) {
+            state.update(st)
+            val target = (st.last + gapSeconds) * 1000L + 1000L
+            state.setTimeoutTimestamp(
+              math.max(target, state.getCurrentWatermarkMs() + 1000L))
+          }
+          out.iterator
+      }
+  }
+
   /** Drain the events table through the sessionizer (batch mode: each
     * group processed once, trailing sessions flushed).
     */

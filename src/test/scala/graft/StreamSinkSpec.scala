@@ -33,4 +33,43 @@ class StreamSinkSpec extends SparkSpec {
     // the trailing (open) windows are withheld by design
     assert(batch.count() > closed.count())
   }
+
+  test("watermark timeout closes idle sessions in the stream") {
+    import java.sql.Timestamp
+    import graft.streaming.Sessionize
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    def ev(id: Long, uid: Long, sec: Long, v: Double) =
+      Sessionize.Event(id, new Timestamp(sec * 1000), uid, "e", v)
+
+    val input = MemoryStream[Sessionize.Event]
+    val sessions = Sessionize.sessionizeStream(
+      input.toDS().withWatermark("ts", "0 seconds"), gapSeconds = 600)
+    val q = sessions.writeStream.format("memory")
+      .queryName("sess_timeout").outputMode("append").start()
+    try {
+      // one user, two in-batch sessions: the first closes immediately
+      input.addData(ev(1, 1, 1000, 1.0), ev(2, 1, 1100, 2.0),
+        ev(3, 1, 5000, 3.0))
+      q.processAllAvailable()
+      val first = spark.table("sess_timeout")
+        .as[Sessionize.Session].collect()
+      assert(first.toSet === Set(Sessionize.Session(1, 1000, 1100, 2, 3.0)))
+      // a far-future event advances the watermark past 5000+600 →
+      // the open session times out and emits without more user-1 events
+      input.addData(ev(10, 2, 100000, 1.0))
+      q.processAllAvailable()
+      // timeouts fire when a subsequent batch runs at the advanced watermark
+      input.addData(ev(11, 2, 100001, 1.0))
+      q.processAllAvailable()
+      val all = spark.table("sess_timeout")
+        .as[Sessionize.Session].collect().toSet
+      assert(all.contains(Sessionize.Session(1, 5000, 5000, 1, 3.0)),
+        s"idle session did not time out: $all")
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS sess_timeout")
+    }
+  }
 }
