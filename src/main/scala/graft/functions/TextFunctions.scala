@@ -35,10 +35,12 @@ object TextFunctions {
     * single other marks — the GPT-2 pre-tokenizer shape without a
     * merges table. A vocabulary-free corpus-cost estimator
     * (chars/token ≈ 4-5 for English prose, → 1 for noise); pure
-    * codegen'd regexp, identical under Java regex and RE2 so the
-    * DuckDB oracle computes the same counts.
+    * codegen'd regexp. The whitespace class is spelled out because
+    * `\s` differs between Java regex (includes U+000B) and DuckDB's
+    * RE2 (does not) — the explicit class is identical in both, keeping
+    * the oracle counts exact.
     */
-  val BpeIshPattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+  val BpeIshPattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]"
 
   def bpeIshTokenCount(c: Column): Column =
     size(regexp_extract_all(c, lit(BpeIshPattern), lit(0))).cast("long")

@@ -31,9 +31,15 @@ object AsOfJoin {
     val leftCols = left.columns.toSeq
     require(payloadCols.forall(!leftCols.contains(_)),
       "payload columns must not collide with left columns — alias first")
+    // SQL equality semantics: a NULL key matches nothing. The window
+    // partition would otherwise group null-key rows together, so
+    // null-key reference rows are dropped up front (left null-key rows
+    // then carry a null payload, as ASOF LEFT JOIN does).
+    val rightNonNull = right.filter(
+      keyCols.map(col(_).isNotNull).reduce(_ && _))
     // tag: right rows sort before left rows at equal ts, so an exactly
     // simultaneous reference row is visible to the fact row (ASOF ≤)
-    val r2 = right.select(
+    val r2 = rightNonNull.select(
       keyCols.map(col) ++ Seq(col(tsCol),
         struct(payloadCols.map(col): _*).as("__payload"),
         lit(0).as("__side")): _*)

@@ -62,13 +62,19 @@ object Dedup {
       .filter(size(col("sh")) > 0)
       .localCheckpoint()
     val usePrefix = prefixFilter.getOrElse {
+      // candidate volume summed in DOUBLE: one ultra-frequent shingle
+      // (df in the billions) overflows df*(df-1) as a long, and Spark's
+      // non-ANSI sum would wrap negative — silently routing exactly the
+      // skewed corpus this gate exists to catch onto the count join.
+      // The threshold only needs magnitude, not exact integers.
       val stats = sh.select(explode(col("sh")).as("g"))
         .groupBy(col("g")).agg(count(lit(1)).as("df"))
-        .agg(sum(col("df") * (col("df") - 1)).as("cand2"),
+        .agg(sum(col("df").cast("double") * (col("df").cast("double") - 1))
+            .as("cand2"),
           sum(col("df")).as("postings")).head()
-      val candidates = (if (stats.isNullAt(0)) 0L else stats.getLong(0)) / 2
+      val candidates = (if (stats.isNullAt(0)) 0.0 else stats.getDouble(0)) / 2
       val postings = if (stats.isNullAt(1)) 0L else stats.getLong(1)
-      candidates > 64L * postings
+      candidates > 64.0 * postings
     }
     if (usePrefix) prefixFilterPairs(sh, threshold)
     else countJoinPairs(sh, threshold)
@@ -260,8 +266,8 @@ object Dedup {
     * codegen'd cosine, so every emitted pair is a TRUE pair — only
     * recall is approximate. A pair at cosine c agrees per bit w.p.
     * 1 − arccos(c)/π (≈0.856 at c = 0.9), so at the defaults the miss
-    * probability is (1 − 0.856⁸)³² ≈ 2 %, falling fast above the
-    * threshold. Candidate volume is sublinear for gapped corpora; the
+    * probability is (1 − 0.856⁸)³² ≈ 2e-5 at the threshold itself,
+    * vanishing above it. Candidate volume is sublinear for gapped corpora; the
     * same `maxBucketSize` guard caps degenerate buckets. For exact
     * answers (or low thresholds, where no sign-LSH separates pairs from
     * noise) use [[cosinePairs]].

@@ -175,7 +175,11 @@ object DomainQueries {
     "walk_time_station_avg", "ward", "district", "html_file_fetched_at",
     "source_file", "source_order", "latitude", "longitude")
 
-  private val q22BasePath = "/tmp/graft_q22_base.parquet"
+  // per-process path: concurrent runs (two Verifys, or bench overlapping
+  // verify) must not clobber each other's oracle input; the oracle SQL
+  // interpolates the same value, so the DuckDB side reads this run's bytes
+  private val q22BasePath =
+    s"/tmp/graft_q22_base_${ProcessHandle.current().pid()}.parquet"
 
   /** The full batch lifecycle: scrape → geocode join (J1) → target (D7) →
     * clean (P1+P2+P3) → stub-model scoring (J2) → serving join/sort
@@ -318,7 +322,8 @@ object DomainQueries {
   )
 
   // ---------------------------------------------------------------- q47
-  private val q47JobsPath = "/tmp/graft_q47_jobs.json"
+  private val q47JobsPath =
+    s"/tmp/graft_q47_jobs_${ProcessHandle.current().pid()}.json"
 
   /** K5+O3 job-info lifecycle (svc/save_job_info.py:18-36 writes
     * job_info.json; app/app.py:313-322 lists, parses, and sorts by

@@ -492,7 +492,7 @@ object ScaleQueries {
     Some("""
       WITH t AS (
         SELECT doc_id, text,
-          CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe
+          CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\n\x0B\f\r]')) AS BIGINT) AS n_bpe
         FROM documents)
       SELECT doc_id,
         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,

@@ -21,12 +21,14 @@ object Sinks {
   /** Keep-latest upsert into a plain-parquet snapshot — MERGE semantics
     * without a table format: union the current snapshot with the batch,
     * keep the best row per key (greatest `orderCol`; the incoming batch
-    * wins ties, so re-delivering a batch is idempotent), publish via a
-    * staging dir + rename swap so readers see the old or the new
-    * snapshot, never a mix. One shuffle on the key — the compaction a
-    * log-structured table (Delta/Iceberg) eventually pays anyway,
-    * without the dependency. Single-writer by contract; concurrent
-    * writers need a real table format's log.
+    * wins ties, so re-delivering a batch is idempotent), publish via
+    * [[SnapshotIO.swap]] — a complete snapshot always survives, though
+    * a reader racing the two-rename swap can briefly see the path
+    * absent (retry; only a table format's metadata log removes that
+    * window). One shuffle on the key — the compaction a log-structured
+    * table (Delta/Iceberg) eventually pays anyway, without the
+    * dependency. Single-writer by contract; concurrent writers need a
+    * real table format's log.
     */
   def upsertParquet(batch: DataFrame, path: String, keyCols: Seq[String],
       orderCol: String): Unit = {
@@ -49,16 +51,7 @@ object Sinks {
     val staging = new Path(dest.getParent,
       s".${dest.getName}__staging_${java.util.UUID.randomUUID()}")
     merged.write.mode("overwrite").parquet(staging.toString)
-    val trash = new Path(dest.getParent,
-      s".${dest.getName}__old_${java.util.UUID.randomUUID()}")
-    if (fs.exists(dest)) fs.rename(dest, trash)
-    if (!fs.rename(staging, dest)) {
-      // restore on failure so the snapshot never disappears
-      if (fs.exists(trash)) fs.rename(trash, dest)
-      fs.delete(staging, true)
-      throw new java.io.IOException(s"upsert swap failed for $path")
-    }
-    fs.delete(trash, true)
+    SnapshotIO.swap(fs, staging, dest)
   }
 
   /** K1: CSV sink; array columns serialized as JSON strings. */

@@ -54,12 +54,26 @@ object Sessionize {
         "total_value")
   }
 
-  /** One-pass lazy fold over a TIME-SORTED event iterator: sessions
-    * stream out as they close; the only retained state is the open
-    * session (4 longs) — a hot key never buffers its events or its
+  // half-away rounding to match Spark round()/DuckDB ROUND — math.rint
+  // is half-EVEN and would diverge on exact .5 cents
+  private def toCents(v: Double): Long =
+    if (v >= 0) math.floor(v * 100 + 0.5).toLong
+    else math.ceil(v * 100 - 0.5).toLong
+
+  /** One-pass lazy fold over a per-slice TIME-SORTED event iterator:
+    * sessions stream out as they close; the only retained state is the
+    * open session (4 longs) — a hot key never buffers its events or its
     * emitted sessions. The GroupState is written as the input exhausts,
     * which is safe: FlatMapGroupsWithStateExec commits state after the
     * returned iterator completes.
+    *
+    * Cross-slice lateness (streaming only — the batch path sorts
+    * globally): an admissible event inside the open session's reach
+    * ([start−gap, last+gap]) merges, widening the bounds; one older
+    * than start−gap can no longer merge with anything still held and
+    * emits immediately as its own session. For time-sorted input both
+    * branches are no-ops and the fold is exactly the reference
+    * semantics.
     */
   private def sessionIterator(userId: Long, events: Iterator[Event],
       state: GroupState[SessionState], gapSeconds: Long,
@@ -83,17 +97,18 @@ object Sessionize {
         } else {
           val e = events.next()
           val sec = e.ts.getTime / 1000
-          if (st != null && sec - st.last > gapSeconds) {
-            pending = emit(st)
-            st = null
+          val cents = toCents(e.value)
+          if (st != null && sec < st.start - gapSeconds) {
+            pending = Session(userId, sec, sec, 1L, cents / 100.0)
+          } else {
+            if (st != null && sec - st.last > gapSeconds) {
+              pending = emit(st)
+              st = null
+            }
+            if (st == null) st = SessionState(sec, sec, 0L, 0L)
+            st = SessionState(math.min(st.start, sec),
+              math.max(st.last, sec), st.n + 1, st.cents + cents)
           }
-          if (st == null) st = SessionState(sec, sec, 0L, 0L)
-          // half-away rounding to match Spark round()/DuckDB ROUND —
-          // math.rint is half-EVEN and would diverge on exact .5 cents
-          val cents =
-            if (e.value >= 0) math.floor(e.value * 100 + 0.5).toLong
-            else math.ceil(e.value * 100 - 0.5).toLong
-          st = st.copy(last = sec, n = st.n + 1, cents = st.cents + cents)
         }
       }
     }
@@ -169,22 +184,12 @@ object Sessionize {
           Iterator.single(
             Session(userId, st.start, st.last, st.n, st.cents / 100.0))
         case (userId, it, state: GroupState[SessionState]) =>
-          val out = scala.collection.mutable.ArrayBuffer.empty[Session]
-          var st = state.getOption.orNull
-          for (e <- it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))) {
-            val sec = e.ts.getTime / 1000
-            if (st != null && sec - st.last > gapSeconds) {
-              out += Session(userId, st.start, st.last, st.n, st.cents / 100.0)
-              st = null
-            }
-            if (st == null) st = SessionState(sec, sec, 0L, 0L)
-            val cents =
-              if (e.value >= 0) math.floor(e.value * 100 + 0.5).toLong
-              else math.ceil(e.value * 100 - 0.5).toLong
-            st = st.copy(last = sec, n = st.n + 1, cents = st.cents + cents)
-          }
-          if (st != null) {
-            state.update(st)
+          // eager: the timeout must be (re)armed after the fold, and the
+          // buffered unit is one user's slice of one trigger
+          val out = sessionIterator(userId,
+            it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).iterator,
+            state, gapSeconds, emitOpen = false).toVector
+          state.getOption.foreach { st =>
             val target = (st.last + gapSeconds) * 1000L + 1000L
             state.setTimeoutTimestamp(
               math.max(target, state.getCurrentWatermarkMs() + 1000L))

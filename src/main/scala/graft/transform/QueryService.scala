@@ -81,8 +81,8 @@ object QueryService {
       val staging = new Path(storeDir,
         s".${key}__staging_${java.util.UUID.randomUUID()}")
       compute.write.mode("overwrite").parquet(staging.toString)
-      fs.mkdirs(dest.getParent)
-      if (!fs.rename(staging, dest)) fs.delete(staging, true)
+      // lost race → the winner's snapshot stands, ours is cleaned up
+      graft.sources.SnapshotIO.publishIfAbsent(fs, staging, dest)
     }
     spark.read.parquet(dest.toString)
   }

@@ -72,4 +72,43 @@ class StreamSinkSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS sess_timeout")
     }
   }
+
+  test("admissible late events merge into the open session, never corrupt it") {
+    import java.sql.Timestamp
+    import graft.streaming.Sessionize
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    def ev(id: Long, uid: Long, sec: Long, v: Double) =
+      Sessionize.Event(id, new Timestamp(sec * 1000), uid, "e", v)
+
+    val input = MemoryStream[Sessionize.Event]
+    val sessions = Sessionize.sessionizeStream(
+      input.toDS().withWatermark("ts", "1 hour"), gapSeconds = 600)
+    val q = sessions.writeStream.format("memory")
+      .queryName("sess_late").outputMode("append").start()
+    try {
+      input.addData(ev(1, 1, 2000, 1.0))
+      q.processAllAvailable()
+      // t=1800 is late but within the session's backward reach → merges
+      // (start widens to 1800); t=900 is older than start−gap → its own
+      // session, emitted immediately
+      input.addData(ev(2, 1, 1800, 2.0), ev(3, 1, 900, 4.0))
+      q.processAllAvailable()
+      // advance the watermark far past last+gap, then run a batch so the
+      // timeout fires and the merged session emits
+      input.addData(ev(10, 2, 50000, 0.5))
+      q.processAllAvailable()
+      input.addData(ev(11, 2, 50001, 0.5))
+      q.processAllAvailable()
+      val got = spark.table("sess_late")
+        .filter($"user_id" === 1).as[Sessionize.Session].collect().toSet
+      assert(got === Set(
+        Sessionize.Session(1, 900, 900, 1, 4.0),
+        Sessionize.Session(1, 1800, 2000, 2, 3.0)), s"got $got")
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS sess_late")
+    }
+  }
 }
