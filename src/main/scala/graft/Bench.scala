@@ -37,11 +37,11 @@ object Bench {
     // caches, and one-time fixture materialization (q24's synthetic
     // pages) all land outside the timed region
     targets.foreach(runOnce)
-    // min of 2 runs — strips one-off JIT/compile noise from each query
+    // min of 3 runs — strips one-off JIT/compile noise and reduces the
+    // ±20% machine-load variance a single sample carries
     val results = targets.map { d =>
-      val a = runOnce(d)
-      val b = runOnce(d)
-      d.name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+      val runs = Seq.fill(3)(runOnce(d))
+      d.name -> (if (runs.exists(_ < 0)) -1.0 else runs.min)
     }
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
