@@ -58,7 +58,7 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, id: Column, text: Column,
       n: Int, threshold: Double, prefixFilter: Option[Boolean] = None): DataFrame = {
     val sh = docs.select(id.as("id"),
-        transform(TextFunctions.shingles(text, n), g => xxhash64(g)).as("sh"))
+        graft.plans.ShingleHashes.shingle_hashes(text, n).as("sh"))
       .filter(size(col("sh")) > 0)
       .localCheckpoint()
     val usePrefix = prefixFilter.getOrElse {
@@ -142,7 +142,7 @@ object Dedup {
       maxBucketSize: Long = 10000L): DataFrame = {
     val k = bands * rowsPerBand
     val sh = docs.select(id.as("id"),
-        transform(TextFunctions.shingles(text, n), g => xxhash64(g)).as("sh"))
+        graft.plans.ShingleHashes.shingle_hashes(text, n).as("sh"))
       .filter(size(col("sh")) > 0)
       .localCheckpoint()
     val sig = sh.withColumn("sig",

@@ -88,6 +88,20 @@ class ScaleSpec extends SparkSpec {
     assert(b.exceptAll(a).count() === 0)
   }
 
+  test("ShingleHashes equals the lambda shingling bit-for-bit") {
+    val docs = Tables(spark, sfDir, "documents")
+      .unionByName(Seq((90001L, "a  b c d a b", "en"),
+        (90002L, " lead", "en"), (90003L, "", "en"), (90004L, "x", "en"))
+        .toDF("doc_id", "text", "lang"), allowMissingColumns = true)
+    val viaLambda = docs.select(col("doc_id"),
+      transform(TextFunctions.shingles(col("text"), 3),
+        g => xxhash64(g)).as("sh"))
+    val viaExpr = docs.select(col("doc_id"),
+      graft.plans.ShingleHashes.shingle_hashes(col("text"), 3).as("sh"))
+    assert(viaLambda.exceptAll(viaExpr).count() === 0)
+    assert(viaExpr.exceptAll(viaLambda).count() === 0)
+  }
+
   test("exact dedup groups near-identical prefixes") {
     val docs = Tables(spark, sfDir, "documents")
     val groups = Dedup.exactByKey(docs, substring(col("text"), 1, 50), col("doc_id"))
