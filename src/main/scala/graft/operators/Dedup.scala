@@ -146,7 +146,7 @@ object Dedup {
       .filter(size(col("sh")) > 0)
       .localCheckpoint()
     val sig = sh.withColumn("sig",
-      TextFunctions.minhashSignatureFromHashes(col("sh"), k))
+      graft.plans.MinhashSignature.minhash_signature(col("sh"), k))
     val banded = sig.select(col("id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           bd => slice(col("sig"), bd * rowsPerBand + 1, lit(rowsPerBand)))))

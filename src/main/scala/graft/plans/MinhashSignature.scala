@@ -1,0 +1,93 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** MinHash signature over pre-hashed shingles as one codegen'd loop —
+  * bit-identical to `TextFunctions.minhashSignatureFromHashes` (the
+  * nested-transform Column formulation): h_j(x) = (a_j·(x mod p) + b_j)
+  * mod p with the same fixed-LCG seeds, minimum per plane, k planes.
+  *
+  * The Column formulation interprets k×|shingles| lambda applications
+  * per row and materializes k intermediate arrays; this is two tight
+  * JIT'd loops (reduce each shingle mod p once, then scan per plane)
+  * with zero allocation beyond the output.
+  */
+case class MinhashSignature(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_signature requires array<long> input, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    MinhashSignature.eval(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.MinhashSignature.eval($c, $k);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): MinhashSignature = copy(child = newChild)
+
+  override def prettyName: String = "minhash_signature"
+}
+
+object MinhashSignature {
+
+  private val P = graft.functions.TextFunctions.MinhashPrime
+
+  private val seedCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]
+
+  private def seeds(k: Int): (Array[Long], Array[Long]) =
+    seedCache.computeIfAbsent(k, { _ =>
+      val s = graft.functions.TextFunctions.minhashSeeds(k)
+      (s.map(_._1).toArray, s.map(_._2).toArray)
+    })
+
+  def eval(hashes: ArrayData, k: Int): ArrayData = {
+    val n = hashes.numElements()
+    if (n == 0) return new GenericArrayData(new Array[Any](k)) // all null,
+    // matching array_min over an empty transform result
+    val (as, bs) = seeds(k)
+    val reduced = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val r = hashes.getLong(i) % P
+      reduced(i) = if (r < 0) r + P else r // pmod
+      i += 1
+    }
+    val out = new Array[Long](k)
+    var j = 0
+    while (j < k) {
+      val a = as(j)
+      val b = bs(j)
+      var m = Long.MaxValue
+      var t = 0
+      while (t < n) {
+        // a, b, reduced < p < 2^31 → a*x + b stays within 62 bits
+        val v = (a * reduced(t) + b) % P
+        if (v < m) m = v
+        t += 1
+      }
+      out(j) = m
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Column API. */
+  def minhash_signature(c: Column, k: Int): Column =
+    Bridge.column(MinhashSignature(Bridge.expression(c), k))
+}

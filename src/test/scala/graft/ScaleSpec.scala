@@ -102,6 +102,19 @@ class ScaleSpec extends SparkSpec {
     assert(viaExpr.exceptAll(viaLambda).count() === 0)
   }
 
+  test("MinhashSignature equals the lambda formulation bit-for-bit") {
+    val docs = Tables(spark, sfDir, "documents")
+    val sh = docs.select(col("doc_id"),
+      graft.plans.ShingleHashes.shingle_hashes(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val viaLambda = sh.select(col("doc_id"),
+      TextFunctions.minhashSignatureFromHashes(col("sh"), 128).as("sig"))
+    val viaExpr = sh.select(col("doc_id"),
+      graft.plans.MinhashSignature.minhash_signature(col("sh"), 128).as("sig"))
+    assert(viaLambda.exceptAll(viaExpr).count() === 0)
+    assert(viaExpr.exceptAll(viaLambda).count() === 0)
+  }
+
   test("exact dedup groups near-identical prefixes") {
     val docs = Tables(spark, sfDir, "documents")
     val groups = Dedup.exactByKey(docs, substring(col("text"), 1, 50), col("doc_id"))
