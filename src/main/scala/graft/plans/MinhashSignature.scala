@@ -1,9 +1,11 @@
 package graft.plans
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
@@ -29,13 +31,28 @@ case class MinhashSignature(child: Expression, k: Int)
       s"minhash_signature requires array<long> input, got $other")
   }
 
-  override def nullSafeEval(input: Any): Any =
-    MinhashSignature.eval(input.asInstanceOf[ArrayData], k)
+  // a NULL hashes array yields k nulls, not null — matching the lambda
+  // formulation, whose outer transform runs over the non-null seed
+  // literal and array_min(transform(null, ...)) is null per plane
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) MinhashSignature.allNull(k)
+    else MinhashSignature.eval(v.asInstanceOf[ArrayData], k)
+  }
 
   override protected def doGenCode(ctx: CodegenContext,
-      ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.plans.MinhashSignature.eval($c, $k);")
+      ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val jt = CodeGenerator.javaType(dataType)
+    ev.copy(
+      code = childGen.code + code"""
+        $jt ${ev.value} = ${childGen.isNull} ?
+          graft.plans.MinhashSignature.allNull($k) :
+          graft.plans.MinhashSignature.eval(${childGen.value}, $k);""",
+      isNull = FalseLiteral)
+  }
 
   override protected def withNewChildInternal(
       newChild: Expression): MinhashSignature = copy(child = newChild)
@@ -56,18 +73,25 @@ object MinhashSignature {
       (s.map(_._1).toArray, s.map(_._2).toArray)
     })
 
+  def allNull(k: Int): ArrayData = new GenericArrayData(new Array[Any](k))
+
   def eval(hashes: ArrayData, k: Int): ArrayData = {
-    val n = hashes.numElements()
-    if (n == 0) return new GenericArrayData(new Array[Any](k)) // all null,
-    // matching array_min over an empty transform result
-    val (as, bs) = seeds(k)
-    val reduced = new Array[Long](n)
+    // null ELEMENTS are skipped like array_min skips the null the
+    // lambda maps them to; empty (or all-null) input → k nulls
+    val total = hashes.numElements()
+    var n = 0
+    val reduced = new Array[Long](total)
     var i = 0
-    while (i < n) {
-      val r = hashes.getLong(i) % P
-      reduced(i) = if (r < 0) r + P else r // pmod
+    while (i < total) {
+      if (!hashes.isNullAt(i)) {
+        val r = hashes.getLong(i) % P
+        reduced(n) = if (r < 0) r + P else r // pmod
+        n += 1
+      }
       i += 1
     }
+    if (n == 0) return allNull(k)
+    val (as, bs) = seeds(k)
     val out = new Array[Long](k)
     var j = 0
     while (j < k) {

@@ -1,9 +1,11 @@
 package graft.plans
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
@@ -32,13 +34,28 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
       s"shingle_hashes requires a string input, got $other")
   }
 
-  override def nullSafeEval(input: Any): Any =
-    ShingleHashes.eval(input.asInstanceOf[UTF8String], n)
+  // NULL text yields an EMPTY array, not null — matching the lambda
+  // formulation, where the when(size >= n) condition on a null token
+  // array falls to the otherwise(array()) branch
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) ShingleHashes.empty()
+    else ShingleHashes.eval(v.asInstanceOf[UTF8String], n)
+  }
 
   override protected def doGenCode(ctx: CodegenContext,
-      ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.plans.ShingleHashes.eval($c, $n);")
+      ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val jt = CodeGenerator.javaType(dataType)
+    ev.copy(
+      code = childGen.code + code"""
+        $jt ${ev.value} = ${childGen.isNull} ?
+          graft.plans.ShingleHashes.empty() :
+          graft.plans.ShingleHashes.eval(${childGen.value}, $n);""",
+      isNull = FalseLiteral)
+  }
 
   override protected def withNewChildInternal(
       newChild: Expression): ShingleHashes = copy(child = newChild)
@@ -49,6 +66,8 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
 object ShingleHashes {
 
   private final val Seed = 42L // the xxhash64 SQL function's seed
+
+  def empty(): ArrayData = new GenericArrayData(Array.empty[Long])
 
   def eval(s: UTF8String, n: Int): ArrayData = {
     // Spark split(c, " ") semantics: regex split with limit -1 — empty
@@ -80,7 +99,9 @@ object ShingleHashes {
     new GenericArrayData(out)
   }
 
-  /** Column API. */
+  /** Column API. The cast keeps the split()-formulation's implicit
+    * string coercion for non-string inputs (a no-op on strings).
+    */
   def shingle_hashes(c: Column, n: Int): Column =
-    Bridge.column(ShingleHashes(Bridge.expression(c), n))
+    Bridge.column(ShingleHashes(Bridge.expression(c.cast("string")), n))
 }

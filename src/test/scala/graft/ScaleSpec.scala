@@ -91,7 +91,8 @@ class ScaleSpec extends SparkSpec {
   test("ShingleHashes equals the lambda shingling bit-for-bit") {
     val docs = Tables(spark, sfDir, "documents")
       .unionByName(Seq((90001L, "a  b c d a b", "en"),
-        (90002L, " lead", "en"), (90003L, "", "en"), (90004L, "x", "en"))
+        (90002L, " lead", "en"), (90003L, "", "en"), (90004L, "x", "en"),
+        (90005L, null, "en"))
         .toDF("doc_id", "text", "lang"), allowMissingColumns = true)
     val viaLambda = docs.select(col("doc_id"),
       transform(TextFunctions.shingles(col("text"), 3),
@@ -103,10 +104,16 @@ class ScaleSpec extends SparkSpec {
   }
 
   test("MinhashSignature equals the lambda formulation bit-for-bit") {
+    // deliberately UNFILTERED (empty arrays stay in) plus null-array
+    // and null-element rows — the divergence-prone inputs
     val docs = Tables(spark, sfDir, "documents")
     val sh = docs.select(col("doc_id"),
-      graft.plans.ShingleHashes.shingle_hashes(col("text"), 3).as("sh"))
-      .filter(size(col("sh")) > 0)
+        graft.plans.ShingleHashes.shingle_hashes(col("text"), 3).as("sh"))
+      .unionByName(Seq(
+          (80001L, null.asInstanceOf[Array[java.lang.Long]]),
+          (80002L, Array[java.lang.Long](5L, null, 17L)),
+          (80003L, Array[java.lang.Long](null, null)))
+        .toDF("doc_id", "sh"))
     val viaLambda = sh.select(col("doc_id"),
       TextFunctions.minhashSignatureFromHashes(col("sh"), 128).as("sig"))
     val viaExpr = sh.select(col("doc_id"),
