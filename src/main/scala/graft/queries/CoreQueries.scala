@@ -619,6 +619,39 @@ object CoreQueries {
       ORDER BY i.ikey"""),
   )
 
+  // ---------------------------------------------------------------- q53
+  /** Equi-width histogram of lineitem prices — the profiling/feature
+    * pass ([[graft.operators.Binning]]): bounds from one tiny aggregate,
+    * counts from one groupBy; bin math is plain double arithmetic, so
+    * DuckDB reproduces the assignments bit-for-bit.
+    */
+  val q53Histogram: QueryDef = QueryDef(
+    "q53_histogram",
+    (s, dir) =>
+      graft.operators.Binning.equiWidthHistogram(
+          t(s, dir, "lineitem"), col("l_extendedprice"), nBins = 20)
+        .withColumn("bin_lo", round(col("bin_lo"), 6))
+        .withColumn("bin_hi", round(col("bin_hi"), 6))
+        .orderBy(col("bin")),
+    Some("""
+      WITH b AS (
+        SELECT MIN(CAST(l_extendedprice AS DOUBLE)) AS lo,
+               MAX(CAST(l_extendedprice AS DOUBLE)) AS hi
+        FROM lineitem),
+      binned AS (
+        SELECT CAST(LEAST(GREATEST(
+            FLOOR((CAST(l_extendedprice AS DOUBLE) - b.lo) / ((b.hi - b.lo) / 20)),
+            0.0), 19.0) AS BIGINT) AS bin, b.lo, b.hi
+        FROM lineitem, b)
+      SELECT bin,
+             ROUND(lo + bin * ((hi - lo) / 20), 6) AS bin_lo,
+             ROUND(lo + (bin + 1) * ((hi - lo) / 20), 6) AS bin_hi,
+             COUNT(*) AS n
+      FROM binned
+      GROUP BY bin, lo, hi
+      ORDER BY bin"""),
+  )
+
   // ---------------------------------------------------------------- q27
   /** Set operations (X3 family): customers with recent orders EXCEPT
     * big-spender customers, plus the INTERSECT count.
@@ -681,7 +714,7 @@ object CoreQueries {
 
   val all: Seq[QueryDef] = Seq(
     q25JsonExtract, q26Rollup, q27SetOps, q28RunningTotal, q48Cube,
-    q51RangeJoin,
+    q51RangeJoin, q53Histogram,
     q01AggPricing, q02FilterProject, q03JoinRevenue, q04TopK,
     q05WindowLatest, q06DedupFirst, q07QuantileOutlier, q08AntiJoin,
     q09SemiJoin, q10LeftJoinMiss, q11ArrayStats, q12Mae,

@@ -504,10 +504,60 @@ object ScaleQueries {
       ORDER BY doc_id"""),
   )
 
+  // ---------------------------------------------------------------- q55
+  /** Rarity-weighted keyword extraction: top-3 terms per document by
+    * tf × (N/df) — the monotone core of tf-idf without the logarithm,
+    * deliberately: ln() is not bit-reproducible across libm
+    * implementations, while this score is pure +,×,÷ on doubles, so the
+    * DuckDB oracle matches exactly. Two hash aggregates + one per-doc
+    * window; the dominant shuffle is the (doc, term) aggregate, with
+    * map-side partial aggregation collapsing repeats.
+    */
+  val q55Keywords: QueryDef = QueryDef(
+    "q55_keywords",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables(s, dir, "documents")
+      val n = docs.count()
+      val tf = docs.select(col("doc_id"),
+          explode(TextFunctions.tokens(col("text"))).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("term"))
+      tf.join(dfreq, Seq("term"))
+        .withColumn("score",
+          round(col("tf") * (lit(n.toDouble) / col("df")), 6))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("term"), col("score"))
+        .orderBy(col("doc_id"), col("rank"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents),
+      tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf
+        FROM toks WHERE term <> '' GROUP BY doc_id, term),
+      dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+      n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+      ranked AS (
+        SELECT tf.doc_id, tf.term,
+          ROUND(tf.tf * (n.n / dfreq.df), 6) AS score,
+          row_number() OVER (PARTITION BY tf.doc_id
+            ORDER BY ROUND(tf.tf * (n.n / dfreq.df), 6) DESC, tf.term) AS rank
+        FROM tf JOIN dfreq USING (term), n)
+      SELECT doc_id, rank, term, score
+      FROM ranked WHERE rank <= 3
+      ORDER BY doc_id, rank"""),
+  )
+
   val all: Seq[QueryDef] = Seq(
     q30TextStats, q31LangId, q32Fingerprint, q33DedupExact,
     q34NgramJaccard, q35MinhashLsh, q36SimhashPairs, q37CosinePairs,
     q38AnnTopK, q39AnnLsh, q40StreamWindow, q41StreamDedup, q42Multimodal,
     q43SessionizeState, q44SessionizeBatch, q45AnnIvf, q46DistinctSketch,
-    q49Vocab, q50AsofJoin, q52TokenCost)
+    q49Vocab, q50AsofJoin, q52TokenCost, q55Keywords)
 }

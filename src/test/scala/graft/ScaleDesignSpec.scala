@@ -88,6 +88,21 @@ class ScaleDesignSpec extends SparkSpec {
     assert(batch.exceptAll(stateful).count() === 0)
   }
 
+  test("histogram covers every row; quantile bins are equal-frequency") {
+    val li = Tables(spark, sfDir, "lineitem")
+    val hist = operators.Binning.equiWidthHistogram(li, col("l_quantity"), 10)
+    assert(hist.agg(sum("n")).head().getLong(0) === li.count())
+    val binned = operators.Binning.quantileBins(li,
+      col("l_extendedprice"), Seq(0.25, 0.5, 0.75))
+    val counts = binned.groupBy("bin").count().orderBy("bin")
+      .as[(Long, Long)].collect()
+    assert(counts.map(_._1).toSeq === Seq(0L, 1L, 2L, 3L))
+    val n = li.count()
+    counts.foreach { case (_, c) =>
+      assert(math.abs(c - n / 4.0) <= n * 0.02 + 4, s"skewed bin: $c of $n")
+    }
+  }
+
   test("stratified sample: seeded, per-stratum fractions, no shuffle") {
     val ev = Tables(spark, sfDir, "events")
     val fr = Map("click" -> 0.5, "purchase" -> 1.0)
