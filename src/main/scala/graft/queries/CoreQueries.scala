@@ -652,6 +652,99 @@ object CoreQueries {
       ORDER BY bin"""),
   )
 
+  // ---------------------------------------------------------------- q56
+  /** Pivot (long → wide reshape): per-user event counts as one column
+    * per event type. Spark plans pivot-with-known-values as a single
+    * aggregate over `count(CASE ...)`-style pivot expressions — one
+    * shuffle, no per-value passes; the explicit value list keeps the
+    * output schema static (mandatory at scale: value discovery is a
+    * separate job).
+    */
+  val q56Pivot: QueryDef = QueryDef(
+    "q56_pivot",
+    (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type",
+          Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("user_id")),
+    Some("""
+      SELECT user_id,
+        COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+        COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error
+      FROM events
+      GROUP BY user_id
+      ORDER BY user_id"""),
+  )
+
+  // ---------------------------------------------------------------- q57
+  /** Unpivot (wide → long melt): lineitem's numeric measures as
+    * (key, metric, value) rows — the normalization reshape feeding
+    * metric-generic pipelines. Narrow Expand: each row fans to
+    * #measures rows scan-side, no shuffle.
+    */
+  val q57Unpivot: QueryDef = QueryDef(
+    "q57_unpivot",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 100 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("double").as("l_quantity"),
+          col("l_discount").cast("double").as("l_discount"),
+          col("l_tax").cast("double").as("l_tax"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+          "metric", "value")
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric")),
+    Some("""
+      WITH src AS (
+        SELECT l_orderkey, l_linenumber,
+               CAST(l_quantity AS DOUBLE) AS l_quantity,
+               CAST(l_discount AS DOUBLE) AS l_discount,
+               CAST(l_tax AS DOUBLE) AS l_tax
+        FROM lineitem WHERE l_orderkey % 100 = 0)
+      SELECT l_orderkey, l_linenumber, metric, value FROM (
+        SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value FROM src
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM src
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM src)
+      ORDER BY l_orderkey, l_linenumber, metric"""),
+  )
+
+  // ---------------------------------------------------------------- q58
+  /** The salted skew join as a graded row: key-salting must be
+    * result-invisible, so the oracle is the PLAIN SQL join. Salting
+    * splits each hot key across `buckets` tasks (big side hashed into a
+    * bucket, small side replicated to all), trading `buckets`× small-
+    * side duplication for skew-free task sizes.
+    */
+  val q58SaltedJoin: QueryDef = QueryDef(
+    "q58_salted_join",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val big = ev.select(col("user_id"), col("event_id"), col("value"))
+      val perUser = ev.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_user_events"))
+      graft.operators.Scale.saltedJoin(big, perUser, "user_id", buckets = 8)
+        .select(col("user_id"), col("event_id"), col("n_user_events"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+    Some("""
+      WITH per_user AS (
+        SELECT user_id, COUNT(*) AS n_user_events
+        FROM events GROUP BY user_id)
+      SELECT e.user_id, e.event_id, p.n_user_events
+      FROM events e JOIN per_user p USING (user_id)
+      ORDER BY e.user_id, e.event_id"""),
+  )
+
   // ---------------------------------------------------------------- q27
   /** Set operations (X3 family): customers with recent orders EXCEPT
     * big-spender customers, plus the INTERSECT count.
@@ -714,7 +807,7 @@ object CoreQueries {
 
   val all: Seq[QueryDef] = Seq(
     q25JsonExtract, q26Rollup, q27SetOps, q28RunningTotal, q48Cube,
-    q51RangeJoin, q53Histogram,
+    q51RangeJoin, q53Histogram, q56Pivot, q57Unpivot, q58SaltedJoin,
     q01AggPricing, q02FilterProject, q03JoinRevenue, q04TopK,
     q05WindowLatest, q06DedupFirst, q07QuantileOutlier, q08AntiJoin,
     q09SemiJoin, q10LeftJoinMiss, q11ArrayStats, q12Mae,
