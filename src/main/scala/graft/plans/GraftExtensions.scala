@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
 /** SparkSessionExtensions entry point: registers the graft-native SQL
   * functions so `spark.sql("SELECT rolling_hash(text) ...")` works.
@@ -14,13 +14,25 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(GraftExtensions.rollingHashDescriptor)
-    ext.injectFunction(GraftExtensions.kanjiAddressKeyDescriptor)
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.descriptors.foreach(ext.injectFunction)
 }
 
 object GraftExtensions {
+
+  private def litInt(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case Literal(v: Long, _) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$fn expects an integer literal parameter, got $other")
+  }
+
+  private def litLong(e: Expression, fn: String): Long = e match {
+    case Literal(v: Int, _) => v.toLong
+    case Literal(v: Long, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn expects an integer literal parameter, got $other")
+  }
 
   val rollingHashDescriptor
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
@@ -34,12 +46,45 @@ object GraftExtensions {
     new ExpressionInfo(classOf[KanjiAddressKey].getName, "kanji_address_key"),
     (children: Seq[Expression]) => KanjiAddressKey(children.head))
 
+  val dotProductDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("dot_product"),
+    new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+    (children: Seq[Expression]) => DotProduct(children(0), children(1)))
+
+  val shingleHashesDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("shingle_hashes"),
+    new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
+    (children: Seq[Expression]) =>
+      ShingleHashes(children(0), litInt(children(1), "shingle_hashes")))
+
+  val minhashSignatureDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("minhash_signature"),
+    new ExpressionInfo(classOf[MinhashSignature].getName, "minhash_signature"),
+    (children: Seq[Expression]) =>
+      MinhashSignature(children(0), litInt(children(1), "minhash_signature")))
+
+  val srpSignatureDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("srp_signature"),
+    new ExpressionInfo(classOf[SrpSignature].getName, "srp_signature"),
+    (children: Seq[Expression]) => SrpSignature(children(0),
+      litInt(children(1), "srp_signature"),
+      litLong(children(2), "srp_signature")))
+
+  val descriptors: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    rollingHashDescriptor, kanjiAddressKeyDescriptor, dotProductDescriptor,
+    shingleHashesDescriptor, minhashSignatureDescriptor,
+    srpSignatureDescriptor)
+
   /** Imperative registration for an already-built session (tests, REPL). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val registry: FunctionRegistry = spark.sessionState.functionRegistry
-    Seq(rollingHashDescriptor, kanjiAddressKeyDescriptor).foreach {
-      case (ident, info, builder) =>
-        registry.registerFunction(ident, info, builder)
+    descriptors.foreach { case (ident, info, builder) =>
+      registry.registerFunction(ident, info, builder)
     }
   }
 }

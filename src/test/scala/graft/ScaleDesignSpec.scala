@@ -39,10 +39,25 @@ class ScaleDesignSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
 
-  test("rolling_hash is callable from SQL via extensions registration") {
+  test("graft-native functions are callable from SQL via extensions") {
     GraftExtensions.register(spark)
     val out = spark.sql("SELECT rolling_hash('ab') AS h").head().getLong(0)
     assert(out === (97L * 31 + 98) % 1000000007L)
+    val dot = spark.sql(
+      "SELECT dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .head().getDouble(0)
+    assert(dot === 11.0)
+    val sh = spark.sql(
+      "SELECT size(shingle_hashes('a b c d', 3)) AS n").head().getInt(0)
+    assert(sh === 2)
+    val sig = spark.sql(
+      "SELECT size(minhash_signature(shingle_hashes('a b c d', 3), 16)) AS k")
+      .head().getInt(0)
+    assert(sig === 16)
+    val srp = spark.sql(
+      "SELECT size(srp_signature(array(CAST(1.0 AS FLOAT)), 8, 42)) AS p")
+      .head().getInt(0)
+    assert(srp === 8)
   }
 
   test("stateful and windowed sessionization agree") {
