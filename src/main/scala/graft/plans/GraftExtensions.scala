@@ -22,9 +22,10 @@ object GraftExtensions {
 
   private def litInt(e: Expression, fn: String): Int = e match {
     case Literal(v: Int, _) => v
-    case Literal(v: Long, _) => v.toInt
+    case Literal(v: Long, _)
+        if v >= Int.MinValue.toLong && v <= Int.MaxValue.toLong => v.toInt
     case other => throw new IllegalArgumentException(
-      s"$fn expects an integer literal parameter, got $other")
+      s"$fn expects an int-range integer literal parameter, got $other")
   }
 
   private def litLong(e: Expression, fn: String): Long = e match {

@@ -668,7 +668,9 @@ object CoreQueries {
         .pivot("event_type",
           Seq("click", "view", "purchase", "signup", "error"))
         .agg(count(lit(1)))
-        .na.fill(0L)
+        // scoped fill: an unrestricted na.fill would also rewrite a
+        // null GROUP KEY to 0, merging it with a real user 0
+        .na.fill(0L, Seq("click", "view", "purchase", "signup", "error"))
         .orderBy(col("user_id")),
     Some("""
       SELECT user_id,
