@@ -554,10 +554,43 @@ object ScaleQueries {
       ORDER BY doc_id, rank"""),
   )
 
+  // ---------------------------------------------------------------- q59
+  /** SpaceSaving heavy hitters over the term stream — the frequency
+    * profile a 100 TB pass computes in O(capacity) memory per partition
+    * instead of an exact groupBy. Within capacity the sketch is exact
+    * (error 0), which is what lets this row carry a real oracle; the
+    * approx regime's bounds are spec'd separately.
+    */
+  val q59HeavyHitters: QueryDef = QueryDef(
+    "q59_heavy_hitters",
+    (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(explode(TextFunctions.tokens(col("text"))).as("term"))
+        .filter(col("term") =!= "")
+        .agg(graft.plans.HeavyHitters.topItems(col("term"),
+          capacity = 4096, topK = 20).as("top"))
+        .select(posexplode(col("top")))
+        .select((col("pos") + 1).cast("long").as("rank"),
+          col("col").getField("_1").as("term"),
+          col("col").getField("_2").as("cnt"),
+          col("col").getField("_3").as("err"))
+        .orderBy(col("rank")),
+    Some("""
+      WITH tf AS (
+        SELECT term, COUNT(*) AS cnt FROM (
+          SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        WHERE term <> '' GROUP BY term)
+      SELECT CAST(row_number() OVER (ORDER BY cnt DESC, term) AS BIGINT) AS rank,
+             term, cnt, CAST(0 AS BIGINT) AS err
+      FROM tf
+      ORDER BY cnt DESC, term
+      LIMIT 20"""),
+  )
+
   val all: Seq[QueryDef] = Seq(
     q30TextStats, q31LangId, q32Fingerprint, q33DedupExact,
     q34NgramJaccard, q35MinhashLsh, q36SimhashPairs, q37CosinePairs,
     q38AnnTopK, q39AnnLsh, q40StreamWindow, q41StreamDedup, q42Multimodal,
     q43SessionizeState, q44SessionizeBatch, q45AnnIvf, q46DistinctSketch,
-    q49Vocab, q50AsofJoin, q52TokenCost, q55Keywords)
+    q49Vocab, q50AsofJoin, q52TokenCost, q55Keywords, q59HeavyHitters)
 }

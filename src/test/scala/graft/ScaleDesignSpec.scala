@@ -213,6 +213,44 @@ class ScaleDesignSpec extends SparkSpec {
       .forall(_.getString(0).contains("dt=2024-01-05")))
   }
 
+  test("heavy hitters: exact within capacity, bounded error beyond") {
+    val terms = Tables(spark, sfDir, "events").select(col("event_type"))
+    // capacity 64 >> 5 distinct types → exact, error 0
+    val got = terms
+      .agg(graft.plans.HeavyHitters.topItems(col("event_type"), 64, 5).as("t"))
+      .select(explode(col("t"))).select("col.*")
+      .as[(String, Long, Long)].collect()
+    val exact = terms.groupBy("event_type").count()
+      .as[(String, Long)].collect().toMap
+    assert(got.map(_._1).toSet === exact.keySet)
+    got.foreach { case (term, cnt, err) =>
+      assert(cnt === exact(term) && err === 0L, s"inexact in-capacity: $term")
+    }
+    // approx regime, on a stream skewed enough for the guarantee: the
+    // dominant item (60% > n/capacity at capacity 8) must surface, every
+    // count is an upper bound tight to within its recorded error, and
+    // errors respect the n/capacity bound
+    val rnd = new scala.util.Random(7L)
+    val skewed = (0 until 20000).map { _ =>
+      val r = rnd.nextInt(10)
+      if (r < 6) "dominant" else s"tail_${rnd.nextInt(500)}"
+    }
+    val skewedDs = skewed.toDF("term").repartition(16)
+    val trueCounts = skewed.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val approx = skewedDs
+      .agg(graft.plans.HeavyHitters.topItems(col("term"), 8, 4).as("t"))
+      .select(explode(col("t"))).select("col.*")
+      .as[(String, Long, Long)].collect()
+    assert(approx.map(_._1).contains("dominant"), s"lost heavy hitter")
+    approx.foreach { case (term, cnt, err) =>
+      val truth = trueCounts.getOrElse(term, 0L)
+      assert(cnt >= truth, s"undercount for $term")
+      assert(cnt - err <= truth, s"error bound broken for $term: " +
+        s"cnt=$cnt err=$err truth=$truth")
+      assert(err <= skewed.size / 8 + 1, s"error above n/capacity for $term")
+    }
+  }
+
   test("KMV distinct sketch estimates within its error bound") {
     val li = Tables(spark, sfDir, "lineitem")
     val exact = li.select(countDistinct(col("l_partkey"))).head().getLong(0)
