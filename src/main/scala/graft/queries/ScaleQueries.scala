@@ -587,10 +587,59 @@ object ScaleQueries {
       LIMIT 20"""),
   )
 
+  // ---------------------------------------------------------------- q60
+  /** Resample + forward-fill: align each user's irregular event series
+    * to a regular 6-hour grid, carrying the last observation forward
+    * (null before the first) — the feature-alignment pass of
+    * time-series training data. Composed from the as-of join: grid ⨝asof
+    * last event at-or-before each grid point, one exchange. The oracle
+    * replays it with DuckDB's native ASOF LEFT JOIN over the same
+    * epoch-second grid.
+    */
+  val q60ResampleFfill: QueryDef = QueryDef(
+    "q60_resample_ffill",
+    (s, dir) => {
+      val ev = Tables(s, dir, "events")
+        .select(col("user_id"), col("ts").cast("long").as("ts_sec"),
+          col("value"), col("event_id"))
+      val b = ev.agg(min(col("ts_sec")), max(col("ts_sec"))).head()
+      val (lo, hi) = (b.getLong(0), b.getLong(1))
+      val clean = ev.groupBy(col("user_id"), col("ts_sec"))
+        .agg(max_by(col("value"), col("event_id")).as("value"))
+      val grid = ev.select(col("user_id")).distinct()
+        .withColumn("ts_sec",
+          explode(sequence(lit(lo), lit(hi), lit(21600L))))
+      graft.operators.AsOfJoin.backward(grid, clean,
+          keyCols = Seq("user_id"), tsCol = "ts_sec",
+          payloadCols = Seq("value"))
+        .select(col("user_id"), col("ts_sec"),
+          round(col("value"), 6).as("value"))
+        .orderBy(col("user_id"), col("ts_sec"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_sec,
+               value, event_id
+        FROM events),
+      b AS (SELECT MIN(ts_sec) AS lo, MAX(ts_sec) AS hi FROM e),
+      u AS (SELECT DISTINCT user_id FROM e),
+      g AS (
+        SELECT u.user_id, unnest(generate_series(b.lo, b.hi, 21600)) AS ts_sec
+        FROM u, b),
+      c AS (
+        SELECT user_id, ts_sec, MAX_BY(value, event_id) AS value
+        FROM e GROUP BY user_id, ts_sec)
+      SELECT g.user_id, g.ts_sec, ROUND(c.value, 6) AS value
+      FROM g ASOF LEFT JOIN c
+        ON g.user_id = c.user_id AND c.ts_sec <= g.ts_sec
+      ORDER BY g.user_id, g.ts_sec"""),
+  )
+
   val all: Seq[QueryDef] = Seq(
     q30TextStats, q31LangId, q32Fingerprint, q33DedupExact,
     q34NgramJaccard, q35MinhashLsh, q36SimhashPairs, q37CosinePairs,
     q38AnnTopK, q39AnnLsh, q40StreamWindow, q41StreamDedup, q42Multimodal,
     q43SessionizeState, q44SessionizeBatch, q45AnnIvf, q46DistinctSketch,
-    q49Vocab, q50AsofJoin, q52TokenCost, q55Keywords, q59HeavyHitters)
+    q49Vocab, q50AsofJoin, q52TokenCost, q55Keywords, q59HeavyHitters,
+    q60ResampleFfill)
 }
