@@ -38,7 +38,20 @@ class HeavyHitters(capacity: Int, topK: Int)
       case Some((c, e)) => buf.update(item, (c + 1, e))
       case None if buf.size < capacity => buf.update(item, (1L, 0L))
       case None =>
-        val (minItem, (minC, _)) = buf.minBy { case (k, (c, _)) => (c, k) }
+        // allocation-free single-pass min scan ((count, key) order for
+        // determinism). Eviction is O(capacity) worst-case; if the miss
+        // rate at your capacity dominates profile time, the upgrade
+        // path is the stream-summary/heap structure (O(log capacity)).
+        var minItem: String = null
+        var minC = Long.MaxValue
+        val it = buf.iterator
+        while (it.hasNext) {
+          val (k, (c, _)) = it.next()
+          if (c < minC || (c == minC && (minItem == null || k < minItem))) {
+            minItem = k
+            minC = c
+          }
+        }
         buf.remove(minItem)
         buf.update(item, (minC + 1, minC))
     }

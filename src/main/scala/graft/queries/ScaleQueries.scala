@@ -602,13 +602,18 @@ object ScaleQueries {
       val ev = Tables(s, dir, "events")
         .select(col("user_id"), col("ts").cast("long").as("ts_sec"),
           col("value"), col("event_id"))
-      val b = ev.agg(min(col("ts_sec")), max(col("ts_sec"))).head()
-      val (lo, hi) = (b.getLong(0), b.getLong(1))
+      // bounds stay IN the plan (1-row broadcast cross join) — the
+      // query is a single lazy job, and empty input yields zero grid
+      // rows instead of a driver-side NPE, matching the oracle
+      val bounds = ev.agg(min(col("ts_sec")).as("lo"),
+        max(col("ts_sec")).as("hi"))
       val clean = ev.groupBy(col("user_id"), col("ts_sec"))
         .agg(max_by(col("value"), col("event_id")).as("value"))
       val grid = ev.select(col("user_id")).distinct()
-        .withColumn("ts_sec",
-          explode(sequence(lit(lo), lit(hi), lit(21600L))))
+        .crossJoin(broadcast(bounds))
+        .filter(col("lo").isNotNull)
+        .select(col("user_id"),
+          explode(sequence(col("lo"), col("hi"), lit(21600L))).as("ts_sec"))
       graft.operators.AsOfJoin.backward(grid, clean,
           keyCols = Seq("user_id"), tsCol = "ts_sec",
           payloadCols = Seq("value"))
