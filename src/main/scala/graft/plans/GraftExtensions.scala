@@ -75,11 +75,18 @@ object GraftExtensions {
       litInt(children(1), "srp_signature"),
       litLong(children(2), "srp_signature")))
 
+  val tokenNgramStatsDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("token_ngram_stats"),
+    new ExpressionInfo(classOf[TokenNgramStats].getName, "token_ngram_stats"),
+    (children: Seq[Expression]) =>
+      TokenNgramStats(children(0), litInt(children(1), "token_ngram_stats")))
+
   val descriptors: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(
     rollingHashDescriptor, kanjiAddressKeyDescriptor, dotProductDescriptor,
     shingleHashesDescriptor, minhashSignatureDescriptor,
-    srpSignatureDescriptor)
+    srpSignatureDescriptor, tokenNgramStatsDescriptor)
 
   /** Imperative registration for an already-built session (tests, REPL). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

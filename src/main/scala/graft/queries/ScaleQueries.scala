@@ -640,11 +640,69 @@ object ScaleQueries {
       ORDER BY g.user_id, g.ts_sec"""),
   )
 
+  // ---------------------------------------------------------------- q61
+  /** Gopher-style repetition filters: duplicate-token fraction, top
+    * single-token fraction, duplicate-bigram fraction per document — the
+    * cheap repetition screens a pretraining pass applies before any
+    * model-based scoring. Both profiles come from the fused
+    * [[graft.plans.TokenNgramStats]] expression (one scan + hash map per
+    * row, no shuffle); the oracle replays the same counts via
+    * explode-and-group SQL.
+    */
+  val q61Repetition: QueryDef = QueryDef(
+    "q61_repetition",
+    (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.plans.TokenNgramStats.token_ngram_stats(col("text"), 1).as("u"),
+          graft.plans.TokenNgramStats.token_ngram_stats(col("text"), 2).as("b"))
+        .select(col("doc_id"),
+          col("u.n_grams").as("n_tokens"),
+          when(col("u.n_grams") > 0,
+            round((col("u.n_grams") - col("u.n_distinct")).cast("double") /
+              col("u.n_grams"), 6)).as("dup_token_frac"),
+          when(col("u.n_grams") > 0,
+            round(col("u.top_tf").cast("double") / col("u.n_grams"), 6))
+            .as("top_token_frac"),
+          when(col("b.n_grams") > 0,
+            round((col("b.n_grams") - col("b.n_distinct")).cast("double") /
+              col("b.n_grams"), 6)).as("dup_bigram_frac"))
+        .orderBy(col("doc_id")),
+    Some("""
+      WITH t AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents),
+      uc AS (
+        SELECT doc_id, tk, COUNT(*) AS c FROM (
+          SELECT doc_id, unnest(toks) AS tk FROM t) GROUP BY doc_id, tk),
+      us AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS d, MAX(c) AS m
+        FROM uc GROUP BY doc_id),
+      bc AS (
+        SELECT doc_id, g, COUNT(*) AS c FROM (
+          SELECT doc_id,
+            unnest([toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]) AS g
+          FROM t) GROUP BY doc_id, g),
+      bs AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS d
+        FROM bc GROUP BY doc_id)
+      SELECT t.doc_id,
+        COALESCE(us.n, 0) AS n_tokens,
+        CASE WHEN us.n > 0
+          THEN ROUND(CAST(us.n - us.d AS DOUBLE) / us.n, 6) END AS dup_token_frac,
+        CASE WHEN us.n > 0
+          THEN ROUND(CAST(us.m AS DOUBLE) / us.n, 6) END AS top_token_frac,
+        CASE WHEN bs.n > 0
+          THEN ROUND(CAST(bs.n - bs.d AS DOUBLE) / bs.n, 6) END AS dup_bigram_frac
+      FROM t LEFT JOIN us USING (doc_id) LEFT JOIN bs USING (doc_id)
+      ORDER BY doc_id"""),
+  )
+
   val all: Seq[QueryDef] = Seq(
     q30TextStats, q31LangId, q32Fingerprint, q33DedupExact,
     q34NgramJaccard, q35MinhashLsh, q36SimhashPairs, q37CosinePairs,
     q38AnnTopK, q39AnnLsh, q40StreamWindow, q41StreamDedup, q42Multimodal,
     q43SessionizeState, q44SessionizeBatch, q45AnnIvf, q46DistinctSketch,
     q49Vocab, q50AsofJoin, q52TokenCost, q55Keywords, q59HeavyHitters,
-    q60ResampleFfill)
+    q60ResampleFfill, q61Repetition)
 }

@@ -58,6 +58,9 @@ class ScaleDesignSpec extends SparkSpec {
       "SELECT size(srp_signature(array(CAST(1.0 AS FLOAT)), 8, 42)) AS p")
       .head().getInt(0)
     assert(srp === 8)
+    val tns = spark.sql(
+      "SELECT token_ngram_stats('a b a', 2).n_grams AS n").head().getLong(0)
+    assert(tns === 2L)
   }
 
   test("stateful and windowed sessionization agree") {

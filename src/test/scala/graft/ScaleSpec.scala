@@ -122,6 +122,47 @@ class ScaleSpec extends SparkSpec {
     assert(viaExpr.exceptAll(viaLambda).count() === 0)
   }
 
+  test("TokenNgramStats: known values, empties, blanks, and null") {
+    val rows = Seq((1L, "a b a b a"), (2L, "  x  "), (3L, ""))
+      .toDF("id", "t")
+      .unionByName(Seq(Tuple1(4L)).toDF("id")
+        .withColumn("t", lit(null).cast("string")))
+      .select(col("id"),
+        graft.plans.TokenNgramStats.token_ngram_stats(col("t"), 1).as("u"),
+        graft.plans.TokenNgramStats.token_ngram_stats(col("t"), 2).as("b"))
+      .orderBy("id").collect()
+    // "a b a b a": 5 tokens {a:3, b:2}; 4 bigrams {"a b":2, "b a":2}
+    assert(rows(0).getStruct(1).toSeq === Seq(5L, 2L, 3L))
+    assert(rows(0).getStruct(2).toSeq === Seq(4L, 2L, 2L))
+    // blanks collapse to the single token "x"; too short for bigrams
+    assert(rows(1).getStruct(1).toSeq === Seq(1L, 1L, 1L))
+    assert(rows(1).getStruct(2).toSeq === Seq(0L, 0L, 0L))
+    assert(rows(2).getStruct(1).toSeq === Seq(0L, 0L, 0L))
+    assert(rows(3).isNullAt(1) && rows(3).isNullAt(2))
+  }
+
+  test("TokenNgramStats matches the explode-and-group counts on documents") {
+    val docs = Tables(spark, sfDir, "documents")
+    val viaExpr = docs.select(col("doc_id"),
+        graft.plans.TokenNgramStats.token_ngram_stats(col("text"), 2).as("s"))
+      .filter(col("s.n_grams") > 0)
+      .select(col("doc_id"), col("s.n_grams"), col("s.n_distinct"),
+        col("s.top_tf"))
+    val toks = docs.select(col("doc_id"),
+        filter(split(col("text"), " "), t => t =!= "").as("t"))
+      .filter(size(col("t")) >= 2)
+    val viaGroup = toks.select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("t")) - 1),
+          i => concat_ws(" ", element_at(col("t"), i),
+            element_at(col("t"), i + 1)))).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(sum("c").as("n_grams"),
+        count(lit(1)).as("n_distinct"), max("c").as("top_tf"))
+    assert(viaExpr.count() > 0)
+    assert(viaExpr.exceptAll(viaGroup).count() === 0)
+    assert(viaGroup.exceptAll(viaExpr).count() === 0)
+  }
+
   test("exact dedup groups near-identical prefixes") {
     val docs = Tables(spark, sfDir, "documents")
     val groups = Dedup.exactByKey(docs, substring(col("text"), 1, 50), col("doc_id"))
