@@ -75,6 +75,19 @@ object GraftExtensions {
       litInt(children(1), "srp_signature"),
       litLong(children(2), "srp_signature")))
 
+  private def litBinary(e: Expression, fn: String): Array[Byte] = e match {
+    case Literal(v: Array[Byte], org.apache.spark.sql.types.BinaryType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a binary literal parameter, got $other")
+  }
+
+  val bloomAnyContainDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("bloom_any_contain"),
+    new ExpressionInfo(classOf[BloomAnyContain].getName, "bloom_any_contain"),
+    (children: Seq[Expression]) =>
+      BloomAnyContain(children(0), litBinary(children(1), "bloom_any_contain")))
+
   val tokenNgramStatsDescriptor
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("token_ngram_stats"),
@@ -86,7 +99,8 @@ object GraftExtensions {
       Seq[Expression] => Expression)] = Seq(
     rollingHashDescriptor, kanjiAddressKeyDescriptor, dotProductDescriptor,
     shingleHashesDescriptor, minhashSignatureDescriptor,
-    srpSignatureDescriptor, tokenNgramStatsDescriptor)
+    srpSignatureDescriptor, tokenNgramStatsDescriptor,
+    bloomAnyContainDescriptor)
 
   /** Imperative registration for an already-built session (tests, REPL). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -3,7 +3,7 @@ package graft.queries
 import graft.{QueryDef, Tables}
 import graft.functions.TextFunctions
 import graft.multimodal.Multimodal
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Decontaminate, Dedup, Similarity}
 import graft.plans.RollingHash.rolling_hash
 import org.apache.spark.sql.functions._
 
@@ -698,11 +698,49 @@ object ScaleQueries {
       ORDER BY doc_id"""),
   )
 
+  // ---------------------------------------------------------------- q62
+  /** Benchmark decontamination: flag corpus documents (doc_id % 10 ≠ 0)
+    * sharing any 8-gram with the held-out "benchmark" slice
+    * (doc_id % 10 = 0). The graded path is the full
+    * [[graft.operators.Decontaminate]] pipeline — benchmark shingles →
+    * driver bloom → codegen'd map-side prefilter → broadcast-join exact
+    * verify — so bloom false positives provably cannot leak into the
+    * output (the oracle recomputes the overlap exactly on gram strings).
+    */
+  val q62Decontaminate: QueryDef = QueryDef(
+    "q62_decontaminate",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val benchGrams = Decontaminate.benchmarkShingles(
+        docs.filter(col("doc_id") % 10 === 0), col("text"), n = 8)
+      Decontaminate.contaminated(
+          docs.filter(col("doc_id") % 10 =!= 0), col("doc_id"), col("text"),
+          benchGrams, n = 8)
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH docs AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      sh AS (
+        SELECT doc_id,
+          list_distinct([list_reduce(t[i:i+7], (a, b) -> a || ' ' || b)
+                         for i in range(1, len(t) - 6)]) AS g
+        FROM docs WHERE len(t) >= 8),
+      bench AS (
+        SELECT DISTINCT unnest(g) AS gram FROM sh WHERE doc_id % 10 = 0),
+      corpus AS (
+        SELECT doc_id, unnest(g) AS gram FROM sh WHERE doc_id % 10 <> 0)
+      SELECT c.doc_id, COUNT(*) AS n_overlap
+      FROM corpus c JOIN bench b USING (gram)
+      GROUP BY c.doc_id
+      ORDER BY c.doc_id"""),
+  )
+
   val all: Seq[QueryDef] = Seq(
     q30TextStats, q31LangId, q32Fingerprint, q33DedupExact,
     q34NgramJaccard, q35MinhashLsh, q36SimhashPairs, q37CosinePairs,
     q38AnnTopK, q39AnnLsh, q40StreamWindow, q41StreamDedup, q42Multimodal,
     q43SessionizeState, q44SessionizeBatch, q45AnnIvf, q46DistinctSketch,
     q49Vocab, q50AsofJoin, q52TokenCost, q55Keywords, q59HeavyHitters,
-    q60ResampleFfill, q61Repetition)
+    q60ResampleFfill, q61Repetition, q62Decontaminate)
 }

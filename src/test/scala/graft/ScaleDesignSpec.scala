@@ -61,6 +61,35 @@ class ScaleDesignSpec extends SparkSpec {
     val tns = spark.sql(
       "SELECT token_ngram_stats('a b a', 2).n_grams AS n").head().getLong(0)
     assert(tns === 2L)
+    val bf = org.apache.spark.util.sketch.BloomFilter.create(10, 0.01)
+    bf.putLong(42L)
+    val hex = graft.plans.BloomAnyContain.serialize(bf)
+      .map("%02X".format(_)).mkString
+    val hit = spark.sql(
+      s"SELECT bloom_any_contain(array(42L), X'$hex') AS h")
+      .head().getBoolean(0)
+    assert(hit)
+  }
+
+  test("decontamination prefilter is a narrow map; verify join broadcasts") {
+    import graft.operators.Decontaminate
+    val docs = Tables(spark, sfDir, "documents")
+    val grams = Decontaminate.benchmarkShingles(
+      docs.filter(col("doc_id") % 10 === 0), col("text"), n = 8)
+    // the corpus-sized stage: scan → shingle → bloom filter, no Exchange
+    val bloom = grams.stat.bloomFilter("gram", 1000L, 0.01)
+    val pre = docs.select(col("doc_id"),
+        graft.plans.ShingleHashes.shingle_hashes(col("text"), 8).as("sh"))
+      .filter(graft.plans.BloomAnyContain.bloom_any_contain(col("sh"), bloom))
+    val prePlan = pre.queryExecution.executedPlan.toString
+    assert(!prePlan.contains("Exchange"),
+      s"bloom prefilter must not shuffle the corpus:\n$prePlan")
+    // the survivor-sized verify joins against the broadcast benchmark set
+    val out = Decontaminate.contaminated(docs.filter(col("doc_id") % 10 =!= 0),
+      col("doc_id"), col("text"), grams, n = 8)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"exact verify should broadcast the benchmark shingles:\n$plan")
   }
 
   test("stateful and windowed sessionization agree") {

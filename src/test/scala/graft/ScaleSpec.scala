@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.TextFunctions
 import graft.multimodal.Multimodal
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Decontaminate, Dedup, Similarity}
 import graft.plans.RollingHash
 import org.apache.spark.sql.functions._
 
@@ -161,6 +161,42 @@ class ScaleSpec extends SparkSpec {
     assert(viaExpr.count() > 0)
     assert(viaExpr.exceptAll(viaGroup).count() === 0)
     assert(viaGroup.exceptAll(viaExpr).count() === 0)
+  }
+
+  test("Decontaminate: exact overlap counts, clean docs absent, empty bench") {
+    val bench = Seq((100L, "b0 b1 b2 b3 b4 b5 b6 b7 b8 b9"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "x b1 b2 b3 b4 b5 b6 b7 b8 y"), // shares exactly the b1..b8 gram
+      (2L, "c0 c1 c2 c3 c4 c5 c6 c7 c8 c9"), // clean
+      (3L, "b0 b1 b2 b3 b4 b5 b6 b7 b8 b9")) // identical: all 3 grams
+      .toDF("doc_id", "text")
+    val grams = Decontaminate.benchmarkShingles(bench, col("text"), n = 8)
+    val out = Decontaminate.contaminated(corpus, col("doc_id"), col("text"),
+        grams, n = 8)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out === Seq((1L, 1L), (3L, 3L)))
+    val empty = Decontaminate.contaminated(corpus, col("doc_id"), col("text"),
+      grams.limit(0), n = 8)
+    assert(empty.columns.toSeq === Seq("doc_id", "n_overlap"))
+    assert(empty.count() === 0)
+  }
+
+  test("Decontaminate matches the direct exact overlap join on documents") {
+    val docs = Tables(spark, sfDir, "documents")
+    val grams = Decontaminate.benchmarkShingles(
+      docs.filter(col("doc_id") % 10 === 0), col("text"), n = 8)
+    val out = Decontaminate.contaminated(docs.filter(col("doc_id") % 10 =!= 0),
+      col("doc_id"), col("text"), grams, n = 8)
+    val direct = docs.filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"), explode(
+        graft.plans.ShingleHashes.shingle_hashes(col("text"), 8)).as("gram"))
+      .join(grams, Seq("gram"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+    assert(out.count() > 0)
+    assert(out.exceptAll(direct).count() === 0)
+    assert(direct.exceptAll(out).count() === 0)
   }
 
   test("exact dedup groups near-identical prefixes") {
