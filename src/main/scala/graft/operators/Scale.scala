@@ -42,4 +42,30 @@ object Scale {
   def bucketedJoin(spark: SparkSession, leftTable: String,
       rightTable: String, key: String): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), Seq(key))
+
+  /** Deterministic source-weighted corpus subsampling — the mixture
+    * step that reweights a pretraining corpus (keep 100% of books, 30%
+    * of common-crawl, …) while staying reproducible across runs and
+    * engines: a row survives iff
+    * `rolling_hash(key) mod 1e6 < rate(source)·1e6`, so membership is a
+    * pure function of content, not RNG state or partitioning.
+    *
+    * The per-source rates compile into a `when`-chain literal (the map
+    * is dim-table-sized by definition), so the whole operator is a
+    * narrow codegen'd filter over the scan — no join, no shuffle, and
+    * the same document always makes the same cut, which keeps
+    * downstream caches and dedup stable across pipeline re-runs.
+    * Sources absent from the map keep `defaultRate`.
+    */
+  def mixtureSample(df: DataFrame, source: org.apache.spark.sql.Column,
+      key: org.apache.spark.sql.Column, rates: Map[String, Double],
+      defaultRate: Double = 1.0): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0 && r <= 1),
+      "rates must be in [0, 1]")
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (src, r)) =>
+      when(source === src, lit(r)).otherwise(acc)
+    }
+    df.filter(pmod(graft.plans.RollingHash.rolling_hash(key), lit(1000000L))
+      < rate * lit(1000000L))
+  }
 }

@@ -146,4 +146,25 @@ object Similarity {
       .select(col("q_id"), col("rank").cast("long").as("rank"), col("n_id"),
         round(col("cosine"), 6).as("cosine"))
   }
+
+  /** Exact per-label centroids in long form: (label, dim, n, centroid).
+    * One explode + one shuffle on (label, dim) with map-side partial
+    * aggregation — the distributed mean that seeds k-means, audits
+    * class geometry, or builds IVF coarse quantizers.
+    *
+    * The mean uses the repo's fixed-point exact-sum pattern: each
+    * component is scaled to micro-units and summed as a LONG, so the
+    * result is independent of row order and partitioning — a plain
+    * double sum over floats is neither, and would diverge from any
+    * other engine (or its own next run) in the low bits. Scaled
+    * accumulation overflows only past ~9e12 rows per (label, dim) at
+    * |v| ≤ 1 — not reachable even at the 100 TB target.
+    */
+  def labelCentroids(emb: DataFrame, label: Column, vec: Column): DataFrame =
+    emb.select(label.as("label"), posexplode(vec).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim").cast("long").as("dim"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(round(col("v").cast("double") * 1000000, 0).cast("long"))
+            .cast("double") / (count(lit(1)) * 1000000.0), 6)
+          .as("centroid"))
 }

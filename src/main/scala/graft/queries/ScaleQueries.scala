@@ -3,7 +3,7 @@ package graft.queries
 import graft.{QueryDef, Tables}
 import graft.functions.TextFunctions
 import graft.multimodal.Multimodal
-import graft.operators.{Decontaminate, Dedup, Similarity}
+import graft.operators.{CorpusFilter, Decontaminate, Dedup, Scale, Similarity}
 import graft.plans.RollingHash.rolling_hash
 import org.apache.spark.sql.functions._
 
@@ -736,11 +736,103 @@ object ScaleQueries {
       ORDER BY c.doc_id"""),
   )
 
+  // ---------------------------------------------------------------- q63
+  /** Rule-based corpus filter verdicts ([[graft.operators.CorpusFilter]]):
+    * length + token/bigram repetition screens with per-rule
+    * attribution. Thresholds (30 ≤ tokens ≤ 10000, dup-token ≤ 0.6,
+    * dup-bigram ≤ 0.05) split the synthetic corpus so every rule
+    * rejects a real slice.
+    */
+  val q63CorpusFilter: QueryDef = QueryDef(
+    "q63_corpus_filter",
+    (s, dir) =>
+      CorpusFilter.gopherFlags(Tables(s, dir, "documents"),
+          col("doc_id"), col("text"),
+          CorpusFilter.Thresholds(minTokens = 30, maxTokens = 10000,
+            maxDupTokenFrac = 0.6, maxDupBigramFrac = 0.05))
+        .orderBy(col("doc_id")),
+    Some("""
+      WITH t AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents),
+      u AS (
+        SELECT doc_id, len(toks) AS n, len(list_distinct(toks)) AS d FROM t),
+      b AS (
+        SELECT doc_id,
+          CASE WHEN len(toks) >= 2 THEN len(toks) - 1 ELSE 0 END AS nb,
+          CASE WHEN len(toks) >= 2 THEN
+            len(list_distinct([toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]))
+          ELSE 0 END AS db
+        FROM t),
+      f AS (
+        SELECT u.doc_id, u.n AS n_tokens,
+          u.n BETWEEN 30 AND 10000 AS len_ok,
+          CASE WHEN u.n > 0
+            THEN CAST(u.n - u.d AS DOUBLE) / u.n <= 0.6 ELSE TRUE END AS dup_token_ok,
+          CASE WHEN b.nb > 0
+            THEN CAST(b.nb - b.db AS DOUBLE) / b.nb <= 0.05 ELSE TRUE END AS dup_bigram_ok
+        FROM u JOIN b USING (doc_id))
+      SELECT doc_id, n_tokens, len_ok, dup_token_ok, dup_bigram_ok,
+        len_ok AND dup_token_ok AND dup_bigram_ok AS keep
+      FROM f ORDER BY doc_id"""),
+  )
+
+  // ---------------------------------------------------------------- q64
+  /** Deterministic source-weighted mixture sampling
+    * ([[graft.operators.Scale.mixtureSample]]): keep-rates per source,
+    * membership a pure function of content hash — reproducible across
+    * runs, partitionings, and engines (the oracle replays the identical
+    * rolling hash).
+    */
+  val q64MixtureSample: QueryDef = QueryDef(
+    "q64_mixture_sample",
+    (s, dir) =>
+      Scale.mixtureSample(Tables(s, dir, "documents"),
+          col("source"), col("text"),
+          Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.1),
+          defaultRate = 0.75)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id")),
+    Some(s"""
+      WITH r AS (
+        SELECT doc_id, source,
+          ${FpLambda.format("text")} % 1000000 AS h
+        FROM documents)
+      SELECT doc_id, source FROM r
+      WHERE h < (CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+                 WHEN 'src2' THEN 0.25 WHEN 'src3' THEN 0.1
+                 ELSE 0.75 END) * 1000000
+      ORDER BY doc_id"""),
+  )
+
+  // ---------------------------------------------------------------- q65
+  /** Exact per-label embedding centroids
+    * ([[graft.operators.Similarity.labelCentroids]]): fixed-point exact
+    * sums make the distributed mean order-independent, so Spark and
+    * DuckDB agree bit-for-bit on every component.
+    */
+  val q65LabelCentroids: QueryDef = QueryDef(
+    "q65_label_centroids",
+    (s, dir) =>
+      Similarity.labelCentroids(Tables(s, dir, "embeddings"),
+          col("label"), col("embedding"))
+        .orderBy(col("label"), col("dim")),
+    Some("""
+      SELECT label, s.i - 1 AS dim, COUNT(*) AS n,
+        ROUND(CAST(SUM(CAST(ROUND(CAST(embedding[s.i] AS DOUBLE) * 1000000, 0) AS BIGINT)) AS DOUBLE)
+          / (COUNT(*) * 1000000.0), 6) AS centroid
+      FROM embeddings, (SELECT unnest(range(1, 10000)) AS i) s
+      WHERE s.i <= len(embedding)
+      GROUP BY label, dim
+      ORDER BY label, dim"""),
+  )
+
   val all: Seq[QueryDef] = Seq(
     q30TextStats, q31LangId, q32Fingerprint, q33DedupExact,
     q34NgramJaccard, q35MinhashLsh, q36SimhashPairs, q37CosinePairs,
     q38AnnTopK, q39AnnLsh, q40StreamWindow, q41StreamDedup, q42Multimodal,
     q43SessionizeState, q44SessionizeBatch, q45AnnIvf, q46DistinctSketch,
     q49Vocab, q50AsofJoin, q52TokenCost, q55Keywords, q59HeavyHitters,
-    q60ResampleFfill, q61Repetition, q62Decontaminate)
+    q60ResampleFfill, q61Repetition, q62Decontaminate, q63CorpusFilter,
+    q64MixtureSample, q65LabelCentroids)
 }

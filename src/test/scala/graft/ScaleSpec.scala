@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.TextFunctions
 import graft.multimodal.Multimodal
-import graft.operators.{Decontaminate, Dedup, Similarity}
+import graft.operators.{Decontaminate, Dedup, Scale, Similarity}
 import graft.plans.RollingHash
 import org.apache.spark.sql.functions._
 
@@ -197,6 +197,55 @@ class ScaleSpec extends SparkSpec {
     assert(out.count() > 0)
     assert(out.exceptAll(direct).count() === 0)
     assert(direct.exceptAll(out).count() === 0)
+  }
+
+  test("CorpusFilter: each rule rejects its planted document") {
+    val longRep = ("w " * 40).trim + " " + ("x " * 60).trim // dup_token heavy
+    // mostly-distinct tokens but a looping bigram tail: only the
+    // bigram rule fires
+    val bigramRep = ((1 to 39).map(i => s"t$i") ++
+      Seq("t1", "t2", "t1", "t2", "t1", "t2")).mkString(" ")
+    val clean = (1 to 40).map(i => s"t$i").mkString(" ")
+    val df = Seq((1L, clean), (2L, "too short"), (3L, longRep),
+      (4L, bigramRep)).toDF("doc_id", "text")
+    val out = graft.operators.CorpusFilter.gopherFlags(df, col("doc_id"),
+        col("text"),
+        graft.operators.CorpusFilter.Thresholds(minTokens = 30,
+          maxTokens = 10000, maxDupTokenFrac = 0.6, maxDupBigramFrac = 0.05))
+      .orderBy("doc_id").collect()
+    assert(out(0).getBoolean(5)) // clean doc kept
+    assert(!out(1).getBoolean(2) && !out(1).getBoolean(5)) // len_ok fails
+    assert(!out(2).getBoolean(3) && !out(2).getBoolean(5)) // dup_token fails
+    // dup_bigram is the ONLY failing rule for the looping-tail doc
+    assert(out(3).getBoolean(2) && out(3).getBoolean(3))
+    assert(!out(3).getBoolean(4) && !out(3).getBoolean(5))
+  }
+
+  test("mixtureSample: rate bounds, determinism, and monotonic nesting") {
+    val docs = Tables(spark, sfDir, "documents")
+    def sample(rate: Double) = Scale.mixtureSample(docs, col("source"),
+      col("text"), Map.empty, defaultRate = rate)
+    assert(sample(0.0).count() === 0)
+    assert(sample(1.0).count() === docs.count())
+    val half = sample(0.5)
+    val n = half.count()
+    assert(n > 0 && n < docs.count())
+    assert(half.exceptAll(sample(0.5)).count() === 0) // same cut every run
+    // lower rates select subsets of higher rates (h < r·1e6 is monotone)
+    val quarter = sample(0.25)
+    assert(quarter.exceptAll(half).count() === 0)
+  }
+
+  test("labelCentroids: exact means on a known example") {
+    val emb = Seq(
+      (1L, Array(1.0f, 3.0f), 0),
+      (2L, Array(3.0f, 5.0f), 0),
+      (3L, Array(-2.0f, 0.5f), 1)).toDF("vec_id", "embedding", "label")
+    val got = Similarity.labelCentroids(emb, col("label"), col("embedding"))
+      .orderBy("label", "dim").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === Seq((0, 0L, 2L, 2.0), (0, 1L, 2L, 4.0),
+      (1, 0L, 1L, -2.0), (1, 1L, 1L, 0.5)))
   }
 
   test("exact dedup groups near-identical prefixes") {
