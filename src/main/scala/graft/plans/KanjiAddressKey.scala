@@ -28,12 +28,17 @@ case class KanjiAddressKey(child: Expression) extends UnaryExpression {
   }
 
   override def nullSafeEval(input: Any): Any =
-    KanjiAddressKey.eval(input.asInstanceOf[UTF8String])
+    KanjiAddressKey.evalImpl(input.asInstanceOf[UTF8String])
 
+  // The helper must NOT be named `eval`: the class inherits
+  // eval(InternalRow), and scalac suppresses the static forwarder for
+  // any companion method whose name collides with an inherited member —
+  // Janino then can't resolve the call and the whole stage silently
+  // falls back to interpreted execution.
   override protected def doGenCode(ctx: CodegenContext,
       ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.plans.KanjiAddressKey.eval($c);")
+      s"${ev.value} = graft.plans.KanjiAddressKey.evalImpl($c);")
 
   override protected def withNewChildInternal(newChild: Expression): KanjiAddressKey =
     copy(child = newChild)
@@ -43,7 +48,7 @@ case class KanjiAddressKey(child: Expression) extends UnaryExpression {
 
 object KanjiAddressKey {
 
-  def eval(s: UTF8String): UTF8String =
+  def evalImpl(s: UTF8String): UTF8String =
     UTF8String.fromString(
       graft.functions.Parsers.buildAddressKanjiFn(s.toString))
 

@@ -39,7 +39,7 @@ case class MinhashSignature(child: Expression, k: Int)
   override def eval(input: InternalRow): Any = {
     val v = child.eval(input)
     if (v == null) MinhashSignature.allNull(k)
-    else MinhashSignature.eval(v.asInstanceOf[ArrayData], k)
+    else MinhashSignature.evalImpl(v.asInstanceOf[ArrayData], k)
   }
 
   override protected def doGenCode(ctx: CodegenContext,
@@ -50,7 +50,7 @@ case class MinhashSignature(child: Expression, k: Int)
       code = childGen.code + code"""
         $jt ${ev.value} = ${childGen.isNull} ?
           graft.plans.MinhashSignature.allNull($k) :
-          graft.plans.MinhashSignature.eval(${childGen.value}, $k);""",
+          graft.plans.MinhashSignature.evalImpl(${childGen.value}, $k);""",
       isNull = FalseLiteral)
   }
 
@@ -75,7 +75,10 @@ object MinhashSignature {
 
   def allNull(k: Int): ArrayData = new GenericArrayData(new Array[Any](k))
 
-  def eval(hashes: ArrayData, k: Int): ArrayData = {
+  // Named evalImpl, not eval: a companion method named after an
+  // inherited member (Expression.eval) gets no static forwarder, so the
+  // generated Java could never resolve it (silent interpreted fallback).
+  def evalImpl(hashes: ArrayData, k: Int): ArrayData = {
     // null ELEMENTS are skipped like array_min skips the null the
     // lambda maps them to; empty (or all-null) input → k nulls
     val total = hashes.numElements()

@@ -42,7 +42,7 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
   override def eval(input: InternalRow): Any = {
     val v = child.eval(input)
     if (v == null) ShingleHashes.empty()
-    else ShingleHashes.eval(v.asInstanceOf[UTF8String], n)
+    else ShingleHashes.evalImpl(v.asInstanceOf[UTF8String], n)
   }
 
   override protected def doGenCode(ctx: CodegenContext,
@@ -53,7 +53,7 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
       code = childGen.code + code"""
         $jt ${ev.value} = ${childGen.isNull} ?
           graft.plans.ShingleHashes.empty() :
-          graft.plans.ShingleHashes.eval(${childGen.value}, $n);""",
+          graft.plans.ShingleHashes.evalImpl(${childGen.value}, $n);""",
       isNull = FalseLiteral)
   }
 
@@ -69,7 +69,10 @@ object ShingleHashes {
 
   def empty(): ArrayData = new GenericArrayData(Array.empty[Long])
 
-  def eval(s: UTF8String, n: Int): ArrayData = {
+  // Named evalImpl, not eval: a companion method named after an
+  // inherited member (Expression.eval) gets no static forwarder, so the
+  // generated Java could never resolve it (silent interpreted fallback).
+  def evalImpl(s: UTF8String, n: Int): ArrayData = {
     // Spark split(c, " ") semantics: regex split with limit -1 — empty
     // tokens (double spaces, leading/trailing) are KEPT
     val toks = s.toString.split(" ", -1)

@@ -37,11 +37,11 @@ case class TokenNgramStats(child: Expression, n: Int) extends UnaryExpression {
   }
 
   override def nullSafeEval(v: Any): Any =
-    TokenNgramStats.eval(v.asInstanceOf[UTF8String], n)
+    TokenNgramStats.evalImpl(v.asInstanceOf[UTF8String], n)
 
   override protected def doGenCode(ctx: CodegenContext,
       ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.plans.TokenNgramStats.eval($c, $n)")
+    defineCodeGen(ctx, ev, c => s"graft.plans.TokenNgramStats.evalImpl($c, $n)")
 
   override protected def withNewChildInternal(
       newChild: Expression): TokenNgramStats = copy(child = newChild)
@@ -56,7 +56,10 @@ object TokenNgramStats {
     StructField("n_distinct", LongType, nullable = false),
     StructField("top_tf", LongType, nullable = false)))
 
-  def eval(s: UTF8String, n: Int): InternalRow = {
+  // Named evalImpl, not eval: a companion method named after an
+  // inherited member (Expression.eval) gets no static forwarder, so the
+  // generated Java could never resolve it (silent interpreted fallback).
+  def evalImpl(s: UTF8String, n: Int): InternalRow = {
     val raw = s.toString.split(" ", -1)
     // drop empty tokens (double/leading/trailing spaces)
     var nTok = 0
