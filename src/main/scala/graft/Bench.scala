@@ -6,11 +6,73 @@ import org.apache.spark.sql.SparkSession
   * prints one JSON line. Results are forced through the `noop` sink so the
   * full plan executes (a bare .count() would let Catalyst prune the
   * projection away).
+  *
+  * Trust hardening (round 4):
+  *  - the JSON line is also written to SPARK_GRAFT_BENCH_OUT
+  *    (default `BENCH.json` in the working dir), so consumers never have
+  *    to fish it out of sbt log noise;
+  *  - /proc/loadavg is stamped before and after the run, so a
+  *    machine-load-contaminated result is visible in the artifact itself
+  *    (the r3 "regressions" were exactly this);
+  *  - a log4j2 appender counts logged CompileExceptions (a failed Janino
+  *    compile means a codegen'd operator silently fell back to
+  *    interpreted execution) and the run EXITS NONZERO if any occurred —
+  *    a bench of the fallback path is not a bench of the shipped code.
   */
 object Bench {
+
+  /** Counts log events that carry a Janino CompileException — the
+    * signature of a codegen'd stage falling back to interpreted
+    * execution. Attached to the log4j2 root logger so it sees Spark's
+    * CodeGenerator error logs regardless of level filtering.
+    */
+  private final class CompileExceptionCounter
+      extends org.apache.logging.log4j.core.appender.AbstractAppender(
+        "graft-compile-exception-counter", null,
+        org.apache.logging.log4j.core.layout.PatternLayout
+          .createDefaultLayout(),
+        false,
+        org.apache.logging.log4j.core.config.Property.EMPTY_ARRAY) {
+    val count = new java.util.concurrent.atomic.AtomicLong(0L)
+    override def append(
+        event: org.apache.logging.log4j.core.LogEvent): Unit = {
+      var hit = event.getMessage.getFormattedMessage.contains(
+        "CompileException")
+      var t = event.getThrown
+      while (!hit && t != null) {
+        hit = t.getClass.getName.contains("CompileException")
+        t = t.getCause
+      }
+      if (hit) count.incrementAndGet()
+    }
+  }
+
+  private def installCounter(): CompileExceptionCounter = {
+    val ctx = org.apache.logging.log4j.LogManager.getContext(false)
+      .asInstanceOf[org.apache.logging.log4j.core.LoggerContext]
+    val counter = new CompileExceptionCounter
+    counter.start()
+    val config = ctx.getConfiguration
+    config.getRootLogger.addAppender(
+      counter, org.apache.logging.log4j.Level.ALL, null)
+    ctx.updateLoggers()
+    counter
+  }
+
+  private def loadavg(): String =
+    try {
+      val s = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")),
+        java.nio.charset.StandardCharsets.UTF_8)
+      s.split("\\s+").take(3).mkString(" ")
+    } catch { case _: Throwable => "unavailable" }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
+    val counter = installCounter()
+    val loadBefore = loadavg()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
@@ -47,8 +109,16 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(
-      f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val compileExceptions = counter.count.get()
+    val json =
+      f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg_before":"$loadBefore","loadavg_after":"${loadavg()}","compile_exceptions":$compileExceptions}"""
+    println(json)
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
+    if (compileExceptions > 0) {
+      System.err.println(s"[bench] FAILING: $compileExceptions CompileException(s) logged — a codegen'd stage fell back to interpreted execution")
+      sys.exit(1)
+    }
   }
 }
