@@ -367,7 +367,85 @@ object DomainQueries {
       ORDER BY timestamp, user_id, job_id"""),
   )
 
+  // ---------------------------------------------------------------- q66
+  // per-process path (see q22BasePath for why)
+  private val q66SplitsPath =
+    s"/tmp/graft_q66_splits_${ProcessHandle.current().pid()}.parquet"
+
+  /** M2/M5 oracle anchor — the deterministic slice of the ML lifecycle
+    * that q23's GBT run can't hash-check (no GBT in DuckDB). The seeded
+    * three-way split assignment is materialized to parquet (membership
+    * is Spark-side xxhash64 ranking; the exact SIZE contract is q18's
+    * oracle), then everything a model evaluation does deterministically
+    * is replayed by DuckDB over the same bytes:
+    *
+    *  - "train" a stub model on the train split's non-null feature rows
+    *    (per-priority mean price in exact cents — the CatBoost
+    *    stand-in; reference ml/train.py:40-54 fits on X_train only);
+    *  - batch-score through a LEFT re-join onto the PRE-dropna frame,
+    *    so rows whose features were dropped keep a NULL prediction
+    *    (reference svc/predict.py:42-44: `df[["y"]].join(y_pred,
+    *    how="left")`) — n_total vs n_scored is that row accounting;
+    *  - per-split MAE (reference ml/train.py:56-64 evaluates each of
+    *    train/val/test).
+    *
+    * Every error term is an integer (cents; predictions go through
+    * exact integer division) and the final MAE is a single division of
+    * two exact integers — IEEE-exactly-rounded identically in both
+    * engines — so the hash compare is drift-free by construction.
+    */
+  val q66MlEval: QueryDef = QueryDef(
+    "q66_ml_eval",
+    (s, dir) => {
+      val base = graft.Tables(s, dir, "orders").select(
+        col("o_orderkey").as("id"),
+        (col("o_totalprice") * 100).cast("long").as("y_cents"),
+        // deterministic missing-feature rows exercise the dropna →
+        // re-join accounting (no RNG: membership must be replayable)
+        when(col("o_orderkey") % 97 === 0, lit(null).cast("string"))
+          .otherwise(col("o_orderpriority")).as("feat"))
+      val splits = graft.operators.Splits.threeWay(base, 0.1875, 0.25, 123L)
+      splits.toSeq
+        .map { case (name, df) => df.withColumn("split", lit(name)) }
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(q66SplitsPath)
+      val frame = s.read.parquet(q66SplitsPath)
+      val model = frame
+        .filter(col("split") === "train" && col("feat").isNotNull)
+        .groupBy("feat")
+        .agg(sum("y_cents").as("s"), count(lit(1)).as("c"))
+      val scored = frame.join(broadcast(model), Seq("feat"), "left")
+        .withColumn("pred_cents", expr("s DIV c"))
+      scored.groupBy("split").agg(
+          count(lit(1)).as("n_total"),
+          count(col("pred_cents")).as("n_scored"),
+          coalesce(sum(abs(col("y_cents") - col("pred_cents"))), lit(0L))
+            .as("sum_abs_err"),
+          (sum(abs(col("y_cents") - col("pred_cents"))).cast("double") /
+            count(col("pred_cents"))).as("mae_cents"))
+        .orderBy("split")
+    },
+    oracle = Some(s"""
+      WITH frame AS (
+        SELECT * FROM read_parquet('$q66SplitsPath/*.parquet')),
+      model AS (
+        SELECT feat, sum(y_cents) AS s, count(*) AS c
+        FROM frame WHERE split = 'train' AND feat IS NOT NULL
+        GROUP BY feat),
+      scored AS (
+        SELECT f.split, f.y_cents, m.s // m.c AS pred_cents
+        FROM frame f LEFT JOIN model m ON f.feat = m.feat)
+      SELECT split,
+             count(*) AS n_total,
+             count(pred_cents) AS n_scored,
+             CAST(COALESCE(sum(abs(y_cents - pred_cents)), 0) AS BIGINT)
+               AS sum_abs_err,
+             CAST(sum(abs(y_cents - pred_cents)) AS DOUBLE)
+               / count(pred_cents) AS mae_cents
+      FROM scored GROUP BY split ORDER BY split"""),
+  )
+
   val all: Seq[QueryDef] =
     Seq(q19ParseGolden, q20KanjiAddress, q21ScrapePipeline, q22FullPipeline,
-      q23MlScore, q24ScrapeBench, q47JobInfo)
+      q23MlScore, q24ScrapeBench, q47JobInfo, q66MlEval)
 }
