@@ -7,6 +7,20 @@ import java.nio.file.{Files, Path}
   * the golden tests and the pipeline demo query synthesize pages with the
   * same class-tagged structure the reference's selectors consume.
   */
+/** One parser-output row [[SyntheticSuumo.expectedRooms]] predicts from
+  * generation arithmetic alone (field types match PropertiesFrame's).
+  */
+final case class ExpectedRoom(
+    page: String, jnc_id: String, building_category: String,
+    building_title: String, building_address: String, building_age: Long,
+    building_floors: Long, rent: Long, admin_fee: Long, deposit: Long,
+    gratuity: Long, layout: String, area: Double, min_floor: Long,
+    max_floor: Long, url: String, new_arrival: Boolean, n_rooms: Long,
+    service_room: Boolean, living_room: Boolean, dining_room: Boolean,
+    kitchen: Boolean, n_stations: Long, walk_time_station_min: Double,
+    walk_time_station_avg: Double, ward: String, district: String,
+    html_file_banner_timestamp: Double)
+
 object SyntheticSuumo {
 
   def room(rent: String, admin: String, deposit: String, gratuity: String,
@@ -115,6 +129,83 @@ object SyntheticSuumo {
         Files.writeString(p, page(i, buildingsPerPage, roomsPerBuilding))
     }
     target
+  }
+
+  /** Ground truth the parser is expected to emit for the surviving rooms
+    * of [[page]] — derived from the generator's own arithmetic and the
+    * reference's documented parse formulas (`int(float(s) * mult)`,
+    * "-" → 0, B-floor zero-basing, ワンルーム layout, …), NOT from the
+    * HTML or the Catalyst parsers under test. This is the structural
+    * oracle for the scrape fan-out (S1-S4): generation intent and parse
+    * output are two independent derivations of the same rows, so a
+    * hash match is a real correctness signal, not a tautology.
+    *
+    * Skips mirror the reference's two row-skip sites: a room whose rent
+    * is unparseable (k % 13 == 12 renders "8.万円") and every room of a
+    * building with a non-Tokyo address (n % 11 == 10; ward is the
+    * validity signal).
+    */
+  def expectedRooms(nPages: Int, buildingsPerPage: Int = 10,
+      roomsPerBuilding: Int = 3): Seq[ExpectedRoom] = {
+    val layoutInfo = Map(
+      "1K" -> (1L, false, false, false, true),
+      "2DK" -> (2L, false, false, true, true),
+      "3LDK" -> (3L, false, true, true, true),
+      "ワンルーム" -> (1L, false, false, false, false),
+      "4SLDK" -> (4L, true, true, true, true))
+    for {
+      idx <- 0 until nPages
+      b <- 0 until buildingsPerPage
+      n = idx * buildingsPerPage + b
+      if n % 11 != 10 // non-Tokyo address: ward null, building dropped
+      r <- 0 until roomsPerBuilding
+      k = n * roomsPerBuilding + r
+      if k % 13 != 12 // "8.万円": rent unparseable, room dropped
+    } yield {
+      val jnc = f"${k % 9000}%012d"
+      val layout = layouts(k % 5)
+      val (nRooms, sRoom, lRoom, dRoom, kitchen) = layoutInfo(layout)
+      val (minFloor, maxFloor) = k % 7 match {
+        case 6 => (0L, 1L) // "B1-1階": B1 is zero-based
+        case 5 => ((k % 4 + 2).toLong, (k % 4 + 4).toLong)
+        case f => ((f + 1).toLong, (f + 1).toLong)
+      }
+      // the reference's money formula: int(float(s) * mult) — same IEEE
+      // double product + truncation in Python, DuckDB, and Spark
+      val rent = (s"${5 + k % 20}.${k % 10}".toDouble * 10000).toLong
+      val walkA = (n % 15 + 1).toDouble
+      val walkB = (n % 9 + 2).toDouble
+      ExpectedRoom(
+        page = f"page_$idx%06d.html",
+        jnc_id = jnc,
+        building_category = if (n % 2 == 0) "賃貸マンション" else "アパート",
+        building_title = s"グラフト荘$n",
+        building_address = s"東京都${wards(n % 5)}${districts(n % 5)}${n % 12 + 1}",
+        building_age = if (n % 17 == 0) 0L else (n % 40 + 1).toLong,
+        building_floors = (n % 12 + 2).toLong,
+        rent = rent,
+        admin_fee = if (k % 4 == 0) 0L else (1000 + k % 9 * 500).toLong,
+        deposit = (5 + k % 20) * 10000L,
+        gratuity = if (k % 3 == 0) 0L else (5 + k % 10) * 10000L,
+        layout = layout,
+        area = s"${15 + k % 60}.${k % 100 / 10}".toDouble,
+        min_floor = minFloor,
+        max_floor = maxFloor,
+        url = s"https://suumo.jp/chintai/jnc_$jnc/?bc=100",
+        new_arrival = k % 5 == 0,
+        n_rooms = nRooms,
+        service_room = sRoom,
+        living_room = lRoom,
+        dining_room = dRoom,
+        kitchen = kitchen,
+        n_stations = 2L,
+        walk_time_station_min = math.min(walkA, walkB),
+        walk_time_station_avg = (walkA + walkB) / 2.0,
+        ward = wards(n % 5),
+        district = districts(n % 5),
+        html_file_banner_timestamp =
+          math.rint((1609140469000.0 + idx) / 1000.0))
+    }
   }
 
   /** Synthetic SJIS location-reference CSV covering the wards above. */

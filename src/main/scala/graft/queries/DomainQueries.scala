@@ -445,7 +445,55 @@ object DomainQueries {
       FROM scored GROUP BY split ORDER BY split"""),
   )
 
+  // ---------------------------------------------------------------- q67
+  // per-process path (see q22BasePath for why)
+  private val q67ExpectedPath =
+    s"/tmp/graft_q67_expected_${ProcessHandle.current().pid()}.parquet"
+
+  /** Structural oracle for the scrape fan-out (S1-S4) — promotes the
+    * parse pipeline from q21's rows-only check to a hard hash signal.
+    * [[SyntheticSuumo.expectedRooms]] predicts every surviving room's
+    * parsed fields from the generator's arithmetic alone (no HTML, no
+    * Catalyst parsers); the Spark side runs the real binaryFile scan →
+    * extract → parse pipeline over the rendered pages. The two sides
+    * derive the same rows independently, so the driver's hash compare
+    * checks row fan-out, the two row-skip sites, and every field parser
+    * at once.
+    */
+  val q67ParseOracle: QueryDef = QueryDef(
+    "q67_parse_oracle",
+    (s, _) => {
+      s.createDataFrame(SyntheticSuumo.expectedRooms(6))
+        .write.mode("overwrite").parquet(q67ExpectedPath)
+      val props = PropertiesFrame.scrape(s, synthPages(6),
+        fetchedAt = Some(1.6254e9))
+      props.select(
+          regexp_extract(col("source_file"), "([^/]+)$", 1).as("page"),
+          col("jnc_id"), col("building_category"), col("building_title"),
+          col("building_address"), col("building_age"),
+          col("building_floors"), col("rent"), col("admin_fee"),
+          col("deposit"), col("gratuity"), col("layout"), col("area"),
+          col("min_floor"), col("max_floor"), col("url"),
+          col("new_arrival"), col("n_rooms"), col("service_room"),
+          col("living_room"), col("dining_room"), col("kitchen"),
+          col("n_stations"), col("walk_time_station_min"),
+          col("walk_time_station_avg"), col("ward"), col("district"),
+          col("html_file_banner_timestamp"))
+        .orderBy(col("page"), col("jnc_id"))
+    },
+    oracle = Some(s"""
+      SELECT page, jnc_id, building_category, building_title,
+             building_address, building_age, building_floors, rent,
+             admin_fee, deposit, gratuity, layout, area, min_floor,
+             max_floor, url, new_arrival, n_rooms, service_room,
+             living_room, dining_room, kitchen, n_stations,
+             walk_time_station_min, walk_time_station_avg, ward,
+             district, html_file_banner_timestamp
+      FROM read_parquet('$q67ExpectedPath/*.parquet')
+      ORDER BY page, jnc_id"""),
+  )
+
   val all: Seq[QueryDef] =
     Seq(q19ParseGolden, q20KanjiAddress, q21ScrapePipeline, q22FullPipeline,
-      q23MlScore, q24ScrapeBench, q47JobInfo, q66MlEval)
+      q23MlScore, q24ScrapeBench, q47JobInfo, q66MlEval, q67ParseOracle)
 }
