@@ -36,8 +36,14 @@ object Bench {
     val count = new java.util.concurrent.atomic.AtomicLong(0L)
     override def append(
         event: org.apache.logging.log4j.core.LogEvent): Unit = {
-      var hit = event.getMessage.getFormattedMessage.contains(
-        "CompileException")
+      // Message-substring match is scoped to Spark's codegen loggers:
+      // an unrelated log line merely quoting the class name must not
+      // fail the bench. The thrown-exception chain is checked on every
+      // logger — an actual CompileException is the real signal.
+      val logger = event.getLoggerName
+      var hit = logger != null &&
+        (logger.contains("CodeGenerator") || logger.contains("codegen")) &&
+        event.getMessage.getFormattedMessage.contains("CompileException")
       var t = event.getThrown
       while (!hit && t != null) {
         hit = t.getClass.getName.contains("CompileException")
@@ -113,8 +119,14 @@ object Bench {
     val json =
       f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg_before":"$loadBefore","loadavg_after":"${loadavg()}","compile_exceptions":$compileExceptions}"""
     println(json)
-    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+    // the printed line is the source of truth; an unwritable out path
+    // must not turn a successful run into a nonzero exit
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] WARN: could not write $outPath: $e")
+    }
     spark.stop()
     if (compileExceptions > 0) {
       System.err.println(s"[bench] FAILING: $compileExceptions CompileException(s) logged — a codegen'd stage fell back to interpreted execution")

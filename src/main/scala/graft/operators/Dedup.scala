@@ -68,9 +68,19 @@ object Dedup {
       .filter(size(col("sh")) > 0)
     val sh = shQuery.localCheckpoint()
     val usePrefix = prefixFilter.getOrElse {
-      strategyCache.computeIfAbsent(
-        shQuery.queryExecution.analyzed.semanticHash(),
-        _ => Boolean.box(chooseNgramStrategy(sh))).booleanValue()
+      // get → compute → putIfAbsent, NOT computeIfAbsent: the stats
+      // pass is a full Spark job, and holding the map's bin lock for
+      // its duration would serialize unrelated same-bin callers (and
+      // deadlock a reentrant one). A racing duplicate stats pass is
+      // harmless — both strategies are exact.
+      val key: Integer = shQuery.queryExecution.analyzed.semanticHash()
+      val cached = strategyCache.get(key)
+      if (cached != null) cached.booleanValue()
+      else {
+        val decision = chooseNgramStrategy(sh)
+        val prior = strategyCache.putIfAbsent(key, Boolean.box(decision))
+        if (prior != null) prior.booleanValue() else decision
+      }
     }
     if (usePrefix) prefixFilterPairs(sh, threshold)
     else countJoinPairs(sh, threshold)

@@ -14,15 +14,14 @@ object QueriesDocMain {
       val headline = if (d.headline) "yes" else ""
       s"| ${d.name} | $oracle | $headline |"
     }
+    // NOTE: no stripMargin over the interpolated rows — it would strip
+    // each row's leading markdown pipe and malform the table
     val doc =
-      s"""# QUERIES — the graded registry (generated from SparkEntry.defs)
-         |
-         || name | oracle | headline |
-         ||---|---|---|
-         |${rows.mkString("\n")}
-         |
-         |${defs.size} queries, ${defs.count(_.oracle.isDefined)} oracle-checked, ${defs.count(_.headline)} benchmarked.
-         |""".stripMargin
+      "# QUERIES — the graded registry (generated from SparkEntry.defs)\n\n" +
+        "| name | oracle | headline |\n|---|---|---|\n" +
+        rows.mkString("\n") + "\n\n" +
+        s"${defs.size} queries, ${defs.count(_.oracle.isDefined)} " +
+        s"oracle-checked, ${defs.count(_.headline)} benchmarked.\n"
     Files.writeString(Paths.get("QUERIES.md"), doc)
     println(s"QUERIES.md: ${defs.size} queries, " +
       s"${defs.count(_.oracle.isDefined)} oracle-checked")
