@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components over an edge list — the step that
+  * turns near-duplicate PAIRS (MinHash/SimHash/Jaccard output) into
+  * duplicate CLUSTERS so a corpus can keep one representative per
+  * cluster. Pair generation alone under-deduplicates: if A≈B and B≈C
+  * but A's similarity to C falls under the threshold, only the
+  * component view removes all but one of {A, B, C}.
+  *
+  * Algorithm: alternating large-star / small-star (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC'14) — the
+  * shuffle-friendly formulation that converges in O(log n) rounds on
+  * real graphs, vs O(diameter) for naive label propagation (a 1e6-node
+  * chain takes 1e6 label-propagation rounds but ~40 star rounds).
+  * Each round is two hash aggregations and two hash joins on the edge
+  * list — no collect_list adjacency materialization, so a hub node of
+  * degree 1e8 never buffers its neighborhood in one task: large-star's
+  * per-node minimum is a partial-aggregating groupBy, and the
+  * subsequent emit is a join keyed on the node, both of which AQE can
+  * skew-split.
+  *
+  * Lineage is truncated with an eager localCheckpoint per round (a
+  * cluster deployment would use reliable checkpointing); convergence
+  * is detected EXACTLY — round output equals round input as an edge
+  * set via count + except — never by a hashed signature that could
+  * collide and stop early on a wrong answer.
+  */
+object Components {
+
+  /** Connected components of the undirected graph given by `edges`
+    * (columns `src`, `dst`, any numeric/orderable type). Returns
+    * (`node`, `component`) where `component` is the minimum node id
+    * reachable from `node`; every node appearing in `edges` (plus all
+    * of `allNodes`, if given — isolated nodes have no edges) gets a
+    * row. Deterministic: the fixed point is unique.
+    */
+  def connectedComponents(edges: DataFrame,
+      allNodes: Option[DataFrame] = None, maxIter: Int = 50): DataFrame = {
+    val spark = edges.sparkSession
+    // normalized undirected edge set: (hi, lo), self-loops dropped
+    def normalize(e: DataFrame): DataFrame = e
+      .filter(col("src") =!= col("dst"))
+      .select(greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+      .distinct()
+
+    var cur = normalize(edges.select(col("src"), col("dst"))).localCheckpoint()
+    var curCount = cur.count()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val next = smallStar(largeStar(cur)).localCheckpoint()
+      val nextCount = next.count()
+      // exact set equality: same cardinality and no edge of next
+      // outside cur (both are distinct sets, so that implies equality)
+      converged = nextCount == curCount &&
+        next.except(cur).limit(1).isEmpty
+      cur = next
+      curCount = nextCount
+      iter += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    // converged state is a star forest: every edge is (member, root)
+    val labeled = cur.select(col("src").as("node"), col("dst").as("component"))
+    val nodes = allNodes.map(_.select(col("node")).distinct()).getOrElse(
+      cur.select(col("src").as("node"))
+        .union(cur.select(col("dst").as("node"))).distinct())
+    nodes.join(labeled, Seq("node"), "left")
+      .select(col("node"), coalesce(col("component"), col("node")).as("component"))
+  }
+
+  /** Large-star: every node u links each STRICTLY LARGER neighbor to
+    * the minimum of its closed neighborhood. Implemented as
+    * groupBy-min + join — never a buffered adjacency list.
+    */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val adj = e.select(col("src").as("u"), col("dst").as("v"))
+      .union(e.select(col("dst").as("u"), col("src").as("v")))
+    val mins = adj.groupBy(col("u"))
+      .agg(min(col("v")).as("mn"))
+      .select(col("u"), least(col("u"), col("mn")).as("m"))
+    adj.filter(col("v") > col("u"))
+      .join(mins, Seq("u"))
+      .select(col("v").as("src"), col("m").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  /** Small-star: every node u links its not-larger neighbors (and
+    * itself) to the minimum among them.
+    */
+  private def smallStar(e: DataFrame): DataFrame = {
+    // normalized input guarantees src > dst, so N≤(u) of u=src is dst
+    val mins = e.groupBy(col("src")).agg(min(col("dst")).as("m"))
+    val viaNeighbors = e.join(mins, Seq("src"))
+      .select(col("dst").as("src"), col("m").as("dst"))
+    val self = mins.select(col("src"), col("m").as("dst"))
+    viaNeighbors.union(self)
+      .filter(col("src") =!= col("dst"))
+      .select(greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+      .distinct()
+  }
+
+  /** Cluster view for dedup: every node with its component, whether it
+    * is the kept representative (the component minimum), and the
+    * component size.
+    */
+  def dedupClusters(edges: DataFrame, allNodes: DataFrame): DataFrame = {
+    val cc = connectedComponents(edges, Some(allNodes))
+    val sizes = cc.groupBy(col("component"))
+      .agg(count(lit(1)).as("component_size"))
+    cc.join(sizes, Seq("component"))
+      .select(col("node"), col("component"),
+        (col("node") === col("component")).cast("long").as("is_rep"),
+        col("component_size"))
+  }
+}

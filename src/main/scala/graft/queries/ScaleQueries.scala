@@ -16,8 +16,27 @@ import org.apache.spark.sql.functions._
 object ScaleQueries {
 
   /** Shared oracle fragment: per-token / per-text rolling hash. */
-  private val FpLambda =
+  private[queries] val FpLambda =
     "list_reduce([0::BIGINT] || [unicode(x)::BIGINT for x in string_split(%s, '')], (a, c) -> (a * 31 + c) %% 1000000007)"
+
+  /** Oracle fragment: per-document 32-bit SimHash as CTEs ending in
+    * `sim(doc_id, simhash)` — shared by q36 and the clustering oracle.
+    */
+  private[queries] val SimhashCtes = s"""
+      t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+      th AS (SELECT doc_id, ${FpLambda.format("tk")} AS h FROM tok),
+      bits AS (
+        SELECT doc_id, b,
+          SUM(CASE WHEN ((CASE WHEN b < 30 THEN h
+                          ELSE (h * 1103515245 + 12345) % 1073741789 END)
+                    >> (CASE WHEN b < 30 THEN b ELSE (b - 30) % 30 END)) & 1 = 1
+              THEN 1 ELSE -1 END) AS v
+        FROM th, (SELECT unnest(range(0, 32)) AS b)
+        GROUP BY doc_id, b),
+      sim AS (
+        SELECT doc_id, CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+        FROM bits GROUP BY doc_id)"""
 
   // ---------------------------------------------------------------- q30
   val q30TextStats: QueryDef = QueryDef(
@@ -181,20 +200,7 @@ object ScaleQueries {
           col("doc_id"), col("text"), maxHamming = 3)
         .orderBy(col("id_a"), col("id_b")),
     Some(s"""
-      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-      tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
-      th AS (SELECT doc_id, ${FpLambda.format("tk")} AS h FROM tok),
-      bits AS (
-        SELECT doc_id, b,
-          SUM(CASE WHEN ((CASE WHEN b < 30 THEN h
-                          ELSE (h * 1103515245 + 12345) % 1073741789 END)
-                    >> (CASE WHEN b < 30 THEN b ELSE (b - 30) % 30 END)) & 1 = 1
-              THEN 1 ELSE -1 END) AS v
-        FROM th, (SELECT unnest(range(0, 32)) AS b)
-        GROUP BY doc_id, b),
-      sim AS (
-        SELECT doc_id, CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
-        FROM bits GROUP BY doc_id)
+      WITH $SimhashCtes
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
       FROM sim a JOIN sim b ON a.doc_id < b.doc_id

@@ -1,0 +1,84 @@
+package graft
+
+import graft.operators.Components
+import org.apache.spark.sql.functions._
+
+/** Connected components: parity vs an in-JVM union-find on seeded
+  * random graphs, worst-case chains (where naive label propagation
+  * would need O(n) rounds), and the dedup-cluster view.
+  */
+class ComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // root compression to the minimum id in each set
+    val label = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+    val minOf = label.groupBy(_._2).map { case (r, m) => r -> m.keys.min }
+    label.map { case (nd, r) => nd -> minOf(r) }
+  }
+
+  private def ccOf(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val e = edges.toDF("src", "dst")
+    val nodes = (0L until n.toLong).toDF("node")
+    Components.connectedComponents(e, Some(nodes))
+      .as[(Long, Long)].collect().toMap
+  }
+
+  test("matches union-find on seeded random graphs") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 5) {
+      val n = 60 + trial * 30
+      val m = rnd.nextInt(2 * n)
+      val edges = Seq.fill(m)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      assert(ccOf(n, edges) === unionFind(n, edges),
+        s"trial $trial (n=$n, m=$m)")
+    }
+  }
+
+  test("chain graph collapses to one component rooted at 0") {
+    val n = 200
+    val edges = (0L until (n - 1).toLong).map(i => (i, i + 1))
+    val got = ccOf(n, edges)
+    assert(got.values.toSet === Set(0L))
+    assert(got.size === n)
+  }
+
+  test("isolated nodes are their own singleton components") {
+    val got = ccOf(6, Seq((1L, 2L), (2L, 1L), (4L, 4L)))
+    assert(got === Map(0L -> 0L, 1L -> 1L, 2L -> 1L,
+      3L -> 3L, 4L -> 4L, 5L -> 5L))
+  }
+
+  test("empty edge set with explicit nodes yields all singletons") {
+    val e = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val nodes = (0L until 4L).toDF("node")
+    val got = Components.connectedComponents(e, Some(nodes))
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L))
+  }
+
+  test("dedupClusters marks the component minimum as representative") {
+    val e = Seq((5L, 3L), (3L, 9L), (7L, 8L)).toDF("src", "dst")
+    val nodes = (1L to 9L).toDF("node")
+    val rows = Components.dedupClusters(e, nodes)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val expected = Set(
+      (1L, 1L, 1L, 1L), (2L, 2L, 1L, 1L), (4L, 4L, 1L, 1L),
+      (6L, 6L, 1L, 1L), (3L, 3L, 1L, 3L), (5L, 3L, 0L, 3L),
+      (9L, 3L, 0L, 3L), (7L, 7L, 1L, 2L), (8L, 7L, 0L, 2L))
+    assert(rows === expected)
+  }
+}
