@@ -335,4 +335,51 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }
+
+  /** Chunk-level exact dedup (the within-and-across-document variant
+    * of line dedup in CCNet-style pipelines): split every document
+    * into fixed `chunkWords`-word chunks, keep only the globally FIRST
+    * occurrence of each distinct chunk (ordered by document id, then
+    * position), and reassemble documents from their surviving chunks.
+    *
+    * Scale shape: two shuffles, no join on the corpus-sized chunk
+    * stream — the first-occurrence winner per chunk is a groupBy-min
+    * over `struct(doc_id, pos)` (partial-aggregating, so a chunk
+    * repeated a billion times collapses map-side instead of flooding
+    * one reducer), and reassembly is a groupBy over doc_id whose
+    * per-group payload is bounded by the document's own length.
+    * Returns (doc_id, n_chunks, kept_chunks, new_text); a document
+    * whose every chunk occurred earlier elsewhere survives with
+    * kept_chunks = 0 and empty text.
+    */
+  def chunkDedup(docs: DataFrame, id: Column, text: Column,
+      chunkWords: Int = 16): DataFrame = {
+    val base = docs
+      .select(id.as("doc_id"), split(text, " ").as("w"))
+      .withColumn("n_chunks",
+        ceil(size(col("w")) / lit(chunkWords.toDouble)).cast("long"))
+    val chunks = base.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0L), col("n_chunks") - 1),
+          i => array_join(
+            slice(col("w"), (i * chunkWords + 1).cast("int"), lit(chunkWords)),
+            " "))))
+      .withColumnRenamed("col", "chunk")
+    val firstKeep = chunks
+      .groupBy(col("chunk"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
+      .select(col("first.doc_id").as("doc_id"), col("first.pos").as("pos"),
+        col("chunk"))
+    val reassembled = firstKeep
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("kept_chunks"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("chunk")))),
+            s => s.getField("chunk")),
+          " ").as("new_text"))
+    base.select(col("doc_id"), col("n_chunks"))
+      .join(reassembled, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("kept_chunks"), lit(0L)).as("kept_chunks"),
+        coalesce(col("new_text"), lit("")).as("new_text"))
+  }
 }

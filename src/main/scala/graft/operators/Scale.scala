@@ -57,6 +57,33 @@ object Scale {
     * downstream caches and dedup stable across pipeline re-runs.
     * Sources absent from the map keep `defaultRate`.
     */
+  /** Deterministic weighted sampling without replacement — sequential
+    * Poisson sampling (Ohlsson 1998): each row gets priority ξ = u/w
+    * where u ∈ [0,1) is derived from a CONTENT HASH (not an RNG) and w
+    * is the row's weight; the sample is the k smallest priorities.
+    * Inclusion probability approximates πps (proportional-to-size),
+    * and because u is a pure function of the key, the same rows are
+    * chosen on every run, every engine, and every partitioning — the
+    * reproducibility property a training-mix needs so downstream
+    * caches, dedup, and eval splits stay stable.
+    *
+    * Scale shape: one narrow codegen'd projection (hash, divide) and a
+    * TakeOrdered top-k — O(k) heap per partition, no global sort, no
+    * shuffle of the corpus. u uses 20 hash bits so the int→double
+    * conversion and the single division are exact IEEE ops that
+    * bit-match across engines.
+    */
+  def sequentialPoissonSample(df: DataFrame,
+      id: org.apache.spark.sql.Column, hashKey: org.apache.spark.sql.Column,
+      weight: org.apache.spark.sql.Column, k: Int): DataFrame =
+    df.select(id.as("id"), weight.cast("double").as("weight"),
+        (pmod(graft.plans.RollingHash.rolling_hash(hashKey), lit(1048576L))
+          .cast("double") / lit(1048576.0)).as("u"))
+      .filter(col("weight") > 0)
+      .select(col("id"), col("weight"), (col("u") / col("weight")).as("priority"))
+      .orderBy(col("priority"), col("id"))
+      .limit(k)
+
   def mixtureSample(df: DataFrame, source: org.apache.spark.sql.Column,
       key: org.apache.spark.sql.Column, rates: Map[String, Double],
       defaultRate: Double = 1.0): DataFrame = {

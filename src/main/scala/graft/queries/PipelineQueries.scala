@@ -1,7 +1,8 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.operators.{Components, Dedup}
+import graft.functions.Pii
+import graft.operators.{Components, Dedup, Scale, Search}
 import org.apache.spark.sql.functions._
 
 /** Round-5 pipeline operators as graded queries: duplicate-cluster
@@ -56,5 +57,136 @@ object PipelineQueries {
       ORDER BY doc_id"""),
   )
 
-  val all: Seq[QueryDef] = Seq(q68DedupClusters)
+  // ---------------------------------------------------------------- q69
+  /** Chunk-level exact dedup: globally keep the first occurrence of
+    * every 16-word chunk and reassemble documents from the survivors.
+    * The oracle states first-occurrence as a ROW_NUMBER window; the
+    * Spark operator states it as a partial-aggregating groupBy-min —
+    * independent formulations, identical fixed output.
+    */
+  val q69ChunkDedup: QueryDef = QueryDef(
+    "q69_chunk_dedup",
+    (s, dir) =>
+      Dedup.chunkDedup(Tables(s, dir, "documents"),
+          col("doc_id"), col("text"), chunkWords = 16)
+        .orderBy(col("doc_id")),
+    Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      nch AS (SELECT doc_id,
+        CAST(ceil(len(w) / 16.0) AS BIGINT) AS n_chunks FROM t),
+      ch AS (
+        SELECT doc_id, i AS pos,
+          array_to_string(w[(i*16+1):((i+1)*16)], ' ') AS chunk
+        FROM t, LATERAL (SELECT unnest(range(0,
+          CAST(ceil(len(w) / 16.0) AS BIGINT))) AS i) r),
+      keep AS (
+        SELECT doc_id, pos, chunk,
+          ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn
+        FROM ch),
+      agg AS (
+        SELECT doc_id, COUNT(*) AS kept_chunks,
+          string_agg(chunk, ' ' ORDER BY pos) AS new_text
+        FROM keep WHERE rn = 1 GROUP BY doc_id)
+      SELECT n.doc_id, n.n_chunks,
+        COALESCE(a.kept_chunks, 0) AS kept_chunks,
+        COALESCE(a.new_text, '') AS new_text
+      FROM nch n LEFT JOIN agg a USING (doc_id)
+      ORDER BY doc_id"""),
+  )
+
+  // ---------------------------------------------------------------- q70
+  /** PII scan + redaction. The corpus tables carry no real PII, so the
+    * query deterministically composes PII-shaped text from customer
+    * columns IN BOTH ENGINES (same concatenation on each side) and
+    * grades the operator under test: the regex counts and the ordered
+    * three-stage mask. Patterns live in the Java-regex ∩ RE2 common
+    * subset so both engines match identically.
+    */
+  val q70PiiRedact: QueryDef = QueryDef(
+    "q70_pii_redact",
+    (s, dir) => {
+      val t = Tables(s, dir, "customer").select(
+        col("c_custkey").as("id"),
+        concat(lit("reach "), col("c_name"),
+          lit(" at user"), col("c_custkey").cast("string"),
+          lit("@example.org or 10."),
+          (col("c_custkey") % 200).cast("string"), lit("."),
+          (col("c_nationkey") % 250).cast("string"),
+          lit(".7 acct 4012"),
+          lpad((col("c_custkey") % 100000000).cast("string"), 12, "0"))
+          .as("text"))
+      t.select(col("id"),
+          Pii.emailCount(col("text")).as("n_emails"),
+          Pii.ipv4Count(col("text")).as("n_ips"),
+          Pii.longDigitsCount(col("text")).as("n_numbers"),
+          Pii.redact(col("text")).as("redacted"))
+        .orderBy(col("id"))
+    },
+    Some(s"""
+      WITH t AS (SELECT c_custkey AS id,
+        'reach ' || c_name || ' at user' || CAST(c_custkey AS VARCHAR) ||
+        '@example.org or 10.' || CAST(c_custkey % 200 AS VARCHAR) || '.' ||
+        CAST(c_nationkey % 250 AS VARCHAR) || '.7 acct 4012' ||
+        lpad(CAST(c_custkey % 100000000 AS VARCHAR), 12, '0') AS text
+        FROM customer)
+      SELECT id,
+        CAST(len(regexp_extract_all(text, '${Pii.EmailRe}')) AS BIGINT) AS n_emails,
+        CAST(len(regexp_extract_all(text, '${Pii.Ipv4Re}')) AS BIGINT) AS n_ips,
+        CAST(len(regexp_extract_all(text, '${Pii.LongDigitsRe}')) AS BIGINT) AS n_numbers,
+        regexp_replace(regexp_replace(regexp_replace(text,
+          '${Pii.EmailRe}', '<EMAIL>', 'g'),
+          '${Pii.Ipv4Re}', '<IP>', 'g'),
+          '${Pii.LongDigitsRe}', '<NUM>', 'g') AS redacted
+      FROM t ORDER BY id"""),
+  )
+
+  // ---------------------------------------------------------------- q71
+  /** Deterministic weighted sampling (sequential Poisson): 100 docs
+    * chosen proportional-to-length via hash-derived priorities — no
+    * RNG, so both engines select the identical sample. u uses 20 hash
+    * bits; u/w is one exact IEEE division, so even the double
+    * priority column hash-matches.
+    */
+  val q71WeightedSample: QueryDef = QueryDef(
+    "q71_weighted_sample",
+    (s, dir) =>
+      Scale.sequentialPoissonSample(Tables(s, dir, "documents"),
+          col("doc_id").as("id"), col("text"), col("n_chars"), k = 100)
+        .select(col("id").as("doc_id"), col("weight"), col("priority")),
+    Some(s"""
+      WITH t AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight,
+        CAST((${ScaleQueries.FpLambda.format("text")}) % 1048576 AS DOUBLE)
+          / 1048576.0 AS u
+        FROM documents WHERE n_chars > 0)
+      SELECT doc_id, weight, u / weight AS priority
+      FROM t ORDER BY priority, doc_id LIMIT 100"""),
+  )
+
+  // ---------------------------------------------------------------- q72
+  /** Inverted-index keyword search: integer TF-IDF (tf × (N − df))
+    * top-50 for a three-term query. Integer scores are exact and
+    * order-independent, so the ranking hash-matches across engines.
+    */
+  val q72TextSearch: QueryDef = QueryDef(
+    "q72_text_search",
+    (s, dir) =>
+      Search.topK(Tables(s, dir, "documents"), col("doc_id"), col("text"),
+        terms = Seq("data", "table", "query"), k = 50),
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents),
+      f AS (
+        SELECT doc_id, tk, COUNT(*) AS tf FROM tok
+        WHERE tk IN ('data', 'table', 'query') GROUP BY doc_id, tk),
+      d AS (SELECT tk, COUNT(*) AS df FROM f GROUP BY tk),
+      n AS (SELECT COUNT(*) AS n FROM documents)
+      SELECT f.doc_id, CAST(SUM(f.tf * (n.n - d.df)) AS BIGINT) AS score,
+        COUNT(*) AS terms_matched
+      FROM f JOIN d USING (tk), n
+      GROUP BY f.doc_id
+      ORDER BY score DESC, f.doc_id LIMIT 50"""),
+  )
+
+  val all: Seq[QueryDef] = Seq(q68DedupClusters, q69ChunkDedup, q70PiiRedact,
+    q71WeightedSample, q72TextSearch)
 }
