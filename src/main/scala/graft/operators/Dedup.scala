@@ -382,4 +382,62 @@ object Dedup {
         coalesce(col("kept_chunks"), lit(0L)).as("kept_chunks"),
         coalesce(col("new_text"), lit("")).as("new_text"))
   }
+
+  /** Sliding-window span dedup at TOKEN granularity (the
+    * train-data-dedup semantics of Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better": remove every token
+    * covered by a `windowTokens`-long span whose identical window
+    * occurred earlier in the corpus; the first occurrence survives).
+    * Unlike [[chunkDedup]]'s fixed non-overlapping chunks, windows
+    * overlap at every token offset, so a duplicated passage is removed
+    * even when it straddles chunk boundaries.
+    *
+    * Scale shape: windows/tokens/coverage are all narrow generate-side
+    * expansions bounded by windowTokens × corpus tokens; the
+    * first-occurrence winner is a partial-aggregating groupBy-min; the
+    * duplicate test is an equi-join on the window content (AQE
+    * skew-splittable — a window repeated a billion times spreads over
+    * many tasks, vs a window-function formulation that would sort the
+    * whole hot key in one task); covered-token removal is a left-anti
+    * equi-join on (doc, position). Returns
+    * (doc_id, n_tokens, kept_tokens, new_text).
+    */
+  def spanDedup(docs: DataFrame, id: Column, text: Column,
+      windowTokens: Int = 16): DataFrame = {
+    val base = docs.select(id.as("doc_id"), split(text, " ").as("w"))
+      .withColumn("n_tokens", size(col("w")).cast("long"))
+    val nWin = greatest(col("n_tokens") - (windowTokens - 1), lit(0L))
+    val wins = base.select(col("doc_id"),
+        posexplode(when(nWin > 0,
+          transform(sequence(lit(0L), nWin - 1),
+            i => array_join(
+              slice(col("w"), (i + 1).cast("int"), lit(windowTokens)), " ")))
+          .otherwise(array().cast("array<string>"))))
+      .withColumnRenamed("col", "wnd")
+    val firsts = wins.groupBy(col("wnd"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
+    val dups = wins.join(firsts, Seq("wnd"))
+      .filter(!(col("doc_id") === col("first.doc_id") &&
+        col("pos") === col("first.pos")))
+      .select(col("doc_id"), col("pos"))
+    val covered = dups.select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (windowTokens - 1)))
+          .as("tokpos"))
+      .distinct()
+    val toks = base.select(col("doc_id"), posexplode(col("w")))
+      .withColumnRenamed("pos", "tokpos")
+      .withColumnRenamed("col", "tok")
+    val agg = toks.join(covered, Seq("doc_id", "tokpos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("kept_tokens"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("tokpos"), col("tok")))),
+            s => s.getField("tok")),
+          " ").as("new_text"))
+    base.select(col("doc_id"), col("n_tokens"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        coalesce(col("new_text"), lit("")).as("new_text"))
+  }
 }

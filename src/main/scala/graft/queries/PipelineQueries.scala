@@ -187,6 +187,51 @@ object PipelineQueries {
       ORDER BY score DESC, f.doc_id LIMIT 50"""),
   )
 
+  // ---------------------------------------------------------------- q73
+  /** Sliding-window span dedup at token granularity: every token
+    * covered by a 16-token window that occurred earlier anywhere in
+    * the corpus is removed; first occurrences survive. The oracle
+    * states the same fixed semantics with LATERAL range expansions
+    * and an ANTI JOIN.
+    */
+  val q73SpanDedup: QueryDef = QueryDef(
+    "q73_span_dedup",
+    (s, dir) =>
+      Dedup.spanDedup(Tables(s, dir, "documents"),
+          col("doc_id"), col("text"), windowTokens = 16)
+        .orderBy(col("doc_id")),
+    Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      win AS (
+        SELECT doc_id, i AS pos, array_to_string(w[(i+1):(i+16)], ' ') AS wnd
+        FROM t, LATERAL (SELECT unnest(range(0,
+          GREATEST(len(w) - 15, 0))) AS i) r),
+      firsts AS (
+        SELECT wnd, MIN(doc_id * 1000000 + pos) AS first_key
+        FROM win GROUP BY wnd),
+      dups AS (
+        SELECT doc_id, pos FROM win JOIN firsts USING (wnd)
+        WHERE doc_id * 1000000 + pos <> first_key),
+      covered AS (
+        SELECT DISTINCT doc_id, pos + off AS tokpos
+        FROM dups, LATERAL (SELECT unnest(range(0, 16)) AS off) o),
+      toks AS (
+        SELECT doc_id, i - 1 AS tokpos, w[i] AS tok
+        FROM t, LATERAL (SELECT unnest(range(1, len(w) + 1)) AS i) r),
+      kept AS (
+        SELECT tk.doc_id, tk.tokpos, tk.tok
+        FROM toks tk ANTI JOIN covered c
+          ON tk.doc_id = c.doc_id AND tk.tokpos = c.tokpos)
+      SELECT t.doc_id, len(w) AS n_tokens,
+        COALESCE(k.kept_tokens, 0) AS kept_tokens,
+        COALESCE(k.new_text, '') AS new_text
+      FROM t LEFT JOIN (
+        SELECT doc_id, COUNT(*) AS kept_tokens,
+          string_agg(tok, ' ' ORDER BY tokpos) AS new_text
+        FROM kept GROUP BY doc_id) k USING (doc_id)
+      ORDER BY t.doc_id"""),
+  )
+
   val all: Seq[QueryDef] = Seq(q68DedupClusters, q69ChunkDedup, q70PiiRedact,
-    q71WeightedSample, q72TextSearch)
+    q71WeightedSample, q72TextSearch, q73SpanDedup)
 }

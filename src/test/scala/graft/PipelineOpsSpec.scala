@@ -41,6 +41,35 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got === Seq((1L, 2L, 2L, "a b c"), (2L, 1L, 0L, "")))
   }
 
+  test("spanDedup removes straddling duplicate spans, keeps first") {
+    // doc 2 repeats doc 1's tokens 1..4 ("b c d e") as a window of 4;
+    // with windowTokens = 4 the duplicated span is token-removed even
+    // though it would straddle a fixed-chunk boundary
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "x b c d e y"),
+      (3L, "p q r")).toDF("doc_id", "text")
+    val got = Dedup.spanDedup(docs, col("doc_id"), col("text"), windowTokens = 4)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got === Seq(
+      (1L, 6L, 6L, "a b c d e f"),
+      (2L, 6L, 2L, "x y"),
+      (3L, 3L, 3L, "p q r")))
+  }
+
+  test("spanDedup dedups within one document and keeps short docs intact") {
+    val docs = Seq(
+      (1L, "a b c d a b c d"), // second occurrence of window "a b c d"
+      (2L, "a b c")).toDF("doc_id", "text") // shorter than the window
+    val got = Dedup.spanDedup(docs, col("doc_id"), col("text"), windowTokens = 4)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    // doc 1: windows at pos 0..4; pos 4 ("a b c d") duplicates pos 0 →
+    // tokens 4..7 removed. Windows at pos 1..3 are unique.
+    assert(got === Seq((1L, 8L, 4L, "a b c d"), (2L, 3L, 3L, "a b c")))
+  }
+
   test("pii redaction masks emails, ips, and digit runs in order") {
     val df = Seq(
       "mail bob.smith+x@corp.example.com from 192.168.0.1 card 4111222233334444",
