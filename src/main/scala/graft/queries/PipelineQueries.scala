@@ -207,11 +207,13 @@ object PipelineQueries {
         FROM t, LATERAL (SELECT unnest(range(0,
           GREATEST(len(w) - 15, 0))) AS i) r),
       firsts AS (
-        SELECT wnd, MIN(doc_id * 1000000 + pos) AS first_key
-        FROM win GROUP BY wnd),
+        SELECT wnd, doc_id AS fdoc, pos AS fpos FROM (
+          SELECT wnd, doc_id, pos,
+            ROW_NUMBER() OVER (PARTITION BY wnd ORDER BY doc_id, pos) AS rn
+          FROM win) WHERE rn = 1),
       dups AS (
-        SELECT doc_id, pos FROM win JOIN firsts USING (wnd)
-        WHERE doc_id * 1000000 + pos <> first_key),
+        SELECT w.doc_id, w.pos FROM win w JOIN firsts f USING (wnd)
+        WHERE (w.doc_id, w.pos) <> (f.fdoc, f.fpos)),
       covered AS (
         SELECT DISTINCT doc_id, pos + off AS tokpos
         FROM dups, LATERAL (SELECT unnest(range(0, 16)) AS off) o),

@@ -102,12 +102,32 @@ class ScaleDesignSpec extends SparkSpec {
       s"top-k must be TakeOrdered, not a global sort:\n$plan")
     assert(plan.contains("BroadcastHashJoin"),
       s"df lookup should broadcast:\n$plan")
-    // the postings filter must sit below the first Exchange: the
-    // generate+filter stage is scan-side, so no Exchange may appear
-    // before a Filter mentioning the term list
-    val firstExchange = plan.indexOf("Exchange")
-    val termFilter = plan.indexOf("data")
-    assert(firstExchange >= 0 && termFilter >= 0)
+    // the postings filter must be scan-side: the FilterExec carrying the
+    // term isin must have no Exchange anywhere in its subtree (postings
+    // for absent terms never leave the mappers)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val below = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      p +: below.flatMap(flatten)
+    }
+    val termFilters = flatten(out.queryExecution.executedPlan).collect {
+      case f: org.apache.spark.sql.execution.FilterExec
+          if f.condition.toString.contains("IN (data,table,query)") => f
+    }
+    assert(termFilters.nonEmpty,
+      s"expected an isin filter over the query terms:\n$plan")
+    termFilters.foreach { f =>
+      val shufflesBelow = flatten(f).collect {
+        case e: org.apache.spark.sql.execution.exchange.Exchange => e
+      }
+      assert(shufflesBelow.isEmpty,
+        s"the term filter must run before any Exchange:\n$plan")
+    }
   }
 
   test("weighted sample plan is a TakeOrdered over a narrow projection") {
