@@ -440,4 +440,50 @@ object Dedup {
         coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
         coalesce(col("new_text"), lit("")).as("new_text"))
   }
+
+  /** Semantic dedup over embeddings (the SemDeDup recipe, Abbas et al.
+    * 2023: partition the embedding space into cells, drop in-cell
+    * near-duplicates above a cosine threshold, keep one representative
+    * per group). Cells here are sign-LSH buckets — deterministic pure
+    * arithmetic, where the paper's k-means cells would tie the verdict
+    * to an RNG and an iteration count no other engine could replay.
+    * The keep rule is "drop v iff some earlier-id in-cell u has
+    * cos(u, v) > eps": every group keeps exactly its lowest id, and
+    * unlike greedy chain semantics the verdict for v never depends on
+    * whether u itself survived — order-independent, so it parallelizes
+    * and replays exactly.
+    *
+    * Output: one row per vector — (id, cell, kept, dup_of) with dup_of
+    * the earliest dominating id (null when kept).
+    *
+    * Scale shape: one narrow projection computes cell bits, one
+    * equi-join on cell enumerates in-cell pairs (cells are the blocking
+    * structure — nothing crosses cells, so candidate volume is
+    * Σ|cell|², tuned by nPlanes: 2× the planes ≈ ¼ the in-cell pairs),
+    * one map-side-combining groupBy keys the verdict, one left join
+    * attaches it. Embedding-side skew is bounded because sign-LSH cells
+    * split any dense direction by construction.
+    */
+  def semanticDedup(emb: DataFrame, id: Column, vec: Column, eps: Double,
+      nPlanes: Int = 4, dims: Int = 64): DataFrame = {
+    import graft.plans.DotProduct.dot_product
+    val e = emb.select(id.as("id"), vec.as("v"))
+      .withColumn("norm", sqrt(dot_product(col("v"), col("v"))))
+      .withColumn("cell",
+        graft.operators.Similarity.lshBucket(col("v"), nPlanes, dims))
+    val a = e.select(col("id").as("id_a"), col("v").as("v_a"),
+      col("norm").as("n_a"), col("cell"))
+    val b = e.select(col("id").as("id_b"), col("v").as("v_b"),
+      col("norm").as("n_b"), col("cell"))
+    val dominated = a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine",
+        dot_product(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
+      .filter(col("cosine") > eps)
+      .groupBy(col("id_b")).agg(min(col("id_a")).as("dup_of"))
+      .withColumnRenamed("id_b", "id")
+    e.join(dominated, Seq("id"), "left")
+      .select(col("id"), col("cell"), col("dup_of").isNull.as("kept"),
+        col("dup_of"))
+  }
 }

@@ -84,6 +84,68 @@ object Scale {
       .orderBy(col("priority"), col("id"))
       .limit(k)
 
+  /** Deterministic LCG order key (glibc constants): a pure-arithmetic
+    * pseudo-random permutation of an integer id, identical in any
+    * engine — the "shuffle" every reproducible sampler below sorts by.
+    * Safe for ids up to ~8.4e9 (no Long overflow).
+    */
+  def lcgKey(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(id.cast("long") * lit(1103515245L) + lit(12345L), lit(2147483648L))
+
+  /** Exact stratified sampling: the first `nPer` rows of each stratum
+    * in deterministic LCG-hash order — fixed per-stratum counts (the
+    * "5 docs from every source" eval-set draw), reproducible across
+    * runs, engines, and partitionings because the order key is content
+    * arithmetic, not RNG state.
+    *
+    * Scale shape: one shuffle on the stratum key, then a rank window
+    * per stratum. Strata are corpus-subsets, so a hot stratum is a hot
+    * window partition; for pathological skew, pre-filter with an
+    * approximate per-stratum rank threshold from a small sample, then
+    * rank exactly inside the survivors (the same two-phase trick
+    * Splits uses). At nPer ≪ stratum size the window's sort is the
+    * dominant cost and is bounded by the largest stratum.
+    */
+  def stratifiedSample(df: DataFrame, stratum: org.apache.spark.sql.Column,
+      id: org.apache.spark.sql.Column, nPer: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("stratum")).orderBy(col("h"), col("id"))
+    df.select(stratum.as("stratum"), id.as("id"))
+      .withColumn("h", lcgKey(col("id")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= nPer)
+      .select(col("stratum"), col("id"), col("rank"))
+  }
+
+  /** Token-budget mixture draw: per source, take documents in
+    * deterministic LCG-hash order while the running token total stays
+    * within that source's budget — the "sample 1B tokens of web, 200M
+    * of code" epoch-mix step, with exact token accounting and
+    * run-to-run stability.
+    *
+    * Scale shape: one shuffle on source + a running-sum window per
+    * source. The window is the honest cost of *exact* budget cuts; a
+    * 100 TB job with loose budgets would first cut to ~budget with the
+    * narrow no-shuffle mixtureSample rate filter, then run this exact
+    * pass over the few-× remainder.
+    */
+  def tokenBudgetSample(df: DataFrame, source: org.apache.spark.sql.Column,
+      id: org.apache.spark.sql.Column, tokens: org.apache.spark.sql.Column,
+      budgets: Map[String, Long], defaultBudget: Long): DataFrame = {
+    val budget = budgets.foldLeft(lit(defaultBudget)) {
+      case (acc, (src, b)) => when(col("source") === src, lit(b)).otherwise(acc)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("h"), col("id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.select(source.as("source"), id.as("id"), tokens.cast("long").as("n_tokens"))
+      .withColumn("h", lcgKey(col("id")))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budget)
+      .select(col("source"), col("id"), col("n_tokens"), col("cum_tokens"))
+  }
+
   def mixtureSample(df: DataFrame, source: org.apache.spark.sql.Column,
       key: org.apache.spark.sql.Column, rates: Map[String, Double],
       defaultRate: Double = 1.0): DataFrame = {

