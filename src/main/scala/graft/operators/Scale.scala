@@ -146,6 +146,52 @@ object Scale {
       .select(col("source"), col("id"), col("n_tokens"), col("cum_tokens"))
   }
 
+  /** Sequence packing — the "concatenate and chop" step that turns a
+    * document corpus into fixed-length training sequences: documents
+    * are laid end-to-end in deterministic LCG order and the token
+    * stream is cut every `seqLen` tokens. Returns, per document, its
+    * global token offset and the range of sequence ids it lands in
+    * (documents straddle cuts, exactly like GPT-style packing).
+    *
+    * The global running sum is two-phase, never a single-partition
+    * window (the Splits ranking trick): range-partition the
+    * metadata-narrow (id, n_tokens, h) projection on the order key,
+    * cumsum within partitions, then add per-partition prefix totals
+    * (a ≤`shuffle.partitions`-row driver aggregate) back via broadcast.
+    * The corpus text itself never shuffles — only ids and counts.
+    * localCheckpoint pins the sampled range boundaries so the offsets
+    * and the final join see the same partitioning.
+    */
+  def packSequences(df: DataFrame, id: org.apache.spark.sql.Column,
+      tokens: org.apache.spark.sql.Column, seqLen: Int): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    val spark = df.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    val keyed = df
+      .select(id.as("id"), tokens.cast("long").as("n_tokens"))
+      .withColumn("h", lcgKey(col("id")))
+      .repartitionByRange(col("h"), col("id"))
+      .sortWithinPartitions(col("h"), col("id"))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val totals = keyed.groupBy(col("__pid")).agg(sum(col("n_tokens")).as("t"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = totals.map(_._1)
+      .zip(totals.scanLeft(0L)(_ + _._2).init).toSeq
+    import spark.implicits._
+    val localW = Window.partitionBy(col("__pid")).orderBy(col("h"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    keyed
+      .withColumn("__cum", sum(col("n_tokens")).over(localW))
+      .join(broadcast(offsets.toDF("__pid", "__off")), Seq("__pid"))
+      .withColumn("end_off", col("__cum") + col("__off"))
+      .withColumn("start_off", col("end_off") - col("n_tokens"))
+      .select(col("id"), col("n_tokens"), col("start_off"),
+        expr(s"start_off div $seqLen").as("first_seq"),
+        expr(s"(end_off - 1) div $seqLen").as("last_seq"))
+      .withColumn("n_seqs", col("last_seq") - col("first_seq") + 1)
+  }
+
   def mixtureSample(df: DataFrame, source: org.apache.spark.sql.Column,
       key: org.apache.spark.sql.Column, rates: Map[String, Double],
       defaultRate: Double = 1.0): DataFrame = {

@@ -238,7 +238,62 @@ object CurationQueries {
       ORDER BY id"""),
   )
 
+  // ---------------------------------------------------------------- q81
+  /** Sequence packing (concat-and-chop): documents laid end-to-end in
+    * LCG order, the token stream cut every 256 tokens; per document,
+    * its global offset and the training-sequence range it spans. The
+    * Spark side computes the global running sum two-phase (range
+    * partitions + broadcast prefix offsets — never a single-partition
+    * window); the oracle states the same prefix sums with one flat
+    * window, which DuckDB can afford at oracle scale.
+    */
+  val q81SeqPack: QueryDef = QueryDef(
+    "q81_seq_pack",
+    (s, dir) =>
+      Scale.packSequences(Tables(s, dir, "documents"),
+          col("doc_id"), size(split(col("text"), " ")), seqLen = 256)
+        .orderBy(col("id")),
+    Some("""
+      WITH d AS (SELECT doc_id AS id,
+        len(string_split(text, ' ')) AS n_tokens,
+        (doc_id * 1103515245 + 12345) % 2147483648 AS h FROM documents),
+      c AS (SELECT id, n_tokens,
+        CAST(SUM(n_tokens) OVER (ORDER BY h, id
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS end_off FROM d)
+      SELECT id, n_tokens, end_off - n_tokens AS start_off,
+        (end_off - n_tokens) // 256 AS first_seq,
+        (end_off - 1) // 256 AS last_seq,
+        (end_off - 1) // 256 - (end_off - n_tokens) // 256 + 1 AS n_seqs
+      FROM c ORDER BY id"""),
+  )
+
+  // ---------------------------------------------------------------- q82
+  /** Bigram-novelty quality signal: per document, the integer rarity
+    * sum Σ (N − freq) over its bigram occurrences — the logarithm-free,
+    * rank-preserving stand-in for an LM-surprise filter. */
+  val q82BigramNovelty: QueryDef = QueryDef(
+    "q82_bigram_novelty",
+    (s, dir) =>
+      graft.operators.CorpusStats.bigramNovelty(
+          Tables(s, dir, "documents"), col("doc_id"), col("text"))
+        .orderBy(col("doc_id")),
+    Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      bg AS (SELECT doc_id, w[i] || ' ' || w[i + 1] AS bigram
+        FROM t, LATERAL (SELECT unnest(range(1, len(w))) AS i) r),
+      freq AS (SELECT bigram, COUNT(*) AS f FROM bg GROUP BY bigram),
+      tot AS (SELECT COUNT(*) AS n FROM bg),
+      scored AS (SELECT b.doc_id, COUNT(*) AS n_bigrams,
+          CAST(SUM(tot.n - f.f) AS BIGINT) AS novelty
+        FROM bg b JOIN freq f USING (bigram), tot
+        GROUP BY b.doc_id)
+      SELECT t.doc_id, COALESCE(s.n_bigrams, 0) AS n_bigrams,
+        COALESCE(s.novelty, 0) AS novelty
+      FROM t LEFT JOIN scored s USING (doc_id)
+      ORDER BY t.doc_id"""),
+  )
+
   val all: Seq[QueryDef] = Seq(q74StreamJoin, q75SnapshotDiff,
     q76StratifiedSample, q77TokenBudget, q78ZOrder, q79Int8Ann,
-    q80SemanticDedup)
+    q80SemanticDedup, q81SeqPack, q82BigramNovelty)
 }

@@ -161,6 +161,41 @@ class CurationSpec extends SparkSpec {
       s"in-cell pair join must be an equi-join on cell:\n$plan")
   }
 
+  test("sequence packing: contiguous offsets, partition-stable") {
+    val docs = Tables(spark, sfDir, "documents")
+    val toks = size(split(col("text"), " "))
+    val a = Scale.packSequences(docs, col("doc_id"), toks, seqLen = 256)
+    val b = Scale.packSequences(docs.repartition(7), col("doc_id"), toks,
+      seqLen = 256)
+    assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0)
+    val rows = a.orderBy("start_off").collect()
+    // the token stream is gapless: each doc starts where the previous ended
+    rows.foldLeft(0L) { (expected, r) =>
+      assert(r.getLong(2) === expected,
+        s"doc ${r.getLong(0)} starts at ${r.getLong(2)}, expected $expected")
+      expected + r.getLong(1)
+    }
+    rows.foreach { r =>
+      val (n, start, first, last, nSeqs) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(first === start / 256 && last === (start + n - 1) / 256 &&
+        nSeqs === last - first + 1)
+    }
+  }
+
+  test("bigram novelty: hand-computed toy corpus") {
+    import graft.operators.CorpusStats
+    val docs = Seq((1L, "a b a b"), (2L, "a b"), (3L, "x"))
+      .toDF("doc_id", "text")
+    // bigrams: d1 = [a b, b a, a b], d2 = [a b]; N = 4
+    // freq: "a b" -> 3, "b a" -> 1
+    // novelty d1 = (4-3) + (4-1) + (4-3) = 5; d2 = (4-3) = 1; d3 = 0
+    val out = CorpusStats.bigramNovelty(docs, col("doc_id"), col("text"))
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ===
+      Seq((1L, 3L, 5L), (2L, 1L, 1L), (3L, 0L, 0L)))
+  }
+
   test("stream-stream interval join equals the batch interval join") {
     val streamed = graft.streaming.StreamJoin
       .clickPurchaseAttribution(spark, sfDir, windowMinutes = 30)
