@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed descriptive statistics with engine-exact reproducibility.
+  *
+  * A plain `covar_pop`/`corr` aggregate accumulates doubles, so its
+  * low-order bits depend on partitioning and row order — it can differ
+  * between two runs of the SAME engine, let alone across engines. The
+  * moments form fixes that: accumulate Σx, Σy, Σxy, Σx² as exact
+  * integers (inputs scaled to their natural integer unit — cents,
+  * counts), which sum to the same value under ANY association order,
+  * then evaluate the closed-form statistic in one deterministic double
+  * expression over those exact inputs. This extends the repo's fsum
+  * pattern (first moments, CoreQueries) to second moments.
+  */
+object Stats {
+
+  /** Per-group exact moments and the derived mean/variance/covariance.
+    * `x` must be integer-valued as given; `y` is scaled by `yScale`
+    * (e.g. 100 for dollars→cents) and rounded to an exact long.
+    *
+    * Long-range guard: with |x| ≤ 10⁵, |y·scale| ≤ 10⁸ the Σxy
+    * accumulator holds ~10⁶ rows per 10¹⁹/10¹³ ≈ beyond any per-group
+    * cardinality this engine targets before needing the decimal(38)
+    * variant. Σy² is intentionally NOT computed: at cents scale it
+    * overflows first and y-variance in display units rarely needs
+    * engine-exact bits.
+    *
+    * One map-side-combining hash aggregation — the same single-shuffle
+    * shape as any groupBy; nothing else moves.
+    */
+  def exactMoments(df: DataFrame, group: Column, x: Column, y: Column,
+      yScale: Long): DataFrame = {
+    val xi = x.cast("long")
+    val yi = round(y.cast("double") * yScale, 0).cast("long")
+    df.select(group.as("grp"), xi.as("x"), yi.as("y"))
+      .groupBy(col("grp"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sum_x"),
+        sum(col("y")).as("sum_y"),
+        sum(col("x") * col("x")).as("sum_xx"),
+        sum(col("x") * col("y")).as("sum_xy"))
+      .select(col("grp"), col("n"), col("sum_x"), col("sum_y"),
+        col("sum_xx"), col("sum_xy"),
+        round(col("sum_x").cast("double") / col("n"), 6).as("mean_x"),
+        round(col("sum_y").cast("double") / (col("n") * lit(yScale.toDouble)), 6)
+          .as("mean_y"),
+        // population variance / covariance from exact sums; the double
+        // expression is identical arithmetic in every engine
+        round((col("sum_xx").cast("double") * col("n")
+            - col("sum_x").cast("double") * col("sum_x"))
+          / (col("n").cast("double") * col("n")), 6).as("var_x"),
+        round((col("sum_xy").cast("double") * col("n")
+            - col("sum_x").cast("double") * col("sum_y"))
+          / (col("n").cast("double") * col("n") * lit(yScale.toDouble)), 6)
+          .as("cov_xy"))
+  }
+}

@@ -293,7 +293,61 @@ object CurationQueries {
       ORDER BY t.doc_id"""),
   )
 
+  // ---------------------------------------------------------------- q83
+  /** Blocked edit-distance near-dup pairs: first-token blocking, exact
+    * Levenshtein on an 80-char prefix, distance ≤ 20. Both engines
+    * compute the same DP (the corpus is ASCII, so Spark's char-based
+    * and DuckDB's byte-based distance coincide — spec-asserted). */
+  val q83EditDistance: QueryDef = QueryDef(
+    "q83_edit_distance",
+    (s, dir) =>
+      Dedup.editDistancePairs(Tables(s, dir, "documents"),
+          col("doc_id"), col("text"), prefixLen = 80, maxDist = 20)
+        .orderBy(col("id_a"), col("id_b")),
+    Some("""
+      WITH d AS (SELECT doc_id AS id, substr(text, 1, 80) AS p,
+        string_split(text, ' ')[1] AS blk FROM documents)
+      SELECT a.id AS id_a, b.id AS id_b,
+        CAST(levenshtein(a.p, b.p) AS BIGINT) AS dist
+      FROM d a JOIN d b ON a.blk = b.blk AND a.id < b.id
+      WHERE levenshtein(a.p, b.p) <= 20
+      ORDER BY id_a, id_b"""),
+  )
+
+  // ---------------------------------------------------------------- q84
+  /** Engine-exact second moments: per return flag, mean/variance of
+    * quantity and quantity↔price covariance from integer-scaled exact
+    * sums (the fsum pattern extended to second moments — a plain
+    * covar_pop would be partitioning-dependent in its low bits). */
+  val q84ExactMoments: QueryDef = QueryDef(
+    "q84_exact_moments",
+    (s, dir) =>
+      graft.operators.Stats.exactMoments(Tables(s, dir, "lineitem"),
+          col("l_returnflag"), col("l_quantity"), col("l_extendedprice"),
+          yScale = 100L)
+        .orderBy(col("grp")),
+    Some("""
+      WITH base AS (SELECT l_returnflag AS grp,
+        CAST(l_quantity AS BIGINT) AS x,
+        CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS y FROM lineitem),
+      m AS (SELECT grp, COUNT(*) AS n, SUM(x) AS sum_x, SUM(y) AS sum_y,
+        SUM(x * x) AS sum_xx, SUM(x * y) AS sum_xy
+        FROM base GROUP BY grp)
+      SELECT grp, n, CAST(sum_x AS BIGINT) AS sum_x,
+        CAST(sum_y AS BIGINT) AS sum_y,
+        CAST(sum_xx AS BIGINT) AS sum_xx,
+        CAST(sum_xy AS BIGINT) AS sum_xy,
+        ROUND(CAST(sum_x AS DOUBLE) / n, 6) AS mean_x,
+        ROUND(CAST(sum_y AS DOUBLE) / (n * 100.0), 6) AS mean_y,
+        ROUND((CAST(sum_xx AS DOUBLE) * n - CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE))
+          / (CAST(n AS DOUBLE) * n), 6) AS var_x,
+        ROUND((CAST(sum_xy AS DOUBLE) * n - CAST(sum_x AS DOUBLE) * CAST(sum_y AS DOUBLE))
+          / (CAST(n AS DOUBLE) * n * 100.0), 6) AS cov_xy
+      FROM m ORDER BY grp"""),
+  )
+
   val all: Seq[QueryDef] = Seq(q74StreamJoin, q75SnapshotDiff,
     q76StratifiedSample, q77TokenBudget, q78ZOrder, q79Int8Ann,
-    q80SemanticDedup, q81SeqPack, q82BigramNovelty)
+    q80SemanticDedup, q81SeqPack, q82BigramNovelty, q83EditDistance,
+    q84ExactMoments)
 }

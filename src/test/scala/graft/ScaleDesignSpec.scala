@@ -387,4 +387,43 @@ class ScaleDesignSpec extends SparkSpec {
       }
     }
   }
+
+  test("snapshot diff plans a full-outer equi-join, never a nested loop") {
+    import graft.operators.SnapshotDiff
+    val orders = Tables(spark, sfDir, "orders")
+    val out = SnapshotDiff.diff(
+      orders.filter(pmod(col("o_orderkey"), lit(10)) =!= 3),
+      orders.filter(pmod(col("o_orderkey"), lit(7)) =!= 2),
+      "o_orderkey", Seq("o_totalprice", "o_orderstatus"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("FullOuter"), s"expected a full-outer join:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"diff must be an equi-join on the key:\n$plan")
+  }
+
+  test("sequence packing never plans a single-partition exchange") {
+    val docs = Tables(spark, sfDir, "documents")
+    val out = Scale.packSequences(docs, col("doc_id"),
+      size(split(col("text"), " ")), seqLen = 256)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"the running sum must stay two-phase:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"prefix offsets should come back via broadcast:\n$plan")
+  }
+
+  test("bigram novelty: partial aggregation below the frequency shuffle") {
+    import graft.operators.CorpusStats
+    val docs = Tables(spark, sfDir, "documents")
+    val out = CorpusStats.bigramNovelty(docs, col("doc_id"), col("text"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"novelty join shape:\n$plan")
+    // map-side combine: a partial HashAggregate must sit below the
+    // bigram Exchange (two HashAggregates per agg is Spark's partial/
+    // final split; the plan has two aggs -> at least 4)
+    val aggs = "HashAggregate".r.findAllIn(plan).size
+    assert(aggs >= 4, s"expected partial+final aggregates:\n$plan")
+  }
 }
