@@ -49,6 +49,30 @@ object Layout {
       .drop("__z")
       .write.mode("overwrite").parquet(path)
 
+  /** Small-file compaction — the table-maintenance pass every
+    * long-running ingest needs: a streaming sink or a fine-grained
+    * daily job leaves thousands of KB-sized files whose per-file open
+    * cost dominates scans. Rewrites the dataset into
+    * ceil(totalBytes / targetBytes) files. Round-robin repartition
+    * (not coalesce: coalesce merges whole input partitions, inheriting
+    * their skew and starving parallelism during the rewrite; and not a
+    * shuffle-free copy: the rewrite IS one full shuffle by design, paid
+    * once to make every later scan cheaper). Sort-preserving layouts
+    * compose: z-ordered tables re-compact with [[zOrderWrite]] instead.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, inPath: String,
+      outPath: String, targetBytes: Long): Int = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val df = spark.read.parquet(inPath)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(inPath), spark.sparkContext.hadoopConfiguration)
+    val totalBytes = df.inputFiles.map(f =>
+      fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen).sum
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    df.repartition(nFiles).write.mode("overwrite").parquet(outPath)
+    nFiles
+  }
+
   /** Per-tile locality audit: group rows by the top (2·bits − lowBits)
     * bits of their z-key and report each tile's row count and the
     * bounding box it spans in (x, y). Z-order's defining property —

@@ -200,8 +200,9 @@ object CurationQueries {
 
   /** Per-plane sign-LSH cell SQL (mirrors Similarity.lshBucket /
     * planeComponent exactly — same constants, same summation order).
+    * Shared with the q39 oracle in ScaleQueries.
     */
-  private def lshCellSql(nPlanes: Int): String = {
+  private[queries] def lshCellSql(nPlanes: Int): String = {
     val bits = (0 until nPlanes).map { p =>
       val dot = s"list_reduce([0.0::DOUBLE] || [CAST(embedding[i] AS DOUBLE) * " +
         s"(((($p * 73856093 + (i - 1) * 19349663 + 83492791) % 1001) - 500) / 500.0) " +
@@ -346,8 +347,24 @@ object CurationQueries {
       FROM m ORDER BY grp"""),
   )
 
+  // ---------------------------------------------------------------- q85
+  /** Stream-static enrichment: the event stream joined per micro-batch
+    * to the static customer dimension, aggregated on the enriched key,
+    * with exact-cents value sums. Oracle = the batch join + aggregate. */
+  val q85StreamEnrich: QueryDef = QueryDef(
+    "q85_stream_enrich",
+    (s, dir) => graft.streaming.StreamJoin.enrichedSegmentStats(s, dir),
+    Some("""
+      SELECT c.c_mktsegment, e.event_type, COUNT(*) AS n,
+        CAST(SUM(CAST(round(e.value * 100, 0) AS BIGINT)) AS BIGINT)
+          AS value_cents
+      FROM events e JOIN customer c ON c.c_custkey = e.user_id
+      GROUP BY c.c_mktsegment, e.event_type
+      ORDER BY c.c_mktsegment, e.event_type"""),
+  )
+
   val all: Seq[QueryDef] = Seq(q74StreamJoin, q75SnapshotDiff,
     q76StratifiedSample, q77TokenBudget, q78ZOrder, q79Int8Ann,
     q80SemanticDedup, q81SeqPack, q82BigramNovelty, q83EditDistance,
-    q84ExactMoments)
+    q84ExactMoments, q85StreamEnrich)
 }

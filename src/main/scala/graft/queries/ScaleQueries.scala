@@ -261,7 +261,13 @@ object ScaleQueries {
   )
 
   // ---------------------------------------------------------------- q39
-  /** Approximate (single-probe LSH) — intentionally no oracle. */
+  /** Approximate (multi-probe sign-LSH) ANN. Approximate does NOT mean
+    * unverifiable: bucket assignment and probing are pure arithmetic,
+    * so the oracle replays the identical 8-plane signatures, the same
+    * 1-bit-flip probe set, and the same candidate dedup + cosine
+    * ranking — grading the approximation itself, not just row counts
+    * (rows-only until round 6).
+    */
   val q39AnnLsh: QueryDef = QueryDef(
     "q39_ann_lsh",
     (s, dir) => {
@@ -270,7 +276,25 @@ object ScaleQueries {
           col("vec_id"), col("embedding"), k = 10)
         .orderBy(col("q_id"), col("rank"))
     },
-    oracle = None,
+    oracle = Some(s"""
+      WITH z AS (SELECT vec_id, embedding,
+        sqrt(list_reduce([0.0::DOUBLE] || [CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding], (a, v) -> a + v)) AS nrm,
+        ${CurationQueries.lshCellSql(8)} AS bucket FROM embeddings),
+      q AS (SELECT vec_id, embedding, nrm, xor(bucket, m) AS bucket
+        FROM z, LATERAL (SELECT unnest([0, 1, 2, 4, 8, 16, 32, 64, 128]) AS m) probes
+        WHERE vec_id < 5),
+      cand AS (SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS n_id
+        FROM q JOIN z c USING (bucket) WHERE c.vec_id != q.vec_id),
+      scored AS (SELECT cand.q_id, cand.n_id,
+        list_reduce([0.0::DOUBLE] || [CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) for i in range(1, len(a.embedding) + 1)], (x, v) -> x + v)
+          / (a.nrm * b.nrm) AS cosine
+        FROM cand JOIN z a ON a.vec_id = cand.q_id
+                  JOIN z b ON b.vec_id = cand.n_id),
+      r AS (SELECT q_id, n_id, cosine, ROW_NUMBER() OVER (PARTITION BY q_id
+          ORDER BY cosine DESC, n_id) AS rank FROM scored)
+      SELECT q_id, rank, n_id, ROUND(cosine, 6) AS cosine
+      FROM r WHERE rank <= 10
+      ORDER BY q_id, rank"""),
   )
 
   // ---------------------------------------------------------------- q40

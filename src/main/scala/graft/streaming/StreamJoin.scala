@@ -41,4 +41,25 @@ object StreamJoin {
         (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("delta_us"))
       .orderBy(col("click_id"), col("purchase_id"))
   }
+
+  /** Stream-static enrichment: the live event stream joined to a static
+    * dimension (customer, keyed by user id), then aggregated on the
+    * enriched key. The static side needs no watermark — Spark re-plans
+    * it per micro-batch and broadcasts it under the join threshold, so
+    * a 100 TB/day stream enriches against a dim table with zero
+    * stream-side state beyond the aggregation's own. Value sums use the
+    * repo's exact-cents pattern (integer-scaled longs), so the drained
+    * result compares hash-exact against the batch oracle.
+    */
+  def enrichedSegmentStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val dim = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    val enriched = EventsStream.eventsStream(spark, sfDir)
+      .join(dim, Seq("user_id"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100, 0).cast("long")).as("value_cents"))
+    EventsStream.drainToLocal(enriched, "graft_enrich_")
+      .orderBy(col("c_mktsegment"), col("event_type"))
+  }
 }

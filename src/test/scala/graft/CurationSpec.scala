@@ -234,6 +234,39 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("compaction rewrites small files into the computed target count") {
+    val in = java.nio.file.Files.createTempDirectory("graft_frag_").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_comp_").toString
+    val ev = Tables(spark, sfDir, "events")
+    ev.repartition(32).write.mode("overwrite").parquet(in)
+    val nIn = spark.read.parquet(in).inputFiles.length
+    assert(nIn === 32, s"fixture should be fragmented, got $nIn files")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(in), spark.sparkContext.hadoopConfiguration)
+    val total = spark.read.parquet(in).inputFiles.map(f =>
+      fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen).sum
+    val target = total / 4
+    val n = graft.operators.Layout.compact(spark, in, out, target)
+    val back = spark.read.parquet(out)
+    assert(back.inputFiles.length === n && n <= 5,
+      s"expected ~4-5 compacted files, got $n")
+    assert(back.count() === ev.count())
+  }
+
+  test("stream-static enrichment equals the batch join + aggregate") {
+    val streamed = graft.streaming.StreamJoin
+      .enrichedSegmentStats(spark, sfDir)
+    val dim = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    val batch = Tables(spark, sfDir, "events")
+      .join(dim, Seq("user_id"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100, 0).cast("long")).as("value_cents"))
+    assert(streamed.exceptAll(batch).count() === 0 &&
+      batch.exceptAll(streamed).count() === 0)
+  }
+
   test("stream-stream interval join equals the batch interval join") {
     val streamed = graft.streaming.StreamJoin
       .clickPurchaseAttribution(spark, sfDir, windowMinutes = 30)
