@@ -363,8 +363,39 @@ object CurationQueries {
       ORDER BY c.c_mktsegment, e.event_type"""),
   )
 
+  // ---------------------------------------------------------------- q86
+  /** Per-group top-k (the "3 longest documents per source" slice):
+    * rank window per group, deterministic tie-break. One shuffle on the
+    * group key; per-task cost is bounded by the largest group's sort —
+    * for skewed groups at scale, pre-filter with a per-group threshold
+    * from a sample, exactly like the stratified-sample note. (Global
+    * top-k stays `TakeOrderedAndProject` — q04; windows are only for
+    * the grouped form.)
+    */
+  val q86GroupTopK: QueryDef = QueryDef(
+    "q86_group_topk",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      Tables(s, dir, "documents")
+        .select(col("source"), col("doc_id"), col("n_chars"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .orderBy(col("source"), col("rank"))
+    },
+    Some("""
+      SELECT source, doc_id, n_chars, rank FROM (
+        SELECT source, doc_id, n_chars,
+          ROW_NUMBER() OVER (PARTITION BY source
+            ORDER BY n_chars DESC, doc_id) AS rank
+        FROM documents)
+      WHERE rank <= 3
+      ORDER BY source, rank"""),
+  )
+
   val all: Seq[QueryDef] = Seq(q74StreamJoin, q75SnapshotDiff,
     q76StratifiedSample, q77TokenBudget, q78ZOrder, q79Int8Ann,
     q80SemanticDedup, q81SeqPack, q82BigramNovelty, q83EditDistance,
-    q84ExactMoments, q85StreamEnrich)
+    q84ExactMoments, q85StreamEnrich, q86GroupTopK)
 }

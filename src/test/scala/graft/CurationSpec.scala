@@ -267,6 +267,31 @@ class CurationSpec extends SparkSpec {
       batch.exceptAll(streamed).count() === 0)
   }
 
+  test("round-6 operators tolerate empty inputs") {
+    import graft.operators.{CorpusStats, Stats}
+    val emptyDocs = Seq.empty[(Long, String, String)]
+      .toDF("doc_id", "text", "source")
+    val emptyEmb = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val emptyKeyed = Seq.empty[(Long, Double, String)]
+      .toDF("k", "price", "status")
+    assert(SnapshotDiff.diff(emptyKeyed, emptyKeyed, "k",
+      Seq("price", "status")).count() === 0)
+    assert(Scale.stratifiedSample(emptyDocs, col("source"), col("doc_id"),
+      5).count() === 0)
+    assert(Scale.tokenBudgetSample(emptyDocs, col("source"), col("doc_id"),
+      size(split(col("text"), " ")), Map.empty, 100L).count() === 0)
+    assert(Scale.packSequences(emptyDocs, col("doc_id"),
+      size(split(col("text"), " ")), 256).count() === 0)
+    assert(CorpusStats.bigramNovelty(emptyDocs, col("doc_id"),
+      col("text")).count() === 0)
+    assert(Dedup.editDistancePairs(emptyDocs, col("doc_id"), col("text"),
+      80, 20).count() === 0)
+    assert(Dedup.semanticDedup(emptyEmb, col("vec_id"), col("embedding"),
+      0.35).count() === 0)
+    assert(Stats.exactMoments(emptyKeyed, col("status"), col("k"),
+      col("price"), 100L).count() === 0)
+  }
+
   test("stream-stream interval join equals the batch interval join") {
     val streamed = graft.streaming.StreamJoin
       .clickPurchaseAttribution(spark, sfDir, windowMinutes = 30)
