@@ -394,8 +394,42 @@ object CurationQueries {
       ORDER BY source, rank"""),
   )
 
+  // ---------------------------------------------------------------- q87
+  /** Three-stage first-touch conversion funnel (click → view →
+    * purchase, each strictly after the previous stage's first event).
+    * Deterministic under any partitioning: every anchor is a MIN over
+    * a filtered event set, no window ordering involved. */
+  val q87Funnel: QueryDef = QueryDef(
+    "q87_funnel",
+    (s, dir) =>
+      graft.operators.Funnel.firstTouch(Tables(s, dir, "events"),
+          col("user_id"), col("event_type"), col("ts"),
+          stages = Seq("click", "view", "purchase"))
+        .orderBy(col("user_id")),
+    Some("""
+      WITH e AS (SELECT user_id, event_type,
+        CAST(epoch_ns(ts) // 1000 AS BIGINT) AS us FROM events),
+      u AS (SELECT DISTINCT user_id FROM e),
+      s1 AS (SELECT user_id, MIN(us) AS t1 FROM e
+        WHERE event_type = 'click' GROUP BY user_id),
+      s2 AS (SELECT e.user_id, MIN(us) AS t2 FROM e
+        JOIN s1 ON e.user_id = s1.user_id AND e.us > s1.t1
+        WHERE event_type = 'view' GROUP BY e.user_id),
+      s3 AS (SELECT e.user_id, MIN(us) AS t3 FROM e
+        JOIN s2 ON e.user_id = s2.user_id AND e.us > s2.t2
+        WHERE event_type = 'purchase' GROUP BY e.user_id)
+      SELECT u.user_id, s1.t1, s2.t2, s3.t3,
+        CAST(CASE WHEN t3 IS NOT NULL THEN 3
+                  WHEN t2 IS NOT NULL THEN 2
+                  WHEN t1 IS NOT NULL THEN 1
+                  ELSE 0 END AS BIGINT) AS stage_reached
+      FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+             LEFT JOIN s3 USING (user_id)
+      ORDER BY u.user_id"""),
+  )
+
   val all: Seq[QueryDef] = Seq(q74StreamJoin, q75SnapshotDiff,
     q76StratifiedSample, q77TokenBudget, q78ZOrder, q79Int8Ann,
     q80SemanticDedup, q81SeqPack, q82BigramNovelty, q83EditDistance,
-    q84ExactMoments, q85StreamEnrich, q86GroupTopK)
+    q84ExactMoments, q85StreamEnrich, q86GroupTopK, q87Funnel)
 }

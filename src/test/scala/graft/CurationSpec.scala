@@ -292,6 +292,43 @@ class CurationSpec extends SparkSpec {
       col("price"), 100L).count() === 0)
   }
 
+  test("funnel: strict ordering between stages, first-touch anchors") {
+    import graft.operators.Funnel
+    val mk = (u: Long, t: String, sec: Long) =>
+      (u, t, new java.sql.Timestamp(sec * 1000))
+    val ev = Seq(
+      // user 1: full funnel in order
+      mk(1, "click", 10), mk(1, "view", 20), mk(1, "purchase", 30),
+      // user 2: purchase BEFORE the first view -> stops at stage 2
+      mk(2, "click", 10), mk(2, "purchase", 15), mk(2, "view", 20),
+      // user 3: view precedes the first click -> stops at stage 1
+      mk(3, "view", 5), mk(3, "click", 10),
+      // user 4: never clicks -> stage 0
+      mk(4, "view", 10), mk(4, "purchase", 20),
+      // user 5: second click is followed by a view; anchor is the FIRST
+      // click, and the view is after it, so stage 2
+      mk(5, "click", 10), mk(5, "click", 40), mk(5, "view", 50))
+      .toDF("user_id", "event_type", "ts")
+    val out = Funnel.firstTouch(ev, col("user_id"), col("event_type"),
+        col("ts"), Seq("click", "view", "purchase"))
+      .orderBy("user_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(4))).toSeq ===
+      Seq((1L, 3L), (2L, 2L), (3L, 1L), (4L, 0L), (5L, 2L)))
+    // real data: anchors strictly increase and nulls are suffix-closed
+    Funnel.firstTouch(Tables(spark, sfDir, "events"), col("user_id"),
+        col("event_type"), col("ts"), Seq("click", "view", "purchase"))
+      .collect().foreach { r =>
+        val ts = Seq(1, 2, 3).map(i => if (r.isNullAt(i)) None
+          else Some(r.getLong(i)))
+        ts.sliding(2).foreach {
+          case Seq(Some(a), Some(b)) => assert(a < b)
+          case Seq(None, later) => assert(later.isEmpty)
+          case _ =>
+        }
+        assert(r.getLong(4) === ts.count(_.isDefined))
+      }
+  }
+
   test("stream-stream interval join equals the batch interval join") {
     val streamed = graft.streaming.StreamJoin
       .clickPurchaseAttribution(spark, sfDir, windowMinutes = 30)
