@@ -52,4 +52,35 @@ object Funnel {
     }
     withStages.withColumn("stage_reached", reached)
   }
+
+  /** Weekly retention cohorts: users grouped by their first-active
+    * epoch-week; for each (cohort, weeks-since) cell, how many of the
+    * cohort's users were active that week. Weeks are pure integer
+    * arithmetic on event time (epoch-micros div day div 7) — no
+    * calendar functions, so the bucketing is identical in any engine
+    * and timezone-free.
+    *
+    * Scale shape: one narrow projection, one distinct on (user, week)
+    * — map-side combining collapses each user's events per week before
+    * the shuffle — one min-agg for cohorts, one user-keyed join of two
+    * user-cardinality relations, one final count agg. Events appear
+    * only in the first distinct; everything after is user-sized.
+    */
+  def retentionCohorts(events: DataFrame, user: Column, ts: Column)
+      : DataFrame = {
+    // `div` (integer division), never `/`: a float division of epoch
+    // micros can land 1 ulp under an exact midnight boundary and
+    // truncate into the previous day
+    val weeks = events
+      .select(user.as("user_id"), ts.as("ts"))
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .select(col("user_id"), expr("day div 7").as("week"))
+      .distinct()
+    val cohorts = weeks.groupBy(col("user_id"))
+      .agg(min(col("week")).as("cohort_week"))
+    weeks.join(cohorts, Seq("user_id"))
+      .groupBy(col("cohort_week"),
+        (col("week") - col("cohort_week")).as("weeks_since"))
+      .agg(count(lit(1)).as("n_users"))
+  }
 }

@@ -49,4 +49,30 @@ object SnapshotDiff {
       .select(col(key) +: col("change_type") +:
         compareCols.flatMap(c => Seq(col(s"old_$c"), col(s"new_$c"))): _*)
   }
+
+  /** Apply a [[diff]] changelog to a base snapshot, reconstructing the
+    * new one: removed keys drop, changed keys take the new values,
+    * added keys insert. `applyDiff(old, diff(old, new)) == new` on
+    * (key ++ compareCols) — the round-trip CurationSpec pins.
+    *
+    * This is why the diff is worth storing: restoring or shipping a
+    * daily 100 TB snapshot needs only the base plus a changelog that is
+    * |added| + |removed| + |changed| rows — one co-partitioned left
+    * join against the base (zero-shuffle when base and changelog are
+    * bucketed on the key), not a full rewrite of unchanged rows.
+    */
+  def applyDiff(oldDf: DataFrame, diffDf: DataFrame, key: String,
+      compareCols: Seq[String]): DataFrame = {
+    val base = oldDf.select((key +: compareCols).map(col): _*)
+    val changes = diffDf.select(col(key) +: col("change_type") +:
+      compareCols.map(c => col(s"new_$c")): _*)
+    val merged = base.join(changes, Seq(key), "left")
+      .filter(col("change_type").isNull || col("change_type") === "changed")
+      .select(col(key) +: compareCols.map(c =>
+        when(col("change_type") === "changed", col(s"new_$c"))
+          .otherwise(col(c)).as(c)): _*)
+    val added = diffDf.filter(col("change_type") === "added")
+      .select(col(key) +: compareCols.map(c => col(s"new_$c").as(c)): _*)
+    merged.unionByName(added)
+  }
 }

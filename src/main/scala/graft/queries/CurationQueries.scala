@@ -428,8 +428,33 @@ object CurationQueries {
       ORDER BY u.user_id"""),
   )
 
+  // ---------------------------------------------------------------- q88
+  /** Weekly retention cohorts over integer epoch-weeks (timezone-free,
+    * engine-identical bucketing): per (first-active cohort week,
+    * weeks-since), the count of that cohort's users active that week. */
+  val q88Retention: QueryDef = QueryDef(
+    "q88_retention",
+    (s, dir) =>
+      graft.operators.Funnel.retentionCohorts(Tables(s, dir, "events"),
+          col("user_id"), col("ts"))
+        .orderBy(col("cohort_week"), col("weeks_since")),
+    Some("""
+      WITH ev AS (SELECT user_id,
+        CAST(epoch_ns(ts) // 1000 AS BIGINT) // 86400000000 AS day
+        FROM events),
+      weeks AS (SELECT DISTINCT user_id, day // 7 AS week FROM ev),
+      cohorts AS (SELECT user_id, MIN(week) AS cohort_week
+        FROM weeks GROUP BY user_id)
+      SELECT c.cohort_week, w.week - c.cohort_week AS weeks_since,
+        COUNT(*) AS n_users
+      FROM weeks w JOIN cohorts c USING (user_id)
+      GROUP BY c.cohort_week, weeks_since
+      ORDER BY c.cohort_week, weeks_since"""),
+  )
+
   val all: Seq[QueryDef] = Seq(q74StreamJoin, q75SnapshotDiff,
     q76StratifiedSample, q77TokenBudget, q78ZOrder, q79Int8Ann,
     q80SemanticDedup, q81SeqPack, q82BigramNovelty, q83EditDistance,
-    q84ExactMoments, q85StreamEnrich, q86GroupTopK, q87Funnel)
+    q84ExactMoments, q85StreamEnrich, q86GroupTopK, q87Funnel,
+    q88Retention)
 }

@@ -27,6 +27,23 @@ class CurationSpec extends SparkSpec {
     assert(r3.isNullAt(2) && r3.getDouble(3) === 30.0)
   }
 
+  test("snapshot diff round-trips: apply(old, diff(old,new)) == new") {
+    val orders = Tables(spark, sfDir, "orders")
+    val oldSnap = orders.filter(pmod(col("o_orderkey"), lit(10)) =!= 3)
+    val newSnap = orders.filter(pmod(col("o_orderkey"), lit(7)) =!= 2)
+      .withColumn("o_totalprice",
+        when(pmod(col("o_orderkey"), lit(5)) === 0,
+          col("o_totalprice") + 1.0).otherwise(col("o_totalprice")))
+    val cols = Seq("o_totalprice", "o_orderstatus")
+    assert(SnapshotDiff.diff(oldSnap, oldSnap, "o_orderkey", cols)
+      .count() === 0)
+    val d = SnapshotDiff.diff(oldSnap, newSnap, "o_orderkey", cols)
+    val rebuilt = SnapshotDiff.applyDiff(oldSnap, d, "o_orderkey", cols)
+    val want = newSnap.select(("o_orderkey" +: cols).map(col): _*)
+    assert(rebuilt.exceptAll(want).count() === 0 &&
+      want.exceptAll(rebuilt).count() === 0)
+  }
+
   test("stratified sample: exact per-stratum counts, partition-stable") {
     val docs = Tables(spark, sfDir, "documents")
     val a = Scale.stratifiedSample(docs, col("source"), col("doc_id"), 5)
@@ -327,6 +344,30 @@ class CurationSpec extends SparkSpec {
         }
         assert(r.getLong(4) === ts.count(_.isDefined))
       }
+  }
+
+  test("retention cohorts: toy timeline, week-0 completeness") {
+    import graft.operators.Funnel
+    val day = 86400L
+    val mk = (u: Long, d: Long) =>
+      (u, new java.sql.Timestamp(d * day * 1000))
+    // users 1,2 start week 0 (days 0-6); user 3 starts week 2.
+    // user 1 returns in week 1; user 2 returns in week 2.
+    val ev = Seq(mk(1, 0), mk(1, 3), mk(1, 8), mk(2, 6), mk(2, 15),
+      mk(3, 14)).toDF("user_id", "ts")
+    val out = Funnel.retentionCohorts(ev, col("user_id"), col("ts"))
+      .orderBy("cohort_week", "weeks_since").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out === Seq((0L, 0L, 2L), (0L, 1L, 1L), (0L, 2L, 1L),
+      (2L, 0L, 1L)))
+    // every cohort's weeks_since=0 cell counts the whole cohort
+    val real = Funnel.retentionCohorts(Tables(spark, sfDir, "events"),
+      col("user_id"), col("ts"))
+    val w0 = real.filter(col("weeks_since") === 0)
+      .agg(sum(col("n_users"))).head().getLong(0)
+    val users = Tables(spark, sfDir, "events")
+      .select(col("user_id")).distinct().count()
+    assert(w0 === users)
   }
 
   test("stream-stream interval join equals the batch interval join") {
