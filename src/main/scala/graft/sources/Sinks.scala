@@ -28,7 +28,10 @@ object Sinks {
     * window). One shuffle on the key — the compaction a log-structured
     * table (Delta/Iceberg) eventually pays anyway, without the
     * dependency. Single-writer by contract; concurrent writers need a
-    * real table format's log.
+    * real table format's log. The batch must carry at most ONE
+    * candidate row per key: the fresh-table fast path writes it
+    * verbatim, so a multi-row-per-key batch would survive unmerged —
+    * collapse first (as StreamJoin.upsertSink does per micro-batch).
     */
   def upsertParquet(batch: DataFrame, path: String, keyCols: Seq[String],
       orderCol: String): Unit = {

@@ -62,4 +62,39 @@ object StreamJoin {
     EventsStream.drainToLocal(enriched, "graft_enrich_")
       .orderBy(col("c_mktsegment"), col("event_type"))
   }
+
+  /** Streaming upsert sink: foreachBatch routes every micro-batch into
+    * the keep-latest parquet MERGE (`Sinks.upsertParquet`), turning the
+    * event stream into a continuously maintained keyed table — the
+    * materialized-view pattern without a table-format dependency.
+    * foreachBatch is the right tool because the merge needs a full
+    * read-modify-swap per batch, which no append-mode sink expresses;
+    * exactly-once comes from the merge's idempotence (same key + same
+    * order column re-applies to the same winner) plus the checkpoint's
+    * batch tracking.
+    */
+  def upsertSink(spark: SparkSession, sfDir: String, outDir: String,
+      checkpointDir: String): Unit = {
+    val latestPerUser = EventsStream.eventsStream(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val q = latestPerUser.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        // collapse the micro-batch to its latest row per key first:
+        // upsertParquet's contract is one candidate row per key per
+        // call, and the collapse also shrinks the merge input
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"))
+          .orderBy(col("us").desc, col("event_id").desc)
+        val latest = batch.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+        graft.sources.Sinks.upsertParquet(latest, outDir,
+          keyCols = Seq("user_id"), orderCol = "us")
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+  }
 }

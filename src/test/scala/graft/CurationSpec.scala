@@ -370,6 +370,27 @@ class CurationSpec extends SparkSpec {
     assert(w0 === users)
   }
 
+  test("streaming upsert sink maintains the latest row per key") {
+    val out = java.nio.file.Files.createTempDirectory("graft_upsink_")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_upckpt_")
+    graft.streaming.StreamJoin.upsertSink(spark, sfDir,
+      out.toString, ckpt.toString)
+    val got = spark.read.parquet(out.toString)
+    val want = Tables(spark, sfDir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+          .orderBy(col("us").desc)))
+      .filter(col("__rn") === 1).drop("__rn")
+    // one row per user, and it is that user's latest event by time
+    // (event ids can tie only if two events share a user AND timestamp;
+    // compare on (user, us) which is the upsert's contract)
+    assert(got.count() === want.count())
+    assert(got.select("user_id", "us")
+      .exceptAll(want.select("user_id", "us")).count() === 0)
+  }
+
   test("stream-stream interval join equals the batch interval join") {
     val streamed = graft.streaming.StreamJoin
       .clickPurchaseAttribution(spark, sfDir, windowMinutes = 30)
