@@ -595,6 +595,36 @@ object CoreQueries {
       ORDER BY gid, order_year ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST"""),
   )
 
+  // ---------------------------------------------------------------- q89
+  /** Arbitrary GROUPING SETS — the generalization ROLLUP (q26) and CUBE
+    * (q48) cannot express: marginals-only sets ((year), (status)) with
+    * no pairwise cell and no grand total. Same Expand + single-shuffle
+    * physical shape as the cube.
+    */
+  val q89GroupingSets: QueryDef = QueryDef(
+    "q89_grouping_sets",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .select(year(col("o_orderdate")).cast("long").as("order_year"),
+          col("o_orderstatus"), col("o_totalprice"))
+        .groupingSets(
+          Seq(Seq(col("order_year")), Seq(col("o_orderstatus"))),
+          col("order_year"), col("o_orderstatus"))
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n"), fsum(col("o_totalprice"), 2).as("total"))
+        .orderBy(col("gid"), col("order_year").asc_nulls_first,
+          col("o_orderstatus").asc_nulls_first),
+    Some("""
+      SELECT CAST(date_part('year', o_orderdate) AS BIGINT) AS order_year,
+        o_orderstatus,
+        CAST(GROUPING(order_year, o_orderstatus) AS BIGINT) AS gid,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS DOUBLE) / 100.0 AS total
+      FROM orders
+      GROUP BY GROUPING SETS ((order_year), (o_orderstatus))
+      ORDER BY gid, order_year ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST"""),
+  )
+
   // ---------------------------------------------------------------- q51
   /** Binned range join: orders counted into ±3% price bands around
     * sampled anchor orders. Spark would plan the bare BETWEEN condition
@@ -821,7 +851,7 @@ object CoreQueries {
   )
 
   val all: Seq[QueryDef] = Seq(
-    q25JsonExtract, q26Rollup, q27SetOps, q28RunningTotal, q48Cube,
+    q25JsonExtract, q26Rollup, q27SetOps, q28RunningTotal, q48Cube, q89GroupingSets,
     q51RangeJoin, q53Histogram, q56Pivot, q57Unpivot, q58SaltedJoin,
     q01AggPricing, q02FilterProject, q03JoinRevenue, q04TopK,
     q05WindowLatest, q06DedupFirst, q07QuantileOutlier, q08AntiJoin,

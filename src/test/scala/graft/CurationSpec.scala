@@ -100,6 +100,15 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("z-order key is a bijection on the full 6-bit grid") {
+    val grid = spark.range(64).select(col("id").as("x"))
+      .crossJoin(spark.range(64).select(col("id").as("y")))
+      .select(Layout.zOrderKey(col("x"), col("y"), 6).as("z"))
+    assert(grid.distinct().count() === 64L * 64)
+    val mm = grid.agg(min("z"), max("z")).head()
+    assert(mm.getLong(0) === 0L && mm.getLong(1) === 4095L)
+  }
+
   test("z-order write produces files with disjoint z-key ranges") {
     val dir = java.nio.file.Files.createTempDirectory("graft_zorder_")
       .toString
