@@ -625,6 +625,40 @@ object CoreQueries {
       ORDER BY gid, order_year ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST"""),
   )
 
+  // ---------------------------------------------------------------- q90
+  /** Analytic-window breadth in one graded pass: lag/lead offsets,
+    * ntile quartiles, and percent_rank over per-user event-time order
+    * (full tie-breaks, so every function is deterministic).
+    * percent_rank = (rank−1)/(n−1) is a single exact integer division
+    * in double — identical in both engines; rounded anyway for the
+    * shared float policy.
+    */
+  val q90WindowSuite: QueryDef = QueryDef(
+    "q90_window_suite",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("value"), col("ts"))
+        .withColumn("prev_value", lag(col("value"), 1).over(w))
+        .withColumn("next_value", lead(col("value"), 1).over(w))
+        .withColumn("quartile", ntile(4).over(w).cast("long"))
+        .withColumn("pct_rank", round(percent_rank().over(w), 6))
+        .select(col("user_id"), col("event_id"), col("prev_value"),
+          col("next_value"), col("quartile"), col("pct_rank"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+    Some("""
+      SELECT user_id, event_id,
+        lag(value, 1) OVER w AS prev_value,
+        lead(value, 1) OVER w AS next_value,
+        CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        ROUND(percent_rank() OVER w, 6) AS pct_rank
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ORDER BY user_id, event_id"""),
+  )
+
   // ---------------------------------------------------------------- q51
   /** Binned range join: orders counted into ±3% price bands around
     * sampled anchor orders. Spark would plan the bare BETWEEN condition
@@ -851,7 +885,7 @@ object CoreQueries {
   )
 
   val all: Seq[QueryDef] = Seq(
-    q25JsonExtract, q26Rollup, q27SetOps, q28RunningTotal, q48Cube, q89GroupingSets,
+    q25JsonExtract, q26Rollup, q27SetOps, q28RunningTotal, q48Cube, q89GroupingSets, q90WindowSuite,
     q51RangeJoin, q53Histogram, q56Pivot, q57Unpivot, q58SaltedJoin,
     q01AggPricing, q02FilterProject, q03JoinRevenue, q04TopK,
     q05WindowLatest, q06DedupFirst, q07QuantileOutlier, q08AntiJoin,
