@@ -22,10 +22,14 @@ object CorpusStats {
     * Scale shape: one explode into the metadata-narrow (doc_id, bigram)
     * relation, one map-side-combining groupBy for the frequency table,
     * one equi-join keyed on the bigram (both sides already bigram-
-    * partitioned by the agg), one per-doc sum. N is a scalar count on
-    * the same narrow relation — an honest extra pass, like q55's
-    * docs.count(). Nothing corpus-text-sized shuffles; hot bigrams are
-    * bounded by AQE skew splitting on the join.
+    * partitioned by the agg), one per-doc sum. N = Σf is a one-row
+    * aggregate over the (much smaller) frequency table, attached by a
+    * broadcast cross join — so the whole plan stays lazy (no count()
+    * at construction time; the returned plan re-derives N from
+    * whatever the input holds at execution) and the exploded relation
+    * is computed exactly twice (freq and the scored join), never
+    * cached: at 100 TB a corpus-sized bigram cache is the wrong trade
+    * against a second narrow scan.
     */
   def bigramNovelty(docs: DataFrame, id: Column, text: Column): DataFrame = {
     val toks = docs.select(id.as("doc_id"),
@@ -38,11 +42,16 @@ object CorpusStats {
               element_at(col("w"), i + 1))))
           .otherwise(array().cast("array<string>"))).as("bigram"))
     val freq = bg.groupBy(col("bigram")).agg(count(lit(1)).as("f"))
-    val n = bg.count()
+    val total = freq.agg(coalesce(sum(col("f")), lit(0L)).as("n_total"))
+    // Σ(N − f) = n_bigrams·N − Σf, so the one-row scalar join attaches
+    // above the per-doc aggregate (doc-cardinality rows), never to the
+    // occurrence-sized relation.
     val scored = bg.join(freq, Seq("bigram"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"),
-        sum(lit(n) - col("f")).as("novelty"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("f")).as("sum_f"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("n_bigrams") * col("n_total") - col("sum_f")).as("novelty"))
     toks.select(col("doc_id"))
       .join(scored, Seq("doc_id"), "left")
       .select(col("doc_id"),

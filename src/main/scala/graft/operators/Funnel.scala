@@ -68,13 +68,20 @@ object Funnel {
     */
   def retentionCohorts(events: DataFrame, user: Column, ts: Column)
       : DataFrame = {
-    // `div` (integer division), never `/`: a float division of epoch
-    // micros can land 1 ulp under an exact midnight boundary and
-    // truncate into the previous day
+    // Integer *floor* division, never `/` and never bare `div`: a float
+    // division of epoch micros can land 1 ulp under an exact midnight
+    // boundary and truncate into the previous day, and Spark's `div`
+    // truncates toward zero while the DuckDB oracle's `//` floors —
+    // pre-1970 timestamps would bucket into different weeks across
+    // engines. Subtracting pmod (always non-negative) before `div`
+    // makes the dividend exactly divisible, so truncation == floor.
     val weeks = events
       .select(user.as("user_id"), ts.as("ts"))
-      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
-      .select(col("user_id"), expr("day div 7").as("week"))
+      .select(col("user_id"),
+        expr("(unix_micros(ts) - pmod(unix_micros(ts), 86400000000))" +
+          " div 86400000000").as("day"))
+      .select(col("user_id"),
+        expr("(day - pmod(day, 7)) div 7").as("week"))
       .distinct()
     val cohorts = weeks.groupBy(col("user_id"))
       .agg(min(col("week")).as("cohort_week"))

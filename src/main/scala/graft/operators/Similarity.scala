@@ -49,7 +49,12 @@ object Similarity {
   private def planeComponent(plane: Int, dim: Int): Double =
     (((plane * 73856093L + dim * 19349663L + 83492791L) % 1001L) - 500L) / 500.0
 
-  /** Random-hyperplane LSH bucket signature (nPlanes sign bits). */
+  /** Random-hyperplane LSH bucket signature (nPlanes sign bits).
+    * Guards the dims contract: `element_at` past the end of a shorter
+    * vector returns null, the null dot would fall into the 0 branch,
+    * and bucket assignment would be silently wrong — an opaque parity
+    * failure downstream instead of an error here.
+    */
   def lshBucket(vec: Column, nPlanes: Int, dims: Int): Column = {
     val bits = (0 until nPlanes).map { p =>
       val dot = (0 until dims).map { d =>
@@ -57,7 +62,10 @@ object Similarity {
       }.reduce(_ + _)
       when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
     }
-    bits.reduce(_ + _)
+    when(size(vec) === dims, bits.reduce(_ + _))
+      .otherwise(raise_error(concat(
+        lit(s"lshBucket: expected $dims-dim vectors, got "),
+        size(vec).cast("string"))))
   }
 
   /** IVF (inverted-file) ANN: a k-means coarse quantizer partitions the
@@ -174,9 +182,18 @@ object Similarity {
     * candidate scores are bit-reproducible under any summation order —
     * the property that lets the DuckDB oracle replay the identical
     * candidate cut.
+    *
+    * The candidate cut is two-phase (the repo's standard window shape):
+    * a shard-local top-rerankDepth over (q_id, shard) partitions — each
+    * sort sees |corpus|/nShards rows and shards sort in parallel — then
+    * the exact global rank over the ≤ nShards·rerankDepth survivors per
+    * query. A single corpus-wide window per query would funnel the
+    * whole scored corpus through |queries| sort partitions; the local
+    * cut keeps every sort bounded regardless of corpus size, and the
+    * total order (int_score desc, n_id) makes the result identical.
     */
   def quantizedTopK(corpus: DataFrame, queries: DataFrame, id: Column,
-      vec: Column, k: Int, rerankDepth: Int): DataFrame = {
+      vec: Column, k: Int, rerankDepth: Int, nShards: Int = 64): DataFrame = {
     require(rerankDepth >= k, "rerankDepth must be >= k")
     def quantized(df: DataFrame, side: String) = {
       val (q, _) = int8Quantize(col("v"))
@@ -186,10 +203,18 @@ object Similarity {
     }
     val c = quantized(corpus, "n")
     val q = quantized(queries, "q")
-    val candidates = c.crossJoin(broadcast(q))
+    val scored = c.crossJoin(broadcast(q))
       .filter(col("q_id") =!= col("n_id"))
       .withColumn("int_score",
         graft.plans.DotProduct.dot_product(col("q_q"), col("n_q")).cast("long"))
+    val localCut = scored
+      .withColumn("shard", pmod(xxhash64(col("n_id")), lit(nShards)))
+      .withColumn("local_rank", row_number().over(
+        Window.partitionBy(col("q_id"), col("shard"))
+          .orderBy(col("int_score").desc, col("n_id"))))
+      .filter(col("local_rank") <= rerankDepth)
+      .drop("shard", "local_rank")
+    val candidates = localCut
       .withColumn("cand_rank", row_number().over(
         Window.partitionBy(col("q_id"))
           .orderBy(col("int_score").desc, col("n_id"))))

@@ -418,8 +418,13 @@ class ScaleDesignSpec extends SparkSpec {
     val docs = Tables(spark, sfDir, "documents")
     val out = CorpusStats.bigramNovelty(docs, col("doc_id"), col("text"))
     val plan = out.queryExecution.executedPlan.toString
-    assert(!plan.contains("CartesianProduct") &&
-      !plan.contains("BroadcastNestedLoopJoin"), s"novelty join shape:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"novelty join shape:\n$plan")
+    // The occurrence-sized frequency join must be hash-based; the only
+    // nested-loop allowed is the one-row scalar N attach, which sits
+    // above the per-doc aggregate on doc-cardinality rows.
+    assert(plan.contains("BroadcastHashJoin"), s"novelty join shape:\n$plan")
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(bnlj <= 1, s"only the scalar N attach may nest-loop:\n$plan")
     // map-side combine: a partial HashAggregate must sit below the
     // bigram Exchange (two HashAggregates per agg is Spark's partial/
     // final split; the plan has two aggs -> at least 4)
