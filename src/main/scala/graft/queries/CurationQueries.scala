@@ -452,9 +452,156 @@ object CurationQueries {
       ORDER BY c.cohort_week, weeks_since"""),
   )
 
+  // ---------------------------------------------------------------- q91
+  /** Vocabulary-coverage (OOV-rate) quality scoring: per document, how
+    * many tokens fall outside the corpus top-100 vocabulary, as integer
+    * parts-per-million. The vocabulary cut is a total order
+    * (count desc, term asc), so the V boundary — and therefore every
+    * score — is engine-exact; no float ratio crosses the hash compare.
+    */
+  val q91OovRate: QueryDef = QueryDef(
+    "q91_oov_rate",
+    (s, dir) =>
+      graft.operators.Vocabulary.oovRate(Tables(s, dir, "documents"),
+          col("doc_id"), col("text"), vocabSize = 100)
+        .orderBy(col("doc_id")),
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents),
+      t AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+      vocab AS (
+        SELECT term FROM (
+          SELECT term, COUNT(*) AS cnt FROM t GROUP BY term
+          ORDER BY cnt DESC, term LIMIT 100)),
+      per AS (
+        SELECT t.doc_id, COUNT(*) AS n_tokens,
+          CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_oov
+        FROM t LEFT JOIN vocab v ON t.term = v.term
+        GROUP BY t.doc_id)
+      SELECT d.doc_id,
+        COALESCE(p.n_tokens, 0) AS n_tokens,
+        COALESCE(p.n_oov, 0) AS n_oov,
+        CASE WHEN COALESCE(p.n_tokens, 0) = 0 THEN 0
+             ELSE (p.n_oov * 1000000) // p.n_tokens END AS oov_ppm
+      FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+      ORDER BY d.doc_id"""),
+  )
+
+  // ---------------------------------------------------------------- q92
+  /** Incremental (delta) dedup — the daily-crawl shape: the corpus is
+    * split into a deduplicated history (doc_id % 5 != 0) and an
+    * incoming batch (doc_id % 5 == 0), and every batch document is
+    * classified as dup_of_history / dup_in_batch / new on a
+    * 100-char-prefix content key (the same key q33 proves collides in
+    * this corpus). History participates only as its (key → min id)
+    * representative index.
+    */
+  val q92DeltaDedup: QueryDef = QueryDef(
+    "q92_delta_dedup",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      Dedup.incrementalDedup(
+          docs.filter(col("doc_id") % 5 =!= 0),
+          docs.filter(col("doc_id") % 5 === 0),
+          col("doc_id"), substring(col("text"), 1, 100))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH hist AS (
+        SELECT substr(text, 1, 100) AS k, MIN(doc_id) AS hist_rep
+        FROM documents WHERE doc_id % 5 <> 0 GROUP BY k),
+      inc AS (
+        SELECT doc_id, substr(text, 1, 100) AS k
+        FROM documents WHERE doc_id % 5 = 0),
+      batch AS (SELECT k, MIN(doc_id) AS batch_rep FROM inc GROUP BY k)
+      SELECT i.doc_id,
+        CASE WHEN h.hist_rep IS NOT NULL THEN 'dup_of_history'
+             WHEN i.doc_id > b.batch_rep THEN 'dup_in_batch'
+             ELSE 'new' END AS verdict,
+        CASE WHEN h.hist_rep IS NOT NULL THEN h.hist_rep
+             WHEN i.doc_id > b.batch_rep THEN b.batch_rep
+             ELSE NULL END AS dup_of
+      FROM inc i
+      LEFT JOIN hist h ON i.k = h.k
+      JOIN batch b ON i.k = b.k
+      ORDER BY i.doc_id"""),
+  )
+
+  // ---------------------------------------------------------------- q93
+  /** Fixed-point PageRank (3 iterations, damping 85/100) over the
+    * symmetric customer↔supplier trade graph — the link-graph quality
+    * prior of web-corpus pipelines (Common Crawl ranks crawl hosts the
+    * same way). Every rank is exact integer mass, so a 3-hop iterative
+    * computation hash-matches DuckDB's unrolled replay — something no
+    * float PageRank can promise. Top-100 by rank.
+    */
+  val q93PageRank: QueryDef = QueryDef(
+    "q93_pagerank",
+    (s, dir) => {
+      val o = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val l = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val cs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+      val edges = cs.union(
+        cs.select(col("dst").as("src"), col("src").as("dst")))
+      graft.operators.Graph.pageRank(edges, iters = 3)
+        .orderBy(col("rank").desc, col("node"))
+        .limit(100)
+    },
+    Some("""
+      WITH cs AS (
+        SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      e AS (SELECT src, dst FROM cs
+            UNION SELECT dst AS src, src AS dst FROM cs),
+      nodes AS (SELECT DISTINCT node FROM (
+        SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+      nn AS (SELECT COUNT(*) AS n FROM nodes),
+      outdeg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+      r0 AS (SELECT node, (SELECT 1000000000000 // n FROM nn) AS rank
+             FROM nodes),
+      it1 AS (
+        SELECT nd.node,
+          (((SELECT 1000000000000 // n FROM nn) * 15) // 100)
+            + ((COALESCE(m.in_mass, 0) * 85) // 100) AS rank
+        FROM nodes nd LEFT JOIN (
+          SELECT e.dst AS node,
+            CAST(SUM(r.rank // o.outdeg) AS BIGINT) AS in_mass
+          FROM r0 r JOIN e ON r.node = e.src
+                    JOIN outdeg o ON e.src = o.src
+          GROUP BY e.dst) m ON nd.node = m.node),
+      it2 AS (
+        SELECT nd.node,
+          (((SELECT 1000000000000 // n FROM nn) * 15) // 100)
+            + ((COALESCE(m.in_mass, 0) * 85) // 100) AS rank
+        FROM nodes nd LEFT JOIN (
+          SELECT e.dst AS node,
+            CAST(SUM(r.rank // o.outdeg) AS BIGINT) AS in_mass
+          FROM it1 r JOIN e ON r.node = e.src
+                     JOIN outdeg o ON e.src = o.src
+          GROUP BY e.dst) m ON nd.node = m.node),
+      it3 AS (
+        SELECT nd.node,
+          (((SELECT 1000000000000 // n FROM nn) * 15) // 100)
+            + ((COALESCE(m.in_mass, 0) * 85) // 100) AS rank
+        FROM nodes nd LEFT JOIN (
+          SELECT e.dst AS node,
+            CAST(SUM(r.rank // o.outdeg) AS BIGINT) AS in_mass
+          FROM it2 r JOIN e ON r.node = e.src
+                     JOIN outdeg o ON e.src = o.src
+          GROUP BY e.dst) m ON nd.node = m.node)
+      SELECT node, rank FROM it3
+      ORDER BY rank DESC, node LIMIT 100"""),
+  )
+
   val all: Seq[QueryDef] = Seq(q74StreamJoin, q75SnapshotDiff,
     q76StratifiedSample, q77TokenBudget, q78ZOrder, q79Int8Ann,
     q80SemanticDedup, q81SeqPack, q82BigramNovelty, q83EditDistance,
     q84ExactMoments, q85StreamEnrich, q86GroupTopK, q87Funnel,
-    q88Retention)
+    q88Retention, q91OovRate, q92DeltaDedup, q93PageRank)
 }

@@ -234,6 +234,38 @@ object PipelineQueries {
       ORDER BY t.doc_id"""),
   )
 
+  // ---------------------------------------------------------------- q94
+  // per-process path (same convention as q47/q66)
+  private val q94DocsPath =
+    s"/tmp/graft_q94_docs_${ProcessHandle.current().pid()}.parquet"
+
+  /** Partitioned-layout lifecycle: documents go through the
+    * hive-partitioned parquet sink (partitioned by lang), and the
+    * graded read filters one partition — the write→prune→read
+    * round-trip that a date-partitioned corpus store lives on. The
+    * oracle replays the filter over the original table; PlanSpec pins
+    * that the scan actually prunes (PartitionFilters, one directory
+    * touched) rather than filtering after a full scan.
+    */
+  val q94PartitionPrune: QueryDef = QueryDef(
+    "q94_partition_prune",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+      graft.sources.Sinks.writePartitionedParquet(docs, q94DocsPath,
+        Seq("lang"))
+      s.read.parquet(q94DocsPath)
+        .filter(col("lang") === "en")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      SELECT doc_id, lang, source, n_chars
+      FROM documents WHERE lang = 'en'
+      ORDER BY doc_id"""),
+  )
+
   val all: Seq[QueryDef] = Seq(q68DedupClusters, q69ChunkDedup, q70PiiRedact,
-    q71WeightedSample, q72TextSearch, q73SpanDedup)
+    q71WeightedSample, q72TextSearch, q73SpanDedup, q94PartitionPrune)
 }

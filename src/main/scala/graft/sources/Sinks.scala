@@ -18,6 +18,18 @@ object Sinks {
   def writeParquet(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
 
+  /** K2 variant: hive-layout partitioned parquet sink (`col=value`
+    * directories). This is the storage shape that buys partition
+    * pruning downstream: a reader filtering on a partition column
+    * never lists, opens, or scans the other directories — at 100 TB
+    * the difference between a full-corpus scan and touching one
+    * partition. Mirrors the reference's date-keyed S3 prefixes
+    * (svc/generate_base_path.py:14-15) as real partition columns.
+    */
+  def writePartitionedParquet(df: DataFrame, path: String,
+      partCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partCols: _*).parquet(path)
+
   /** Keep-latest upsert into a plain-parquet snapshot — MERGE semantics
     * without a table format: union the current snapshot with the batch,
     * keep the best row per key (greatest `orderCol`; the incoming batch
