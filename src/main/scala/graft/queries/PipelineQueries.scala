@@ -266,6 +266,73 @@ object PipelineQueries {
       ORDER BY doc_id"""),
   )
 
+  // ---------------------------------------------------------------- q95
+  /** All-pairs sparse TF-IDF cosine similarity join (APSS) at
+    * threshold 0.9, exact (no df cap). Integer weights, integer
+    * numerators and squared norms, then three deterministic IEEE ops —
+    * the only floating point is one sqrt, one multiply, one divide, so
+    * the DuckDB replay is bit-identical.
+    */
+  val q95SparseCosine: QueryDef = QueryDef(
+    "q95_sparse_cosine",
+    (s, dir) =>
+      Search.sparseCosinePairs(Tables(s, dir, "documents"),
+          col("doc_id"), col("text"), threshold = 0.9)
+        .orderBy(col("id_a"), col("id_b")),
+    Some("""
+      WITH t AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tk
+        FROM documents),
+      tf AS (
+        SELECT doc_id, tk, COUNT(*) AS tf
+        FROM t WHERE tk <> '' GROUP BY doc_id, tk),
+      dfr AS (SELECT tk, COUNT(*) AS df FROM tf GROUP BY tk),
+      nn AS (SELECT COUNT(*) AS n FROM documents),
+      w AS (
+        SELECT doc_id, tk, tf.tf * ((SELECT n FROM nn) - dfr.df) AS w
+        FROM tf JOIN dfr USING (tk)),
+      norms AS (
+        SELECT doc_id, sqrt(CAST(SUM(w * w) AS BIGINT)) AS norm
+        FROM w GROUP BY doc_id),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(SUM(a.w * b.w) AS BIGINT) AS num
+        FROM w a JOIN w b ON a.tk = b.tk AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id)
+      SELECT id_a, id_b,
+        ROUND(CAST(num AS DOUBLE) / (na.norm * nb.norm), 6) AS cosine
+      FROM pairs
+      JOIN norms na ON id_a = na.doc_id
+      JOIN norms nb ON id_b = nb.doc_id
+      WHERE ROUND(CAST(num AS DOUBLE) / (na.norm * nb.norm), 6) >= 0.9
+      ORDER BY id_a, id_b"""),
+  )
+
+  // ---------------------------------------------------------------- q96
+  /** Sliding-window chunking with overlap (32-token windows every 24
+    * tokens) — the embedding-pipeline preprocessing fan-out. Pure
+    * narrow row-local arithmetic, replayed token-for-token by the
+    * oracle's list slicing.
+    */
+  val q96SlidingChunks: QueryDef = QueryDef(
+    "q96_sliding_chunks",
+    (s, dir) =>
+      graft.operators.Chunker.slidingChunks(Tables(s, dir, "documents"),
+          col("doc_id"), col("text"), chunkTokens = 32, strideTokens = 24)
+        .orderBy(col("doc_id"), col("chunk_id")),
+    Some("""
+      WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      s AS (
+        SELECT doc_id, w, unnest(range(0, len(w), 24)) AS start FROM t)
+      SELECT doc_id, start // 24 AS chunk_id,
+        len(w[start + 1 : start + 32]) AS n_tokens,
+        array_to_string(w[start + 1 : start + 32], ' ') AS chunk
+      FROM s
+      ORDER BY doc_id, chunk_id"""),
+  )
+
   val all: Seq[QueryDef] = Seq(q68DedupClusters, q69ChunkDedup, q70PiiRedact,
-    q71WeightedSample, q72TextSearch, q73SpanDedup, q94PartitionPrune)
+    q71WeightedSample, q72TextSearch, q73SpanDedup, q94PartitionPrune,
+    q95SparseCosine, q96SlidingChunks)
 }

@@ -102,6 +102,67 @@ class CorpusOpsSpec extends SparkSpec {
     assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0)
   }
 
+  test("sparseCosinePairs: identical docs score 1, disjoint docs never pair") {
+    val docs = Seq(
+      (1L, "apple banana cherry"),
+      (2L, "apple banana cherry"),   // identical to 1
+      (3L, "dog elephant fox"),      // disjoint from 1/2
+      (4L, "apple banana zebra"),    // partial overlap
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Search.sparseCosinePairs(docs,
+        col("doc_id"), col("text"), threshold = 0.0)
+      .orderBy("id_a", "id_b").collect()
+    val pairs = out.map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((1L, 2L)) === 1.0)
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+    assert(pairs((1L, 4L)) > 0.0 && pairs((1L, 4L)) < 1.0)
+  }
+
+  test("sparseCosinePairs: dfCap only drops pairs whose shared terms " +
+      "are ubiquitous") {
+    // 'the' appears in every doc (df=4); capping at df<=2 removes the
+    // (3,4) pair that shares nothing else, but keeps (1,2)
+    val docs = Seq(
+      (1L, "the rare1 rare2"), (2L, "the rare1 rare2"),
+      (3L, "the only3"), (4L, "the only4"),
+    ).toDF("doc_id", "text")
+    val exact = graft.operators.Search.sparseCosinePairs(docs,
+      col("doc_id"), col("text"), 0.0)
+    val capped = graft.operators.Search.sparseCosinePairs(docs,
+      col("doc_id"), col("text"), 0.0, dfCap = Some(2L))
+    val ePairs = exact.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cPairs = capped.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ePairs.contains((3L, 4L)) && !cPairs.contains((3L, 4L)))
+    assert(cPairs.contains((1L, 2L)))
+    // the surviving pair's score is identical (weights are never capped)
+    val e12 = exact.filter(col("id_a") === 1 && col("id_b") === 2)
+      .select("cosine").head.getDouble(0)
+    val c12 = capped.filter(col("id_a") === 1 && col("id_b") === 2)
+      .select("cosine").head.getDouble(0)
+    assert(e12 === c12 && e12 === 1.0)
+  }
+
+  test("slidingChunks: overlap, short tail, and empty-doc conventions") {
+    val docs = Seq(
+      (1L, "t0 t1 t2 t3 t4 t5 t6"), // 7 tokens, chunk 4 stride 3
+      (2L, ""),                     // one empty token -> one chunk
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Chunker.slidingChunks(docs,
+        col("doc_id"), col("text"), chunkTokens = 4, strideTokens = 3)
+      .orderBy("doc_id", "chunk_id").collect()
+    val d1 = out.filter(_.getLong(0) == 1L)
+      .map(r => (r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(d1.toSeq === Seq(
+      (0L, 4L, "t0 t1 t2 t3"),
+      (1L, 4L, "t3 t4 t5 t6"), // starts at 3: one-token overlap
+      (2L, 1L, "t6")))         // short tail
+    val d2 = out.filter(_.getLong(0) == 2L)
+    assert(d2.length === 1 && d2(0).getLong(2) === 1L &&
+      d2(0).getString(3) === "")
+  }
+
   test("partitioned sink: reader prunes to the filtered partition") {
     val path = s"/tmp/graft_prune_spec_${ProcessHandle.current().pid()}"
     val docs = Tables(spark, sfDir, "documents")
