@@ -58,4 +58,38 @@ object Stats {
           / (col("n").cast("double") * col("n") * lit(yScale.toDouble)), 6)
           .as("cov_xy"))
   }
+
+  /** Column profiler — the data-quality audit pass (row count, null
+    * count, exact distinct count, min/max) for every requested column,
+    * in long form. Callers pass (name, value) pairs so non-portable
+    * types are normalized at the call site (e.g. timestamps as
+    * `unix_micros`, money as cents); min/max are taken on the NATIVE
+    * type and only then rendered to string, so numeric ordering is
+    * never stringly.
+    *
+    * Scale shape: ONE scan — a single global aggregate computes every
+    * column's metrics together (the multi-distinct plans as Spark's
+    * Expand, k-fold row expansion inside one stage, with partial
+    * aggregation — still one pass over the data, which is the whole
+    * point of a 100 TB audit); the long-form reshape is a 1-row
+    * explode. A k-scan per-column loop would read the corpus k times.
+    */
+  def profile(df: DataFrame, cols: Seq[(String, Column)]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs = cols.flatMap { case (n, c) => Seq(
+      count(c).as(s"cnt_$n"),
+      count_distinct(c).as(s"dst_$n"),
+      min(c).cast("string").as(s"min_$n"),
+      max(c).cast("string").as(s"max_$n")) }
+    val one = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val entries = array(cols.map { case (n, _) =>
+      struct(lit(n).as("col_name"), col(s"cnt_$n").as("n_non_null"),
+        col(s"dst_$n").as("n_distinct"), col(s"min_$n").as("min_val"),
+        col(s"max_$n").as("max_val")) }: _*)
+    one.select(col("n_rows"), explode(entries).as("p"))
+      .select(col("p.col_name").as("col_name"), col("n_rows"),
+        (col("n_rows") - col("p.n_non_null")).as("n_nulls"),
+        col("p.n_distinct").as("n_distinct"),
+        col("p.min_val").as("min_val"), col("p.max_val").as("max_val"))
+  }
 }

@@ -659,6 +659,49 @@ object CoreQueries {
       ORDER BY user_id, event_id"""),
   )
 
+  // ---------------------------------------------------------------- q97
+  /** Trailing event-time RANGE frame: per user, the count and
+    * exact-cents sum of events in the trailing hour INCLUDING the
+    * current row — the time-window analytic (rate limiting, rolling
+    * spend, burst detection) that a ROWS frame cannot express because
+    * the frame width varies with event density. The order key is
+    * integer microseconds, so frame membership is integer comparison —
+    * identical in both engines — and RANGE peers (equal timestamps)
+    * are included in each other's frames by definition in both.
+    */
+  val q97TrailingWindow: QueryDef = QueryDef(
+    "q97_trailing_window",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"))
+        .rangeBetween(-3600000000L, 0L)
+      t(s, dir, "events")
+        .withColumn("us", expr("unix_micros(ts)"))
+        .withColumn("cents", round(col("value") * 100, 0).cast("long"))
+        .withColumn("n_trailing_1h", count(lit(1)).over(w))
+        .withColumn("sum_trailing_1h",
+          sum(col("cents")).over(w).cast("double") / 100.0)
+        .filter(col("user_id") < 20)
+        .select(col("user_id"), col("event_id"), col("n_trailing_1h"),
+          col("sum_trailing_1h"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_id,
+          CAST(epoch_ns(ts) // 1000 AS BIGINT) AS us,
+          CAST(ROUND(value * 100.0) AS BIGINT) AS cents
+        FROM events)
+      SELECT user_id, event_id,
+        COUNT(*) OVER w AS n_trailing_1h,
+        CAST(SUM(cents) OVER w AS BIGINT) / 100.0 AS sum_trailing_1h
+      FROM e
+      WHERE user_id < 20
+      WINDOW w AS (PARTITION BY user_id ORDER BY us
+        RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      ORDER BY user_id, event_id"""),
+  )
+
   // ---------------------------------------------------------------- q51
   /** Binned range join: orders counted into ±3% price bands around
     * sampled anchor orders. Spark would plan the bare BETWEEN condition
@@ -885,7 +928,7 @@ object CoreQueries {
   )
 
   val all: Seq[QueryDef] = Seq(
-    q25JsonExtract, q26Rollup, q27SetOps, q28RunningTotal, q48Cube, q89GroupingSets, q90WindowSuite,
+    q25JsonExtract, q26Rollup, q27SetOps, q28RunningTotal, q48Cube, q89GroupingSets, q90WindowSuite, q97TrailingWindow,
     q51RangeJoin, q53Histogram, q56Pivot, q57Unpivot, q58SaltedJoin,
     q01AggPricing, q02FilterProject, q03JoinRevenue, q04TopK,
     q05WindowLatest, q06DedupFirst, q07QuantileOutlier, q08AntiJoin,

@@ -332,7 +332,63 @@ object PipelineQueries {
       ORDER BY doc_id, chunk_id"""),
   )
 
+  // ---------------------------------------------------------------- q98
+  /** Column profiler over orders — row count, nulls, exact distinct,
+    * min/max per column in ONE scan (a single multi-distinct global
+    * aggregate; the per-column UNION the oracle uses would be k scans).
+    * Non-portable types are normalized at the call site: the timestamp
+    * profiles as integer microseconds, and the double price column is
+    * profiled as exact cents — so every min/max renders identically in
+    * both engines.
+    */
+  val q98Profile: QueryDef = QueryDef(
+    "q98_profile",
+    (s, dir) =>
+      graft.operators.Stats.profile(Tables(s, dir, "orders"), Seq(
+          "o_orderkey" -> col("o_orderkey"),
+          "o_custkey" -> col("o_custkey"),
+          "o_orderstatus" -> col("o_orderstatus"),
+          "o_orderpriority" -> col("o_orderpriority"),
+          // NTZ -> instant is exact under the UTC session timezone,
+          // matching the oracle's naive-as-UTC epoch_ns
+          "o_orderdate_us" ->
+            expr("unix_micros(cast(o_orderdate as timestamp))"),
+          "o_totalprice_cents" ->
+            round(col("o_totalprice") * 100, 0).cast("long")))
+        .orderBy(col("col_name")),
+    Some("""
+      WITH c AS (
+        SELECT 'o_orderkey' AS col_name, o_orderkey AS v FROM orders
+        UNION ALL
+        SELECT 'o_custkey', o_custkey FROM orders
+        UNION ALL
+        SELECT 'o_orderdate_us',
+          CAST(epoch_ns(o_orderdate) // 1000 AS BIGINT) FROM orders
+        UNION ALL
+        SELECT 'o_totalprice_cents',
+          CAST(ROUND(o_totalprice * 100.0) AS BIGINT) FROM orders),
+      s AS (
+        SELECT 'o_orderstatus' AS col_name, o_orderstatus AS v FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', o_orderpriority FROM orders),
+      num AS (
+        SELECT col_name, COUNT(*) AS n_rows,
+          CAST(COUNT(*) - COUNT(v) AS BIGINT) AS n_nulls,
+          COUNT(DISTINCT v) AS n_distinct,
+          CAST(MIN(v) AS VARCHAR) AS min_val,
+          CAST(MAX(v) AS VARCHAR) AS max_val
+        FROM c GROUP BY col_name),
+      str AS (
+        SELECT col_name, COUNT(*) AS n_rows,
+          CAST(COUNT(*) - COUNT(v) AS BIGINT) AS n_nulls,
+          COUNT(DISTINCT v) AS n_distinct,
+          MIN(v) AS min_val, MAX(v) AS max_val
+        FROM s GROUP BY col_name)
+      SELECT * FROM num UNION ALL SELECT * FROM str
+      ORDER BY col_name"""),
+  )
+
   val all: Seq[QueryDef] = Seq(q68DedupClusters, q69ChunkDedup, q70PiiRedact,
     q71WeightedSample, q72TextSearch, q73SpanDedup, q94PartitionPrune,
-    q95SparseCosine, q96SlidingChunks)
+    q95SparseCosine, q96SlidingChunks, q98Profile)
 }

@@ -163,6 +163,45 @@ class CorpusOpsSpec extends SparkSpec {
       d2(0).getString(3) === "")
   }
 
+  test("profile: one-scan audit counts nulls, distincts, native min/max") {
+    val df = Seq(
+      (Some(10L), Some("b")), (Some(2L), Some("a")),
+      (None: Option[Long], Some("a")), (Some(10L), None),
+    ).toDF("k", "s")
+    val out = graft.operators.Stats.profile(df,
+        Seq("k" -> col("k"), "s" -> col("s")))
+      .orderBy("col_name").collect()
+    val k = out(0)
+    assert(k.getString(0) === "k" && k.getLong(1) === 4L &&
+      k.getLong(2) === 1L && k.getLong(3) === 2L)
+    // min/max on the NATIVE type: 2 < 10 numerically ("10" < "2" stringly)
+    assert(k.getString(4) === "2" && k.getString(5) === "10")
+    val s = out(1)
+    assert(s.getLong(2) === 1L && s.getLong(3) === 2L &&
+      s.getString(4) === "a" && s.getString(5) === "b")
+    // one scan: the multi-distinct aggregate plans a single Expand,
+    // never one job per column
+    val plan = graft.operators.Stats.profile(df,
+      Seq("k" -> col("k"), "s" -> col("s")))
+      .queryExecution.executedPlan.toString
+    assert("Expand".r.findAllIn(plan).size === 1, s"plan:\n$plan")
+  }
+
+  test("trailing RANGE frame: variable width and equal-time peers") {
+    // micros timeline for one user: events at 0s, 30m, 90m, 90m (peer)
+    val us = Seq(0L, 1800000000L, 5400000000L, 5400000000L)
+    val ev = us.zipWithIndex
+      .map { case (u, i) => (1L, i.toLong, u, 100L) }
+      .toDF("user_id", "event_id", "us", "cents")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("us"))
+      .rangeBetween(-3600000000L, 0L)
+    val out = ev.withColumn("n", count(lit(1)).over(w))
+      .orderBy("event_id").collect().map(_.getLong(4))
+    // 0s: itself; 30m: {0s, 30m}; 90m: {30m, 90m, 90m-peer} both rows
+    assert(out.toSeq === Seq(1L, 2L, 3L, 3L))
+  }
+
   test("partitioned sink: reader prunes to the filtered partition") {
     val path = s"/tmp/graft_prune_spec_${ProcessHandle.current().pid()}"
     val docs = Tables(spark, sfDir, "documents")
