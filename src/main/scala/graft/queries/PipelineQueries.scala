@@ -388,7 +388,40 @@ object PipelineQueries {
       ORDER BY col_name"""),
   )
 
+  // ---------------------------------------------------------------- q99
+  /** The SQL entry surface, graded end-to-end: temp-view registration,
+    * a raw `spark.sql` text query, and a graft-native custom Catalyst
+    * expression (`rolling_hash`, injected via GraftExtensions'
+    * function registry) used FROM SQL — proving a SQL-only caller gets
+    * the same engine, optimizer, and custom functions as the
+    * DataFrame API. The oracle replays the hash with the same lambda
+    * arithmetic it uses for q32/q71.
+    */
+  val q99SqlSurface: QueryDef = QueryDef(
+    "q99_sql_surface",
+    (s, dir) => {
+      graft.plans.GraftExtensions.register(s)
+      Tables(s, dir, "documents").createOrReplaceTempView("documents_v")
+      s.sql("""
+        SELECT lang, COUNT(*) AS n_docs,
+          SUM(n_chars) AS total_chars,
+          MIN(rolling_hash(text)) AS min_fp,
+          MAX(rolling_hash(text)) AS max_fp
+        FROM documents_v
+        GROUP BY lang
+        ORDER BY lang""")
+    },
+    Some(s"""
+      SELECT lang, COUNT(*) AS n_docs,
+        CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        MIN(${ScaleQueries.FpLambda.format("text")}) AS min_fp,
+        MAX(${ScaleQueries.FpLambda.format("text")}) AS max_fp
+      FROM documents
+      GROUP BY lang
+      ORDER BY lang"""),
+  )
+
   val all: Seq[QueryDef] = Seq(q68DedupClusters, q69ChunkDedup, q70PiiRedact,
     q71WeightedSample, q72TextSearch, q73SpanDedup, q94PartitionPrune,
-    q95SparseCosine, q96SlidingChunks, q98Profile)
+    q95SparseCosine, q96SlidingChunks, q98Profile, q99SqlSurface)
 }

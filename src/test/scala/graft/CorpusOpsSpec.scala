@@ -202,6 +202,21 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out.toSeq === Seq(1L, 2L, 3L, 3L))
   }
 
+  test("SQL surface: registered custom functions match the Column API") {
+    graft.plans.GraftExtensions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT rolling_hash('the quick brown fox') AS h").head.getLong(0)
+    val viaCol = Seq("the quick brown fox").toDF("t")
+      .select(graft.plans.RollingHash.rolling_hash(col("t")).as("h"))
+      .head.getLong(0)
+    assert(viaSql === viaCol)
+    // dot_product from SQL too (two-arg registration path)
+    val dp = spark.sql(
+      "SELECT dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .head.getDouble(0)
+    assert(dp === 11.0)
+  }
+
   test("partitioned sink: reader prunes to the filtered partition") {
     val path = s"/tmp/graft_prune_spec_${ProcessHandle.current().pid()}"
     val docs = Tables(spark, sfDir, "documents")
