@@ -58,4 +58,61 @@ object Multimodal {
       .mapPartitions(_.grouped(batchSize).flatMap(_.map(decodeStub)))
       .toDF()
   }
+
+  /** Frame sampling: each payload fans out into every-`everyNth`
+    * fixed-width frame (STUB frame = a `frameChars`-character window of
+    * the decoded payload; a real codec would seek keyframes). The
+    * plumbing is the real thing a video pipeline needs — per-row
+    * fan-out with frame offsets, widths, and a per-frame fingerprint —
+    * and it is completely narrow: the ~len/(frameChars·everyNth)
+    * expansion streams through the scan stage, no shuffle, no state.
+    * The tail window mirrors decodeStub's n_frames arithmetic
+    * (len div frameChars + 1), so a whole-multiple payload carries one
+    * empty tail frame rather than a silent off-by-one between the two
+    * operators' frame counts.
+    */
+  def sampleFrames(media: DataFrame, frameChars: Int = 256,
+      everyNth: Int = 2): DataFrame = {
+    require(frameChars >= 1 && everyNth >= 1)
+    media
+      .select(col("media_id"), col("kind"),
+        col("payload").cast("string").as("s"))
+      .withColumn("n_frames",
+        (length(col("s")).cast("long") / frameChars).cast("long") + 1)
+      .select(col("media_id"), col("kind"),
+        posexplode(transform(
+          sequence(lit(0L), col("n_frames") - 1, lit(everyNth.toLong)),
+          i => struct(
+            (i * frameChars).as("off"),
+            col("s").substr((i * frameChars + 1).cast("int"),
+              lit(frameChars)).as("frame")))))
+      .select(col("media_id"), col("kind"),
+        col("pos").cast("long").as("sample_id"),
+        col("col.off").as("offset_chars"),
+        length(col("col.frame")).cast("long").as("n_chars"),
+        graft.plans.RollingHash.rolling_hash(col("col.frame"))
+          .as("frame_fp"))
+  }
+
+  /** Resize stub: deterministic 1/`factor` downsample (every
+    * factor-th character of the decoded payload; a real codec would
+    * box-filter pixels). Emits original/resized sizes and the resized
+    * payload's fingerprint — the audit columns an image-thumbnail
+    * stage publishes. Narrow, row-local, zero shuffle; swapping the
+    * stub for a real resampler changes no plumbing.
+    */
+  def resizeStub(media: DataFrame, factor: Int): DataFrame = {
+    require(factor >= 1)
+    val s = col("payload").cast("string")
+    media
+      .select(col("media_id"), col("kind"), s.as("s"))
+      .withColumn("resized",
+        array_join(filter(split(col("s"), ""),
+          (_, i) => i % factor === 0), ""))
+      .select(col("media_id"), col("kind"),
+        length(col("s")).cast("long").as("orig_chars"),
+        length(col("resized")).cast("long").as("resized_chars"),
+        graft.plans.RollingHash.rolling_hash(col("resized"))
+          .as("resized_fp"))
+  }
 }

@@ -346,6 +346,77 @@ object ScaleQueries {
       ORDER BY media_id"""),
   )
 
+  // --------------------------------------------------------------- q100
+  /** Video frame sampling: every 2nd 256-char frame of each video
+    * payload, with offsets, widths, and per-frame fingerprints — the
+    * multimodal fan-out plumbing (schema, sampling arithmetic,
+    * narrow expansion) graded end-to-end; only the codec inside the
+    * frame window is a stub.
+    */
+  val q100FrameSample: QueryDef = QueryDef(
+    "q100_frame_sample",
+    (s, dir) =>
+      Multimodal.sampleFrames(
+          Multimodal.mediaFromDocuments(Tables(s, dir, "documents"))
+            .filter(col("kind") === "video"),
+          frameChars = 256, everyNth = 2)
+        .orderBy(col("media_id"), col("sample_id")),
+    Some(s"""
+      WITH m AS (
+        SELECT doc_id AS media_id,
+          CASE CAST(doc_id % 3 AS INT)
+            WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video'
+          END AS kind,
+          text AS s
+        FROM documents),
+      f AS (
+        SELECT media_id, kind, s,
+          unnest(range(0, len(s) // 256 + 1, 2)) AS fi
+        FROM m WHERE kind = 'video'),
+      fr AS (
+        SELECT media_id, kind, fi // 2 AS sample_id,
+          fi * 256 AS offset_chars, substr(s, fi * 256 + 1, 256) AS frame
+        FROM f)
+      SELECT media_id, kind, sample_id, offset_chars,
+        CAST(len(frame) AS BIGINT) AS n_chars,
+        ${FpLambda.format("frame")} AS frame_fp
+      FROM fr
+      ORDER BY media_id, sample_id"""),
+  )
+
+  // --------------------------------------------------------------- q101
+  /** Image resize stub: deterministic 1/4 downsample (every 4th
+    * character standing in for a box filter), grading the
+    * original/resized size accounting and the resized payload's
+    * fingerprint. */
+  val q101Resize: QueryDef = QueryDef(
+    "q101_resize",
+    (s, dir) =>
+      Multimodal.resizeStub(
+          Multimodal.mediaFromDocuments(Tables(s, dir, "documents"))
+            .filter(col("kind") === "image"),
+          factor = 4)
+        .orderBy(col("media_id")),
+    Some(s"""
+      WITH m AS (
+        SELECT doc_id AS media_id,
+          CASE CAST(doc_id % 3 AS INT)
+            WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video'
+          END AS kind,
+          text AS s
+        FROM documents),
+      r AS (
+        SELECT media_id, kind, s,
+          array_to_string(list_filter(string_split(s, ''),
+            (c, i) -> (i - 1) % 4 = 0), '') AS resized
+        FROM m WHERE kind = 'image')
+      SELECT media_id, kind, CAST(len(s) AS BIGINT) AS orig_chars,
+        CAST(len(resized) AS BIGINT) AS resized_chars,
+        ${FpLambda.format("resized")} AS resized_fp
+      FROM r
+      ORDER BY media_id"""),
+  )
+
   private val SessionOracle = """
       WITH ev AS (
         SELECT user_id, event_id, epoch_us(ts) // 1000000 AS sec, value
@@ -864,5 +935,5 @@ object ScaleQueries {
     q43SessionizeState, q44SessionizeBatch, q45AnnIvf, q46DistinctSketch,
     q49Vocab, q50AsofJoin, q52TokenCost, q55Keywords, q59HeavyHitters,
     q60ResampleFfill, q61Repetition, q62Decontaminate, q63CorpusFilter,
-    q64MixtureSample, q65LabelCentroids)
+    q64MixtureSample, q65LabelCentroids, q100FrameSample, q101Resize)
 }

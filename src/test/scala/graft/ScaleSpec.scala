@@ -343,6 +343,27 @@ class ScaleSpec extends SparkSpec {
     assert(out(1).getAs[Long]("n_frames") === 1L)
   }
 
+  test("frame sampling: offsets, tail width, every-Nth selection") {
+    // 10-char payload, 4-char frames -> frames at 0,4,8 (3 frames:
+    // 10 div 4 + 1), sampled every 2nd -> offsets 0 and 8
+    val media = Seq((1L, "k", "abcdefghij")).toDF("media_id", "kind", "s")
+      .select(col("media_id"), col("kind"), col("s").cast("binary").as("payload"))
+    val out = Multimodal.sampleFrames(media, frameChars = 4, everyNth = 2)
+      .orderBy("sample_id").collect()
+    assert(out.map(r => (r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+      === Seq((0L, 0L, 4L), (1L, 8L, 2L))) // tail frame is 2 chars
+    assert(out(0).getLong(5) === RollingHash.hash("abcd"))
+    assert(out(1).getLong(5) === RollingHash.hash("ij"))
+  }
+
+  test("resize stub: every-factor-th char, sizes, fingerprint") {
+    val media = Seq((1L, "k", "abcdefghij")).toDF("media_id", "kind", "s")
+      .select(col("media_id"), col("kind"), col("s").cast("binary").as("payload"))
+    val out = Multimodal.resizeStub(media, factor = 4).head
+    assert(out.getLong(2) === 10L && out.getLong(3) === 3L)
+    assert(out.getLong(4) === RollingHash.hash("aei"))
+  }
+
   test("streaming windowed counts equal the batch aggregation") {
     val streamed = graft.streaming.EventsStream.windowedCounts(spark, sfDir)
     val batch = Tables(spark, sfDir, "events")
