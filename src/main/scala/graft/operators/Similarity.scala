@@ -44,10 +44,37 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplane component for (plane, dim) —
-    * fixed so bucket assignment is stable across runs.
+    * fixed so bucket assignment is stable across runs. Shared with the
+    * projection operator and the SQL oracles generated from the same
+    * constants.
     */
-  private def planeComponent(plane: Int, dim: Int): Double =
+  private[graft] def planeComponent(plane: Int, dim: Int): Double =
     (((plane * 73856093L + dim * 19349663L + 83492791L) % 1001L) - 500L) / 500.0
+
+  /** Fixed-plane random projection: embed `dims`-dim vectors into
+    * `outDims` dims with the deterministic hyperplane family — the
+    * Johnson–Lindenstrauss-style dimensionality reduction a pipeline
+    * runs before expensive pairwise work (4–16× smaller vectors, same
+    * neighborhood structure w.h.p.). Long-form output (id, dim, proj).
+    *
+    * No RNG and no trained components: the plane family is pure
+    * arithmetic in (plane, dim), so the projection is reproducible
+    * across runs, engines, and partitionings, and each component's
+    * left-fold accumulation order matches the oracle's list_reduce —
+    * bit-identical doubles. Completely narrow: a per-row transform +
+    * posexplode, no shuffle.
+    */
+  def projectDims(emb: DataFrame, id: Column, vec: Column,
+      outDims: Int, dims: Int): DataFrame =
+    emb.select(id.as("id"), vec.as("v"))
+      .select(col("id"),
+        posexplode(array((0 until outDims).map { d =>
+          round((0 until dims).map(i =>
+            element_at(col("v"), i + 1).cast("double") *
+              lit(planeComponent(d, i))).reduce(_ + _), 6)
+        }: _*)))
+      .select(col("id"), col("pos").cast("long").as("dim"),
+        col("col").as("proj"))
 
   /** Random-hyperplane LSH bucket signature (nPlanes sign bits).
     * Guards the dims contract: `element_at` past the end of a shorter

@@ -91,4 +91,32 @@ object Splits {
   def stratifiedSample(df: DataFrame, strataCol: String,
       fractions: Map[String, Double], seed: Long): DataFrame =
     df.stat.sampleBy(strataCol, fractions, seed)
+
+  /** Leakage-safe grouped split: EVERY row of a group lands in the
+    * same train/val/test bucket, decided by the group key's content
+    * hash — the split hygiene that keeps near-duplicates (or any
+    * correlated family: same source, same dedup cluster, same user)
+    * from straddling train and eval. Row-level random splits leak;
+    * this one cannot, by construction.
+    *
+    * Percent buckets come from `rolling_hash(group) mod 100`, pure
+    * content arithmetic — reproducible across runs/engines/
+    * partitionings and stable under corpus growth (a group's
+    * assignment never changes as other groups arrive, unlike any
+    * rank-based split). Completely narrow: no shuffle, each row
+    * consults only its own group key. Proportions are exact in
+    * expectation over groups, not exact-count — exact-count splitting
+    * is what [[threeWay]] is for when leakage isn't the concern.
+    */
+  def groupedSplit(df: DataFrame, group: Column,
+      trainPct: Int, valPct: Int): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
+      "percentages must fit in [0, 100]")
+    val h = pmod(
+      graft.plans.RollingHash.rolling_hash(group.cast("string")), lit(100))
+    df.withColumn("split",
+      when(h < trainPct, lit("train"))
+        .when(h < trainPct + valPct, lit("val"))
+        .otherwise(lit("test")))
+  }
 }

@@ -599,9 +599,67 @@ object CurationQueries {
       ORDER BY rank DESC, node LIMIT 100"""),
   )
 
+  // --------------------------------------------------------------- q102
+  private def projSql(outDims: Int): String =
+    (0 until outDims).map { d =>
+      s"ROUND(list_reduce([0.0::DOUBLE] || [CAST(embedding[i] AS DOUBLE) * " +
+        s"(((($d * 73856093 + (i - 1) * 19349663 + 83492791) % 1001) - 500)" +
+        s" / 500.0) for i in range(1, len(embedding) + 1)]," +
+        s" (x, v) -> x + v), 6)"
+    }.mkString("[", ", ", "]")
+
+  /** Fixed-plane random projection of the 64-dim embeddings into 8
+    * dims (JL-style reduction before pairwise work). The plane family
+    * is the repo's deterministic (plane, dim) arithmetic, and each
+    * component is a left fold matching list_reduce — so even the
+    * double outputs are bit-identical across engines.
+    */
+  val q102Projection: QueryDef = QueryDef(
+    "q102_projection",
+    (s, dir) =>
+      Similarity.projectDims(Tables(s, dir, "embeddings"),
+          col("vec_id"), col("embedding"), outDims = 8, dims = 64)
+        .select(col("id").as("vec_id"), col("dim"), col("proj"))
+        .orderBy(col("vec_id"), col("dim")),
+    Some(s"""
+      WITH p AS (
+        SELECT vec_id, ${projSql(8)} AS ps FROM embeddings)
+      SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim, ps[CAST(i AS INT)] AS proj
+      FROM p, LATERAL (SELECT unnest(range(1, 9)) AS i) r
+      ORDER BY vec_id, dim"""),
+  )
+
+  // --------------------------------------------------------------- q103
+  /** Leakage-safe grouped split: every document of a source lands in
+    * the same train/val/test bucket via the source key's content hash
+    * (80/10/10 in expectation over groups) — the split hygiene that
+    * keeps correlated families from straddling train and eval. The
+    * oracle replays the identical hash arithmetic.
+    */
+  val q103GroupedSplit: QueryDef = QueryDef(
+    "q103_grouped_split",
+    (s, dir) =>
+      graft.operators.Splits.groupedSplit(Tables(s, dir, "documents"),
+          col("source"), trainPct = 80, valPct = 10)
+        .select(col("doc_id"), col("source"), col("split"))
+        .orderBy(col("doc_id")),
+    Some(s"""
+      WITH h AS (
+        SELECT doc_id, source,
+          (${ScaleQueries.FpLambda.format("source")}) % 100 AS b
+        FROM documents)
+      SELECT doc_id, source,
+        CASE WHEN b < 80 THEN 'train'
+             WHEN b < 90 THEN 'val'
+             ELSE 'test' END AS split
+      FROM h
+      ORDER BY doc_id"""),
+  )
+
   val all: Seq[QueryDef] = Seq(q74StreamJoin, q75SnapshotDiff,
     q76StratifiedSample, q77TokenBudget, q78ZOrder, q79Int8Ann,
     q80SemanticDedup, q81SeqPack, q82BigramNovelty, q83EditDistance,
     q84ExactMoments, q85StreamEnrich, q86GroupTopK, q87Funnel,
-    q88Retention, q91OovRate, q92DeltaDedup, q93PageRank)
+    q88Retention, q91OovRate, q92DeltaDedup, q93PageRank,
+    q102Projection, q103GroupedSplit)
 }

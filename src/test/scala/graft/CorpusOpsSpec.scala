@@ -217,6 +217,44 @@ class CorpusOpsSpec extends SparkSpec {
     assert(dp === 11.0)
   }
 
+  test("projectDims: left-fold arithmetic on a known vector, narrow plan") {
+    val emb = Seq((1L, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    val out = graft.operators.Similarity.projectDims(emb,
+        col("vec_id"), col("embedding"), outDims = 2, dims = 2)
+      .orderBy("dim").collect()
+    def plane(p: Int, d: Int): Double =
+      (((p * 73856093L + d * 19349663L + 83492791L) % 1001L) - 500L) / 500.0
+    def expected(p: Int): Double = {
+      val v = 1.0 * plane(p, 0) + 2.0 * plane(p, 1)
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(out(0).getDouble(2) === expected(0))
+    assert(out(1).getDouble(2) === expected(1))
+    // narrow: no exchange anywhere in the projection plan
+    val plan = graft.operators.Similarity.projectDims(
+      Tables(spark, sfDir, "embeddings"), col("vec_id"), col("embedding"),
+      8, 64).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"projection must not shuffle:\n$plan")
+  }
+
+  test("groupedSplit: groups never straddle splits; assignment is stable") {
+    val docs = Tables(spark, sfDir, "documents")
+    val s1 = graft.operators.Splits.groupedSplit(docs, col("source"), 80, 10)
+    // every group maps to exactly one split
+    val perGroup = s1.groupBy("source")
+      .agg(count_distinct(col("split")).as("k")).collect()
+    assert(perGroup.forall(_.getLong(1) == 1L))
+    // partitioning-invariant
+    val s2 = graft.operators.Splits.groupedSplit(
+      docs.repartition(13), col("source"), 80, 10)
+    assert(s1.select("doc_id", "split")
+      .exceptAll(s2.select("doc_id", "split")).count() === 0)
+    // all three labels are legal and nothing else appears
+    val labels = s1.select("split").distinct().collect()
+      .map(_.getString(0)).toSet
+    assert(labels.subsetOf(Set("train", "val", "test")))
+  }
+
   test("partitioned sink: reader prunes to the filtered partition") {
     val path = s"/tmp/graft_prune_spec_${ProcessHandle.current().pid()}"
     val docs = Tables(spark, sfDir, "documents")
