@@ -66,10 +66,12 @@ object Multimodal {
     * fan-out with frame offsets, widths, and a per-frame fingerprint —
     * and it is completely narrow: the ~len/(frameChars·everyNth)
     * expansion streams through the scan stage, no shuffle, no state.
-    * The tail window mirrors decodeStub's n_frames arithmetic
-    * (len div frameChars + 1), so a whole-multiple payload carries one
-    * empty tail frame rather than a silent off-by-one between the two
-    * operators' frame counts.
+    * Frame count is ⌈len/frameChars⌉ (min 1), so a whole-multiple
+    * payload carries NO empty tail frame and an empty payload still
+    * surfaces as one (empty) frame rather than a silent drop —
+    * empty-string fingerprints differ across engines
+    * (fold-over-nothing vs unicode('') = −1), so empty frames exist
+    * only on empty payloads, where the oracle pins the value.
     */
   def sampleFrames(media: DataFrame, frameChars: Int = 256,
       everyNth: Int = 2): DataFrame = {
@@ -78,7 +80,8 @@ object Multimodal {
       .select(col("media_id"), col("kind"),
         col("payload").cast("string").as("s"))
       .withColumn("n_frames",
-        (length(col("s")).cast("long") / frameChars).cast("long") + 1)
+        greatest(ceil(length(col("s")) / lit(frameChars.toDouble))
+          .cast("long"), lit(1L)))
       .select(col("media_id"), col("kind"),
         posexplode(transform(
           sequence(lit(0L), col("n_frames") - 1, lit(everyNth.toLong)),

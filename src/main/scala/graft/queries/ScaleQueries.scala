@@ -371,7 +371,8 @@ object ScaleQueries {
         FROM documents),
       f AS (
         SELECT media_id, kind, s,
-          unnest(range(0, len(s) // 256 + 1, 2)) AS fi
+          unnest(range(0,
+            GREATEST(CAST(ceil(len(s) / 256.0) AS BIGINT), 1), 2)) AS fi
         FROM m WHERE kind = 'video'),
       fr AS (
         SELECT media_id, kind, fi // 2 AS sample_id,
@@ -379,7 +380,8 @@ object ScaleQueries {
         FROM f)
       SELECT media_id, kind, sample_id, offset_chars,
         CAST(len(frame) AS BIGINT) AS n_chars,
-        ${FpLambda.format("frame")} AS frame_fp
+        CASE WHEN len(frame) = 0 THEN 0
+             ELSE ${FpLambda.format("frame")} END AS frame_fp
       FROM fr
       ORDER BY media_id, sample_id"""),
   )
@@ -412,7 +414,8 @@ object ScaleQueries {
         FROM m WHERE kind = 'image')
       SELECT media_id, kind, CAST(len(s) AS BIGINT) AS orig_chars,
         CAST(len(resized) AS BIGINT) AS resized_chars,
-        ${FpLambda.format("resized")} AS resized_fp
+        CASE WHEN len(resized) = 0 THEN 0
+             ELSE ${FpLambda.format("resized")} END AS resized_fp
       FROM r
       ORDER BY media_id"""),
   )
