@@ -656,10 +656,50 @@ object CurationQueries {
       ORDER BY doc_id"""),
   )
 
+  // --------------------------------------------------------------- q104
+  /** Per-event-type z-score anomaly flags from engine-exact moments:
+    * z = (x·n − Σx) / √(Σx²·n − (Σx)²) on cents — integer numerator
+    * and radicand, one divide + one sqrt, so the anomaly verdicts are
+    * bit-identical across engines. Group statistics come from the
+    * FULL group; the user_id < 20 cut only trims the graded output.
+    */
+  val q104ZScores: QueryDef = QueryDef(
+    "q104_zscore",
+    (s, dir) =>
+      graft.operators.Stats.zScores(Tables(s, dir, "events"),
+          col("event_type"), col("event_id"), col("value"))
+        .join(Tables(s, dir, "events")
+          .select(col("event_id").as("id"), col("user_id")), Seq("id"))
+        .filter(col("user_id") < 20)
+        .select(col("id").as("event_id"), col("grp").as("event_type"),
+          col("x").as("cents"), col("z"), col("is_outlier"))
+        .orderBy(col("event_id")),
+    Some("""
+      WITH e AS (
+        SELECT event_id, user_id, event_type,
+          CAST(ROUND(value * 100.0) AS BIGINT) AS cents
+        FROM events),
+      m AS (
+        SELECT event_type, COUNT(*) AS n,
+          CAST(SUM(cents) AS BIGINT) AS s,
+          CAST(SUM(cents * cents) AS BIGINT) AS ss
+        FROM e GROUP BY event_type),
+      z AS (
+        SELECT e.event_id, e.event_type, e.cents, e.user_id,
+          CASE WHEN ss * n - s * s = 0 THEN 0.0
+               ELSE ROUND(CAST(cents * n - s AS DOUBLE)
+                 / sqrt(CAST(ss * n - s * s AS DOUBLE)), 6) END AS z
+        FROM e JOIN m USING (event_type))
+      SELECT event_id, event_type, cents, z, abs(z) >= 3.0 AS is_outlier
+      FROM z
+      WHERE user_id < 20
+      ORDER BY event_id"""),
+  )
+
   val all: Seq[QueryDef] = Seq(q74StreamJoin, q75SnapshotDiff,
     q76StratifiedSample, q77TokenBudget, q78ZOrder, q79Int8Ann,
     q80SemanticDedup, q81SeqPack, q82BigramNovelty, q83EditDistance,
     q84ExactMoments, q85StreamEnrich, q86GroupTopK, q87Funnel,
     q88Retention, q91OovRate, q92DeltaDedup, q93PageRank,
-    q102Projection, q103GroupedSplit)
+    q102Projection, q103GroupedSplit, q104ZScores)
 }

@@ -255,6 +255,25 @@ class CorpusOpsSpec extends SparkSpec {
     assert(labels.subsetOf(Set("train", "val", "test")))
   }
 
+  test("zScores: exact-moment anomalies, zero-variance convention") {
+    // group a: values 1,1,1,1,9 cents -> mean 2.6, popstd 3.2
+    //   z(9) = (9*5-13)/sqrt(85*5-169) = 32/16 = 2.0
+    val df = Seq(("a", 1L, 0.01), ("a", 2L, 0.01), ("a", 3L, 0.01),
+      ("a", 4L, 0.01), ("a", 5L, 0.09),
+      ("b", 6L, 0.05), ("b", 7L, 0.05)) // zero variance
+      .toDF("g", "i", "v")
+    val out = graft.operators.Stats.zScores(df, col("g"), col("i"),
+        col("v"), scale = 100L, flagAt = 2.0)
+      .orderBy("id").collect()
+    assert(out(4).getDouble(3) === 2.0 && out(4).getBoolean(4))
+    assert(out(0).getDouble(3) === -0.5 && !out(0).getBoolean(4))
+    assert(out(5).getDouble(3) === 0.0 && !out(5).getBoolean(4))
+    // partition-invariant: exact integer moments
+    val b = graft.operators.Stats.zScores(df.repartition(7), col("g"),
+      col("i"), col("v"), 100L, 2.0)
+    assert(out.toSeq === b.orderBy("id").collect().toSeq)
+  }
+
   test("partitioned sink: reader prunes to the filtered partition") {
     val path = s"/tmp/graft_prune_spec_${ProcessHandle.current().pid()}"
     val docs = Tables(spark, sfDir, "documents")
