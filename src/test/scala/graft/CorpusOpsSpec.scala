@@ -102,17 +102,22 @@ class CorpusOpsSpec extends SparkSpec {
     assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0)
   }
 
-  test("sparseCosinePairs: identical docs score 1, disjoint docs never pair") {
+  test("sparseCosinePairs: dense and inverted strategies are identical") {
     val docs = Seq(
       (1L, "apple banana cherry"),
       (2L, "apple banana cherry"),   // identical to 1
       (3L, "dog elephant fox"),      // disjoint from 1/2
       (4L, "apple banana zebra"),    // partial overlap
     ).toDF("doc_id", "text")
-    val out = graft.operators.Search.sparseCosinePairs(docs,
-        col("doc_id"), col("text"), threshold = 0.0)
+    def run(dense: Boolean) = graft.operators.Search.sparseCosinePairs(
+        docs, col("doc_id"), col("text"), threshold = 0.1,
+        dense = Some(dense))
       .orderBy("id_a", "id_b").collect()
-    val pairs = out.map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    val d = run(dense = true)
+    val s = run(dense = false)
+    assert(d.toSeq === s.toSeq) // bit-identical across strategies
+    val pairs = d.toMap
     assert(pairs((1L, 2L)) === 1.0)
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
     assert(pairs((1L, 4L)) > 0.0 && pairs((1L, 4L)) < 1.0)
@@ -120,16 +125,17 @@ class CorpusOpsSpec extends SparkSpec {
 
   test("sparseCosinePairs: dfCap only drops pairs whose shared terms " +
       "are ubiquitous") {
-    // 'the' appears in every doc (df=4); capping at df<=2 removes the
+    // 'the' has df=4 of N=5 (weight 1); capping at df<=2 removes the
     // (3,4) pair that shares nothing else, but keeps (1,2)
     val docs = Seq(
       (1L, "the rare1 rare2"), (2L, "the rare1 rare2"),
-      (3L, "the only3"), (4L, "the only4"),
+      (3L, "the only3"), (4L, "the only4"), (5L, "nothe"),
     ).toDF("doc_id", "text")
     val exact = graft.operators.Search.sparseCosinePairs(docs,
-      col("doc_id"), col("text"), 0.0)
+      col("doc_id"), col("text"), 0.01, dense = Some(false))
     val capped = graft.operators.Search.sparseCosinePairs(docs,
-      col("doc_id"), col("text"), 0.0, dfCap = Some(2L))
+      col("doc_id"), col("text"), 0.01, dfCap = Some(2L),
+      dense = Some(false))
     val ePairs = exact.select("id_a", "id_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val cPairs = capped.select("id_a", "id_b").collect()
