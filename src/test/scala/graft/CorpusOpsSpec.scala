@@ -280,6 +280,34 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out.toSeq === b.orderBy("id").collect().toSeq)
   }
 
+  test("slidingChunks: stride == chunk is a lossless partition of the corpus") {
+    val docs = Tables(spark, sfDir, "documents").limit(50)
+    val rebuilt = graft.operators.Chunker.slidingChunks(docs,
+        col("doc_id"), col("text"), chunkTokens = 32, strideTokens = 32)
+      .groupBy("doc_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("chunk_id"), col("chunk")))),
+        s => s.getField("chunk")), " ").as("t"))
+    val orig = docs.select(col("doc_id"), col("text").as("t"))
+    assert(rebuilt.exceptAll(orig).count() === 0 &&
+      orig.exceptAll(rebuilt).count() === 0)
+  }
+
+  test("pageRank: per-iteration checkpoints keep the plan bounded") {
+    val edges = Tables(spark, sfDir, "orders").limit(500)
+      .select(concat(lit("c"), col("o_custkey")).as("src"),
+        concat(lit("s"), col("o_orderkey") % 50).as("dst"))
+    val sym = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    // without the per-iteration localCheckpoint, every extra iteration
+    // DOUBLES the plan (each rank reference re-derives the prior
+    // lineage); with it, plan size is flat in iteration count
+    val p2 = graft.operators.Graph.pageRank(sym, 2)
+      .queryExecution.executedPlan.toString.length
+    val p4 = graft.operators.Graph.pageRank(sym, 4)
+      .queryExecution.executedPlan.toString.length
+    assert(p4 <= p2 * 2, s"plan grows with iterations: $p2 -> $p4")
+  }
+
   test("partitioned sink: reader prunes to the filtered partition") {
     val path = s"/tmp/graft_prune_spec_${ProcessHandle.current().pid()}"
     val docs = Tables(spark, sfDir, "documents")
