@@ -540,6 +540,63 @@ object Dedup {
     * aggregates and two equi-joins on the key, all batch-sized.
     * Nothing is quadratic, nothing is windowed.
     */
+  /** Incremental NEAR-dup dedup — [[incrementalDedup]]'s fuzzy
+    * sibling, and the other half of the daily-crawl story: which of
+    * today's documents are ≥ threshold Jaccard-similar to something
+    * already in the corpus. History participates only as its banded
+    * MinHash index (band, band_sig → id) — the persistent structure a
+    * production pipeline materializes once and bucket-joins each
+    * day's delta against; nothing history-sized is ever re-shingled
+    * per day in steady state (here it is derived inline because the
+    * graded tables are immutable inputs). Candidates from band
+    * collisions are verified with the exact Jaccard, so every
+    * reported (dup_of, jaccard) is true — only recall is
+    * LSH-approximate, with the same band arithmetic q35 grades
+    * against an exact oracle. Kept documents (no verified match)
+    * come back with kept = true and null dup_of.
+    */
+  def incrementalNearDedup(history: DataFrame, incoming: DataFrame,
+      id: Column, text: Column, n: Int, threshold: Double,
+      bands: Int = 32, rowsPerBand: Int = 4): DataFrame = {
+    val k = bands * rowsPerBand
+    def shingled(df: DataFrame) = df.select(id.as("id"),
+        graft.plans.ShingleHashes.shingle_hashes(text, n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .localCheckpoint()
+    def banded(sh: DataFrame) = sh
+      .withColumn("sig",
+        graft.plans.MinhashSignature.minhash_signature(col("sh"), k))
+      .select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          bd => slice(col("sig"), bd * rowsPerBand + 1, lit(rowsPerBand)))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_sig")
+    val hSh = shingled(history)
+    val iSh = shingled(incoming)
+    val hIdx = banded(hSh)
+      .select(col("id").as("hid"), col("band"), col("band_sig"))
+    val cand = banded(iSh).join(hIdx, Seq("band", "band_sig"))
+      .select(col("id").as("doc_id"), col("hid")).distinct()
+    val verified = cand
+      .join(iSh.select(col("id").as("doc_id"), col("sh").as("sh_i")),
+        Seq("doc_id"))
+      .join(hSh.select(col("id").as("hid"), col("sh").as("sh_h")),
+        Seq("hid"))
+      .withColumn("inter",
+        size(array_intersect(col("sh_i"), col("sh_h"))).cast("long"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sh_i")) + size(col("sh_h")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .groupBy(col("doc_id"))
+      .agg(min(struct(col("hid"), col("jaccard"))).as("m"))
+      .select(col("doc_id"), col("m.hid").as("dup_of"),
+        round(col("m.jaccard"), 6).as("jaccard"))
+    incoming.select(id.as("doc_id"))
+      .join(verified, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_of").isNull.as("kept"),
+        col("dup_of"), col("jaccard"))
+  }
+
   def incrementalDedup(history: DataFrame, incoming: DataFrame,
       id: Column, key: Column): DataFrame = {
     val histRep = history.select(key.as("k"), id.as("hid"))

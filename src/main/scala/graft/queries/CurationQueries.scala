@@ -696,10 +696,53 @@ object CurationQueries {
       ORDER BY event_id"""),
   )
 
+  // --------------------------------------------------------------- q105
+  /** Incremental NEAR-dup dedup (the fuzzy q92): today's batch
+    * (doc_id % 5 == 0) against the historical corpus's banded MinHash
+    * index, candidates exact-verified at Jaccard ≥ 0.8. The oracle is
+    * the exact incoming×history Jaccard — equality proves the band
+    * recall is complete on this corpus, the same contract q35 grades.
+    */
+  val q105DeltaNearDedup: QueryDef = QueryDef(
+    "q105_delta_near_dedup",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      Dedup.incrementalNearDedup(
+          docs.filter(col("doc_id") % 5 =!= 0),
+          docs.filter(col("doc_id") % 5 === 0),
+          col("doc_id"), col("text"), n = 3, threshold = 0.8)
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH docs AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      sh AS (
+        SELECT doc_id,
+          list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+            for i in range(1, len(t) - 1)]) AS shingles
+        FROM docs WHERE len(t) >= 3),
+      hist AS (SELECT * FROM sh WHERE doc_id % 5 <> 0),
+      incsh AS (SELECT * FROM sh WHERE doc_id % 5 = 0),
+      inc AS (SELECT doc_id FROM documents WHERE doc_id % 5 = 0),
+      pairs AS (
+        SELECT i.doc_id, h.doc_id AS hid,
+          CAST(len(list_intersect(i.shingles, h.shingles)) AS DOUBLE)
+            / len(list_distinct(i.shingles || h.shingles)) AS j
+        FROM incsh i CROSS JOIN hist h),
+      m AS (SELECT doc_id, MIN(hid) AS dup_of
+            FROM pairs WHERE j >= 0.8 GROUP BY doc_id),
+      m2 AS (
+        SELECT p.doc_id, p.hid AS dup_of, ROUND(p.j, 6) AS jaccard
+        FROM pairs p JOIN m ON p.doc_id = m.doc_id AND p.hid = m.dup_of)
+      SELECT i.doc_id, m2.dup_of IS NULL AS kept, m2.dup_of, m2.jaccard
+      FROM inc i LEFT JOIN m2 USING (doc_id)
+      ORDER BY i.doc_id"""),
+  )
+
   val all: Seq[QueryDef] = Seq(q74StreamJoin, q75SnapshotDiff,
     q76StratifiedSample, q77TokenBudget, q78ZOrder, q79Int8Ann,
     q80SemanticDedup, q81SeqPack, q82BigramNovelty, q83EditDistance,
     q84ExactMoments, q85StreamEnrich, q86GroupTopK, q87Funnel,
     q88Retention, q91OovRate, q92DeltaDedup, q93PageRank,
-    q102Projection, q103GroupedSplit, q104ZScores)
+    q102Projection, q103GroupedSplit, q104ZScores, q105DeltaNearDedup)
 }

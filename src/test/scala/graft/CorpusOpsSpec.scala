@@ -56,6 +56,27 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out(1).isNullAt(2) && out(3).isNullAt(2))
   }
 
+  test("incrementalNearDedup: verified matches only, keeps the rest") {
+    val mk = (i: Long, t: String) => (i, t)
+    val history = Seq(
+      mk(10L, "alpha beta gamma delta epsilon zeta"),
+      mk(11L, "one two three four five six seven")).toDF("id", "text")
+    val incoming = Seq(
+      // near-identical to 10 (one trailing token differs)
+      mk(20L, "alpha beta gamma delta epsilon eta"),
+      // unrelated
+      mk(21L, "red green blue yellow purple orange"),
+      // too short to shingle -> kept
+      mk(22L, "xy zz")).toDF("id", "text")
+    val out = graft.operators.Dedup.incrementalNearDedup(history,
+        incoming, col("id"), col("text"), n = 3, threshold = 0.4)
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(0) === 20L && !out(0).getBoolean(1) &&
+      out(0).getLong(2) === 10L && out(0).getDouble(3) > 0.4)
+    assert(out(1).getBoolean(1) && out(1).isNullAt(2))
+    assert(out(2).getBoolean(1) && out(2).isNullAt(2))
+  }
+
   test("incrementalDedup: a key in both history and batch always " +
       "resolves to the historical representative") {
     val history = Seq((5L, "k")).toDF("id", "key")
