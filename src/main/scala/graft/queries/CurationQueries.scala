@@ -739,10 +739,77 @@ object CurationQueries {
       ORDER BY i.doc_id"""),
   )
 
+  // --------------------------------------------------------------- q106
+  /** DuckDB replay of [[graft.ml.KMeans.fit]]: the same fixed-point
+    * Lloyd iterations unrolled as CTEs, generated from the same
+    * (k, iters) constants. Centroids live in long form (cid, dim, c);
+    * each iteration is assignment (argmin with dist,cid tie-break) →
+    * per-(cluster,dim) integer sums → half-up requantized centroids
+    * with COALESCE keeping empty clusters' previous centroids.
+    */
+  private[queries] def kmeansSql(k: Int, iters: Int): String = {
+    val quant = """CAST(CASE WHEN embedding[s.i] >= 0
+          THEN floor(CAST(embedding[s.i] AS DOUBLE) * 1000000 + 0.5)
+          ELSE -floor(-CAST(embedding[s.i] AS DOUBLE) * 1000000 + 0.5)
+          END AS BIGINT)"""
+    def assign(t: String, prev: String) = s"""
+      a$t AS (
+        SELECT q.vec_id, c.cid,
+          CAST(SUM((q.qv - c.c) * (q.qv - c.c)) AS BIGINT) AS dist
+        FROM q JOIN $prev c USING (dim) GROUP BY q.vec_id, c.cid),
+      w$t AS (
+        SELECT vec_id, cid AS cluster, dist FROM (
+          SELECT vec_id, cid, dist, ROW_NUMBER() OVER
+            (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM a$t)
+        WHERE rn = 1)"""
+    val iterations = (1 to iters).map { t =>
+      s"""${assign(t.toString, s"c${t - 1}")},
+      s$t AS (
+        SELECT w.cluster, q.dim, COUNT(*) AS n,
+          CAST(SUM(q.qv) AS BIGINT) AS s
+        FROM w$t w JOIN q USING (vec_id) GROUP BY w.cluster, q.dim),
+      c$t AS (
+        SELECT p.cid, p.dim,
+          COALESCE(CASE WHEN s.s >= 0 THEN (2*s.s + s.n) // (2*s.n)
+            ELSE -((-2*s.s + s.n) // (2*s.n)) END, p.c) AS c
+        FROM c${t - 1} p
+        LEFT JOIN s$t s ON s.cluster = p.cid AND s.dim = p.dim)"""
+    }.mkString(",")
+    s"""
+      WITH q AS (
+        SELECT vec_id, s.i - 1 AS dim, $quant AS qv
+        FROM embeddings, (SELECT unnest(range(1, 10000)) AS i) s
+        WHERE s.i <= len(embedding)),
+      init AS (
+        SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid
+        FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $k)),
+      c0 AS (SELECT i.cid, q.dim, q.qv AS c
+             FROM init i JOIN q USING (vec_id)),
+      ${iterations},
+      ${assign("f", s"c$iters").trim}
+      SELECT vec_id, cluster, dist FROM wf ORDER BY vec_id"""
+  }
+
+  /** Fixed-point Lloyd k-means ([[graft.ml.KMeans.fit]]), k=8 over the
+    * embeddings table, 3 iterations from the deterministic
+    * smallest-ids init. Integer micro-unit arithmetic end to end means
+    * the final (cluster, dist) assignment — not an approximation of
+    * it — hash-matches the unrolled DuckDB replay.
+    */
+  val q106KMeans: QueryDef = QueryDef(
+    "q106_kmeans",
+    (s, dir) =>
+      graft.ml.KMeans.fit(Tables(s, dir, "embeddings"),
+          col("vec_id"), col("embedding"), k = 8, iters = 3)
+        .orderBy(col("vec_id")),
+    Some(kmeansSql(8, 3)),
+  )
+
   val all: Seq[QueryDef] = Seq(q74StreamJoin, q75SnapshotDiff,
     q76StratifiedSample, q77TokenBudget, q78ZOrder, q79Int8Ann,
     q80SemanticDedup, q81SeqPack, q82BigramNovelty, q83EditDistance,
     q84ExactMoments, q85StreamEnrich, q86GroupTopK, q87Funnel,
     q88Retention, q91OovRate, q92DeltaDedup, q93PageRank,
-    q102Projection, q103GroupedSplit, q104ZScores, q105DeltaNearDedup)
+    q102Projection, q103GroupedSplit, q104ZScores, q105DeltaNearDedup,
+    q106KMeans)
 }
