@@ -59,9 +59,55 @@ object Binning {
     if (row.isNullAt(0))
       return df.withColumn("bin", lit(null).cast("long"))
     val bounds = probs.indices.map(row.getDouble)
-    val bin = bounds.foldLeft(lit(0L))((acc, b) =>
-      acc + when(col("__qb_v") > b, 1L).otherwise(0L))
-    withV.withColumn("bin", when(col("__qb_v").isNotNull, bin))
+    withV.withColumn("bin",
+        when(col("__qb_v").isNotNull, countBelow(col("__qb_v"), bounds)))
       .drop("__qb_v")
+  }
+
+  /** Bin index = number of boundaries strictly below the value (the
+    * quantileBins assignment rule), as a comparison chain — scan-side,
+    * codegen'd, no join.
+    */
+  private def countBelow(v: Column, bounds: Seq[Double]): Column =
+    bounds.foldLeft(lit(0L))((acc, b) =>
+      acc + when(v > b, 1L).otherwise(0L))
+
+  /** Equi-DEPTH histogram (the profiling complement of
+    * equiWidthHistogram): boundaries are the exact i/nBins quantiles
+    * rounded to 6 decimals on the engine side — the q07 cross-engine
+    * parity form, since the two engines' interpolation can differ in
+    * the last ulp — and each row lands in the bin counting boundaries
+    * strictly below it, so bins are right-closed like quantileBins.
+    * Output is one row per NON-EMPTY bin: (bin, bin_lo, bin_hi, n)
+    * with null bin_lo on the first bin and null bin_hi on the last.
+    *
+    * Scale shape matches q07: pass 1 is one shuffle-light exact
+    * percentile aggregate collected to the driver (nBins-1 doubles),
+    * pass 2 is an embarrassingly parallel scan-side groupBy over at
+    * most nBins keys. Heavily duplicated values collapse bins in both
+    * engines identically (the boundaries tie exactly after rounding).
+    */
+  def equiDepthHistogram(df: DataFrame, c: Column,
+      nBins: Int): DataFrame = {
+    val probs = (1 until nBins).map(_.toDouble / nBins)
+    val vals = df.filter(c.isNotNull)
+      .select(c.cast("double").as("__v"))
+    val exprs = probs.map(p => round(expr(s"percentile(__v, $p)"), 6))
+    val row = vals.agg(exprs.head, exprs.tail: _*).head()
+    if (row.isNullAt(0))
+      return vals.select(lit(0L).as("bin"),
+        lit(null).cast("double").as("bin_lo"),
+        lit(null).cast("double").as("bin_hi"),
+        lit(0L).as("n")).limit(0)
+    val bounds = probs.indices.map(row.getDouble)
+    val bArr = typedLit(bounds)
+    vals.groupBy(countBelow(col("__v"), bounds).as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("bin"),
+        when(col("bin") > 0, element_at(bArr, col("bin").cast("int")))
+          .as("bin_lo"),
+        when(col("bin") < bounds.length,
+          element_at(bArr, col("bin").cast("int") + 1)).as("bin_hi"),
+        col("n"))
   }
 }

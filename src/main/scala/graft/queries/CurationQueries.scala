@@ -805,11 +805,58 @@ object CurationQueries {
     Some(kmeansSql(8, 3)),
   )
 
+  // --------------------------------------------------------------- q107
+  /** DuckDB replay of [[graft.operators.Binning.equiDepthHistogram]]:
+    * the same 6dp-rounded exact quantile boundaries (the q07
+    * cross-engine parity form) and the same strictly-below comparison
+    * chain, generated from the same nBins constant.
+    */
+  private[queries] def equiDepthSql(table: String, column: String,
+      nBins: Int): String = {
+    val idx = 1 until nBins
+    val bounds = idx.map(i =>
+      s"ROUND(quantile_cont(v, ${i.toDouble / nBins}), 6) AS b$i")
+      .mkString(",\n          ")
+    val chain = idx.map(i => s"(CASE WHEN v > b$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    val loCases = idx.map(i => s"WHEN $i THEN b$i").mkString(" ")
+    val hiCases = idx.map(i => s"WHEN ${i - 1} THEN b$i").mkString(" ")
+    s"""
+      WITH v AS (
+        SELECT CAST($column AS DOUBLE) AS v FROM $table
+        WHERE $column IS NOT NULL),
+      b AS (
+        SELECT $bounds
+        FROM v),
+      g AS (
+        SELECT CAST($chain AS BIGINT) AS bin, COUNT(*) AS n
+        FROM v, b GROUP BY 1)
+      SELECT g.bin,
+        CASE g.bin $loCases END AS bin_lo,
+        CASE g.bin $hiCases END AS bin_hi,
+        g.n
+      FROM g, b ORDER BY g.bin"""
+  }
+
+  /** Equi-depth (equal-frequency) histogram of lineitem extended
+    * prices in 10 bins — the profiling pass that equi-width q53 cannot
+    * express when the distribution is skewed. Boundary doubles and bin
+    * counts both hash-match.
+    */
+  val q107EquiDepth: QueryDef = QueryDef(
+    "q107_equidepth_histogram",
+    (s, dir) =>
+      graft.operators.Binning.equiDepthHistogram(
+          Tables(s, dir, "lineitem"), col("l_extendedprice"), nBins = 10)
+        .orderBy(col("bin")),
+    Some(equiDepthSql("lineitem", "l_extendedprice", 10)),
+  )
+
   val all: Seq[QueryDef] = Seq(q74StreamJoin, q75SnapshotDiff,
     q76StratifiedSample, q77TokenBudget, q78ZOrder, q79Int8Ann,
     q80SemanticDedup, q81SeqPack, q82BigramNovelty, q83EditDistance,
     q84ExactMoments, q85StreamEnrich, q86GroupTopK, q87Funnel,
     q88Retention, q91OovRate, q92DeltaDedup, q93PageRank,
     q102Projection, q103GroupedSplit, q104ZScores, q105DeltaNearDedup,
-    q106KMeans)
+    q106KMeans, q107EquiDepth)
 }

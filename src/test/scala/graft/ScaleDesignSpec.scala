@@ -222,6 +222,26 @@ class ScaleDesignSpec extends SparkSpec {
     }
   }
 
+  test("equi-depth histogram: covers every row, balanced, bounds chain") {
+    val li = Tables(spark, sfDir, "lineitem")
+    val h = operators.Binning.equiDepthHistogram(li,
+      col("l_extendedprice"), 10).orderBy("bin").collect()
+    val n = li.count()
+    assert(h.map(_.getLong(3)).sum === n)
+    assert(h.head.isNullAt(1) && h.last.isNullAt(2))
+    // interior bounds chain: bin i's hi == bin i+1's lo
+    h.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getDouble(2) === b.getDouble(1))
+    }
+    h.foreach(r => assert(math.abs(r.getLong(3) - n / 10.0) <=
+      n * 0.02 + 4, s"skewed equi-depth bin: $r of $n"))
+    // empty input: empty frame, right schema
+    val e = operators.Binning.equiDepthHistogram(
+      li.filter(lit(false)), col("l_extendedprice"), 10)
+    assert(e.columns.toSeq === Seq("bin", "bin_lo", "bin_hi", "n"))
+    assert(e.count() === 0)
+  }
+
   test("stratified sample: seeded, per-stratum fractions, no shuffle") {
     val ev = Tables(spark, sfDir, "events")
     val fr = Map("click" -> 0.5, "purchase" -> 1.0)
