@@ -852,11 +852,66 @@ object CurationQueries {
     Some(equiDepthSql("lineitem", "l_extendedprice", 10)),
   )
 
+  // --------------------------------------------------------------- q108
+  /** Exact triangle census of the part co-purchase graph (parts linked
+    * when some order contains both — per-order fan-out is bounded by
+    * order width, ~7 lines in this schema). Grades
+    * [[graft.operators.Graph.triangleStats]]'s degree-ordered
+    * orientation end to end: node/edge/wedge/triangle counts are exact
+    * integers and the clustering coefficient is one deterministic
+    * double expression, so the whole row hash-matches.
+    */
+  val q108Triangles: QueryDef = QueryDef(
+    "q108_triangles",
+    (s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey").as("k"), col("l_partkey").as("p"))
+      val e = li.as("x").join(li.as("y"), Seq("k"))
+        .filter(col("x.p") =!= col("y.p"))
+        .select(col("x.p").as("src"), col("y.p").as("dst"))
+      graft.operators.Graph.triangleStats(e)
+    },
+    Some("""
+      WITH pairs AS (
+        SELECT DISTINCT least(l1.l_partkey, l2.l_partkey) AS a,
+                        greatest(l1.l_partkey, l2.l_partkey) AS b
+        FROM lineitem l1 JOIN lineitem l2
+          ON l1.l_orderkey = l2.l_orderkey
+        WHERE l1.l_partkey <> l2.l_partkey),
+      deg AS (
+        SELECT v, COUNT(*) AS deg FROM (
+          SELECT a AS v FROM pairs UNION ALL SELECT b AS v FROM pairs)
+        GROUP BY v),
+      ori AS (
+        SELECT CASE WHEN da.deg < db.deg
+                      OR (da.deg = db.deg AND p.a < p.b)
+                 THEN p.a ELSE p.b END AS s,
+               CASE WHEN da.deg < db.deg
+                      OR (da.deg = db.deg AND p.a < p.b)
+                 THEN p.b ELSE p.a END AS t
+        FROM pairs p
+        JOIN deg da ON da.v = p.a JOIN deg db ON db.v = p.b),
+      wed AS (
+        SELECT e1.t AS x, e2.t AS y FROM ori e1
+        JOIN ori e2 ON e1.s = e2.s AND e1.t < e2.t),
+      tri AS (
+        SELECT COUNT(*) AS triangles
+        FROM wed JOIN pairs ON wed.x = pairs.a AND wed.y = pairs.b)
+      SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+             (SELECT COUNT(*) FROM pairs) AS n_edges,
+             w.wedges, tri.triangles,
+             CASE WHEN w.wedges > 0
+               THEN ROUND(3.0 * tri.triangles / w.wedges, 6) END
+               AS global_cc
+      FROM tri, (SELECT CAST(SUM(deg * (deg - 1) // 2) AS BIGINT)
+                 AS wedges FROM deg) w"""),
+  )
+
   val all: Seq[QueryDef] = Seq(q74StreamJoin, q75SnapshotDiff,
     q76StratifiedSample, q77TokenBudget, q78ZOrder, q79Int8Ann,
     q80SemanticDedup, q81SeqPack, q82BigramNovelty, q83EditDistance,
     q84ExactMoments, q85StreamEnrich, q86GroupTopK, q87Funnel,
     q88Retention, q91OovRate, q92DeltaDedup, q93PageRank,
     q102Projection, q103GroupedSplit, q104ZScores, q105DeltaNearDedup,
-    q106KMeans, q107EquiDepth)
+    q106KMeans, q107EquiDepth, q108Triangles)
 }

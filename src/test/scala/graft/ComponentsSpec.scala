@@ -81,4 +81,26 @@ class ComponentsSpec extends SparkSpec {
       (9L, 3L, 0L, 3L), (7L, 7L, 1L, 2L), (8L, 7L, 0L, 2L))
     assert(rows === expected)
   }
+
+  test("triangleStats: exact census on a hand-checked diamond graph") {
+    // K4 minus edge 1-4: triangles {1,2,3} and {2,3,4};
+    // degrees 2,3,3,2 -> wedges = 1+3+3+1 = 8; cc = 3*2/8 = 0.75.
+    // Input deliberately dirty: duplicates, both directions, a self
+    // loop — normalization must collapse all of it.
+    val edges = Seq(
+      (1L, 2L), (2L, 1L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (3L, 4L), (4L, 4L)).toDF("src", "dst")
+    val r = graft.operators.Graph.triangleStats(edges).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((4L, 5L, 8L, 2L)))
+    assert(r.getDouble(4) === 0.75)
+  }
+
+  test("triangleStats: a star has wedges but zero triangles, cc 0") {
+    val star = (1L to 5L).map(i => (0L, i)).toDF("src", "dst")
+    val r = graft.operators.Graph.triangleStats(star).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((6L, 5L, 10L, 0L)))
+    assert(r.getDouble(4) === 0.0)
+  }
 }
