@@ -907,11 +907,65 @@ object CurationQueries {
                  AS wedges FROM deg) w"""),
   )
 
+  // --------------------------------------------------------------- q109
+  /** Oracle-replayable KMV distinct sketch
+    * ([[graft.plans.Kmv32DistinctSketch]]): per-group approximate
+    * distinct parts with k = 64 minima of the PortableHash 32-bit
+    * arithmetic hash. Unlike q46's xxhash64 sketch (rows-only by
+    * necessity), every piece here — the hash, the k-th minimum, the
+    * integer half-up estimate — replays exactly in DuckDB, so the
+    * ESTIMATES hash-match, not just the exact counts. The oracle finds
+    * the k-th minimum with a window; the engine uses the O(k)-memory
+    * mergeable aggregate, which is the part that scales.
+    */
+  val q109DistinctReplay: QueryDef = QueryDef(
+    "q109_distinct_replay",
+    (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag").as("flag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("exact"),
+          graft.plans.Kmv32DistinctSketch
+            .distinctSketch32(col("l_partkey"), 64).as("estimate"))
+        .withColumn("rel_err",
+          round(abs(col("estimate") - col("exact")).cast("double") /
+            col("exact"), 4))
+        .orderBy(col("flag")),
+    Some {
+      val steps = graft.functions.PortableHash.hash32SqlSteps("l_partkey")
+      s"""
+      WITH h0 AS (
+        SELECT l_returnflag AS flag, ${steps(0)} AS h
+        FROM lineitem WHERE l_partkey IS NOT NULL),
+      h1 AS (SELECT flag, ${steps(1)} AS h FROM h0),
+      h2 AS (SELECT flag, ${steps(2)} AS h FROM h1),
+      hf AS (SELECT DISTINCT flag, ${steps(3)} AS h FROM h2),
+      r AS (
+        SELECT flag, h,
+          ROW_NUMBER() OVER (PARTITION BY flag ORDER BY h) AS rn,
+          COUNT(*) OVER (PARTITION BY flag) AS nd
+        FROM hf),
+      est AS (
+        SELECT flag,
+          CASE WHEN nd < 64 THEN nd
+               ELSE (63 * 8589934592 + h) // (2 * h) END AS estimate
+        FROM r WHERE rn = LEAST(nd, 64)),
+      ex AS (
+        SELECT l_returnflag AS flag,
+          COUNT(DISTINCT l_partkey) AS exact
+        FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1)
+      SELECT ex.flag, ex.exact, est.estimate,
+        ROUND(CAST(ABS(est.estimate - ex.exact) AS DOUBLE) / ex.exact, 4)
+          AS rel_err
+      FROM ex JOIN est USING (flag) ORDER BY flag"""
+    },
+  )
+
   val all: Seq[QueryDef] = Seq(q74StreamJoin, q75SnapshotDiff,
     q76StratifiedSample, q77TokenBudget, q78ZOrder, q79Int8Ann,
     q80SemanticDedup, q81SeqPack, q82BigramNovelty, q83EditDistance,
     q84ExactMoments, q85StreamEnrich, q86GroupTopK, q87Funnel,
     q88Retention, q91OovRate, q92DeltaDedup, q93PageRank,
     q102Projection, q103GroupedSplit, q104ZScores, q105DeltaNearDedup,
-    q106KMeans, q107EquiDepth, q108Triangles)
+    q106KMeans, q107EquiDepth, q108Triangles, q109DistinctReplay)
 }

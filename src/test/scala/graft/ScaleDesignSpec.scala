@@ -392,6 +392,41 @@ class ScaleDesignSpec extends SparkSpec {
     assert(small.filter(col("exact") =!= col("est")).count() === 0)
   }
 
+  test("replayable KMV-32: partition-invariant, exact below k, in bound") {
+    val li = Tables(spark, sfDir, "lineitem")
+    val exact = li.select(countDistinct(col("l_partkey"))).head().getLong(0)
+    def est(df: org.apache.spark.sql.DataFrame) = df.select(
+      graft.plans.Kmv32DistinctSketch.distinctSketch32(col("l_partkey"), 64)
+        .as("est")).head().getLong(0)
+    val e1 = est(li.repartition(3))
+    val e32 = est(li.repartition(32))
+    // merge is union-and-truncate over a deterministic hash: the
+    // estimate cannot depend on partitioning or merge order
+    assert(e1 === e32)
+    val tol = math.max(8.0, exact * 4.0 / math.sqrt(62.0))
+    assert(math.abs(e1 - exact) <= tol, s"est $e1 vs exact $exact")
+    // below-k cardinalities are exact (integer-keyed: hash32 is
+    // arithmetic-only by design — strings go to the xxhash64 sketch)
+    val small = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_linenumber")).as("exact"),
+        graft.plans.Kmv32DistinctSketch.distinctSketch32(col("l_linenumber"))
+          .as("est"))
+    assert(small.filter(col("exact") =!= col("est")).count() === 0)
+    // the Column hash and a literal replay of the arithmetic agree
+    val probe = spark.range(-5, 100).toDF("x")
+    val a = probe.select(graft.functions.PortableHash.hash32(col("x"))
+      .as("h")).collect().map(_.getLong(0))
+    def jvm(x: Long): Long = {
+      val m = graft.functions.PortableHash.Mod
+      val mult = graft.functions.PortableHash.Mult
+      val h0 = ((x % m) + m) % m
+      val h1 = ((h0 ^ (h0 >> 16)) * mult) % m
+      val h2 = ((h1 ^ (h1 >> 16)) * mult) % m
+      h2 ^ (h2 >> 16)
+    }
+    assert(a.toSeq === (-5L until 100L).map(jvm))
+  }
+
   test("sessions respect the idle gap") {
     val sessions = Sessionize.run(spark, sfDir, gapSeconds = 1800)
       .select("user_id", "session_start", "session_end")
