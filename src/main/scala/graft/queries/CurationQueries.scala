@@ -961,11 +961,65 @@ object CurationQueries {
     },
   )
 
+  // --------------------------------------------------------------- q110
+  /** Runtime Bloom pre-filter census
+    * ([[graft.operators.RuntimeFilter.bloomJoinStats]]): lineitem
+    * pre-filtered by a 2¹⁷-bit two-probe bloom built from one
+    * nation's suppliers, then verified with the real semi-join. The
+    * oracle replays the PortableHash probes and bit-set membership
+    * stepwise, so the exact pass/false-positive counts — the filter
+    * DECISIONS, not just the join result — hash-match.
+    */
+  val q110BloomJoin: QueryDef = QueryDef(
+    "q110_bloom_join",
+    (s, dir) =>
+      graft.operators.RuntimeFilter.bloomJoinStats(
+        Tables(s, dir, "lineitem"), col("l_suppkey"),
+        Tables(s, dir, "supplier").filter(col("s_nationkey") === 3),
+        col("s_suppkey"), mBits = 1 << 17),
+    Some {
+      def hashChain(src: String, from: String) = s"""
+      ${src}h0 AS (
+        SELECT x, ((x % 4294967296) + 4294967296) % 4294967296 AS h
+        FROM $from),
+      ${src}h1 AS (SELECT x, (xor(h, h >> 16) * 73244475) % 4294967296
+        AS h FROM ${src}h0),
+      ${src}h2 AS (SELECT x, (xor(h, h >> 16) * 73244475) % 4294967296
+        AS h FROM ${src}h1),
+      ${src}hf AS (SELECT x, xor(h, h >> 16) AS h FROM ${src}h2)"""
+      s"""
+      WITH dk AS (SELECT DISTINCT s_suppkey AS x FROM supplier
+                  WHERE s_nationkey = 3),
+      ${hashChain("d", "dk").trim},
+      bits AS (SELECT DISTINCT p FROM (
+        SELECT h % 131072 AS p FROM dhf
+        UNION ALL SELECT (h >> 15) % 131072 FROM dhf)),
+      fk AS (SELECT l_suppkey AS x FROM lineitem),
+      ${hashChain("f", "fk").trim},
+      pass AS (
+        SELECT x FROM (SELECT x, h % 131072 AS p1,
+                              (h >> 15) % 131072 AS p2 FROM fhf)
+        WHERE p1 IN (SELECT p FROM bits)
+          AND p2 IN (SELECT p FROM bits)),
+      sel AS (SELECT
+        (SELECT COUNT(*) FROM fk) AS n_fact,
+        (SELECT COUNT(*) FROM pass) AS n_pass,
+        (SELECT COUNT(*) FROM pass
+         WHERE x IN (SELECT x FROM dk)) AS n_match)
+      SELECT n_fact, n_pass, n_match, n_pass - n_match AS false_pos,
+        CASE WHEN n_fact > n_match THEN
+          ROUND(CAST(n_pass - n_match AS DOUBLE) / (n_fact - n_match), 6)
+        END AS fp_rate
+      FROM sel"""
+    },
+  )
+
   val all: Seq[QueryDef] = Seq(q74StreamJoin, q75SnapshotDiff,
     q76StratifiedSample, q77TokenBudget, q78ZOrder, q79Int8Ann,
     q80SemanticDedup, q81SeqPack, q82BigramNovelty, q83EditDistance,
     q84ExactMoments, q85StreamEnrich, q86GroupTopK, q87Funnel,
     q88Retention, q91OovRate, q92DeltaDedup, q93PageRank,
     q102Projection, q103GroupedSplit, q104ZScores, q105DeltaNearDedup,
-    q106KMeans, q107EquiDepth, q108Triangles, q109DistinctReplay)
+    q106KMeans, q107EquiDepth, q108Triangles, q109DistinctReplay,
+    q110BloomJoin)
 }

@@ -427,6 +427,34 @@ class ScaleDesignSpec extends SparkSpec {
     assert(a.toSeq === (-5L until 100L).map(jvm))
   }
 
+  test("bloom pre-filter: no false negatives, honest FP accounting") {
+    val li = Tables(spark, sfDir, "lineitem")
+    val dim = Tables(spark, sfDir, "supplier")
+      .filter(col("s_nationkey") === 3)
+    val passed = operators.RuntimeFilter.bloomFilterFact(
+      li, col("l_suppkey"), dim, col("s_suppkey"))
+    // every true joiner survives the bloom
+    val joiners = li.join(broadcast(dim),
+      col("l_suppkey") === col("s_suppkey"), "left_semi")
+    assert(joiners.exceptAll(passed.select(joiners.columns.map(col): _*))
+      .count() === 0)
+    // a deliberately tiny filter (64 bits) against ~150 distinct
+    // customer keys must produce false positives, and the census must
+    // count them rather than hide them
+    val ords = Tables(spark, sfDir, "orders")
+    val cust = Tables(spark, sfDir, "customer")
+      .filter(pmod(col("c_custkey"), lit(10)) === 3)
+    val st = operators.RuntimeFilter.bloomJoinStats(
+      ords, col("o_custkey"), cust, col("c_custkey"), mBits = 64).head()
+    assert(st.getLong(0) === ords.count())
+    assert(st.getLong(1) >= st.getLong(2)) // pass >= match always
+    assert(st.getLong(3) > 0L, "64-bit bloom should collide here")
+    intercept[IllegalArgumentException] {
+      operators.RuntimeFilter.bloomJoinStats(li, col("l_suppkey"),
+        dim, col("s_suppkey"), mBits = 100)
+    }
+  }
+
   test("sessions respect the idle gap") {
     val sessions = Sessionize.run(spark, sfDir, gapSeconds = 1800)
       .select("user_id", "session_start", "session_end")
