@@ -72,6 +72,50 @@ object Binning {
     bounds.foldLeft(lit(0L))((acc, b) =>
       acc + when(v > b, 1L).otherwise(0L))
 
+  /** Single-pass APPROXIMATE per-group quantiles from a fixed
+    * equi-width integer bin sketch — the quantile path that actually
+    * scales. The exact percentile aggregates (q07/q13/q107) buffer
+    * whole groups; this keeps ≤ nBins longs per group, merges by bin
+    * addition (map-side combine applies), and estimates quantile p as
+    * the UPPER EDGE of the first bin whose cumulative count reaches
+    * ⌈p·n⌉ — error bounded by one bin width, and every step (bin
+    * index, cumulative rank, ceiling) is integer arithmetic, so the
+    * ESTIMATES replay bit-exactly in SQL. Bounds [lo, hi) are caller
+    * constants (schema knowledge: prices, latencies, token counts all
+    * have hard ranges); values outside clamp into the edge bins like
+    * equiWidthBin. One groupBy on (group, bin) + one on (group) — no
+    * sort, no window over data-sized partitions, no per-group buffers
+    * beyond the bin counts.
+    *
+    * Output long form: (group, p, est) for each requested p in
+    * per-mille (integer thousandths, avoiding double prob literals).
+    */
+  def binnedQuantiles(df: DataFrame, group: Column, c: Column,
+      lo: Double, hi: Double, nBins: Int,
+      perMille: Seq[Int]): DataFrame = {
+    require(lo < hi && nBins > 0 && perMille.forall(p => p > 0 && p <= 1000))
+    import org.apache.spark.sql.expressions.Window
+    val binned = df.filter(c.isNotNull)
+      .select(group.as("g"),
+        equiWidthBin(c, lit(lo), lit(hi), nBins).as("bin"))
+      .groupBy(col("g"), col("bin")).agg(count(lit(1)).as("cnt"))
+    // windows over ≤ nBins rows per group — bounded, never data-sized
+    val cum = binned
+      .withColumn("cum", sum(col("cnt"))
+        .over(Window.partitionBy(col("g")).orderBy(col("bin"))))
+      .withColumn("n", sum(col("cnt"))
+        .over(Window.partitionBy(col("g"))))
+    // first bin whose cum count reaches ceil(p·n/1000); since cum is
+    // an integer, cum >= ceil(p·n/1000) ⟺ 1000·cum >= p·n — all longs
+    cum.withColumn("p", explode(typedLit(perMille.sorted)))
+      .filter(col("cum") * 1000 >= col("p") * col("n"))
+      .groupBy(col("g"), col("p"))
+      .agg(min(col("bin")).as("est_bin"))
+      .select(col("g"), col("p").cast("long").as("p"),
+        round(lit(lo) + (col("est_bin") + 1) *
+          ((lit(hi) - lit(lo)) / nBins), 6).as("est"))
+  }
+
   /** Equi-DEPTH histogram (the profiling complement of
     * equiWidthHistogram): boundaries are the exact i/nBins quantiles
     * rounded to 6 decimals on the engine side — the q07 cross-engine

@@ -1014,6 +1014,48 @@ object CurationQueries {
     },
   )
 
+  // --------------------------------------------------------------- q111
+  /** Single-pass binned quantile sketch
+    * ([[graft.operators.Binning.binnedQuantiles]]): per-flag
+    * p50/p95/p99 of extended price from a 1024-bin fixed-width sketch.
+    * Everything — bin index, cumulative rank, the integer form of the
+    * ceiling test (1000·cum ≥ p·n) — is engine-portable arithmetic,
+    * so the APPROXIMATE estimates hash-match the SQL replay; accuracy
+    * vs the exact percentile is spec-asserted to one bin width.
+    */
+  val q111BinnedQuantiles: QueryDef = QueryDef(
+    "q111_binned_quantiles",
+    (s, dir) =>
+      graft.operators.Binning.binnedQuantiles(
+          Tables(s, dir, "lineitem"), col("l_returnflag"),
+          col("l_extendedprice"), lo = 0.0, hi = 110000.0, nBins = 1024,
+          perMille = Seq(500, 950, 990))
+        .orderBy(col("g"), col("p")),
+    Some("""
+      WITH v AS (
+        SELECT l_returnflag AS g, CAST(l_extendedprice AS DOUBLE) AS v
+        FROM lineitem WHERE l_extendedprice IS NOT NULL),
+      b AS (
+        SELECT g, CAST(LEAST(GREATEST(
+          floor((v - 0.0) / ((110000.0 - 0.0) / 1024)), 0.0), 1023.0)
+          AS BIGINT) AS bin
+        FROM v),
+      c AS (SELECT g, bin, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+      w AS (
+        SELECT g, bin,
+          CAST(SUM(cnt) OVER (PARTITION BY g ORDER BY bin
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+          CAST(SUM(cnt) OVER (PARTITION BY g) AS BIGINT) AS n
+        FROM c),
+      p AS (SELECT unnest([500, 950, 990]) AS p),
+      e AS (
+        SELECT g, p, MIN(bin) AS est_bin FROM w, p
+        WHERE cum * 1000 >= p * n GROUP BY 1, 2)
+      SELECT g, CAST(p AS BIGINT) AS p,
+        ROUND(0.0 + (est_bin + 1) * ((110000.0 - 0.0) / 1024), 6) AS est
+      FROM e ORDER BY g, p"""),
+  )
+
   val all: Seq[QueryDef] = Seq(q74StreamJoin, q75SnapshotDiff,
     q76StratifiedSample, q77TokenBudget, q78ZOrder, q79Int8Ann,
     q80SemanticDedup, q81SeqPack, q82BigramNovelty, q83EditDistance,
@@ -1021,5 +1063,5 @@ object CurationQueries {
     q88Retention, q91OovRate, q92DeltaDedup, q93PageRank,
     q102Projection, q103GroupedSplit, q104ZScores, q105DeltaNearDedup,
     q106KMeans, q107EquiDepth, q108Triangles, q109DistinctReplay,
-    q110BloomJoin)
+    q110BloomJoin, q111BinnedQuantiles)
 }

@@ -242,6 +242,33 @@ class ScaleDesignSpec extends SparkSpec {
     assert(e.count() === 0)
   }
 
+  test("binned quantile sketch: within one bin width of the exact value") {
+    val li = Tables(spark, sfDir, "lineitem")
+    val (lo, hi, nBins) = (0.0, 110000.0, 1024)
+    val width = (hi - lo) / nBins
+    val est = operators.Binning.binnedQuantiles(li, col("l_returnflag"),
+        col("l_extendedprice"), lo, hi, nBins, Seq(500, 950, 990))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    val exact = li.groupBy(col("l_returnflag").as("g"))
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("p500"),
+        expr("percentile(l_extendedprice, 0.95)").as("p950"),
+        expr("percentile(l_extendedprice, 0.99)").as("p990"))
+      .collect()
+    exact.foreach { r =>
+      Seq(500, 950, 990).zipWithIndex.foreach { case (p, i) =>
+        val e = est((r.getString(0), p.toLong))
+        val x = r.getDouble(i + 1)
+        // the estimate is the upper edge of the bin holding the
+        // ceil(p·n)-th order statistic; the INTERPOLATED percentile
+        // sits within one order-statistic gap of that, so allow two
+        // bin widths against it
+        assert(e >= x - width - 1e-9 && e - x <= 2 * width + 1e-9,
+          s"flag ${r.getString(0)} p$p: est $e exact $x width $width")
+      }
+    }
+  }
+
   test("stratified sample: seeded, per-stratum fractions, no shuffle") {
     val ev = Tables(spark, sfDir, "events")
     val fr = Map("click" -> 0.5, "purchase" -> 1.0)
