@@ -1056,6 +1056,33 @@ object CurationQueries {
       FROM e ORDER BY g, p"""),
   )
 
+  // --------------------------------------------------------------- q112
+  private val q112OrcPath =
+    s"/tmp/graft_q112_orc_${ProcessHandle.current().pid()}"
+
+  /** ORC sink/source round-trip ([[graft.sources.Sinks.writeOrc]]):
+    * a 4-type slice of orders (long, string, double, timestamp) goes
+    * through ORC and back; the oracle reads the ORIGINAL parquet, so a
+    * hash match proves the second columnar format preserves every
+    * value bit — the q47 JSON-lifecycle pattern applied to ORC.
+    */
+  val q112OrcRoundtrip: QueryDef = QueryDef(
+    "q112_orc_roundtrip",
+    (s, dir) => {
+      val slice = Tables(s, dir, "orders")
+        .filter(col("o_orderkey") % 13 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderdate"))
+      graft.sources.Sinks.writeOrc(slice, q112OrcPath)
+      graft.sources.Sinks.readOrc(s, q112OrcPath)
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""
+      SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate
+      FROM orders WHERE o_orderkey % 13 = 0
+      ORDER BY o_orderkey"""),
+  )
+
   val all: Seq[QueryDef] = Seq(q74StreamJoin, q75SnapshotDiff,
     q76StratifiedSample, q77TokenBudget, q78ZOrder, q79Int8Ann,
     q80SemanticDedup, q81SeqPack, q82BigramNovelty, q83EditDistance,
@@ -1063,5 +1090,5 @@ object CurationQueries {
     q88Retention, q91OovRate, q92DeltaDedup, q93PageRank,
     q102Projection, q103GroupedSplit, q104ZScores, q105DeltaNearDedup,
     q106KMeans, q107EquiDepth, q108Triangles, q109DistinctReplay,
-    q110BloomJoin, q111BinnedQuantiles)
+    q110BloomJoin, q111BinnedQuantiles, q112OrcRoundtrip)
 }

@@ -97,6 +97,45 @@ object Sinks {
       .partitionBy("dt")
       .parquet(path)
 
+  /** K7: ORC sink — the second columnar interchange format (Spark
+    * ships the ORC datasource in-box). Same overwrite contract as the
+    * parquet sink; q112 grades the write→read round-trip against the
+    * parquet-derived oracle, so type fidelity (strings, longs,
+    * doubles, dates) is checked end to end rather than assumed.
+    */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  def readOrc(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = spark.read.orc(path)
+
+  /** K8: small-file compaction — the operational pass every long-lived
+    * 100 TB table needs. Incremental sinks (per-batch appends, CDC
+    * upserts, streaming micro-batches) accrete files far smaller than
+    * a sane scan split; readers then pay per-file open/footer costs
+    * and lose large sequential reads. This rewrites a parquet
+    * directory into ⌈total_bytes / targetBytes⌉ files of roughly
+    * equal size and returns the file count. Compaction writes to a
+    * NEW path (swap is the caller's transaction, same as table
+    * formats do) and goes through coalesce — a narrow, shuffle-free
+    * merge of input splits.
+    */
+  def compactParquet(spark: org.apache.spark.sql.SparkSession,
+      inPath: String, outPath: String,
+      targetBytes: Long = 128L << 20): Int = {
+    require(targetBytes > 0)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(inPath)
+    val fs = p.getFileSystem(hconf)
+    val total = fs.listStatus(p)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
+    val nFiles = math.max(1, ((total + targetBytes - 1) / targetBytes).toInt)
+    spark.read.parquet(inPath).coalesce(nFiles)
+      .write.mode("overwrite").parquet(outPath)
+    nFiles
+  }
+
   /** K3: one file per page, page_%06d.html (dumping.py:223-226). */
   def writeHtmlPages(pages: Seq[(Int, String)], dir: Path): Unit = {
     Files.createDirectories(dir)

@@ -99,4 +99,22 @@ class AppSinksSpec extends SparkSpec {
     assert(Files.exists(dir.resolve("page_000001.html")))
     assert(Files.exists(dir.resolve("page_000042.html")))
   }
+
+  test("K8: compaction merges small files, preserves data, sizes output") {
+    val in = Files.createTempDirectory("graft_compact_in").toString
+    val out = Files.createTempDirectory("graft_compact_out").toString
+    val docs = graft.Tables(spark, sfDir, "documents")
+    docs.repartition(16).write.mode("overwrite").parquet(in)
+    def files(p: String) = new java.io.File(p).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(files(in).length === 16)
+    val total = files(in).map(_.length).sum
+    val target = total / 3 // expect ceil(total / (total/3)) = 3..4 files
+    val n = Sinks.compactParquet(spark, in, out, target)
+    assert(files(out).length === n && n >= 3 && n <= 4)
+    // content identical both directions
+    val back = spark.read.parquet(out)
+    assert(back.exceptAll(docs).count() === 0)
+    assert(docs.exceptAll(back).count() === 0)
+  }
 }
