@@ -1083,6 +1083,39 @@ object CurationQueries {
       ORDER BY o_orderkey"""),
   )
 
+  // --------------------------------------------------------------- q113
+  private val q113CsvPath =
+    s"/tmp/graft_q113_csv_${ProcessHandle.current().pid()}"
+
+  /** CSV sink/source round-trip under hostile content: every document
+    * gets a suffix with an embedded comma, double quote, and newline —
+    * the three things that break naive CSV — then goes through
+    * [[graft.sources.Sinks.writeCsv]] and is read back (multiLine +
+    * explicit schema). The oracle applies the same suffix to the
+    * ORIGINAL parquet text, so a hash match proves quoting/escaping
+    * round-trips every byte. Upgrades K1 from spec-only to graded.
+    */
+  val q113CsvRoundtrip: QueryDef = QueryDef(
+    "q113_csv_roundtrip",
+    (s, dir) => {
+      val hostile = concat(col("text"), lit(",\"q\"\nL2"))
+      val slice = Tables(s, dir, "documents")
+        .filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), col("source"), hostile.as("text"))
+      graft.sources.Sinks.writeCsv(slice, q113CsvPath)
+      s.read
+        .schema("doc_id long, source string, text string")
+        .option("header", "true").option("multiLine", "true")
+        .csv(q113CsvPath)
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      SELECT doc_id, source,
+        text || ',"q"' || chr(10) || 'L2' AS text
+      FROM documents WHERE doc_id % 7 = 0
+      ORDER BY doc_id"""),
+  )
+
   val all: Seq[QueryDef] = Seq(q74StreamJoin, q75SnapshotDiff,
     q76StratifiedSample, q77TokenBudget, q78ZOrder, q79Int8Ann,
     q80SemanticDedup, q81SeqPack, q82BigramNovelty, q83EditDistance,
@@ -1090,5 +1123,6 @@ object CurationQueries {
     q88Retention, q91OovRate, q92DeltaDedup, q93PageRank,
     q102Projection, q103GroupedSplit, q104ZScores, q105DeltaNearDedup,
     q106KMeans, q107EquiDepth, q108Triangles, q109DistinctReplay,
-    q110BloomJoin, q111BinnedQuantiles, q112OrcRoundtrip)
+    q110BloomJoin, q111BinnedQuantiles, q112OrcRoundtrip,
+    q113CsvRoundtrip)
 }
