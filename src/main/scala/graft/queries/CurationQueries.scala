@@ -1116,6 +1116,44 @@ object CurationQueries {
       ORDER BY doc_id"""),
   )
 
+  // --------------------------------------------------------------- q114
+  /** Out-of-fold target encoding ([[graft.ml.TargetEncoder.oofMeans]]):
+    * order priority encoded by the mean total price of the OTHER four
+    * LCG folds — integer-cents sums, one double division, so the full
+    * encoder table (including any null cells) hash-matches.
+    */
+  val q114TargetEncode: QueryDef = QueryDef(
+    "q114_target_encode",
+    (s, dir) =>
+      graft.ml.TargetEncoder.oofMeans(Tables(s, dir, "orders"),
+          col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+          k = 5)
+        .orderBy(col("cat"), col("fold")),
+    Some("""
+      WITH r AS (
+        SELECT o_orderpriority AS cat,
+          ((o_orderkey * 1103515245 + 12345) % 2147483648) % 5 AS fold,
+          CAST(CASE WHEN o_totalprice >= 0
+            THEN floor(o_totalprice * 100 + 0.5)
+            ELSE -floor(-o_totalprice * 100 + 0.5) END AS BIGINT)
+            AS cents
+        FROM orders),
+      cells AS (
+        SELECT cat, fold, COUNT(*) AS n_fold,
+          CAST(SUM(cents) AS BIGINT) AS s_fold
+        FROM r GROUP BY 1, 2),
+      tot AS (
+        SELECT cat, CAST(SUM(n_fold) AS BIGINT) AS n_cat,
+          CAST(SUM(s_fold) AS BIGINT) AS s_cat
+        FROM cells GROUP BY 1)
+      SELECT c.cat, c.fold, c.n_fold,
+        CASE WHEN t.n_cat > c.n_fold THEN
+          ROUND(CAST(t.s_cat - c.s_fold AS DOUBLE) /
+            ((t.n_cat - c.n_fold) * 100.0), 6) END AS oof_mean
+      FROM cells c JOIN tot t USING (cat)
+      ORDER BY cat, fold"""),
+  )
+
   val all: Seq[QueryDef] = Seq(q74StreamJoin, q75SnapshotDiff,
     q76StratifiedSample, q77TokenBudget, q78ZOrder, q79Int8Ann,
     q80SemanticDedup, q81SeqPack, q82BigramNovelty, q83EditDistance,
@@ -1124,5 +1162,5 @@ object CurationQueries {
     q102Projection, q103GroupedSplit, q104ZScores, q105DeltaNearDedup,
     q106KMeans, q107EquiDepth, q108Triangles, q109DistinctReplay,
     q110BloomJoin, q111BinnedQuantiles, q112OrcRoundtrip,
-    q113CsvRoundtrip)
+    q113CsvRoundtrip, q114TargetEncode)
 }

@@ -75,4 +75,45 @@ class MlSpec extends SparkSpec {
       .select("quantiles").head().getSeq[Double](0)
     assert(highCluster === Seq(1001.0, 1025.5, 1050.0))
   }
+
+  test("target encoder: out-of-fold means exclude the row's own fold") {
+    def lcgFold(id: Long, k: Int) =
+      ((id * 1103515245L + 12345L) % 2147483648L) % k
+    // ids chosen so category 'a' spans both folds of k=2
+    val ids = (0L until 40L)
+    val rows = ids.map(i => (i, if (i < 30) "a" else "b", (i + 1) * 10.0))
+    val df = rows.toDF("id", "cat", "y")
+    val out = graft.ml.TargetEncoder.oofMeans(df, col("id"), col("cat"),
+        col("y"), k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      .toMap
+    // replay in plain Scala with exact integer cents
+    val cents = rows.map { case (i, c, y) =>
+      (c, lcgFold(i, 2), math.floor(y * 100 + 0.5).toLong)
+    }
+    for (cat <- Seq("a", "b"); fold <- Seq(0L, 1L)) {
+      val inCat = cents.filter(_._1 == cat)
+      val inCell = inCat.filter(_._2 == fold)
+      if (inCell.nonEmpty) {
+        val others = inCat.filterNot(_._2 == fold)
+        val expected =
+          if (others.isEmpty) None
+          else Some(BigDecimal(others.map(_._3).sum.toDouble /
+            (others.size * 100.0)).setScale(6,
+            BigDecimal.RoundingMode.HALF_UP).toDouble)
+        val (n, m) = out((cat, fold))
+        assert(n === inCell.size.toLong)
+        assert(m.map(v => math.abs(v - expected.get) < 1e-9)
+          .getOrElse(expected.isEmpty), s"cell ($cat, $fold): $m vs $expected")
+      }
+    }
+    // a category entirely inside one fold has no out-of-fold mean
+    val solo = Seq((0L, "only", 5.0), (2L, "other", 1.0),
+      (1L, "other", 2.0)).toDF("id", "cat", "y")
+    val soloOut = graft.ml.TargetEncoder.oofMeans(solo, col("id"),
+      col("cat"), col("y"), k = 2)
+    assert(soloOut.filter(col("cat") === "only")
+      .collect().forall(_.isNullAt(3)))
+  }
 }
