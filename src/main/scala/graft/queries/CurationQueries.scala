@@ -1154,6 +1154,41 @@ object CurationQueries {
       ORDER BY cat, fold"""),
   )
 
+  // --------------------------------------------------------------- q115
+  private val q115Base =
+    s"/tmp/graft_q115_merge_${ProcessHandle.current().pid()}"
+
+  /** Schema evolution read: two parquet generations with DIFFERENT
+    * column sets (an old writer without o_orderstatus, a new one
+    * without o_totalprice) read through mergeSchema — the long-lived-
+    * table reality at 100 TB, where files written years apart coexist.
+    * The oracle is the explicit UNION ALL with typed NULLs, so both
+    * the merged schema and the null back-fill are hash-graded.
+    */
+  val q115SchemaEvolution: QueryDef = QueryDef(
+    "q115_schema_evolution",
+    (s, dir) => {
+      val orders = Tables(s, dir, "orders")
+      orders.filter(col("o_orderkey") % 11 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .write.mode("overwrite").parquet(s"$q115Base/gen_a")
+      orders.filter(col("o_orderkey") % 11 === 1)
+        .select(col("o_orderkey"), col("o_orderstatus"))
+        .write.mode("overwrite").parquet(s"$q115Base/gen_b")
+      s.read.option("mergeSchema", "true")
+        .parquet(s"$q115Base/gen_a", s"$q115Base/gen_b")
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""
+      SELECT o_orderkey, o_totalprice,
+        CAST(NULL AS VARCHAR) AS o_orderstatus
+      FROM orders WHERE o_orderkey % 11 = 0
+      UNION ALL
+      SELECT o_orderkey, CAST(NULL AS DOUBLE), o_orderstatus
+      FROM orders WHERE o_orderkey % 11 = 1
+      ORDER BY o_orderkey"""),
+  )
+
   val all: Seq[QueryDef] = Seq(q74StreamJoin, q75SnapshotDiff,
     q76StratifiedSample, q77TokenBudget, q78ZOrder, q79Int8Ann,
     q80SemanticDedup, q81SeqPack, q82BigramNovelty, q83EditDistance,
@@ -1162,5 +1197,5 @@ object CurationQueries {
     q102Projection, q103GroupedSplit, q104ZScores, q105DeltaNearDedup,
     q106KMeans, q107EquiDepth, q108Triangles, q109DistinctReplay,
     q110BloomJoin, q111BinnedQuantiles, q112OrcRoundtrip,
-    q113CsvRoundtrip, q114TargetEncode)
+    q113CsvRoundtrip, q114TargetEncode, q115SchemaEvolution)
 }
