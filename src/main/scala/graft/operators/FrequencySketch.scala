@@ -1,0 +1,55 @@
+package graft.operators
+
+import graft.functions.PortableHash
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Count-min sketch over integer keys — the frequency-estimation
+  * complement of the KMV cardinality sketch (q109): fixed
+  * d×w integer cells estimate per-key counts with one-sided error
+  * (never an undercount), O(d·w) state total regardless of key
+  * cardinality. d = 2 rows use the same Kirsch–Mitzenmacher probes as
+  * the bloom filter (q110): pos₀ = h mod w, pos₁ = ⌊h/2¹⁵⌋ mod w off
+  * one [[PortableHash.hash32]] value, so every cell sum and every
+  * estimate replays exactly in SQL.
+  *
+  * Construction is a plain (row, pos) groupBy — 2·w cells of exact
+  * integer counts with map-side combine; no custom aggregation state
+  * is even needed, which is the point: the sketch IS a tiny
+  * aggregation, so it inherits Spark's partial-agg scaling for free.
+  * Estimation broadcast-joins the cell table (2·w rows) onto the
+  * query keys and takes the min over rows.
+  */
+object FrequencySketch {
+
+  private def positions(c: Column, w: Int): (Column, Column) = {
+    val h = PortableHash.hash32(c)
+    (pmod(h, lit(w.toLong)), pmod(shiftright(h, 15), lit(w.toLong)))
+  }
+
+  /** The d=2 × w cell table: (row, pos, cnt), exact integer counts. */
+  def cmsCells(df: DataFrame, key: Column, w: Int): DataFrame = {
+    require(w > 0 && (w & (w - 1)) == 0, "w must be a power of two")
+    val (p0, p1) = positions(key, w)
+    df.select(explode(array(
+        struct(lit(0L).as("row"), p0.as("pos")),
+        struct(lit(1L).as("row"), p1.as("pos")))).as("c"))
+      .groupBy(col("c.row").as("row"), col("c.pos").as("pos"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point estimates for `keys` (one column named by `keyName`):
+    * min over the d rows of the addressed cells — ≥ the true count
+    * always, equality unless another key collided in BOTH rows.
+    */
+  def cmsEstimates(cells: DataFrame, keys: DataFrame, key: Column,
+      w: Int): DataFrame = {
+    val (p0, p1) = positions(key, w)
+    keys.select(key.as("key"), p0.as("p0"), p1.as("p1"))
+      .join(broadcast(cells.filter(col("row") === 0)
+        .select(col("pos").as("p0"), col("cnt").as("c0"))), Seq("p0"))
+      .join(broadcast(cells.filter(col("row") === 1)
+        .select(col("pos").as("p1"), col("cnt").as("c1"))), Seq("p1"))
+      .select(col("key"), least(col("c0"), col("c1")).as("est"))
+  }
+}

@@ -1189,6 +1189,62 @@ object CurationQueries {
       ORDER BY o_orderkey"""),
   )
 
+  // --------------------------------------------------------------- q116
+  /** Count-min frequency sketch audit
+    * ([[graft.operators.FrequencySketch]]): 2×1024 cells over event
+    * user ids, point estimates for the exact top-20 users, overcount
+    * column pinning the one-sided error. Cells, probes, and estimates
+    * are all portable integer arithmetic — the sketch replays
+    * hash-exactly in DuckDB.
+    */
+  val q116CountMin: QueryDef = QueryDef(
+    "q116_count_min",
+    (s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val w = 1024
+      val top = ev.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("exact"))
+        .orderBy(col("exact").desc, col("user_id")).limit(20)
+      val cells = graft.operators.FrequencySketch
+        .cmsCells(ev, col("user_id"), w)
+      graft.operators.FrequencySketch
+        .cmsEstimates(cells, top, col("user_id"), w)
+        .join(top, col("key") === col("user_id"))
+        .select(col("user_id"), col("exact"), col("est"),
+          (col("est") - col("exact")).as("overcount"))
+        .orderBy(col("exact").desc, col("user_id"))
+    },
+    Some {
+      def chain(src: String, from: String) = s"""
+      ${src}h0 AS (
+        SELECT *, ((x % 4294967296) + 4294967296) % 4294967296 AS h
+        FROM $from),
+      ${src}h1 AS (SELECT * REPLACE(
+        (xor(h, h >> 16) * 73244475) % 4294967296 AS h) FROM ${src}h0),
+      ${src}h2 AS (SELECT * REPLACE(
+        (xor(h, h >> 16) * 73244475) % 4294967296 AS h) FROM ${src}h1),
+      ${src}hf AS (SELECT * REPLACE(xor(h, h >> 16) AS h) FROM ${src}h2)"""
+      s"""
+      WITH ev AS (SELECT user_id AS x FROM events),
+      ${chain("e", "ev").trim},
+      cells0 AS (SELECT h % 1024 AS pos, COUNT(*) AS cnt
+                 FROM ehf GROUP BY 1),
+      cells1 AS (SELECT (h >> 15) % 1024 AS pos, COUNT(*) AS cnt
+                 FROM ehf GROUP BY 1),
+      topk AS (
+        SELECT user_id AS x, COUNT(*) AS exact FROM events
+        GROUP BY 1 ORDER BY exact DESC, x LIMIT 20),
+      ${chain("t", "topk").trim}
+      SELECT t.x AS user_id, t.exact,
+        LEAST(c0.cnt, c1.cnt) AS est,
+        LEAST(c0.cnt, c1.cnt) - t.exact AS overcount
+      FROM thf t
+      JOIN cells0 c0 ON c0.pos = t.h % 1024
+      JOIN cells1 c1 ON c1.pos = (t.h >> 15) % 1024
+      ORDER BY t.exact DESC, t.x"""
+    },
+  )
+
   val all: Seq[QueryDef] = Seq(q74StreamJoin, q75SnapshotDiff,
     q76StratifiedSample, q77TokenBudget, q78ZOrder, q79Int8Ann,
     q80SemanticDedup, q81SeqPack, q82BigramNovelty, q83EditDistance,
@@ -1197,5 +1253,6 @@ object CurationQueries {
     q102Projection, q103GroupedSplit, q104ZScores, q105DeltaNearDedup,
     q106KMeans, q107EquiDepth, q108Triangles, q109DistinctReplay,
     q110BloomJoin, q111BinnedQuantiles, q112OrcRoundtrip,
-    q113CsvRoundtrip, q114TargetEncode, q115SchemaEvolution)
+    q113CsvRoundtrip, q114TargetEncode, q115SchemaEvolution,
+    q116CountMin)
 }

@@ -454,6 +454,22 @@ class ScaleDesignSpec extends SparkSpec {
     assert(a.toSeq === (-5L until 100L).map(jvm))
   }
 
+  test("count-min: never undercounts, cell mass = 2n, collisions only add") {
+    val ev = Tables(spark, sfDir, "events")
+    val w = 256
+    val cells = operators.FrequencySketch.cmsCells(ev, col("user_id"), w)
+    assert(cells.agg(sum("cnt")).head().getLong(0) === 2 * ev.count())
+    val exact = ev.groupBy(col("user_id")).agg(count(lit(1)).as("exact"))
+    val est = operators.FrequencySketch.cmsEstimates(cells, exact,
+      col("user_id"), w)
+    val joined = est.join(exact, col("key") === col("user_id"))
+    assert(joined.filter(col("est") < col("exact")).count() === 0,
+      "count-min must never undercount")
+    intercept[IllegalArgumentException] {
+      operators.FrequencySketch.cmsCells(ev, col("user_id"), 100)
+    }
+  }
+
   test("bloom pre-filter: no false negatives, honest FP accounting") {
     val li = Tables(spark, sfDir, "lineitem")
     val dim = Tables(spark, sfDir, "supplier")
