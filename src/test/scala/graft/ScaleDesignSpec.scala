@@ -164,6 +164,39 @@ class ScaleDesignSpec extends SparkSpec {
       s"first-keep should partial-aggregate map-side:\n$plan")
   }
 
+  test("round-7 operators stay equi-join only — no products anywhere") {
+    val li = Tables(spark, sfDir, "lineitem")
+      .select(col("l_orderkey").as("k"), col("l_partkey").as("p"))
+    val edges = li.as("x").join(li.as("y"), Seq("k"))
+      .filter(col("x.p") =!= col("y.p"))
+      .select(col("x.p").as("src"), col("y.p").as("dst"))
+    val docs = Tables(spark, sfDir, "documents")
+    val plans = Seq(
+      "triangles" -> operators.Graph.triangleStats(edges),
+      "nearDedup" -> operators.Dedup.incrementalNearDedup(
+        docs.filter(col("doc_id") % 5 =!= 0),
+        docs.filter(col("doc_id") % 5 === 0),
+        col("doc_id"), col("text"), n = 3, threshold = 0.8),
+      "targetEnc" -> graft.ml.TargetEncoder.oofMeans(
+        Tables(spark, sfDir, "orders"), col("o_orderkey"),
+        col("o_orderpriority"), col("o_totalprice"), k = 5))
+    plans.foreach { case (name, df) =>
+      df.collect() // materialize so AQE finalizes the physical plan
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name must not cartesian:\n$plan")
+      // the ONLY nested-loop joins allowed are the Cross combines of
+      // one-row scalar aggregates (triangleStats' final stat row);
+      // any data-sized nested loop would appear as a non-Cross BNLJ
+      val bnlj = plan.linesIterator
+        .filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+      assert(bnlj.forall(_.contains("Cross")),
+        s"$name has a non-scalar nested loop join:\n$plan")
+      if (name != "triangles")
+        assert(bnlj.isEmpty, s"$name must stay equi-join only:\n$plan")
+    }
+  }
+
   test("stateful and windowed sessionization agree") {
     val state = Sessionize.run(spark, sfDir, gapSeconds = 1800)
     val batch = Sessionize.sessionizeBatch(
