@@ -1245,6 +1245,49 @@ object CurationQueries {
     },
   )
 
+  // --------------------------------------------------------------- q117
+  /** Global percent-rank over the whole fact table WITHOUT a
+    * single-partition window: [[graft.operators.Splits.rangeRanked]]'s
+    * two-phase ranking (repartitionByRange + per-partition index +
+    * broadcast prefix offsets) assigns every row its exact global
+    * rank; output keeps the head and tail 50 so the graded frame stays
+    * small while still pinning both extremes of the total order. The
+    * oracle is the textbook (and 100 TB-hostile) ROW_NUMBER OVER
+    * (ORDER BY ...) — the two must agree rank-for-rank.
+    */
+  val q117PercentRank: QueryDef = QueryDef(
+    "q117_percent_rank",
+    (s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"))
+      val ranked = graft.operators.Splits.rangeRanked(li,
+          struct(col("l_extendedprice"), col("l_orderkey"),
+            col("l_linenumber")))
+        .withColumn("rank", col("__idx") + 1)
+        .drop("__idx", "__rnd")
+      val n = li.agg(count(lit(1)).as("n"))
+      ranked.crossJoin(n)
+        .filter(col("rank") <= 50 || col("rank") > col("n") - 50)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"), col("rank"),
+          round((col("rank") - 1).cast("double") / (col("n") - 1), 6)
+            .as("pct"))
+        .orderBy(col("rank"))
+    },
+    Some("""
+      WITH r AS (
+        SELECT l_orderkey, l_linenumber, l_extendedprice,
+          ROW_NUMBER() OVER (ORDER BY l_extendedprice, l_orderkey,
+            l_linenumber) AS rank,
+          COUNT(*) OVER () AS n
+        FROM lineitem)
+      SELECT l_orderkey, l_linenumber, l_extendedprice, rank,
+        ROUND(CAST(rank - 1 AS DOUBLE) / (n - 1), 6) AS pct
+      FROM r WHERE rank <= 50 OR rank > n - 50
+      ORDER BY rank"""),
+  )
+
   val all: Seq[QueryDef] = Seq(q74StreamJoin, q75SnapshotDiff,
     q76StratifiedSample, q77TokenBudget, q78ZOrder, q79Int8Ann,
     q80SemanticDedup, q81SeqPack, q82BigramNovelty, q83EditDistance,
@@ -1254,5 +1297,5 @@ object CurationQueries {
     q106KMeans, q107EquiDepth, q108Triangles, q109DistinctReplay,
     q110BloomJoin, q111BinnedQuantiles, q112OrcRoundtrip,
     q113CsvRoundtrip, q114TargetEncode, q115SchemaEvolution,
-    q116CountMin)
+    q116CountMin, q117PercentRank)
 }
