@@ -1288,6 +1288,33 @@ object CurationQueries {
       ORDER BY rank"""),
   )
 
+  // --------------------------------------------------------------- q118
+  /** q116's count-min sketch maintained BY Structured Streaming
+    * ([[graft.streaming.EventsStream.streamedCmsCells]]): the cell
+    * table accumulates as stateful streaming aggregation (state =
+    * exactly 2·w cells however long the stream runs), is drained, and
+    * feeds the identical estimate join — so q118 shares q116's oracle
+    * verbatim. Streaming-equals-batch, graded on the sketch itself.
+    */
+  val q118StreamCountMin: QueryDef = QueryDef(
+    "q118_stream_count_min",
+    (s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val w = 1024
+      val top = ev.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("exact"))
+        .orderBy(col("exact").desc, col("user_id")).limit(20)
+      val cells = graft.streaming.EventsStream.streamedCmsCells(s, dir, w)
+      graft.operators.FrequencySketch
+        .cmsEstimates(cells, top, col("user_id"), w)
+        .join(top, col("key") === col("user_id"))
+        .select(col("user_id"), col("exact"), col("est"),
+          (col("est") - col("exact")).as("overcount"))
+        .orderBy(col("exact").desc, col("user_id"))
+    },
+    q116CountMin.oracle,
+  )
+
   val all: Seq[QueryDef] = Seq(q74StreamJoin, q75SnapshotDiff,
     q76StratifiedSample, q77TokenBudget, q78ZOrder, q79Int8Ann,
     q80SemanticDedup, q81SeqPack, q82BigramNovelty, q83EditDistance,
@@ -1297,5 +1324,5 @@ object CurationQueries {
     q106KMeans, q107EquiDepth, q108Triangles, q109DistinctReplay,
     q110BloomJoin, q111BinnedQuantiles, q112OrcRoundtrip,
     q113CsvRoundtrip, q114TargetEncode, q115SchemaEvolution,
-    q116CountMin, q117PercentRank)
+    q116CountMin, q117PercentRank, q118StreamCountMin)
 }

@@ -117,4 +117,18 @@ object EventsStream {
       .agg(count(lit(1)).as("n"))
     drainToLocal(deduped, "graft_dedup_").orderBy(col("event_type"))
   }
+
+  /** The count-min cell table maintained BY Structured Streaming —
+    * the continuous form of q116's batch sketch. The (row, pos)
+    * grouped count runs as stateful streaming aggregation in complete
+    * mode, so state is exactly the 2·w cells (bounded regardless of
+    * stream length — the whole point of sketching a stream) and the
+    * drained result must equal the batch-built cells bit-for-bit:
+    * streaming-equals-batch, graded through q118 reusing the q116
+    * probes end to end.
+    */
+  def streamedCmsCells(spark: SparkSession, sfDir: String,
+      w: Int): DataFrame =
+    drainToLocal(graft.operators.FrequencySketch.cmsCells(
+      eventsStream(spark, sfDir), col("user_id"), w), "graft_cms_")
 }

@@ -373,4 +373,15 @@ class ScaleSpec extends SparkSpec {
     assert(streamed.count() === batch.count())
     assert(streamed.exceptAll(batch.select("bucket_start", "event_type", "n")).count() === 0)
   }
+
+  test("streamed count-min cells equal the batch-built cells exactly") {
+    val w = 256
+    val streamed = graft.streaming.EventsStream
+      .streamedCmsCells(spark, sfDir, w)
+    val batch = graft.operators.FrequencySketch.cmsCells(
+      Tables(spark, sfDir, "events"), col("user_id"), w)
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+  }
 }
