@@ -31,7 +31,9 @@ object FrequencySketch {
   def cmsCells(df: DataFrame, key: Column, w: Int): DataFrame = {
     require(w > 0 && (w & (w - 1)) == 0, "w must be a power of two")
     val (p0, p1) = positions(key, w)
-    df.select(explode(array(
+    // null keys can't be queried (their probe is null) — keep them out
+    // of the cells so they don't inflate other estimates' error
+    df.filter(key.isNotNull).select(explode(array(
         struct(lit(0L).as("row"), p0.as("pos")),
         struct(lit(1L).as("row"), p1.as("pos")))).as("c"))
       .groupBy(col("c.row").as("row"), col("c.pos").as("pos"))

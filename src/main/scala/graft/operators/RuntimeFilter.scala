@@ -41,7 +41,10 @@ object RuntimeFilter {
       dimKey: Column, mBits: Int = 1 << 17): DataFrame = {
     require(mBits > 0 && (mBits & (mBits - 1)) == 0, "mBits must be 2^n")
     val (d1, d2) = positions(dimKey, mBits)
-    val pos = dim.select(explode(array(d1, d2)).as("p")).distinct()
+    // null dim keys can never equi-join, so they set no bits (and
+    // must not NPE the driver-side bitmap build)
+    val pos = dim.filter(dimKey.isNotNull)
+      .select(explode(array(d1, d2)).as("p")).distinct()
       .collect().map(_.getLong(0))
     val words = new Array[Long](mBits >> 6)
     pos.foreach(p => words(p.toInt >> 6) |= 1L << (p & 63))

@@ -1225,7 +1225,8 @@ object CurationQueries {
         (xor(h, h >> 16) * 73244475) % 4294967296 AS h) FROM ${src}h1),
       ${src}hf AS (SELECT * REPLACE(xor(h, h >> 16) AS h) FROM ${src}h2)"""
       s"""
-      WITH ev AS (SELECT user_id AS x FROM events),
+      WITH ev AS (SELECT user_id AS x FROM events
+                  WHERE user_id IS NOT NULL),
       ${chain("e", "ev").trim},
       cells0 AS (SELECT h % 1024 AS pos, COUNT(*) AS cnt
                  FROM ehf GROUP BY 1),
