@@ -1316,6 +1316,94 @@ object CurationQueries {
     q116CountMin.oracle,
   )
 
+  // --------------------------------------------------------------- q119
+  /** Supervised next-event pair construction — turning raw event logs
+    * into (context, target) training examples, the last mile of every
+    * sequence-model data pipeline. Per user, events ordered by
+    * (integer event time, event_id): each row is labeled with the NEXT
+    * event's type and the exact microsecond gap; the final event per
+    * user has null targets (end-of-sequence, surfaced not dropped).
+    * The window partitions by user — per-user sequences are bounded by
+    * user activity, never corpus-sized, so this is the legitimate
+    * window shape (unlike a global ORDER BY, cf. q117).
+    */
+  val q119NextEvent: QueryDef = QueryDef(
+    "q119_next_event",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .withColumn("gap_us", lead(col("us"), 1).over(w) - col("us"))
+        .filter(col("user_id") % 50 === 0)
+        .orderBy(col("user_id"), col("us"), col("event_id"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT user_id, event_id, event_type,
+          CAST(epoch_ns(ts) // 1000 AS BIGINT) AS us
+        FROM events),
+      p AS (
+        SELECT user_id, event_id, event_type, us,
+          LEAD(event_type) OVER w AS next_type,
+          LEAD(us) OVER w - us AS gap_us
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
+      SELECT user_id, event_id, event_type, us, next_type, gap_us
+      FROM p WHERE user_id % 50 = 0
+      ORDER BY user_id, us, event_id"""),
+  )
+
+  // --------------------------------------------------------------- q120
+  /** Deterministic negative sampling — the contrastive-training
+    * companion of q119: every purchase event gets 2 pseudo-random
+    * negative part ids via the LCG keyed on (event_id, j), drawn from
+    * a space of nParts − 1 and mapped around the positive with the
+    * rejection-free trick (neg = draw ≥ pos ? draw + 1 : draw), so a
+    * negative can NEVER equal the positive and no retry loop exists.
+    * Pure integer arithmetic keyed on stable ids: fully replayable,
+    * partition-independent, stable under reruns — the properties
+    * RNG-based negative samplers do not have.
+    */
+  val q120NegativeSample: QueryDef = QueryDef(
+    "q120_negative_sample",
+    (s, dir) => {
+      val nParts = Tables(s, dir, "part")
+        .agg(max(col("p_partkey"))).head().getLong(0)
+      val draws = typedLit(Seq(0, 1))
+      Tables(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"),
+          (pmod(col("user_id"), lit(nParts)) + 1).as("pos"))
+        .withColumn("j", explode(draws))
+        .withColumn("draw",
+          pmod(pmod(col("event_id") * 1103515245L + 12345L + col("j") * 7L,
+            lit(2147483648L)), lit(nParts - 1)) + 1)
+        .withColumn("neg",
+          when(col("draw") >= col("pos"), col("draw") + 1)
+            .otherwise(col("draw")))
+        .select(col("event_id"), col("pos"), col("j").cast("long").as("j"),
+          col("neg"))
+        .orderBy(col("event_id"), col("j"))
+    },
+    Some("""
+      WITH np AS (SELECT MAX(p_partkey) AS n FROM part),
+      pe AS (
+        SELECT event_id, (user_id % (SELECT n FROM np)) + 1 AS pos
+        FROM events WHERE event_type = 'purchase'),
+      d AS (
+        SELECT event_id, pos, j,
+          ((event_id * 1103515245 + 12345 + j * 7) % 2147483648)
+            % ((SELECT n FROM np) - 1) + 1 AS draw
+        FROM pe, (SELECT unnest([0, 1]) AS j))
+      SELECT event_id, pos, CAST(j AS BIGINT) AS j,
+        CASE WHEN draw >= pos THEN draw + 1 ELSE draw END AS neg
+      FROM d ORDER BY event_id, j"""),
+  )
+
   val all: Seq[QueryDef] = Seq(q74StreamJoin, q75SnapshotDiff,
     q76StratifiedSample, q77TokenBudget, q78ZOrder, q79Int8Ann,
     q80SemanticDedup, q81SeqPack, q82BigramNovelty, q83EditDistance,
@@ -1325,5 +1413,6 @@ object CurationQueries {
     q106KMeans, q107EquiDepth, q108Triangles, q109DistinctReplay,
     q110BloomJoin, q111BinnedQuantiles, q112OrcRoundtrip,
     q113CsvRoundtrip, q114TargetEncode, q115SchemaEvolution,
-    q116CountMin, q117PercentRank, q118StreamCountMin)
+    q116CountMin, q117PercentRank, q118StreamCountMin, q119NextEvent,
+    q120NegativeSample)
 }

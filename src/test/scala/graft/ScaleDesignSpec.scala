@@ -487,6 +487,17 @@ class ScaleDesignSpec extends SparkSpec {
     assert(a.toSeq === (-5L until 100L).map(jvm))
   }
 
+  test("negative sampler: in range, never the positive, 2 per event") {
+    val out = graft.queries.CurationQueries.q120NegativeSample
+      .fn(spark, sfDir)
+    val n = Tables(spark, sfDir, "part")
+      .agg(max(col("p_partkey"))).head().getLong(0)
+    assert(out.filter(col("neg") === col("pos")).count() === 0)
+    assert(out.filter(col("neg") < 1 || col("neg") > n).count() === 0)
+    val perEvent = out.groupBy("event_id").count()
+    assert(perEvent.filter(col("count") =!= 2).count() === 0)
+  }
+
   test("count-min: never undercounts, cell mass = 2n, collisions only add") {
     val ev = Tables(spark, sfDir, "events")
     val w = 256
