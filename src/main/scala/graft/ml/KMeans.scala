@@ -23,17 +23,22 @@ import org.apache.spark.sql.functions._
   * `mllib.clustering.KMeans.runAlgorithm`): the quantized projection is
   * localCheckpoint'ed once (one scan of the input; at 100 TB this is
   * the cached working set every iteration re-reads), each iteration is
-  * one narrow map with the k centroids embedded as literals (a
-  * broadcast of k·dims longs — no join, no shuffle of the big side)
-  * plus one partial-agg groupBy on (cluster, dim) whose result is
-  * k·dims rows, collected to the driver exactly like MLlib collects
-  * its centroid updates. Driver traffic per iteration is O(k·dims),
-  * independent of corpus size.
+  * one narrow map with the k centroids embedded as ONE
+  * array<array<long>> literal riding the serialized plan (k·dims
+  * longs of plan payload — no join, no shuffle of the big side; the
+  * argmin is a fold over that array, so generated-code size is O(1)
+  * in k, never stressing Janino's 64 KB method limit) plus one
+  * partial-agg groupBy on (cluster, dim) whose result is k·dims rows,
+  * collected to the driver exactly like MLlib collects its centroid
+  * updates. Driver traffic per iteration is O(k·dims), independent of
+  * corpus size.
   *
   * Overflow bounds: at embedding-normalized |v| ≤ 1 a micro-unit
   * component is ≤ 1e6, a per-dim squared delta ≤ 4e12, a 64-dim
-  * distance ≤ 2.6e14, and the per-(cluster,dim) update sum stays
-  * under 9.2e18 up to ~9e12 rows per cluster — not reachable.
+  * distance ≤ 2.6e14, and a per-(cluster,dim) update sum s is safe
+  * while 2·|s| + n stays under 2^63 — `halfUpDiv` doubles s, so the
+  * bound is |s| ≲ 4.6e18, i.e. ~4.6e12 rows per cluster — not
+  * reachable.
   */
 object KMeans {
 
@@ -80,15 +85,28 @@ object KMeans {
     var centroids: Array[Array[Long]] =
       initRows.sortBy(_.getLong(0)).map(_.getSeq[Long](1).toArray)
 
-    def bestOf(cs: Array[Array[Long]]): Column =
-      least(cs.zipWithIndex.map { case (c, j) =>
-        struct(
-          aggregate(
-            zip_with(col("q"), typedLit(c.toSeq),
+    // Argmin as a fold over ONE array<array<long>> centroid literal:
+    // generated code is fixed-size regardless of k (a least(struct…)
+    // over k per-centroid folds would grow linearly and trip Janino's
+    // 64 KB method limit at k in the hundreds). Iterating j ascending
+    // and replacing only on strictly-smaller distance keeps the
+    // smallest cluster id on ties — the same tie-break as the
+    // lexicographic struct min.
+    def bestOf(cs: Array[Array[Long]]): Column = {
+      val cents = typedLit(cs.map(_.toSeq).toSeq)
+      aggregate(
+        sequence(lit(0), lit(cs.length - 1)),
+        struct(lit(Long.MaxValue).as("dist"), lit(-1L).as("cluster")),
+        (acc, j) => {
+          val d = aggregate(
+            zip_with(col("q"), element_at(cents, j + 1),
               (a, b) => (a - b) * (a - b)),
-            lit(0L), (acc, x) => acc + x).as("dist"),
-          lit(j.toLong).as("cluster"))
-      }: _*)
+            lit(0L), (s, x) => s + x)
+          when(d < acc.getField("dist"),
+            struct(d.as("dist"), j.cast("long").as("cluster")))
+            .otherwise(acc)
+        })
+    }
 
     for (_ <- 1 to iters) {
       val sums = q.select(col("vec_id"), bestOf(centroids).as("b"), col("q"))

@@ -31,8 +31,13 @@ object TargetEncoder {
     require(k >= 2, "need at least 2 folds for out-of-fold means")
     val cells = df.select(
         cat.as("cat"),
-        pmod(pmod(id.cast("long") * 1103515245L + 12345L,
-          lit(2147483648L)), lit(k.toLong)).as("fold"),
+        // reduce the id mod 2^31 BEFORE the LCG multiply: the product
+        // then fits in 62 bits, so fold assignment never hits long
+        // wraparound (id * 1103515245 would wrap for ids >= ~8.4e9,
+        // silently in Spark, as an overflow error in the oracle). For
+        // ids < 2^31 the result is identical to multiplying directly.
+        pmod(pmod(pmod(id.cast("long"), lit(2147483648L)) * 1103515245L
+          + 12345L, lit(2147483648L)), lit(k.toLong)).as("fold"),
         (signum(y.cast("double")) *
           floor(abs(y.cast("double")) * 100 + lit(0.5))).cast("long")
           .as("cents"))

@@ -68,29 +68,14 @@ object Dedup {
       .filter(size(col("sh")) > 0)
     val sh = shQuery.localCheckpoint()
     val usePrefix = prefixFilter.getOrElse {
-      // get → compute → putIfAbsent, NOT computeIfAbsent: the stats
-      // pass is a full Spark job, and holding the map's bin lock for
-      // its duration would serialize unrelated same-bin callers (and
-      // deadlock a reentrant one). A racing duplicate stats pass is
-      // harmless — both strategies are exact.
-      val key: Integer = shQuery.queryExecution.analyzed.semanticHash()
-      val cached = strategyCache.get(key)
-      if (cached != null) cached.booleanValue()
-      else {
-        val decision = chooseNgramStrategy(sh)
-        val prior = strategyCache.putIfAbsent(key, Boolean.box(decision))
-        if (prior != null) prior.booleanValue() else decision
+      AdaptiveStrategy.cached("ngram-prefix",
+          shQuery.queryExecution.analyzed.semanticHash()) {
+        chooseNgramStrategy(sh)
       }
     }
     if (usePrefix) prefixFilterPairs(sh, threshold)
     else countJoinPairs(sh, threshold)
   }
-
-  /** Adaptive-gate decisions keyed by the shingling plan's semantic
-    * hash: true = prefix filter, false = count join.
-    */
-  private val strategyCache =
-    new java.util.concurrent.ConcurrentHashMap[Integer, java.lang.Boolean]
 
   private def chooseNgramStrategy(sh: DataFrame): Boolean = {
     // candidate volume summed in DOUBLE: one ultra-frequent shingle
@@ -533,85 +518,48 @@ object Dedup {
     *
     * Scale shape: history NEVER re-shuffles at document width — it
     * collapses to its (key → min id) representative table with
-    * map-side partial aggregation, which is the persistent "dedup
-    * index" a production pipeline materializes once and joins every
-    * day's delta against (bucket it on the key and the daily join is
-    * exchange-free on the history side). The batch side is two
-    * aggregates and two equi-joins on the key, all batch-sized.
-    * Nothing is quadratic, nothing is windowed.
+    * map-side partial aggregation. That table IS the persistent
+    * "dedup index": [[DedupIndex.writeExactIndex]] materializes it
+    * bucketed on the key, and the steady-state daily classify
+    * ([[DedupIndex.incrementalDedupIndexed]], graded by q121 from
+    * storage) joins the delta against it with zero Exchange on the
+    * history side. This inline form derives the same index on the fly
+    * and delegates — one code path, two entry points. Null-keyed rows
+    * classify 'new' explicitly (a null key never equi-joins; dropping
+    * them would violate the classify-every-row contract).
     */
+  def incrementalDedup(history: DataFrame, incoming: DataFrame,
+      id: Column, key: Column): DataFrame =
+    DedupIndex.incrementalDedupIndexed(
+      DedupIndex.exactIndex(history, id, key), incoming, id, key)
+
   /** Incremental NEAR-dup dedup — [[incrementalDedup]]'s fuzzy
     * sibling, and the other half of the daily-crawl story: which of
     * today's documents are ≥ threshold Jaccard-similar to something
     * already in the corpus. History participates only as its banded
-    * MinHash index (band, band_sig → id) — the persistent structure a
-    * production pipeline materializes once and bucket-joins each
-    * day's delta against; nothing history-sized is ever re-shingled
-    * per day in steady state (here it is derived inline because the
-    * graded tables are immutable inputs). Candidates from band
-    * collisions are verified with the exact Jaccard, so every
-    * reported (dup_of, jaccard) is true — only recall is
-    * LSH-approximate, with the same band arithmetic q35 grades
-    * against an exact oracle. Kept documents (no verified match)
-    * come back with kept = true and null dup_of.
+    * MinHash index (bkey → id) plus its shingle store — the
+    * persistent structures [[DedupIndex.writeNearDupIndex]]
+    * materializes bucketed, which the steady-state form
+    * ([[DedupIndex.incrementalNearDedupIndexed]], graded by q122 from
+    * storage) bucket-joins each day's delta against; nothing
+    * history-sized is ever re-shingled per day in steady state. This
+    * inline form derives both structures on the fly (the graded q105
+    * tables are immutable inputs) and delegates to the same day-2
+    * code. Candidates from bucket collisions are verified with the
+    * exact Jaccard, so every reported (dup_of, jaccard) is true —
+    * only recall is LSH-approximate, with the same band arithmetic
+    * q35 grades against an exact oracle. Kept documents (no verified
+    * match) come back with kept = true and null dup_of.
     */
   def incrementalNearDedup(history: DataFrame, incoming: DataFrame,
       id: Column, text: Column, n: Int, threshold: Double,
       bands: Int = 32, rowsPerBand: Int = 4): DataFrame = {
-    val k = bands * rowsPerBand
-    def shingled(df: DataFrame) = df.select(id.as("id"),
-        graft.plans.ShingleHashes.shingle_hashes(text, n).as("sh"))
-      .filter(size(col("sh")) > 0)
+    // checkpoint the history shingles: read twice below (band index +
+    // verify); the stored-index path reads them from parquet instead
+    val hSh = DedupIndex.shingleStore(history, id, text, n)
       .localCheckpoint()
-    def banded(sh: DataFrame) = sh
-      .withColumn("sig",
-        graft.plans.MinhashSignature.minhash_signature(col("sh"), k))
-      .select(col("id"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          bd => slice(col("sig"), bd * rowsPerBand + 1, lit(rowsPerBand)))))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "band_sig")
-    val hSh = shingled(history)
-    val iSh = shingled(incoming)
-    val hIdx = banded(hSh)
-      .select(col("id").as("hid"), col("band"), col("band_sig"))
-    val cand = banded(iSh).join(hIdx, Seq("band", "band_sig"))
-      .select(col("id").as("doc_id"), col("hid")).distinct()
-    val verified = cand
-      .join(iSh.select(col("id").as("doc_id"), col("sh").as("sh_i")),
-        Seq("doc_id"))
-      .join(hSh.select(col("id").as("hid"), col("sh").as("sh_h")),
-        Seq("hid"))
-      .withColumn("inter",
-        size(array_intersect(col("sh_i"), col("sh_h"))).cast("long"))
-      .withColumn("jaccard", col("inter").cast("double") /
-        (size(col("sh_i")) + size(col("sh_h")) - col("inter")))
-      .filter(col("jaccard") >= threshold)
-      .groupBy(col("doc_id"))
-      .agg(min(struct(col("hid"), col("jaccard"))).as("m"))
-      .select(col("doc_id"), col("m.hid").as("dup_of"),
-        round(col("m.jaccard"), 6).as("jaccard"))
-    incoming.select(id.as("doc_id"))
-      .join(verified, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("dup_of").isNull.as("kept"),
-        col("dup_of"), col("jaccard"))
-  }
-
-  def incrementalDedup(history: DataFrame, incoming: DataFrame,
-      id: Column, key: Column): DataFrame = {
-    val histRep = history.select(key.as("k"), id.as("hid"))
-      .groupBy(col("k")).agg(min(col("hid")).as("hist_rep"))
-    val inc = incoming.select(id.as("doc_id"), key.as("k"))
-    val batchRep = inc.groupBy(col("k"))
-      .agg(min(col("doc_id")).as("batch_rep"))
-    inc.join(histRep, Seq("k"), "left")
-      .join(batchRep, Seq("k"))
-      .select(col("doc_id"),
-        when(col("hist_rep").isNotNull, lit("dup_of_history"))
-          .when(col("doc_id") > col("batch_rep"), lit("dup_in_batch"))
-          .otherwise(lit("new")).as("verdict"),
-        when(col("hist_rep").isNotNull, col("hist_rep"))
-          .when(col("doc_id") > col("batch_rep"), col("batch_rep"))
-          .otherwise(lit(null).cast("long")).as("dup_of"))
+    DedupIndex.incrementalNearDedupIndexed(
+      DedupIndex.minhashBandIndex(hSh, bands, rowsPerBand),
+      hSh, incoming, id, text, n, threshold, bands, rowsPerBand)
   }
 }

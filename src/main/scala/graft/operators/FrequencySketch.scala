@@ -43,15 +43,23 @@ object FrequencySketch {
   /** Point estimates for `keys` (one column named by `keyName`):
     * min over the d rows of the addressed cells — ≥ the true count
     * always, equality unless another key collided in BOTH rows.
+    *
+    * Left joins + coalesce(0): a key whose probe lands in an empty
+    * cell (any key unseen at build time) estimates 0 rather than
+    * vanishing — querying arbitrary keys is the point of a CMS. Null
+    * keys (null probes) also survive, estimating 0, matching their
+    * exclusion from [[cmsCells]].
     */
   def cmsEstimates(cells: DataFrame, keys: DataFrame, key: Column,
       w: Int): DataFrame = {
     val (p0, p1) = positions(key, w)
     keys.select(key.as("key"), p0.as("p0"), p1.as("p1"))
       .join(broadcast(cells.filter(col("row") === 0)
-        .select(col("pos").as("p0"), col("cnt").as("c0"))), Seq("p0"))
+        .select(col("pos").as("p0"), col("cnt").as("c0"))), Seq("p0"), "left")
       .join(broadcast(cells.filter(col("row") === 1)
-        .select(col("pos").as("p1"), col("cnt").as("c1"))), Seq("p1"))
-      .select(col("key"), least(col("c0"), col("c1")).as("est"))
+        .select(col("pos").as("p1"), col("cnt").as("c1"))), Seq("p1"), "left")
+      .select(col("key"),
+        least(coalesce(col("c0"), lit(0L)), coalesce(col("c1"), lit(0L)))
+          .as("est"))
   }
 }

@@ -87,10 +87,16 @@ object Scale {
   /** Deterministic LCG order key (glibc constants): a pure-arithmetic
     * pseudo-random permutation of an integer id, identical in any
     * engine — the "shuffle" every reproducible sampler below sorts by.
-    * Safe for ids up to ~8.4e9 (no Long overflow).
+    * The id is reduced mod 2^31 BEFORE the multiply so the product
+    * fits in 62 bits: no Long wraparound at any id magnitude (a direct
+    * id * 1103515245 would wrap silently for ids ≥ ~8.4e9 — exactly
+    * the id ranges a 100 TB corpus reaches). For ids < 2^31 the key is
+    * identical to the direct form, so oracles on the graded tables can
+    * state either.
     */
   def lcgKey(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    pmod(id.cast("long") * lit(1103515245L) + lit(12345L), lit(2147483648L))
+    pmod(pmod(id.cast("long"), lit(2147483648L)) * lit(1103515245L)
+      + lit(12345L), lit(2147483648L))
 
   /** Exact stratified sampling: the first `nPer` rows of each stratum
     * in deterministic LCG-hash order — fixed per-stratum counts (the

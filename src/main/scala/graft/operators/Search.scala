@@ -23,14 +23,17 @@ object Search {
     * already-tiny tf relation, the df lookup is an explicit broadcast
     * join (query-term-count rows), and the final top-k is a
     * TakeOrdered — no global sort. The only corpus-sized shuffle is
-    * the tf groupBy, keyed by (doc_id, term).
+    * the tf groupBy, keyed by (doc_id, term). N (a genuine score
+    * input) is a one-row aggregate attached by a broadcast cross join
+    * — the whole plan stays lazy, nothing is counted at construction
+    * time (the bigramNovelty pattern).
     *
     * Returns (doc_id, score, terms_matched) ordered by score desc.
     */
   def topK(docs: DataFrame, id: Column, text: Column,
       terms: Seq[String], k: Int): DataFrame = {
     require(terms.nonEmpty, "query needs at least one term")
-    val n = docs.count()
+    val nRel = docs.agg(count(lit(1)).as("n_total"))
     val postings = docs
       .select(id.as("doc_id"), explode(split(text, " ")).as("tk"))
       .filter(col("tk").isin(terms: _*))
@@ -38,8 +41,9 @@ object Search {
       .agg(count(lit(1)).as("tf"))
     val dfRel = tf.groupBy(col("tk")).agg(count(lit(1)).as("df"))
     tf.join(broadcast(dfRel), Seq("tk"))
+      .crossJoin(broadcast(nRel))
       .groupBy(col("doc_id"))
-      .agg(sum(col("tf") * (lit(n) - col("df"))).as("score"),
+      .agg(sum(col("tf") * (col("n_total") - col("df"))).as("score"),
         count(lit(1)).as("terms_matched"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
@@ -89,8 +93,10 @@ object Search {
     *    both strategies produce bit-identical cosines.
     *
     *  `dense = None` derives the choice from the term count — an
-    *  honest extra aggregate over the tf relation, the same scalar
-    *  pass q55/q82 pay; callers on a hot path pass the hint.
+    *  honest extra aggregate over the tf relation, CACHED per logical
+    *  input plan via [[AdaptiveStrategy]] (the q34 pattern), so
+    *  repeat invocations pay the vocabulary aggregate once; callers
+    *  on a hot path still pass the hint to skip even the first pass.
     *
     * Scale shape (sparse path): two map-side-combining aggregates
     * (tf, then df on the tf relation), a broadcast of the term-df
@@ -112,17 +118,25 @@ object Search {
     // the same. (τ = 0 would ask for "every pair", which is not an
     // APSS question.)
     require(threshold > 0, "threshold must be positive")
-    val n = docs.count()
+    val nRel = docs.agg(count(lit(1)).as("n_total"))
     val tf = docs
       .select(id.as("doc_id"),
         explode(graft.functions.TextFunctions.tokens(text)).as("tk"))
       .filter(col("tk") =!= "")
       .groupBy(col("doc_id"), col("tk")).agg(count(lit(1)).as("tf"))
     val dfRel = tf.groupBy(col("tk")).agg(count(lit(1)).as("df"))
+    // N rides a one-row broadcast cross join (lazy, like topK/q82) —
+    // the weight expression never bakes a count() into the plan
     val weighted = tf.join(broadcast(dfRel), Seq("tk"))
+      .crossJoin(broadcast(nRel))
       .select(col("doc_id"), col("tk"),
-        (col("tf") * (lit(n) - col("df"))).as("w"), col("df"))
-    val useDense = dense.getOrElse(dfRel.count() <= maxDenseVocab)
+        (col("tf") * (col("n_total") - col("df"))).as("w"), col("df"))
+    val useDense = dense.getOrElse {
+      AdaptiveStrategy.cached("apss-dense",
+          tf.queryExecution.analyzed.semanticHash()) {
+        dfRel.count() <= maxDenseVocab
+      }
+    }
     if (useDense) densePairs(weighted, threshold)
     else invertedPairs(weighted, threshold, dfCap)
   }

@@ -96,7 +96,8 @@ object CurationQueries {
         .orderBy(col("stratum"), col("rank")),
     Some("""
       WITH d AS (SELECT source AS stratum, doc_id AS id,
-        (doc_id * 1103515245 + 12345) % 2147483648 AS h FROM documents),
+        ((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648 AS h
+        FROM documents),
       r AS (SELECT stratum, id,
         ROW_NUMBER() OVER (PARTITION BY stratum ORDER BY h, id) AS rank
         FROM d)
@@ -120,7 +121,8 @@ object CurationQueries {
     Some("""
       WITH d AS (SELECT source, doc_id AS id,
         len(string_split(text, ' ')) AS n_tokens,
-        (doc_id * 1103515245 + 12345) % 2147483648 AS h FROM documents),
+        ((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648 AS h
+        FROM documents),
       c AS (SELECT source, id, n_tokens,
         CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, id
           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens FROM d)
@@ -257,7 +259,8 @@ object CurationQueries {
     Some("""
       WITH d AS (SELECT doc_id AS id,
         len(string_split(text, ' ')) AS n_tokens,
-        (doc_id * 1103515245 + 12345) % 2147483648 AS h FROM documents),
+        ((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648 AS h
+        FROM documents),
       c AS (SELECT id, n_tokens,
         CAST(SUM(n_tokens) OVER (ORDER BY h, id
           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS end_off FROM d)
@@ -1132,7 +1135,8 @@ object CurationQueries {
     Some("""
       WITH r AS (
         SELECT o_orderpriority AS cat,
-          ((o_orderkey * 1103515245 + 12345) % 2147483648) % 5 AS fold,
+          (((o_orderkey % 2147483648) * 1103515245 + 12345)
+            % 2147483648) % 5 AS fold,
           CAST(CASE WHEN o_totalprice >= 0
             THEN floor(o_totalprice * 100 + 0.5)
             ELSE -floor(-o_totalprice * 100 + 0.5) END AS BIGINT)
@@ -1380,7 +1384,10 @@ object CurationQueries {
           (pmod(col("user_id"), lit(nParts)) + 1).as("pos"))
         .withColumn("j", explode(draws))
         .withColumn("draw",
-          pmod(pmod(col("event_id") * 1103515245L + 12345L + col("j") * 7L,
+          // event_id reduced mod 2^31 before the multiply: no Long
+          // wraparound at any id magnitude (same fix as Scale.lcgKey)
+          pmod(pmod(pmod(col("event_id"), lit(2147483648L)) * 1103515245L
+            + 12345L + col("j") * 7L,
             lit(2147483648L)), lit(nParts - 1)) + 1)
         .withColumn("neg",
           when(col("draw") >= col("pos"), col("draw") + 1)
@@ -1396,12 +1403,70 @@ object CurationQueries {
         FROM events WHERE event_type = 'purchase'),
       d AS (
         SELECT event_id, pos, j,
-          ((event_id * 1103515245 + 12345 + j * 7) % 2147483648)
+          (((event_id % 2147483648) * 1103515245 + 12345 + j * 7)
+            % 2147483648)
             % ((SELECT n FROM np) - 1) + 1 AS draw
         FROM pe, (SELECT unnest([0, 1]) AS j))
       SELECT event_id, pos, CAST(j AS BIGINT) AS j,
         CASE WHEN draw >= pos THEN draw + 1 ELSE draw END AS neg
       FROM d ORDER BY event_id, j"""),
+  )
+
+  // --------------------------------------------------------------- q121
+  private val pid = ProcessHandle.current().pid()
+
+  /** q92's incremental exact dedup in its STEADY-STATE form: the
+    * (key → min id) history index is materialized as a bucketed+sorted
+    * table ([[graft.operators.DedupIndex.writeExactIndex]]) and the
+    * day-2 classify reads it back with `spark.table` — the history
+    * side of the join consumes the bucketed scan's partitioning with
+    * zero Exchange (ScaleDesignSpec pins the plan). Same oracle as
+    * q92: storage changes the physical plan, never the answer.
+    */
+  val q121IndexedDeltaDedup: QueryDef = QueryDef(
+    "q121_indexed_delta_dedup",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val key = substring(col("text"), 1, 100)
+      graft.operators.DedupIndex.writeExactIndex(
+        docs.filter(col("doc_id") % 5 =!= 0), col("doc_id"), key,
+        s"graft_q121_idx_$pid", buckets = 8)
+      graft.operators.DedupIndex.incrementalDedupIndexed(
+          s.table(s"graft_q121_idx_$pid"),
+          docs.filter(col("doc_id") % 5 === 0), col("doc_id"), key)
+        .orderBy(col("doc_id"))
+    },
+    q92DeltaDedup.oracle,
+  )
+
+  // --------------------------------------------------------------- q122
+  /** q105's incremental near-dup dedup in its STEADY-STATE form: the
+    * banded MinHash index (bucketed on the bucket key) and the shingle
+    * store (bucketed on id) are materialized once
+    * ([[graft.operators.DedupIndex.writeNearDupIndex]]) and the day-2
+    * delta classify reads BOTH from storage — neither history-sized
+    * relation is re-shingled or re-shuffled (ScaleDesignSpec pins zero
+    * Exchange above both index scans). Same oracle as q105: the exact
+    * all-pairs answer, which the index path must still match because
+    * bucket-key collisions only add candidates that the exact-Jaccard
+    * verify rejects.
+    */
+  val q122IndexedNearDedup: QueryDef = QueryDef(
+    "q122_indexed_near_dedup",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      graft.operators.DedupIndex.writeNearDupIndex(
+        docs.filter(col("doc_id") % 5 =!= 0), col("doc_id"), col("text"),
+        n = 3, bands = 32, rowsPerBand = 4,
+        bandTable = s"graft_q122_band_$pid",
+        shingleTable = s"graft_q122_sh_$pid", buckets = 8)
+      graft.operators.DedupIndex.incrementalNearDedupIndexed(
+          s.table(s"graft_q122_band_$pid"), s.table(s"graft_q122_sh_$pid"),
+          docs.filter(col("doc_id") % 5 === 0), col("doc_id"), col("text"),
+          n = 3, threshold = 0.8, bands = 32, rowsPerBand = 4)
+        .orderBy(col("doc_id"))
+    },
+    q105DeltaNearDedup.oracle,
   )
 
   val all: Seq[QueryDef] = Seq(q74StreamJoin, q75SnapshotDiff,
@@ -1414,5 +1479,5 @@ object CurationQueries {
     q110BloomJoin, q111BinnedQuantiles, q112OrcRoundtrip,
     q113CsvRoundtrip, q114TargetEncode, q115SchemaEvolution,
     q116CountMin, q117PercentRank, q118StreamCountMin, q119NextEvent,
-    q120NegativeSample)
+    q120NegativeSample, q121IndexedDeltaDedup, q122IndexedNearDedup)
 }

@@ -164,6 +164,98 @@ class ScaleDesignSpec extends SparkSpec {
       s"first-keep should partial-aggregate map-side:\n$plan")
   }
 
+  test("stored dedup indexes: day-2 joins never exchange the history side") {
+    import graft.operators.DedupIndex
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.Exchange
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val below = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      p +: below.flatMap(flatten)
+    }
+    // "history never re-shuffles": on the path from a stored index's
+    // scan UP to the first join that consumes it there must be no
+    // Exchange — the join takes the bucketed scan's partitioning
+    // as-is. (Exchanges ABOVE the join shuffle the join's
+    // candidate-sized OUTPUT, which is the delta side's business.)
+    def pathTo(p: SparkPlan, target: SparkPlan): Option[List[SparkPlan]] =
+      if (p eq target) Some(List(p))
+      else {
+        val below = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case q: QueryStageExec => Seq(q.plan)
+          case other => other.children
+        }
+        below.view.flatMap(c => pathTo(c, target)).headOption.map(p :: _)
+      }
+    def assertHistoryUnshuffled(df: org.apache.spark.sql.DataFrame,
+        tables: Seq[String]): Unit = {
+      df.collect() // materialize so AQE finalizes the physical plan
+      val plan = df.queryExecution.executedPlan
+      val all = flatten(plan)
+      tables.foreach { t =>
+        val scans = all.collect {
+          case s: FileSourceScanExec
+              if s.relation.location.rootPaths.exists(_.toString.contains(t)) => s
+        }
+        assert(scans.nonEmpty, s"no scan of stored index $t:\n$plan")
+        scans.foreach { s =>
+          assert(s.toString.contains("Bucketed: true"),
+            s"index $t scan must be bucketed:\n$plan")
+          val path = pathTo(plan, s).getOrElse(
+            fail(s"scan of $t not reachable from root:\n$plan"))
+          val belowJoin = path.reverse
+            .takeWhile(n => !n.nodeName.contains("Join"))
+          assert(!belowJoin.exists(_.isInstanceOf[Exchange]),
+            s"index $t must reach its consuming join without an " +
+              s"Exchange:\n$plan")
+        }
+      }
+    }
+    val docs = Tables(spark, sfDir, "documents")
+    val hist = docs.filter(col("doc_id") % 5 =!= 0)
+    val delta = docs.filter(col("doc_id") % 5 === 0)
+    val key = substring(col("text"), 1, 100)
+
+    // at spec scale the planner would just broadcast the tiny index —
+    // the opposite of the 100 TB shape, where history is the BIG side.
+    // Disable broadcast to force the at-scale plan: sort-merge joins
+    // consuming the bucketed index scans in storage partitioning.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      DedupIndex.writeExactIndex(hist, col("doc_id"), key,
+        "graft_spec_exact_idx", buckets = 8)
+      val exact = DedupIndex.incrementalDedupIndexed(
+        spark.table("graft_spec_exact_idx"), delta, col("doc_id"), key)
+      assertHistoryUnshuffled(exact, Seq("graft_spec_exact_idx"))
+      // storage must not change the answer: indexed == inline
+      val inline = graft.operators.Dedup.incrementalDedup(
+        hist, delta, col("doc_id"), key)
+      assert(exact.exceptAll(inline).count() === 0 &&
+        inline.exceptAll(exact).count() === 0)
+
+      DedupIndex.writeNearDupIndex(hist, col("doc_id"), col("text"),
+        n = 3, bands = 32, rowsPerBand = 4,
+        bandTable = "graft_spec_band_idx",
+        shingleTable = "graft_spec_sh_idx", buckets = 8)
+      val near = DedupIndex.incrementalNearDedupIndexed(
+        spark.table("graft_spec_band_idx"), spark.table("graft_spec_sh_idx"),
+        delta, col("doc_id"), col("text"),
+        n = 3, threshold = 0.8, bands = 32, rowsPerBand = 4)
+      assertHistoryUnshuffled(near,
+        Seq("graft_spec_band_idx", "graft_spec_sh_idx"))
+      val nearInline = graft.operators.Dedup.incrementalNearDedup(
+        hist, delta, col("doc_id"), col("text"), n = 3, threshold = 0.8)
+      assert(near.exceptAll(nearInline).count() === 0 &&
+        nearInline.exceptAll(near).count() === 0)
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
   test("round-7 operators stay equi-join only — no products anywhere") {
     val li = Tables(spark, sfDir, "lineitem")
       .select(col("l_orderkey").as("k"), col("l_partkey").as("p"))
