@@ -14,6 +14,14 @@ import org.apache.spark.sql.SparkSession
   *  - /proc/loadavg is stamped before and after the run, so a
   *    machine-load-contaminated result is visible in the artifact itself
   *    (the r3 "regressions" were exactly this);
+  *  - load GATE (round 8): if the 1-min load exceeds
+  *    SPARK_GRAFT_LOAD_MAX (default 2.0 — this is a 32-core box, so 2
+  *    means another multi-core job is active) the run sleep-retries up
+  *    to 10×30 s for the machine to go idle; if it never clears, the
+  *    artifact records `"valid":false` — the numbers are then a load
+  *    measurement, not a bench, and say so machine-readably (the r6/r7
+  *    artifacts were both contaminated and only a human rerun could
+  *    tell);
   *  - a log4j2 appender counts logged CompileExceptions (a failed Janino
   *    compile means a codegen'd operator silently fell back to
   *    interpreted execution) and the run EXITS NONZERO if any occurred —
@@ -78,6 +86,24 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
     val counter = installCounter()
+    // load gate: a bench started on a busy machine measures the load,
+    // not the code. Wait for idle; declare the artifact invalid if the
+    // machine never clears.
+    def load1(): Double = loadavg().split(" ").headOption
+      .flatMap(s => scala.util.Try(s.toDouble).toOption).getOrElse(0.0)
+    val loadMax = sys.env.getOrElse("SPARK_GRAFT_LOAD_MAX", "2.0").toDouble
+    var waits = 0
+    while (load1() > loadMax && waits < 10) {
+      waits += 1
+      System.err.println(
+        f"[bench] 1-min load ${load1()}%.2f > $loadMax%.2f — " +
+          s"sleeping 30 s (retry $waits/10)")
+      Thread.sleep(30000L)
+    }
+    val valid = load1() <= loadMax
+    if (!valid) System.err.println(
+      f"[bench] WARN: load ${load1()}%.2f never cleared $loadMax%.2f — " +
+        "artifact will carry \"valid\":false")
     val loadBefore = loadavg()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -117,7 +143,7 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val compileExceptions = counter.count.get()
     val json =
-      f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg_before":"$loadBefore","loadavg_after":"${loadavg()}","compile_exceptions":$compileExceptions}"""
+      f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","valid":$valid,"queries":$qs,"sf":"$sfDir","loadavg_before":"$loadBefore","loadavg_after":"${loadavg()}","compile_exceptions":$compileExceptions}"""
     println(json)
     // the printed line is the source of truth; an unwritable out path
     // must not turn a successful run into a nonzero exit

@@ -58,6 +58,58 @@ class MlSpec extends SparkSpec {
     assert(ape < 1e-9, s"save/load max APE $ape")
   }
 
+  /** Deterministic prediction digest: micro-unit-quantized predictions
+    * of the feature-complete test rows, order-pinned by jnc_id.
+    */
+  private def predictionDigest(model: org.apache.spark.ml.regression.GBTRegressionModel,
+      eval: DataFrame): (String, Int) = {
+    val rows = Scoring.predict(model, eval)
+      .na.drop(Seq("y_pred")).orderBy(col("jnc_id"))
+      .select(col("jnc_id"),
+        (signum(col("y_pred")) * floor(abs(col("y_pred")) * 1000 + lit(0.5)))
+          .cast("long").as("p"))
+      .collect().map(r => s"${r.getString(0)}:${r.getLong(1)}")
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(rows.mkString("|").getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString
+    (digest, rows.length)
+  }
+
+  test("M1 determinism freeze: committed model re-scores to a pinned hash") {
+    // Freezes the GBT path (rows-only q23; DuckDB cannot train a GBT):
+    //  1. The COMMITTED model fixture (src/test/resources/gbt_fixture;
+    //     maxIter=10/absolute/0.01/seed 456) reloads and re-scores the
+    //     fixed test slice to a PINNED digest — a silent MLlib change
+    //     to the model format or scoring path fails loudly.
+    //  2. A FRESH train on the canonical layout (sorted on the id, one
+    //     partition — split-stat float accumulation order is the one
+    //     layout-dependent degree of freedom) reproduces the identical
+    //     digest: training itself is bit-deterministic, across JVMs.
+    //
+    // The split frame drops the fixture-provenance columns
+    // (source_file, html_file_last_modified_at): threeWay hashes every
+    // column for its content-split, and those two vary per run (temp
+    // dir, mtime) — with them in, split MEMBERSHIP itself would drift.
+    // That subtlety is exactly why this freeze exists.
+    val stable = trainingData
+      .drop("source_file", "html_file_last_modified_at")
+    val splits = Splits.threeWay(stable, 0.2, 0.2, seed = 123L)
+    val fixture = org.apache.spark.ml.regression.GBTRegressionModel
+      .load("src/test/resources/gbt_fixture")
+    assert(fixture.getMaxIter === 10 && fixture.getLossType === "absolute" &&
+      fixture.getStepSize === 0.01 && fixture.getSeed === 456L &&
+      fixture.getNumTrees === 10)
+    val (digest, n) = predictionDigest(fixture, splits("test"))
+    assert(digest === "ef61403b3418f67f",
+      s"GBT scoring/format drifted: digest $digest over $n rows")
+
+    val canonical = splits("train").orderBy(col("jnc_id")).coalesce(1)
+    val (fresh, _) = predictionDigest(
+      Scoring.trainGbt(canonical, maxIter = 10), splits("test"))
+    assert(fresh === "ef61403b3418f67f",
+      s"GBT training drifted from the committed fixture: $fresh")
+  }
+
   test("M4/A5: leaf quantiles on separable data are exact") {
     // two separable clusters like libs/tests/test_tree.py:10-36
     val df = ((1 to 50).map(i => (s"a$i", 0.0, 100.0 + i)) ++
