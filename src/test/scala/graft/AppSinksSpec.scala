@@ -100,6 +100,58 @@ class AppSinksSpec extends SparkSpec {
     assert(Files.exists(dir.resolve("page_000042.html")))
   }
 
+  test("operational loop: upsert → compact → upsert → diff composes") {
+    // The actual production loop over three synthetic "days", composed
+    // end to end (each operator is graded alone; this pins that the
+    // COMPOSITION holds): day-1 load, day-2 upsert, compaction (the
+    // periodic maintenance pass, swapped in as the new store), day-3
+    // upsert on the compacted store, then CDC diff of final vs day-1.
+    // Final state must equal the logical latest-per-key union of all
+    // three batches — storage churn never changes the answer.
+    import graft.sources.Sinks
+    val root = Files.createTempDirectory("graft_oploop")
+    val store = root.resolve("store").toString
+    def day(lo: Long, hi: Long, ver: Long) =
+      spark.range(lo, hi + 1).select(col("id").as("k"),
+        lit(ver).as("ver"), concat(lit(s"v$ver-"), col("id")).as("v"))
+    val d1 = day(1, 100, 1)
+    val d2 = day(51, 150, 2)
+    val d3 = day(1, 30, 3)
+
+    Sinks.upsertParquet(d1, store, Seq("k"), "ver")
+    // snapshot day-1 via localCheckpoint, NOT cache(): a cached
+    // parquet-scan plan aliases by path, so every later
+    // read.parquet(store) — including upsert's own merge read and the
+    // compaction — would silently hit the stale day-1 cache instead of
+    // the reswapped files
+    val day1State = spark.read.parquet(store).localCheckpoint()
+    Sinks.upsertParquet(d2, store, Seq("k"), "ver")
+    // maintenance: compact into a new store and continue on it (the
+    // swap is the caller's transaction, as the compaction doc says)
+    val store2 = root.resolve("store_compacted").toString
+    Sinks.compactParquet(spark, store, store2)
+    Sinks.upsertParquet(d3, store2, Seq("k"), "ver")
+    val finalState = spark.read.parquet(store2)
+
+    // logical truth: latest ver per key across all three days
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy(col("ver").desc)
+    val logical = d1.unionByName(d2).unionByName(d3)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    assert(finalState.exceptAll(logical).count() === 0 &&
+      logical.exceptAll(finalState).count() === 0)
+
+    // CDC over the loop: diff(final vs day-1) shows exactly the churn
+    val diff = graft.operators.SnapshotDiff.diff(
+      day1State, finalState, "k", Seq("ver"))
+    val byType = diff.groupBy("change_type").count()
+      .as[(String, Long)].collect().toMap
+    assert(byType === Map("changed" -> 80L, "added" -> 50L))
+    // keys 31..50 never re-delivered: absent from the diff
+    assert(diff.filter(col("k").between(31, 50)).count() === 0)
+  }
+
   test("K8: compaction merges small files, preserves data, sizes output") {
     val in = Files.createTempDirectory("graft_compact_in").toString
     val out = Files.createTempDirectory("graft_compact_out").toString

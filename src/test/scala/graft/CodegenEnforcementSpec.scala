@@ -145,6 +145,27 @@ class CodegenEnforcementSpec extends AnyFunSuite {
     }
   }
 
+  test("kmeans argmin at k=64 compiles under CODEGEN_ONLY, matches interpreted") {
+    // bestOf folds over ONE array<array<long>> centroid literal, so
+    // the generated projection is O(1) in k — this pins that k in the
+    // tens stays inside Janino's 64 KB method limit (a least(struct…)
+    // over k per-centroid folds would grow linearly and break first
+    // here). fallback=false: a failed compile throws instead of
+    // silently degrading to interpreted execution.
+    def run(s: SparkSession): Seq[org.apache.spark.sql.Row] = {
+      val rows = (0 until 200).map(i =>
+        (i.toLong, Array.tabulate(8)(d => ((i * 31 + d * 7) % 100) / 100.0)))
+      val df = s.createDataFrame(s.sparkContext.parallelize(rows, 4))
+        .toDF("vec_id", "embedding")
+      graft.ml.KMeans.fit(df, col("vec_id"), col("embedding"),
+          k = 64, iters = 2)
+        .orderBy(col("vec_id")).collect().toSeq
+    }
+    val got = run(codegen)
+    assert(got === run(interp), "kmeans codegen/interpreted mismatch")
+    assert(got.length === 200)
+  }
+
   test("SQL registration path also compiles under CODEGEN_ONLY") {
     import codegen.implicits._
     val df = codegen.sparkContext
