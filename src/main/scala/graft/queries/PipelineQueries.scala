@@ -393,36 +393,205 @@ object PipelineQueries {
   )
 
   // ---------------------------------------------------------------- q99
+  /** SRP hyperplanes replayed as SQL literals: the same
+    * java.util.Random(seed) Gaussian sequence [[graft.plans.SrpSignature]]
+    * derives its planes from, formatted shortest-round-trip so DuckDB
+    * parses back the identical doubles. Plane-major order, dim fixed
+    * to the testdata's 64.
+    */
+  private def srpPlaneSql(seed: Long, nPlanes: Int, dim: Int): String = {
+    val rnd = new java.util.Random(seed)
+    val planes = Array.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+    planes.zipWithIndex.map { case (pl, p) =>
+      s"[${pl.mkString(", ")}] AS p$p"
+    }.mkString(", ")
+  }
+
+  /** The per-doc 3-gram list (occurrence order, empty tokens KEPT —
+    * Spark split(text,' ',-1) semantics) in each dialect.
+    */
+  private val sparkGrams =
+    "transform(sequence(1, size(t) - 2), i -> concat_ws(' ', slice(t, i, 3)))"
+  private val duckGrams =
+    "[t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)]"
+
   /** The SQL entry surface, graded end-to-end: temp-view registration,
-    * a raw `spark.sql` text query, and a graft-native custom Catalyst
-    * expression (`rolling_hash`, injected via GraftExtensions'
-    * function registry) used FROM SQL — proving a SQL-only caller gets
-    * the same engine, optimizer, and custom functions as the
-    * DataFrame API. The oracle replays the hash with the same lambda
-    * arithmetic it uses for q32/q71.
+    * raw `spark.sql` text, and ALL EIGHT graft-native Catalyst
+    * expressions of GraftExtensions' function registry called from SQL
+    * — a registry regression on any FunctionIdentifier fails this
+    * oracle row. Each function is anchored in the hash-compared output:
+    *  - rolling_hash: min fingerprint over the corpus (FpLambda replay);
+    *  - shingle_hashes: Σ distinct-3-gram counts (string-level replay);
+    *  - token_ngram_stats: Σ bigram occurrences (.n_grams field);
+    *  - minhash_signature: Σ signature widths over shingle arrays
+    *    (values are XXH64-derived, not SQL-replayable — the width and
+    *    the nested shingle_hashes call still pin the wiring; the
+    *    signature VALUES are graded by spec + q35's exact oracle);
+    *  - kanji_address_key: the q20 golden quintet + the invalid case;
+    *  - dot_product: min/max self-dot over embeddings (left-fold
+    *    list_reduce replay, q80's arithmetic);
+    *  - srp_signature: Σ sign-LSH buckets, planes replayed from the
+    *    identical seeded Gaussian sequence as SQL literals;
+    *  - bloom_any_contain: decontamination composition — bloom built
+    *    from the seed docs' leading 3-grams prefilters, the exact
+    *    gram-overlap verify makes the count FP-free, and a bloom
+    *    false NEGATIVE (the one thing a bloom must never do) would
+    *    drop the count below the oracle's exact replay.
     */
   val q99SqlSurface: QueryDef = QueryDef(
     "q99_sql_surface",
     (s, dir) => {
       graft.plans.GraftExtensions.register(s)
       Tables(s, dir, "documents").createOrReplaceTempView("documents_v")
-      s.sql("""
-        SELECT lang, COUNT(*) AS n_docs,
-          SUM(n_chars) AS total_chars,
-          MIN(rolling_hash(text)) AS min_fp,
-          MAX(rolling_hash(text)) AS max_fp
+      Tables(s, dir, "embeddings").createOrReplaceTempView("embeddings_v")
+      // bloom over the seed docs' leading 3-grams — same first-10
+      // slice the SQL takes, hashed exactly as shingle_hashes hashes
+      // grams (a 1-gram-of-3-tokens evalImpl call IS that hash)
+      import org.apache.spark.unsafe.types.UTF8String
+      val seedGrams = Tables(s, dir, "documents")
+        .filter(col("doc_id") % 997 === 0).select(col("text"))
+        .collect().map(_.getString(0))
+        .flatMap { text =>
+          val toks = text.split(" ", -1)
+          (0 to toks.length - 3).take(10)
+            .map(i => toks.slice(i, i + 3).mkString(" "))
+        }
+      val bloom = org.apache.spark.util.sketch.BloomFilter
+        .create(math.max(seedGrams.length, 1), 0.01)
+      seedGrams.foreach { g =>
+        bloom.putLong(graft.plans.ShingleHashes
+          .evalImpl(UTF8String.fromString(g), 3).getLong(0))
+      }
+      val bloomHex = graft.plans.BloomAnyContain.serialize(bloom)
+        .map("%02X".format(_)).mkString
+      val srpBucket = (0 until 8)
+        .map(p => s"CAST(element_at(sg, ${p + 1}) AS BIGINT) * ${1L << p}")
+        .mkString(" + ")
+      s.sql(s"""
+        WITH toks AS (
+          SELECT doc_id, text, split(text, ' ', -1) AS t FROM documents_v),
+        g AS (
+          SELECT doc_id, text, $sparkGrams AS grams
+          FROM toks WHERE size(t) >= 3),
+        seed AS (
+          SELECT flatten(collect_list(slice(grams, 1, 10))) AS sg
+          FROM g WHERE doc_id % 997 = 0),
+        srp AS (
+          SELECT srp_signature(embedding, 8, 42) AS sg FROM embeddings_v)
+        SELECT 'bigram_occ_sum' AS metric,
+          SUM(token_ngram_stats(text, 2).n_grams) AS vlong,
+          CAST(NULL AS DOUBLE) AS vdouble, CAST(NULL AS STRING) AS vstr
         FROM documents_v
-        GROUP BY lang
-        ORDER BY lang""")
+        UNION ALL
+        SELECT 'bloom_verified_hits', COUNT(*), CAST(NULL AS DOUBLE),
+          CAST(NULL AS STRING)
+        FROM g, seed
+        WHERE bloom_any_contain(shingle_hashes(text, 3), X'$bloomHex')
+          AND arrays_overlap(grams, seed.sg)
+        UNION ALL
+        SELECT 'dot_self_min', CAST(NULL AS BIGINT),
+          MIN(ROUND(dot_product(embedding, embedding), 6)),
+          CAST(NULL AS STRING)
+        FROM embeddings_v
+        UNION ALL
+        SELECT 'dot_self_max', CAST(NULL AS BIGINT),
+          MAX(ROUND(dot_product(embedding, embedding), 6)),
+          CAST(NULL AS STRING)
+        FROM embeddings_v
+        UNION ALL
+        SELECT concat('kanji_', CAST(id AS STRING)), CAST(NULL AS BIGINT),
+          CAST(NULL AS DOUBLE), kanji_address_key(addr)
+        FROM VALUES
+          (1, '東京都渋谷区恵比寿南１'), (2, '東京都渋谷区恵比寿南１２'),
+          (3, '東京都渋谷区神泉町'), (4, '東京都渋谷区千駄ヶ谷１'),
+          (5, '東京都新宿区西新宿２１'), (6, 'invalid_address')
+          AS t(id, addr)
+        UNION ALL
+        SELECT 'minhash_width_sum',
+          SUM(size(minhash_signature(shingle_hashes(text, 3), 16))),
+          CAST(NULL AS DOUBLE), CAST(NULL AS STRING)
+        FROM documents_v
+        UNION ALL
+        SELECT 'rolling_hash_min', MIN(rolling_hash(text)),
+          CAST(NULL AS DOUBLE), CAST(NULL AS STRING)
+        FROM documents_v
+        UNION ALL
+        SELECT 'shingle_count_sum', SUM(size(shingle_hashes(text, 3))),
+          CAST(NULL AS DOUBLE), CAST(NULL AS STRING)
+        FROM documents_v
+        UNION ALL
+        SELECT 'srp_bucket_sum', SUM($srpBucket), CAST(NULL AS DOUBLE),
+          CAST(NULL AS STRING)
+        FROM srp
+        ORDER BY metric""")
     },
-    Some(s"""
-      SELECT lang, COUNT(*) AS n_docs,
-        CAST(SUM(n_chars) AS BIGINT) AS total_chars,
-        MIN(${ScaleQueries.FpLambda.format("text")}) AS min_fp,
-        MAX(${ScaleQueries.FpLambda.format("text")}) AS max_fp
+    Some {
+      val srpDots = (0 until 8).map { p =>
+        val dot = "list_reduce([0.0::DOUBLE] || [CAST(embedding[i] AS DOUBLE)" +
+          s" * pl.p$p[i] for i in range(1, len(embedding) + 1)], (x, v) -> x + v)"
+        s"CASE WHEN $dot >= 0 THEN ${1L << p} ELSE 0 END"
+      }.mkString(" + ")
+      val selfDot = "list_reduce([0.0::DOUBLE] || [CAST(x AS DOUBLE) * " +
+        "CAST(x AS DOUBLE) for x in embedding], (a, v) -> a + v)"
+      s"""
+      WITH toks AS (
+        SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+      g AS (
+        SELECT doc_id, text, $duckGrams AS grams
+        FROM toks WHERE len(t) >= 3),
+      seed AS (
+        SELECT flatten(list(grams[1:10])) AS sg
+        FROM g WHERE doc_id % 997 = 0),
+      pl AS (SELECT ${srpPlaneSql(42L, 8, 64)})
+      SELECT 'bigram_occ_sum' AS metric,
+        CAST(SUM(GREATEST(len(list_filter(string_split(text, ' '),
+          x -> x <> '')) - 1, 0)) AS BIGINT) AS vlong,
+        CAST(NULL AS DOUBLE) AS vdouble, CAST(NULL AS VARCHAR) AS vstr
       FROM documents
-      GROUP BY lang
-      ORDER BY lang"""),
+      UNION ALL
+      SELECT 'bloom_verified_hits', COUNT(*), CAST(NULL AS DOUBLE),
+        CAST(NULL AS VARCHAR)
+      FROM g, seed WHERE list_has_any(grams, seed.sg)
+      UNION ALL
+      SELECT 'dot_self_min', CAST(NULL AS BIGINT),
+        MIN(ROUND($selfDot, 6)), CAST(NULL AS VARCHAR)
+      FROM embeddings
+      UNION ALL
+      SELECT 'dot_self_max', CAST(NULL AS BIGINT),
+        MAX(ROUND($selfDot, 6)), CAST(NULL AS VARCHAR)
+      FROM embeddings
+      UNION ALL
+      SELECT 'kanji_' || CAST(id AS VARCHAR), CAST(NULL AS BIGINT),
+        CAST(NULL AS DOUBLE), join_key
+      FROM (VALUES
+        (1, '東京都渋谷区恵比寿南一丁目'),
+        (2, '東京都渋谷区恵比寿南十二丁目'),
+        (3, '東京都渋谷区神泉町'),
+        (4, '東京都渋谷区千駄ケ谷一丁目'),
+        (5, '東京都新宿区西新宿二十一丁目'),
+        (6, '')) AS t(id, join_key)
+      UNION ALL
+      SELECT 'minhash_width_sum', 16 * COUNT(*), CAST(NULL AS DOUBLE),
+        CAST(NULL AS VARCHAR)
+      FROM documents
+      UNION ALL
+      SELECT 'rolling_hash_min',
+        MIN(${ScaleQueries.FpLambda.format("text")}),
+        CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR)
+      FROM documents
+      UNION ALL
+      SELECT 'shingle_count_sum',
+        CAST(SUM(CASE WHEN len(t) >= 3
+          THEN len(list_distinct($duckGrams)) ELSE 0 END) AS BIGINT),
+        CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR)
+      FROM toks
+      UNION ALL
+      SELECT 'srp_bucket_sum',
+        CAST(SUM($srpDots) AS BIGINT), CAST(NULL AS DOUBLE),
+        CAST(NULL AS VARCHAR)
+      FROM embeddings, pl
+      ORDER BY metric"""
+    },
   )
 
   val all: Seq[QueryDef] = Seq(q68DedupClusters, q69ChunkDedup, q70PiiRedact,
