@@ -1469,6 +1469,119 @@ object CurationQueries {
     q105DeltaNearDedup.oracle,
   )
 
+  // --------------------------------------------------------------- q123
+  /** The END-TO-END curation pipeline a training-data user actually
+    * runs, composed from five individually-graded operators in their
+    * production order: Gopher-style quality gate (q63 thresholds) →
+    * language gate (q31's n-gram heuristic, English) → exact
+    * keep-first dedup on the leading 100 chars (q33's key) →
+    * benchmark decontamination against the doc_id % 10 holdout's
+    * 8-gram shingles (q62's bloom + broadcast verify) → per-source
+    * token-budget cut in LCG order (q77). Each stage is hash-green
+    * alone; this row pins that the COMPOSITION is — gate ordering,
+    * join types (semi for keeps, anti for contamination), and the
+    * budget window all have to agree with the oracle's CTE chain.
+    *
+    * Scale shape: the gates are narrow scans; dedup is one shuffle on
+    * the key; decontamination is a scan-side bloom prefilter + a
+    * broadcast verify join; the budget cut shuffles once on source.
+    * The corpus text never shuffles except for the dedup key exchange.
+    */
+  val q123CurationPipeline: QueryDef = QueryDef(
+    "q123_curation_pipeline",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") % 10 === 0)
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      val keep = graft.operators.CorpusFilter
+        .gopherFlags(corpus, col("doc_id"), col("text"),
+          graft.operators.CorpusFilter.Thresholds(minTokens = 30,
+            maxTokens = 10000, maxDupTokenFrac = 0.6,
+            maxDupBigramFrac = 0.05))
+        .filter(col("keep")).select("doc_id")
+      val gated = corpus.join(keep, Seq("doc_id"), "left_semi")
+        .filter(graft.functions.TextFunctions.langId(col("text")) === "en")
+      val reps = Dedup.exactByKey(gated,
+          substring(col("text"), 1, 100), col("doc_id"))
+        .select(col("rep_id").as("doc_id"))
+      val deduped = gated.join(reps, Seq("doc_id"), "left_semi")
+      val contam = graft.operators.Decontaminate.contaminated(
+        deduped, col("doc_id"), col("text"),
+        graft.operators.Decontaminate.benchmarkShingles(
+          bench, col("text"), n = 8), n = 8)
+      val clean = deduped.join(contam.select("doc_id"),
+        Seq("doc_id"), "left_anti")
+      Scale.tokenBudgetSample(clean, col("source"), col("doc_id"),
+          size(split(col("text"), " ")),
+          budgets = Map("src3" -> 800L), defaultBudget = 1500L)
+        .orderBy(col("source"), col("cum_tokens"))
+    },
+    Some("""
+      WITH corpus AS (
+        SELECT doc_id, source, text FROM documents WHERE doc_id % 10 <> 0),
+      tk AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM corpus),
+      u AS (SELECT doc_id, len(toks) AS n, len(list_distinct(toks)) AS d FROM tk),
+      bg AS (SELECT doc_id,
+          CASE WHEN len(toks) >= 2 THEN len(toks) - 1 ELSE 0 END AS nb,
+          CASE WHEN len(toks) >= 2 THEN
+            len(list_distinct([toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]))
+          ELSE 0 END AS db
+        FROM tk),
+      quality AS (
+        SELECT u.doc_id
+        FROM u JOIN bg USING (doc_id)
+        WHERE u.n BETWEEN 30 AND 10000
+          AND CAST(u.n - u.d AS DOUBLE) / u.n <= 0.6
+          AND (bg.nb = 0 OR CAST(bg.nb - bg.db AS DOUBLE) / bg.nb <= 0.05)),
+      lc AS (SELECT doc_id,
+          len(list_filter(toks, x -> x IN ('the','a','is','and','of'))) AS c_en,
+          len(list_filter(toks, x -> x IN ('der','die','das','und','ist'))) AS c_de,
+          len(list_filter(toks, x -> x IN ('el','la','los','es','y'))) AS c_es,
+          len(list_filter(toks, x -> x IN ('le','les','est','et','une'))) AS c_fr,
+          len(list_filter(toks, x -> x IN ('的','是','了','在','我'))) AS c_zh
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus)),
+      lang AS (
+        SELECT doc_id FROM lc
+        WHERE NOT (c_en = 0 AND c_de = 0 AND c_es = 0 AND c_fr = 0 AND c_zh = 0)
+          AND c_en >= c_de AND c_en >= c_es AND c_en >= c_fr AND c_en >= c_zh),
+      gated AS (
+        SELECT c.doc_id, c.source, c.text
+        FROM corpus c JOIN quality USING (doc_id) JOIN lang USING (doc_id)),
+      dedup AS (
+        SELECT * FROM gated
+        QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY substr(text, 1, 100))),
+      g8 AS (
+        SELECT doc_id,
+          list_distinct([list_reduce(t[i:i+7], (a, b) -> a || ' ' || b)
+                         for i in range(1, len(t) - 6)]) AS g
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM dedup)
+        WHERE len(t) >= 8),
+      bench AS (
+        SELECT DISTINCT unnest(g) AS gram FROM (
+          SELECT list_distinct([list_reduce(t[i:i+7], (a, b) -> a || ' ' || b)
+                                for i in range(1, len(t) - 6)]) AS g
+          FROM (SELECT string_split(text, ' ') AS t
+                FROM documents WHERE doc_id % 10 = 0)
+          WHERE len(t) >= 8)),
+      contam AS (
+        SELECT DISTINCT doc_id
+        FROM (SELECT doc_id, unnest(g) AS gram FROM g8) cg
+        JOIN bench USING (gram)),
+      clean AS (
+        SELECT * FROM dedup WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+      d AS (SELECT source, doc_id AS id, len(string_split(text, ' ')) AS n_tokens,
+          ((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648 AS h
+        FROM clean),
+      cum AS (SELECT source, id, n_tokens,
+          CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens FROM d)
+      SELECT source, id, n_tokens, cum_tokens FROM cum
+      WHERE cum_tokens <= CASE source WHEN 'src3' THEN 800 ELSE 1500 END
+      ORDER BY source, cum_tokens"""),
+  )
+
   val all: Seq[QueryDef] = Seq(q74StreamJoin, q75SnapshotDiff,
     q76StratifiedSample, q77TokenBudget, q78ZOrder, q79Int8Ann,
     q80SemanticDedup, q81SeqPack, q82BigramNovelty, q83EditDistance,
@@ -1479,5 +1592,6 @@ object CurationQueries {
     q110BloomJoin, q111BinnedQuantiles, q112OrcRoundtrip,
     q113CsvRoundtrip, q114TargetEncode, q115SchemaEvolution,
     q116CountMin, q117PercentRank, q118StreamCountMin, q119NextEvent,
-    q120NegativeSample, q121IndexedDeltaDedup, q122IndexedNearDedup)
+    q120NegativeSample, q121IndexedDeltaDedup, q122IndexedNearDedup,
+    q123CurationPipeline)
 }
