@@ -49,6 +49,63 @@ object Search {
       .limit(k)
   }
 
+  /** BM25-ranked top-k (Robertson–Spärck Jones), deterministic form.
+    * Two departures from textbook BM25, both forced by the repo's
+    * oracle-parity rules and both rank-preserving in the ways that
+    * matter:
+    *
+    *  - idf is the RATIONAL core (N − df + 0.5)/(df + 0.5) without
+    *    the log: libm's log is not bit-reproducible across engines,
+    *    and for a fixed df the log is monotone — per-term ordering is
+    *    identical, only the relative damping of multi-term sums
+    *    changes (documented scoring definition, not an accident).
+    *  - per-term contributions are floored to integer MICRO-UNITS and
+    *    summed as longs: float sums reassociate under partitioning,
+    *    integer sums cannot. Each contribution is a fixed sequence of
+    *    correctly-rounded IEEE ops on identical inputs, so the micro
+    *    value is bit-identical in any engine (the q79 cosine
+    *    argument) and the ranking is exact.
+    *
+    * The term-frequency saturation tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl))
+    * is standard, with dl/avgdl computed as (dl·N)/Σdl — integer
+    * numerator, one double division, no intermediate rounding drift.
+    *
+    * Scale shape: identical to [[topK]] — scan-side term filter,
+    * combining tf groupBy as the only corpus-sized shuffle, broadcast
+    * df + one-row broadcast totals (N, Σdl), TakeOrdered final. dl
+    * rides the postings rows (a long per row), so no second join
+    * against a doc-length table.
+    */
+  def bm25TopK(docs: DataFrame, id: Column, text: Column,
+      terms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "query needs at least one term")
+    val base = docs.select(id.as("doc_id"),
+      size(split(text, " ")).cast("long").as("dl"),
+      split(text, " ").as("toks"))
+    val totals = base.agg(count(lit(1)).as("n_total"),
+      sum(col("dl")).as("tot_tokens"))
+    val tf = base
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("tk"))
+      .filter(col("tk").isin(terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("tk"))
+      .agg(count(lit(1)).as("tf"))
+    val dfRel = tf.groupBy(col("tk")).agg(count(lit(1)).as("df"))
+    val idf = (col("n_total") - col("df") + lit(0.5)) /
+      (col("df") + lit(0.5))
+    val norm = col("tf") + lit(k1) * (lit(1.0) - lit(b) +
+      lit(b) * (col("dl") * col("n_total")) / col("tot_tokens"))
+    val contrib = idf * (col("tf") * lit(k1 + 1.0)) / norm
+    tf.join(broadcast(dfRel), Seq("tk"))
+      .crossJoin(broadcast(totals))
+      .withColumn("micro", floor(contrib * lit(1000000.0)))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("micro")).as("score"),
+        count(lit(1)).as("terms_matched"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** All-pairs sparse TF-IDF cosine similarity join (APSS): every
     * document pair whose weighted bag-of-words cosine clears the
     * threshold — near-dup detection that, unlike shingle Jaccard,

@@ -32,6 +32,85 @@ object Vocabulary {
     * run re-uses one fixed vocabulary across many scoring passes
     * anyway.
     */
+  /** Distributed BPE merge learning — tokenizer TRAINING at corpus
+    * scale (Sennrich et al. 2016, "Neural Machine Translation of Rare
+    * Words with Subword Units", the byte-pair-encoding step every LLM
+    * data pipeline runs before token counting can mean anything).
+    *
+    * Word-histogram formulation: pair statistics are computed on the
+    * (word, count) table — VOCAB-sized, not corpus-sized — so the
+    * corpus is scanned exactly once (the word groupBy, map-side
+    * combining) and each of the `merges` iterations is a narrow map +
+    * one aggregate over ~|vocab| rows. The argmax pair per step is a
+    * one-row TakeOrdered collect: `merges` driver round-trips moving
+    * one (pair, freq) each — the k-means k·dims pattern, and the merge
+    * table IS the driver-sized model a tokenizer trainer exists to
+    * produce.
+    *
+    * Symbol state is a '·'-fenced string with each symbol wearing its
+    * OWN separators ('low' → '·l··o··w·'): merging pair (l, r) is the
+    * literal replace of '·l··r·' with '·lr·'. The double fence makes
+    * consecutive pair occurrences character-disjoint — '·a··a··a··a·'
+    * really merges to [aa, aa], where a single-separator encoding
+    * would share the middle '·' between matches and a left-to-right
+    * replace would silently skip every second merge in a run. A
+    * replacement also never completes a new pattern occurrence inside
+    * the same pass (the pattern needs '··' between lhs and rhs; the
+    * replacement fences 'lhsrhs' with single '·'), so ANY standard
+    * scan-the-input replace-all — Spark's, DuckDB's — produces the
+    * identical result, and the whole iterative process replays in the
+    * oracle as one chained CTE per step. Pair frequency counts every
+    * adjacent occurrence (zip of the symbol list with its own tail,
+    * 'aaa' counts (a,a) twice); ties break on (freq desc, lhs, rhs) —
+    * a total order, deterministic in any engine. Words containing the
+    * separator itself are excluded by contract (the corpus is
+    * space-split text; '·' never appears in it).
+    *
+    * Output: one row per merge step — (step, lhs, rhs, freq), the
+    * ranked merge table. Each iteration localCheckpoints the updated
+    * symbol table: lineage stays O(1) instead of nesting `merges`
+    * replaces deep, at the cost of a vocab-sized materialization.
+    */
+  def bpeMerges(docs: DataFrame, text: Column, merges: Int): DataFrame = {
+    require(merges > 0, "merges must be positive")
+    val spark = docs.sparkSession
+    val words = docs
+      .select(explode(graft.functions.TextFunctions.tokens(text)).as("word"))
+      .filter(col("word") =!= "" && !col("word").contains("·"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    var sym = words
+      .select(regexp_replace(col("word"), "(.)", "·$1·").as("sym"),
+        col("cnt"))
+      .localCheckpoint()
+    val out = Seq.newBuilder[(Long, String, String, Long)]
+    for (step <- 1 to merges) {
+      val best = sym
+        .select(col("cnt"),
+          expr("filter(split(sym, '·'), x -> x != '')").as("a"))
+        .filter(size(col("a")) >= 2)
+        .select(col("cnt"), explode(expr(
+          "zip_with(slice(a, 1, size(a) - 1), slice(a, 2, size(a) - 1)," +
+            " (x, y) -> named_struct('lhs', x, 'rhs', y))")).as("p"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum(col("cnt")).as("freq"))
+        .orderBy(col("freq").desc, col("lhs"), col("rhs"))
+        .limit(1).collect()
+      if (best.isEmpty) {
+        // corpus exhausted (every word is a single symbol): stop early
+        return spark.createDataFrame(out.result())
+          .toDF("step", "lhs", "rhs", "freq")
+      }
+      val (l, r, f) =
+        (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+      out += ((step.toLong, l, r, f))
+      sym = sym.select(
+        call_function("replace", col("sym"),
+          lit(s"·${l}··${r}·"), lit(s"·${l}${r}·")).as("sym"),
+        col("cnt")).localCheckpoint()
+    }
+    spark.createDataFrame(out.result()).toDF("step", "lhs", "rhs", "freq")
+  }
+
   def oovRate(docs: DataFrame, id: Column, text: Column,
       vocabSize: Int): DataFrame = {
     val toks = docs

@@ -1,0 +1,142 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** Round-8 additions beyond the index/proof consolidation: the dedup
+  * index maintained by Structured Streaming (q124), distributed BPE
+  * merge learning — tokenizer training at corpus scale (q125), and
+  * deterministic BM25 retrieval (q126). Oracles replay the identical
+  * arithmetic in DuckDB; q125's replays the whole ITERATIVE training
+  * loop as one chained CTE per merge step.
+  */
+object Round8Queries {
+
+  // --------------------------------------------------------------- q124
+  /** The exact-dedup index maintained BY Structured Streaming
+    * ([[graft.streaming.EventsStream.streamedDedupIndex]]): the
+    * stateful aggregation's state IS the (key → min id, count)
+    * representative table of [[graft.operators.DedupIndex]], updated
+    * per micro-batch as the corpus arrives — no batch rebuild, state
+    * bounded by distinct keys (the index's own size). Drained in
+    * complete mode on the bounded source it must equal q33's
+    * batch-built index bit-for-bit (streaming-equals-batch), so q33's
+    * oracle grades the streaming path end to end — the same
+    * structural pairing as q118 reusing q116's oracle for the
+    * streamed count-min.
+    */
+  val q124StreamDedupIndex: QueryDef = QueryDef(
+    "q124_stream_dedup_index",
+    (s, dir) => graft.streaming.EventsStream.streamedDedupIndex(s, dir),
+    Some("""
+      SELECT MIN(doc_id) AS rep_id, COUNT(*) AS group_size
+      FROM documents
+      GROUP BY substr(text, 1, 100)
+      ORDER BY rep_id"""),
+  )
+
+  // --------------------------------------------------------------- q125
+  /** The BPE merge-learning oracle, generated per step: the word
+    * histogram once, then per merge i a symbol split (a_i), a zipped
+    * adjacent-pair count (p_i), the argmax pair (b_i), and the merge
+    * applied (s_i) — the exact chain [[graft.operators.Vocabulary
+    * .bpeMerges]] runs distributed, replayed as SQL. CTEs are
+    * MATERIALIZED: each s_i is referenced twice (by a_{i+1} and
+    * s_{i+1}), so the default inlining would recompute the chain
+    * 2^merges times. The '··' double fence makes replace-all exact
+    * (see the operator doc).
+    */
+  private def bpeOracleSql(merges: Int): String = {
+    val steps = (1 to merges).map { i =>
+      val p = i - 1
+      s"""      a$i AS MATERIALIZED (
+        SELECT cnt, list_filter(string_split(sym, '·'), x -> x <> '') AS a
+        FROM s$p),
+      p$i AS (
+        SELECT l AS lhs, r AS rhs, CAST(SUM(cnt) AS BIGINT) AS freq FROM (
+          SELECT cnt, unnest(a[1:len(a) - 1]) AS l, unnest(a[2:len(a)]) AS r
+          FROM a$i WHERE len(a) >= 2)
+        GROUP BY l, r),
+      b$i AS MATERIALIZED (SELECT lhs, rhs, freq FROM p$i
+        ORDER BY freq DESC, lhs, rhs LIMIT 1),
+      s$i AS MATERIALIZED (
+        SELECT replace(sym, '·' || lhs || '··' || rhs || '·',
+          '·' || lhs || rhs || '·') AS sym, cnt
+        FROM s$p, b$i)"""
+    }.mkString(",\n")
+    val union = (1 to merges)
+      .map(i =>
+        s"      SELECT CAST($i AS BIGINT) AS step, lhs, rhs, freq FROM b$i")
+      .mkString("\n      UNION ALL\n")
+    s"""
+      WITH w AS (
+        SELECT word, COUNT(*) AS cnt FROM (
+          SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+          FROM documents)
+        GROUP BY word),
+      s0 AS MATERIALIZED (
+        SELECT regexp_replace(word, '(.)', '·\\1·', 'g') AS sym, cnt FROM w),
+$steps
+$union
+      ORDER BY step"""
+  }
+
+  /** Distributed BPE merge learning graded end to end
+    * ([[graft.operators.Vocabulary.bpeMerges]]): 12 merge steps over
+    * the full corpus word histogram, the learned (step, lhs, rhs,
+    * freq) merge table hash-compared against the oracle's replay of
+    * the identical iterative process. Every step's argmax feeds the
+    * next step's state, so one row of drift at ANY step cascades
+    * through the rest — this row certifies the whole training loop,
+    * not a single pass.
+    */
+  val q125BpeMerges: QueryDef = QueryDef(
+    "q125_bpe_merges",
+    (s, dir) => graft.operators.Vocabulary.bpeMerges(
+        Tables(s, dir, "documents"), col("text"), merges = 12)
+      .orderBy(col("step")),
+    Some(bpeOracleSql(12)),
+  )
+
+  // --------------------------------------------------------------- q126
+  /** Deterministic BM25 top-30 ([[graft.operators.Search.bm25TopK]]):
+    * rational idf core (no libm log), micro-unit integer scores (no
+    * float-sum reassociation). The oracle replays the identical IEEE
+    * op sequence — every division and multiply in the same order —
+    * so the floor at micro precision lands on the same long in both
+    * engines (the q79 cosine argument).
+    */
+  val q126Bm25: QueryDef = QueryDef(
+    "q126_bm25_topk",
+    (s, dir) => graft.operators.Search.bm25TopK(
+      Tables(s, dir, "documents"), col("doc_id"), col("text"),
+      terms = Seq("data", "table", "query"), k = 30),
+    Some("""
+      WITH base AS (
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+        FROM documents),
+      n AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS tot FROM base),
+      f AS (
+        SELECT t.doc_id, b.dl, t.tk, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tk
+              FROM documents) t
+        JOIN base b USING (doc_id)
+        WHERE t.tk IN ('data', 'table', 'query')
+        GROUP BY t.doc_id, b.dl, t.tk),
+      d AS (SELECT tk, COUNT(*) AS df FROM f GROUP BY tk),
+      m AS (
+        SELECT f.doc_id,
+          CAST(floor((n.n - d.df + 0.5) / (d.df + 0.5)
+            * (f.tf * 2.2)
+            / (f.tf + 1.2 * (1.0 - 0.75 + 0.75 * (f.dl * n.n) / n.tot))
+            * 1000000.0) AS BIGINT) AS micro
+        FROM f JOIN d USING (tk), n)
+      SELECT doc_id, CAST(SUM(micro) AS BIGINT) AS score,
+        COUNT(*) AS terms_matched
+      FROM m GROUP BY doc_id
+      ORDER BY score DESC, doc_id LIMIT 30"""),
+  )
+
+  val all: Seq[QueryDef] =
+    Seq(q124StreamDedupIndex, q125BpeMerges, q126Bm25)
+}

@@ -118,6 +118,45 @@ object EventsStream {
     drainToLocal(deduped, "graft_dedup_").orderBy(col("event_type"))
   }
 
+  /** Raw documents schema for the streaming file source (matches
+    * documents.parquet; Tables reads the same columns in batch).
+    */
+  private val documentsSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  private[streaming] def documentsStream(spark: SparkSession,
+      sfDir: String): DataFrame =
+    spark.readStream
+      .schema(documentsSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+
+  /** The exact-dedup index maintained BY Structured Streaming — the
+    * continuous form of q33's batch hash-groupBy and the streaming
+    * face of [[graft.operators.DedupIndex]]: the stateful aggregation
+    * state IS the (key → min id, count) representative table, updated
+    * per micro-batch, so a continuously-ingesting corpus keeps its
+    * dedup index current without any batch rebuild. State is bounded
+    * by the number of DISTINCT keys (the index's own size — the
+    * inherent floor for exact dedup), not by stream length. Complete
+    * mode: the drained table must equal the batch index bit-for-bit
+    * (streaming-equals-batch), graded through q124 reusing q33's
+    * oracle end to end.
+    */
+  def streamedDedupIndex(spark: SparkSession, sfDir: String): DataFrame =
+    drainToLocal(
+      documentsStream(spark, sfDir)
+        .groupBy(substring(col("text"), 1, 100).as("dedup_key"))
+        .agg(min(col("doc_id")).as("rep_id"),
+          count(lit(1)).as("group_size")),
+      "graft_dedupidx_")
+      .select(col("rep_id"), col("group_size"))
+      .orderBy(col("rep_id"))
+
   /** The count-min cell table maintained BY Structured Streaming —
     * the continuous form of q116's batch sketch. The (row, pos)
     * grouped count runs as stateful streaming aggregation in complete

@@ -37,6 +37,41 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out.map(_.getLong(2)).toSeq === Seq(1L, 1L))
   }
 
+  test("bpeMerges: learned merge table and pair-exhaustion early stop") {
+    // words: aaab ×2, ab ×1.
+    // step 1: (a,a) 2·2=4 beats (a,b) 3 → merge; 'aaa' run goes
+    //   left-to-right: [aa, a, b]
+    // step 2: (a,b) 2+1=3 beats (aa,a) 2 → merge → [aa, ab] / [ab]
+    // step 3: (aa,ab) 2 → merge → [aaab]
+    // step 4: no pairs remain anywhere → early stop at 3 rows
+    val docs = Seq((1L, "aaab aaab ab")).toDF("doc_id", "text")
+    val out = Vocabulary.bpeMerges(docs, col("text"), merges = 5)
+      .orderBy("step").collect()
+    assert(out.map(r => (r.getLong(0), r.getString(1), r.getString(2),
+      r.getLong(3))).toSeq === Seq(
+      (1L, "a", "a", 4L), (2L, "a", "b", 3L), (3L, "aa", "ab", 2L)))
+  }
+
+  test("bpeMerges: a run merges pairwise, not every-other") {
+    // 'aaaa' must become [aa, aa] in one step (the double-fence
+    // encoding makes consecutive matches character-disjoint); a
+    // single-separator encoding would leave [aa, a, a]
+    val docs = Seq((1L, "aaaa")).toDF("doc_id", "text")
+    val out = Vocabulary.bpeMerges(docs, col("text"), merges = 5)
+      .orderBy("step").collect()
+    assert(out.map(r => (r.getLong(0), r.getString(1), r.getString(2),
+      r.getLong(3))).toSeq === Seq(
+      (1L, "a", "a", 3L), (2L, "aa", "aa", 1L)))
+  }
+
+  test("bpeMerges: frequency ties break on (lhs, rhs) ascending") {
+    val docs = Seq((1L, "bc bc ba ba")).toDF("doc_id", "text")
+    val first = Vocabulary.bpeMerges(docs, col("text"), merges = 1)
+      .collect()(0)
+    assert((first.getString(1), first.getString(2), first.getLong(3))
+      === ("b", "a", 2L))
+  }
+
   test("incrementalDedup: history, in-batch, and new verdicts") {
     val history = Seq((10L, "k1"), (11L, "k1"), (12L, "k2"))
       .toDF("id", "key")
