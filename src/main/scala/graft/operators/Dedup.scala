@@ -143,6 +143,55 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Directional n-gram CONTAINMENT pairs: (id_a, id_b) where the
+    * fraction of a's distinct shingles also present in b clears
+    * `minPpm` parts-per-million — the asymmetric near-dup Jaccard
+    * can't see: a short document quoted whole inside a long one, or
+    * boilerplate wrapping, where |∩|/|∪| stays tiny but |∩|/|A| is
+    * ~1. The standard companion check to symmetric dedup in web-scale
+    * curation (cf. the containment step of RefinedWeb-style pipelines).
+    *
+    * The score is pure integer arithmetic (`inter · 10⁶ div n_a`), so
+    * it is bit-identical in any engine and any reduction order; no
+    * float ratio anywhere. `inter · 10⁶` needs a document to carry
+    * ~9.2e12 distinct shingles before the long wraps — not a real
+    * document.
+    *
+    * Scale shape: the same inverted-index count join as
+    * [[ngramJaccardPairs]]'s count strategy — postings explode, one
+    * equi-join on the shingle hash, pair groupBy with partial
+    * aggregation. Containment admits NO size-ratio prefix pruning (a
+    * 10-shingle doc inside a 10⁶-shingle doc is a hit by design), so
+    * the skew control is `dfCap`: drop shingles whose document
+    * frequency exceeds the cap before the join. Capping is explicitly
+    * lossy — dropped grams can only LOWER measured containment, never
+    * raise it (precision holds; recall can drop) — and None grades
+    * exact.
+    */
+  def containmentPairs(docs: DataFrame, id: Column, text: Column,
+      n: Int, minPpm: Long, dfCap: Option[Long] = None): DataFrame = {
+    val sh = docs.select(id.as("id"),
+        graft.plans.ShingleHashes.shingle_hashes(text, n).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val inv = sh.select(col("id"), size(col("sh")).cast("long").as("nsh"),
+      explode(col("sh")).as("g"))
+    val capped = dfCap.fold(inv) { c =>
+      val rare = inv.groupBy(col("g")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= c).select(col("g"))
+      inv.join(rare, Seq("g"))
+    }
+    val a = capped.select(col("id").as("id_a"), col("nsh").as("n_a"),
+      col("g"))
+    val b = capped.select(col("id").as("id_b"), col("g"))
+    a.join(b, Seq("g"))
+      .filter(col("id_a") =!= col("id_b"))
+      .groupBy(col("id_a"), col("id_b"), col("n_a"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("cont_ppm", expr("inter * 1000000 div n_a"))
+      .filter(col("cont_ppm") >= minPpm)
+      .select(col("id_a"), col("id_b"), col("cont_ppm"))
+  }
+
   /** MinHash+LSH near-dup pairs: banded signature buckets generate
     * candidates (the scale path — candidate count is ~linear for
     * realistic dup rates), then an exact Jaccard verify keeps only true

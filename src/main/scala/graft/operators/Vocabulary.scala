@@ -111,6 +111,54 @@ object Vocabulary {
     spark.createDataFrame(out.result()).toDF("step", "lhs", "rhs", "freq")
   }
 
+  /** Apply a learned BPE merge table to one word: fence
+    * ('low' → '·l··o··w·'), replay the merges in rank order as literal
+    * replaces (the same double-fence encoding [[bpeMerges]] trains
+    * with, so train and apply agree symbol-for-symbol), and count the
+    * surviving symbols. A pure narrow Column — `mergeTable.size`
+    * nested codegen'd `replace` calls — usable on any word column.
+    */
+  def bpeEncodeTokens(word: Column,
+      mergeTable: Seq[(String, String)]): Column = {
+    val fenced = regexp_replace(word, "(.)", "·$1·")
+    val sym = mergeTable.foldLeft(fenced) { case (c, (l, r)) =>
+      call_function("replace", c, lit(s"·${l}··${r}·"), lit(s"·${l}${r}·"))
+    }
+    size(filter(split(sym, "·"), x => x =!= "")).cast("long")
+  }
+
+  /** Tokenizer train → apply, end to end: learn `merges` BPE merges on
+    * the corpus ([[bpeMerges]]), then encode every document with the
+    * learned table and report per-document word and token counts — the
+    * number every token-budget, packing, and cost estimate downstream
+    * actually consumes.
+    *
+    * Scale shape: the merge table is the MODEL — `merges` rows,
+    * driver-sized by construction, embedded in the encode projection
+    * as literals. Encoding is applied PER OCCURRENCE: zero extra
+    * shuffles (the per-doc groupBy partial-aggregates each document's
+    * occurrences down to one row before its exchange, and exploded
+    * occurrences of a document are partition-contiguous). The
+    * alternative — encode the distinct-word table and join back —
+    * prices every token through a corpus-sized exchange on the word
+    * key (or an unbounded vocabulary broadcast); redundant
+    * per-occurrence encoding is embarrassingly parallel, codegen'd,
+    * and the right trade at corpus scale.
+    */
+  def bpeTokenCounts(docs: DataFrame, id: Column, text: Column,
+      merges: Int): DataFrame = {
+    val mergeTable = bpeMerges(docs, text, merges)
+      .orderBy(col("step")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    docs
+      .select(id.as("doc_id"),
+        explode(graft.functions.TextFunctions.tokens(text)).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(bpeEncodeTokens(col("word"), mergeTable)).as("n_tokens"))
+  }
+
   def oovRate(docs: DataFrame, id: Column, text: Column,
       vocabSize: Int): DataFrame = {
     val toks = docs

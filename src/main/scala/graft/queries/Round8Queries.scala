@@ -46,7 +46,14 @@ object Round8Queries {
     * 2^merges times. The '··' double fence makes replace-all exact
     * (see the operator doc).
     */
-  private def bpeOracleSql(merges: Int): String = {
+  /** The shared BPE learn-chain CTEs (word histogram, fenced s0, then
+    * per merge i: split a_i → pair count p_i → argmax b_i → merge
+    * applied s_i). `word` rides through every s_i so the final state
+    * doubles as the word → encoded-symbols table q127 consumes; q125
+    * reads only the b_i rows. Ends WITHOUT a closing paren — callers
+    * append their own final CTEs/SELECT.
+    */
+  private def bpeLearnCtes(merges: Int): String = {
     val steps = (1 to merges).map { i =>
       val p = i - 1
       s"""      a$i AS MATERIALIZED (
@@ -60,14 +67,10 @@ object Round8Queries {
       b$i AS MATERIALIZED (SELECT lhs, rhs, freq FROM p$i
         ORDER BY freq DESC, lhs, rhs LIMIT 1),
       s$i AS MATERIALIZED (
-        SELECT replace(sym, '·' || lhs || '··' || rhs || '·',
+        SELECT word, replace(sym, '·' || lhs || '··' || rhs || '·',
           '·' || lhs || rhs || '·') AS sym, cnt
         FROM s$p, b$i)"""
     }.mkString(",\n")
-    val union = (1 to merges)
-      .map(i =>
-        s"      SELECT CAST($i AS BIGINT) AS step, lhs, rhs, freq FROM b$i")
-      .mkString("\n      UNION ALL\n")
     s"""
       WITH w AS (
         SELECT word, COUNT(*) AS cnt FROM (
@@ -75,8 +78,17 @@ object Round8Queries {
           FROM documents)
         GROUP BY word),
       s0 AS MATERIALIZED (
-        SELECT regexp_replace(word, '(.)', '·\\1·', 'g') AS sym, cnt FROM w),
-$steps
+        SELECT word, regexp_replace(word, '(.)', '·\\1·', 'g') AS sym, cnt
+        FROM w),
+$steps"""
+  }
+
+  private def bpeOracleSql(merges: Int): String = {
+    val union = (1 to merges)
+      .map(i =>
+        s"      SELECT CAST($i AS BIGINT) AS step, lhs, rhs, freq FROM b$i")
+      .mkString("\n      UNION ALL\n")
+    s"""${bpeLearnCtes(merges)}
 $union
       ORDER BY step"""
   }
@@ -137,6 +149,123 @@ $union
       ORDER BY score DESC, doc_id LIMIT 30"""),
   )
 
+  // --------------------------------------------------------------- q127
+  /** Tokenizer train → APPLY, graded end to end
+    * ([[graft.operators.Vocabulary.bpeTokenCounts]]): learn 12 merges
+    * (q125's loop), encode every document with the learned table, and
+    * report per-document word/token counts — the numbers every
+    * token-budget, packing, and cost estimate downstream consumes.
+    * The oracle re-runs the q125 learn chain with `word` carried
+    * through each merge state, so the final s12 IS the
+    * word → encoded-symbols table; token counts replay as symbol
+    * counts joined back onto the corpus occurrences. Train and apply
+    * share the double-fence encoding, so a drift in EITHER phase
+    * breaks the hash.
+    */
+  val q127BpeTokenCounts: QueryDef = QueryDef(
+    "q127_bpe_token_counts",
+    (s, dir) => graft.operators.Vocabulary.bpeTokenCounts(
+        Tables(s, dir, "documents"), col("doc_id"), col("text"),
+        merges = 12)
+      .orderBy(col("doc_id")),
+    Some(s"""${bpeLearnCtes(12)},
+      wt AS (
+        SELECT word,
+          CAST(len(list_filter(string_split(sym, '·'), x -> x <> ''))
+            AS BIGINT) AS nt
+        FROM s12),
+      occ AS (
+        SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+          x -> x <> '')) AS word
+        FROM documents)
+      SELECT doc_id, COUNT(*) AS n_words,
+        CAST(SUM(nt) AS BIGINT) AS n_tokens
+      FROM occ JOIN wt USING (word)
+      GROUP BY doc_id
+      ORDER BY doc_id"""),
+  )
+
+  // --------------------------------------------------------------- q128
+  /** SCD-2 dimension build ([[graft.operators.Scd2.build]]): each
+    * user's event-type timeline collapsed into validity intervals
+    * [valid_from, valid_to) with null-open current rows — the
+    * dimension-table shape AsOfJoin/RangeJoin consume for
+    * leakage-free as-of feature joins. Runs and interval closes are
+    * window arithmetic over a (ts_us, event_id) total order, so the
+    * oracle replays them exactly; one Exchange on user_id end to end.
+    */
+  val q128Scd2: QueryDef = QueryDef(
+    "q128_scd2_intervals",
+    (s, dir) => graft.operators.Scd2.build(Tables(s, dir, "events"),
+        col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumnRenamed("k", "user_id")
+      .withColumnRenamed("attr", "event_type")
+      .orderBy(col("user_id"), col("valid_from_us")),
+    Some("""
+      WITH e AS (
+        SELECT user_id AS k, event_type AS attr,
+          CAST(epoch_ns(ts) // 1000 AS BIGINT) AS ts_us, event_id AS tb
+        FROM events),
+      o AS (
+        SELECT k, attr, ts_us, tb,
+          CASE WHEN lag(attr) OVER (PARTITION BY k ORDER BY ts_us, tb)
+            IS NOT DISTINCT FROM attr THEN 0 ELSE 1 END AS chg
+        FROM e),
+      r AS (
+        SELECT k, attr, ts_us,
+          CAST(SUM(chg) OVER (PARTITION BY k ORDER BY ts_us, tb
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_id
+        FROM o),
+      g AS (
+        SELECT k, run_id, MIN(attr) AS attr,
+          MIN(ts_us) AS valid_from_us, COUNT(*) AS n_events
+        FROM r GROUP BY k, run_id),
+      f AS (
+        SELECT k AS user_id, attr AS event_type, valid_from_us,
+          lead(valid_from_us) OVER (PARTITION BY k ORDER BY run_id)
+            AS valid_to_us,
+          n_events
+        FROM g)
+      SELECT user_id, event_type, valid_from_us, valid_to_us, n_events,
+        valid_to_us IS NULL AS is_current
+      FROM f
+      ORDER BY user_id, valid_from_us"""),
+  )
+
+  // --------------------------------------------------------------- q129
+  /** Directional shingle containment
+    * ([[graft.operators.Dedup.containmentPairs]]): the asymmetric
+    * near-dup Jaccard can't see — a short document quoted whole
+    * inside a long one. Integer ppm score (inter·10⁶ div n_a), no
+    * float ratio anywhere; the oracle replays string-level 3-gram
+    * sets (distinct hashed shingles ≡ distinct string shingles,
+    * q34's argument).
+    */
+  val q129Containment: QueryDef = QueryDef(
+    "q129_containment_pairs",
+    (s, dir) => graft.operators.Dedup.containmentPairs(
+        Tables(s, dir, "documents"), col("doc_id"), col("text"),
+        n = 3, minPpm = 600000L)
+      .orderBy(col("id_a"), col("id_b")),
+    Some("""
+      WITH docs AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      sh AS (
+        SELECT doc_id,
+          list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                         for i in range(1, len(t) - 1)]) AS shingles
+        FROM docs WHERE len(t) >= 3),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(len(list_intersect(a.shingles, b.shingles)) * 1000000
+            // len(a.shingles) AS BIGINT) AS cont_ppm
+        FROM sh a JOIN sh b ON a.doc_id <> b.doc_id)
+      SELECT id_a, id_b, cont_ppm FROM pairs
+      WHERE cont_ppm >= 600000
+      ORDER BY id_a, id_b"""),
+  )
+
   val all: Seq[QueryDef] =
-    Seq(q124StreamDedupIndex, q125BpeMerges, q126Bm25)
+    Seq(q124StreamDedupIndex, q125BpeMerges, q126Bm25,
+      q127BpeTokenCounts, q128Scd2, q129Containment)
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Graph, Vocabulary}
+import graft.operators.{Dedup, Graph, Scd2, Vocabulary}
 import org.apache.spark.sql.functions._
 
 /** Round-7 operator semantics: OOV-rate vocabulary scoring, incremental
@@ -70,6 +70,81 @@ class CorpusOpsSpec extends SparkSpec {
       .collect()(0)
     assert((first.getString(1), first.getString(2), first.getLong(3))
       === ("b", "a", 2L))
+  }
+
+  test("bpeEncodeTokens: explicit merge table replays in rank order") {
+    val df = Seq("aaaa", "ab", "ba").toDF("word")
+    def counts(table: Seq[(String, String)]): Seq[Long] =
+      df.select(Vocabulary.bpeEncodeTokens(col("word"), table))
+        .collect().map(_.getLong(0)).toSeq
+    // one merge: 'aaaa' -> [aa, aa] (pairwise, not every-other)
+    assert(counts(Seq(("a", "a"))) === Seq(2L, 2L, 2L))
+    // rank order matters: (a,a) then (aa,aa) collapses the run fully
+    assert(counts(Seq(("a", "a"), ("aa", "aa"))) === Seq(1L, 2L, 2L))
+    // (a,b) merges 'ab' but never 'ba'
+    assert(counts(Seq(("a", "b"))) === Seq(4L, 1L, 2L))
+  }
+
+  test("bpeTokenCounts: train -> apply per-doc word/token accounting") {
+    // corpus words: aaab x2, ab x2, ba x1. Learned merges (2 steps):
+    // (a,a) freq 4 (rhs tiebreak over (a,b)), then (a,b) freq 4.
+    // Encodings: aaab -> [aa, ab] = 2, ab -> [ab] = 1, ba -> [b, a] = 2
+    val docs = Seq((1L, "aaab aaab ab"), (2L, "ab ba"))
+      .toDF("doc_id", "text")
+    val out = Vocabulary.bpeTokenCounts(docs, col("doc_id"), col("text"),
+        merges = 2)
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq === Seq((1L, 3L, 5L), (2L, 2L, 3L)))
+  }
+
+  test("containmentPairs: directional score, integer ppm, dfCap recall") {
+    val docs = Seq(
+      (1L, "p q r s t u"),          // 4 distinct 3-grams, all inside doc 2
+      (2L, "x p q r s t u y"),      // 6 distinct 3-grams
+      (3L, "z z z z z"),            // 1 gram, disjoint
+    ).toDF("doc_id", "text")
+    def run(minPpm: Long, cap: Option[Long] = None) =
+      Dedup.containmentPairs(docs, col("doc_id"), col("text"), 3,
+          minPpm, cap)
+        .orderBy("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // asymmetric: 1⊂2 at 4/4; 2⊃1 only 4/6 = 666666 ppm
+    assert(run(700000L) === Seq((1L, 2L, 1000000L)))
+    assert(run(600000L) === Seq((1L, 2L, 1000000L), (2L, 1L, 666666L)))
+    // dfCap drops shared grams (df=2 here): recall can only fall
+    assert(run(600000L, cap = Some(1L)) === Seq())
+  }
+
+  test("scd2: runs, interval closes, ties, and null-attribute runs") {
+    val events = Seq(
+      // user 1: a a b a -> three intervals, last open
+      (1L, 1000L, 1L, "a"), (2L, 2000L, 1L, "a"),
+      (3L, 3000L, 1L, "b"), (4L, 4000L, 1L, "a"),
+      // user 2: single event, current from the start
+      (5L, 500L, 2L, "x"),
+      // user 3: equal timestamps -> event_id breaks the tie
+      (6L, 100L, 3L, "a"), (7L, 100L, 3L, "b"),
+      // user 4: nulls form a run of their own
+      (8L, 10L, 4L, null), (9L, 20L, 4L, null), (10L, 30L, 4L, "c"),
+    ).toDF("event_id", "sec", "user_id", "event_type")
+      .withColumn("ts", col("sec").cast("timestamp"))
+    val out = Scd2.build(events, col("user_id"), col("event_type"),
+        col("ts"), col("event_id"))
+      .orderBy("k", "valid_from_us").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)),
+        r.getLong(2) / 1000000L,
+        if (r.isNullAt(3)) -1L else r.getLong(3) / 1000000L,
+        r.getLong(4), r.getBoolean(5))).toSeq
+    assert(out === Seq(
+      (1L, Some("a"), 1000L, 3000L, 2L, false),
+      (1L, Some("b"), 3000L, 4000L, 1L, false),
+      (1L, Some("a"), 4000L, -1L, 1L, true),
+      (2L, Some("x"), 500L, -1L, 1L, true),
+      (3L, Some("a"), 100L, 100L, 1L, false),
+      (3L, Some("b"), 100L, -1L, 1L, true),
+      (4L, None, 10L, 30L, 2L, false),
+      (4L, Some("c"), 30L, -1L, 1L, true)))
   }
 
   test("incrementalDedup: history, in-batch, and new verdicts") {

@@ -164,6 +164,33 @@ class ScaleDesignSpec extends SparkSpec {
       s"first-keep should partial-aggregate map-side:\n$plan")
   }
 
+  test("scd2 build runs on ONE exchange: windows, run groupBy, and lead share it") {
+    // The change-flag/running-sum windows hash-partition on the key;
+    // the (key, run_id) groupBy is a superset of that partitioning
+    // (ClusteredDistribution is satisfied, Catalyst adds no second
+    // Exchange), and the closing lead window re-sorts but never
+    // re-shuffles. One corpus-sized Exchange total is the contract.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.Exchange
+    def flattenAll(p: SparkPlan): Seq[SparkPlan] = {
+      val below = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      p +: below.flatMap(flattenAll)
+    }
+    val dim = graft.operators.Scd2.build(Tables(spark, sfDir, "events"),
+      col("user_id"), col("event_type"), col("ts"), col("event_id"))
+    dim.collect() // finalize AQE
+    val exchanges = flattenAll(dim.queryExecution.executedPlan)
+      .count(_.isInstanceOf[Exchange])
+    assert(exchanges === 1,
+      s"scd2 must shuffle exactly once, saw $exchanges:\n" +
+        dim.queryExecution.executedPlan)
+  }
+
   test("stored dedup indexes: day-2 joins never exchange the history side") {
     import graft.operators.DedupIndex
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
