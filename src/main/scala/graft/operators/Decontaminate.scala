@@ -63,4 +63,43 @@ object Decontaminate {
       .join(broadcast(grams), Seq("gram"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
   }
+
+  /** Graduated contamination report: per flagged document, the distinct
+    * shingle count, the overlap count, and the overlap fraction in
+    * integer parts-per-million — the decision variable real screens
+    * threshold on (a doc quoting one benchmark sentence is not a doc
+    * THAT IS the benchmark; pipelines drop at e.g. ≥ 50% 8-gram
+    * overlap and audit the tail). Only documents at or above `minPpm`
+    * survive, so the report is candidate-sized, never corpus-sized.
+    *
+    * Same scale shape as [[contaminated]] — bloom prefilter on the
+    * scan, broadcast verify, one candidate-sized groupBy — with the
+    * document's own distinct-shingle count riding the candidate rows
+    * (no second corpus pass). The fraction is pure integer arithmetic
+    * (`n_overlap · 10⁶ div n_shingles`), bit-identical in any engine.
+    */
+  def contaminationReport(corpus: DataFrame, id: Column, text: Column,
+      benchGrams: DataFrame, n: Int, minPpm: Long,
+      fpp: Double = 0.01): DataFrame = {
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1), got $fpp")
+    val grams = benchGrams.select(col("gram")).localCheckpoint()
+    val sh = corpus.select(id.as("doc_id"),
+        ShingleHashes.shingle_hashes(text, n).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val nGrams = grams.count()
+    if (nGrams == 0)
+      return sh.select(col("doc_id"), lit(0L).as("n_shingles"),
+        lit(0L).as("n_overlap"), lit(0L).as("overlap_ppm")).limit(0)
+    val bloom = grams.stat.bloomFilter("gram", nGrams, fpp)
+    sh.filter(BloomAnyContain.bloom_any_contain(col("sh"), bloom))
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"),
+        explode(col("sh")).as("gram"))
+      .join(broadcast(grams), Seq("gram"))
+      .groupBy(col("doc_id"), col("n_shingles"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .withColumn("overlap_ppm", expr("n_overlap * 1000000 div n_shingles"))
+      .filter(col("overlap_ppm") >= minPpm)
+      .select(col("doc_id"), col("n_shingles"), col("n_overlap"),
+        col("overlap_ppm"))
+  }
 }

@@ -135,6 +135,39 @@ object Scale {
     * narrow no-shuffle mixtureSample rate filter, then run this exact
     * pass over the few-× remainder.
     */
+  /** Temperature-scaled mixture budgets: per-source token budgets
+    * proportional to n_i^τ at τ = 0.5 — the classic multilingual /
+    * domain-mixture reweighting (upsample the tail, damp the head;
+    * sampling ∝ p^τ, cf. the temperature-sampling rule in
+    * multilingual pretraining). τ is FIXED at 0.5 deliberately: sqrt
+    * is a correctly-rounded IEEE primitive, so the weights are
+    * bit-identical in any engine, where a general `pow` (libm) is
+    * not — the same determinism argument as BM25's rational idf.
+    *
+    * `budget_i = floor(total · sqrt(n_i) / Σ_j sqrt(n_j))`, the sum
+    * folded in source-name ascending order — a fixed sequence of
+    * correctly-rounded double ops, replayable as an ordered
+    * list-reduce. Per-source totals are a driver-sized aggregate by
+    * definition (sources are a handful); the corpus pays one
+    * map-side-combining groupBy. Flooring under-allocates at most
+    * |sources| tokens of `total` — the honest remainder, not
+    * redistributed, so no source exceeds its proportional share.
+    */
+  def temperatureBudgets(df: DataFrame,
+      source: org.apache.spark.sql.Column,
+      tokens: org.apache.spark.sql.Column, total: Long): Map[String, Long] = {
+    require(total > 0, "total budget must be positive")
+    val counts = df
+      .select(source.as("source"), tokens.cast("long").as("n"))
+      .groupBy(col("source")).agg(sum(col("n")).as("n"))
+      .orderBy(col("source")).collect()
+      .map(r => (r.getString(0), math.sqrt(r.getLong(1).toDouble)))
+    val tot = counts.foldLeft(0.0)(_ + _._2)
+    counts.map { case (s, w) =>
+      s -> math.floor(total.toDouble * w / tot).toLong
+    }.toMap
+  }
+
   def tokenBudgetSample(df: DataFrame, source: org.apache.spark.sql.Column,
       id: org.apache.spark.sql.Column, tokens: org.apache.spark.sql.Column,
       budgets: Map[String, Long], defaultBudget: Long): DataFrame = {

@@ -265,7 +265,110 @@ $union
       ORDER BY id_a, id_b"""),
   )
 
+  // --------------------------------------------------------------- q130
+  /** Graduated contamination report
+    * ([[graft.operators.Decontaminate.contaminationReport]]): per
+    * flagged document the distinct-8-gram count, overlap count, and
+    * integer-ppm overlap fraction vs the doc_id % 10 holdout — the
+    * decision variable real screens threshold on, where q62 answers
+    * only yes/no. Bloom prefilter + broadcast verify; the fraction
+    * replays at string level (distinct hashed shingles ≡ distinct
+    * string shingles, q34's argument).
+    */
+  val q130ContaminationReport: QueryDef = QueryDef(
+    "q130_contamination_report",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      graft.operators.Decontaminate.contaminationReport(
+          docs.filter(col("doc_id") % 10 =!= 0),
+          col("doc_id"), col("text"),
+          graft.operators.Decontaminate.benchmarkShingles(
+            docs.filter(col("doc_id") % 10 === 0), col("text"), n = 8),
+          n = 8, minPpm = 200000L)
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH g8 AS (
+        SELECT doc_id,
+          list_distinct([list_reduce(t[i:i+7], (a, b) -> a || ' ' || b)
+                         for i in range(1, len(t) - 6)]) AS g
+        FROM (SELECT doc_id, string_split(text, ' ') AS t
+              FROM documents WHERE doc_id % 10 <> 0)
+        WHERE len(t) >= 8),
+      bench AS (
+        SELECT DISTINCT unnest(g) AS gram FROM (
+          SELECT list_distinct([list_reduce(t[i:i+7], (a, b) -> a || ' ' || b)
+                                for i in range(1, len(t) - 6)]) AS g
+          FROM (SELECT string_split(text, ' ') AS t
+                FROM documents WHERE doc_id % 10 = 0)
+          WHERE len(t) >= 8)),
+      hits AS (
+        SELECT doc_id, COUNT(*) AS n_overlap
+        FROM (SELECT doc_id, unnest(g) AS gram FROM g8) cg
+        JOIN bench USING (gram)
+        GROUP BY doc_id),
+      rep AS (
+        SELECT h.doc_id, CAST(len(s.g) AS BIGINT) AS n_shingles,
+          h.n_overlap,
+          CAST(h.n_overlap * 1000000 // len(s.g) AS BIGINT) AS overlap_ppm
+        FROM hits h JOIN g8 s USING (doc_id))
+      SELECT doc_id, n_shingles, n_overlap, overlap_ppm FROM rep
+      WHERE overlap_ppm >= 200000
+      ORDER BY doc_id"""),
+  )
+
+  // --------------------------------------------------------------- q131
+  /** Temperature-scaled mixture sampling
+    * ([[graft.operators.Scale.temperatureBudgets]] feeding q77's
+    * budget cut): per-source budgets ∝ sqrt(source tokens) — the
+    * τ = 0.5 temperature reweighting of multilingual pretraining,
+    * chosen because sqrt is the one power that is a correctly-rounded
+    * IEEE primitive, so the budget table replays bit-for-bit (the
+    * Σ sqrt folds in source-name order in both engines). The cut
+    * itself is q77's deterministic LCG-ordered cumulative window.
+    */
+  val q131TemperatureMixture: QueryDef = QueryDef(
+    "q131_temperature_mixture",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val nTokens = size(split(col("text"), " "))
+      val budgets = graft.operators.Scale.temperatureBudgets(
+        docs, col("source"), nTokens, total = 20000L)
+      graft.operators.Scale.tokenBudgetSample(docs, col("source"),
+          col("doc_id"), nTokens, budgets, defaultBudget = 0L)
+        .orderBy(col("source"), col("cum_tokens"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT source, doc_id AS id, len(string_split(text, ' ')) AS n_tokens,
+          ((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648 AS h
+        FROM documents),
+      agg AS (
+        SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS n
+        FROM d GROUP BY source),
+      tot AS (
+        SELECT list_reduce(
+          [0.0::DOUBLE] || list(sqrt(CAST(n AS DOUBLE)) ORDER BY source),
+          (a, v) -> a + v) AS t
+        FROM agg),
+      b AS (
+        SELECT source,
+          CAST(floor(20000 * sqrt(CAST(n AS DOUBLE)) / tot.t) AS BIGINT)
+            AS budget
+        FROM agg, tot),
+      c AS (
+        SELECT source, id, n_tokens,
+          CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        FROM d)
+      SELECT c.source, c.id, c.n_tokens, c.cum_tokens
+      FROM c JOIN b USING (source)
+      WHERE c.cum_tokens <= b.budget
+      ORDER BY c.source, c.cum_tokens"""),
+  )
+
   val all: Seq[QueryDef] =
     Seq(q124StreamDedupIndex, q125BpeMerges, q126Bm25,
-      q127BpeTokenCounts, q128Scd2, q129Containment)
+      q127BpeTokenCounts, q128Scd2, q129Containment,
+      q130ContaminationReport, q131TemperatureMixture)
 }

@@ -183,6 +183,53 @@ class ScaleSpec extends SparkSpec {
     assert(empty.count() === 0)
   }
 
+  test("contaminationReport: ppm fractions, threshold cut, empty bench") {
+    val bench = Seq((100L, "b0 b1 b2 b3 b4 b5 b6 b7 b8 b9"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "x b1 b2 b3 b4 b5 b6 b7 b8 y"), // 1 of 3 distinct grams: 333333 ppm
+      (2L, "c0 c1 c2 c3 c4 c5 c6 c7 c8 c9"), // clean: absent
+      (3L, "b0 b1 b2 b3 b4 b5 b6 b7 b8 b9"), // identical: 1000000 ppm
+      (4L, "b1 b2 b3 b4 b5 b6 b7 b8 m0 m1 m2 m3 m4 m5 m6 m7 m8 m9 m10 m11"))
+      .toDF("doc_id", "text") // 1 of 13 grams: 76923 ppm, below cut
+    val grams = Decontaminate.benchmarkShingles(bench, col("text"), n = 8)
+    val out = Decontaminate.contaminationReport(corpus, col("doc_id"),
+        col("text"), grams, n = 8, minPpm = 200000L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq((1L, 3L, 1L, 333333L), (3L, 3L, 3L, 1000000L)))
+    val empty = Decontaminate.contaminationReport(corpus, col("doc_id"),
+      col("text"), grams.limit(0), n = 8, minPpm = 0L)
+    assert(empty.columns.toSeq ===
+      Seq("doc_id", "n_shingles", "n_overlap", "overlap_ppm"))
+    assert(empty.count() === 0)
+  }
+
+  test("temperatureBudgets: sqrt weights, floor under-allocation, budget cut") {
+    val docs = Tables(spark, sfDir, "documents")
+    val nTokens = size(split(col("text"), " "))
+    val budgets = Scale.temperatureBudgets(docs, col("source"), nTokens,
+      total = 20000L)
+    val counts = docs.select(col("source"), nTokens.cast("long").as("n"))
+      .groupBy("source").agg(sum("n").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(budgets.keySet === counts.keySet)
+    // floor never over-allocates, and drops < one token per source
+    assert(budgets.values.sum <= 20000L)
+    assert(budgets.values.sum > 20000L - budgets.size)
+    // τ=0.5 weighting: budgets ordered like sqrt(n), pairwise
+    val tot = counts.keys.toSeq.sorted
+      .foldLeft(0.0)((a, s) => a + math.sqrt(counts(s).toDouble))
+    for ((s, b) <- budgets)
+      assert(b === math.floor(20000L * math.sqrt(counts(s).toDouble) / tot)
+        .toLong)
+    // the cut respects each budget exactly
+    val sampled = Scale.tokenBudgetSample(docs, col("source"), col("doc_id"),
+        nTokens, budgets, defaultBudget = 0L)
+      .groupBy("source").agg(max("cum_tokens").as("used")).collect()
+    for (r <- sampled) assert(r.getLong(1) <= budgets(r.getString(0)))
+  }
+
   test("Decontaminate matches the direct exact overlap join on documents") {
     val docs = Tables(spark, sfDir, "documents")
     val grams = Decontaminate.benchmarkShingles(

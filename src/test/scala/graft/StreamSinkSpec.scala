@@ -7,6 +7,52 @@ import org.apache.spark.sql.functions._
 
 class StreamSinkSpec extends SparkSpec {
 
+  test("checkpointed streaming state survives a restart: resume, not recount") {
+    // The operational property behind q124's continuously-maintained
+    // dedup index: a streaming job dies mid-corpus and must RESUME
+    // from its checkpoint, not recount. The proof is adversarial —
+    // after phase 1 the already-processed input file is DELETED, so
+    // phase 2's totals can only be right if phase 1's aggregation
+    // state was restored from the checkpoint; a recovery failure
+    // undercounts every phase-1 key and the batch compare fails.
+    val root = Files.createTempDirectory("graft_ckpt")
+    val in = root.resolve("in"); Files.createDirectories(in)
+    val ck = root.resolve("ck").toString
+    val docs = Tables(spark, sfDir, "documents")
+    def drop(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = root.resolve(s"stage_$name").toString
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, in.resolve(name))
+    }
+    val schema = docs.schema
+    def runOnce(): Map[String, (Long, Long)] = {
+      val q = spark.readStream.schema(schema).parquet(in.toString)
+        .groupBy(substring(col("text"), 1, 100).as("dedup_key"))
+        .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n"))
+        .writeStream.outputMode("complete").format("memory")
+        .queryName("graft_ckpt_recovery")
+        .option("checkpointLocation", ck).start()
+      q.processAllAvailable(); q.stop()
+      spark.table("graft_ckpt_recovery").collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    }
+    drop(docs.filter(col("doc_id") % 2 === 0), "a.parquet")
+    val phase1 = runOnce()
+    assert(phase1.nonEmpty)
+    Files.delete(in.resolve("a.parquet")) // kill the raw evidence
+    drop(docs.filter(col("doc_id") % 2 =!= 0), "b.parquet")
+    val phase2 = runOnce()
+    val batch = docs
+      .groupBy(substring(col("text"), 1, 100).as("dedup_key"))
+      .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(phase2 === batch,
+      "restarted stream does not equal the full-corpus batch index")
+  }
+
   test("append-mode parquet sink emits exactly the watermark-closed windows") {
     val out = Files.createTempDirectory("graft_stream_out").toString
     val ckpt = Files.createTempDirectory("graft_stream_ckpt").toString
