@@ -166,6 +166,22 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out(1).isNullAt(2) && out(3).isNullAt(2))
   }
 
+  test("incrementalDedup: null-keyed rows classify 'new', never drop") {
+    // the documented contract is EVERY batch document gets a verdict;
+    // a bare equi-join would silently lose null keys
+    val history = Seq((10L, "k1")).toDF("id", "key")
+    val incoming = Seq((20L, "k1"), (21L, null), (22L, null))
+      .toDF("id", "key")
+    val out = Dedup.incrementalDedup(history, incoming,
+        col("id"), col("key"))
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(20L, 21L, 22L))
+    assert(out(0).getString(1) === "dup_of_history")
+    // null != null: two null-keyed rows are NOT dups of each other
+    assert(out(1).getString(1) === "new" && out(1).isNullAt(2))
+    assert(out(2).getString(1) === "new" && out(2).isNullAt(2))
+  }
+
   test("incrementalNearDedup: verified matches only, keeps the rest") {
     val mk = (i: Long, t: String) => (i, t)
     val history = Seq(

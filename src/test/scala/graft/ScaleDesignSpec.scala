@@ -657,6 +657,17 @@ class ScaleDesignSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       operators.FrequencySketch.cmsCells(ev, col("user_id"), 100)
     }
+    // querying ARBITRARY keys is the point of a CMS: keys unseen at
+    // build time (and null) must come back est>=0, never vanish. An
+    // unseen key may still collide into occupied cells (one-sided
+    // error) but a probe into an empty cell must floor at 0.
+    val probes = spark.range(1).select(
+        explode(array(lit(-1L), lit(-999999L), lit(null).cast("long")))
+          .as("uid"))
+    val unseen = operators.FrequencySketch.cmsEstimates(cells, probes,
+      col("uid"), w).collect()
+    assert(unseen.length === 3, "no queried key may disappear")
+    assert(unseen.forall(r => !r.isNullAt(1) && r.getLong(1) >= 0L))
   }
 
   test("bloom pre-filter: no false negatives, honest FP accounting") {
