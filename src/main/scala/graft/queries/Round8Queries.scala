@@ -367,8 +367,52 @@ $union
       ORDER BY c.source, c.cum_tokens"""),
   )
 
+  // --------------------------------------------------------------- q132
+  /** Incremental materialized-view maintenance
+    * ([[graft.operators.IncrementalAgg]]): the per-customer order
+    * aggregate kept as a STORED state table (bucketed on the group
+    * key) and advanced by folding in a delta — history is never
+    * re-aggregated. The oracle aggregates the FULL table directly, so
+    * the green row proves the monoid law the operator is built on:
+    * `merge(state(history), state(delta)) == state(everything)`,
+    * exactly — the sum state is an integer-scaled long, so the merge
+    * is associative where a double sum would drift by reduction
+    * order.
+    */
+  val q132IncrementalMv: QueryDef = QueryDef(
+    "q132_incremental_mv",
+    (s, dir) => {
+      val ia = graft.operators.IncrementalAgg
+      val ords = Tables(s, dir, "orders")
+      ia.writeState(ia.state(ords.filter(col("o_orderkey") % 5 =!= 0),
+          col("o_custkey"), col("o_totalprice"), digits = 2),
+        s"graft_q132_state_$pid", buckets = 8)
+      ia.view(ia.mergeDelta(s.table(s"graft_q132_state_$pid"),
+          ords.filter(col("o_orderkey") % 5 === 0),
+          col("o_custkey"), col("o_totalprice"), digits = 2), digits = 2)
+        .orderBy(col("g"))
+    },
+    Some("""
+      SELECT o_custkey AS g, COUNT(o_totalprice) AS cnt,
+        CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS DOUBLE)
+          / 100.0 AS sum_x,
+        CAST(MIN(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS DOUBLE)
+          / 100.0 AS min_x,
+        CAST(MAX(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS DOUBLE)
+          / 100.0 AS max_x,
+        CASE WHEN COUNT(o_totalprice) > 0 THEN
+          CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS DOUBLE)
+            / (100.0 * COUNT(o_totalprice)) END AS avg_x
+      FROM orders
+      GROUP BY o_custkey
+      ORDER BY g"""),
+  )
+
+  private val pid = ProcessHandle.current().pid()
+
   val all: Seq[QueryDef] =
     Seq(q124StreamDedupIndex, q125BpeMerges, q126Bm25,
       q127BpeTokenCounts, q128Scd2, q129Containment,
-      q130ContaminationReport, q131TemperatureMixture)
+      q130ContaminationReport, q131TemperatureMixture,
+      q132IncrementalMv)
 }

@@ -283,6 +283,76 @@ class ScaleDesignSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
 
+  test("IncrementalAgg: monoid law, nulls, new groups, state-side unshuffled") {
+    import graft.operators.IncrementalAgg
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.Exchange
+    import spark.implicits._
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val below = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      p +: below.flatMap(flatten)
+    }
+    // unit semantics on a tiny frame: null measures count for nothing,
+    // a group with only nulls keeps null sum/min/max, a group only in
+    // the delta appears, and merge == one-shot recompute (exceptAll
+    // both ways so schema AND values must agree)
+    val hist = Seq((1L, Option(10.0)), (1L, None), (2L, Option(5.0)),
+      (4L, None)).toDF("g0", "x")
+    val delta = Seq((1L, Option(2.5)), (3L, Option(7.0)), (4L, None))
+      .toDF("g0", "x")
+    val merged = IncrementalAgg.mergeDelta(
+      IncrementalAgg.state(hist, col("g0"), col("x"), 2),
+      delta, col("g0"), col("x"), 2)
+    val full = IncrementalAgg.state(hist.unionByName(delta),
+      col("g0"), col("x"), 2)
+    assert(merged.exceptAll(full).count() === 0 &&
+      full.exceptAll(merged).count() === 0)
+    val g4 = merged.filter(col("g") === 4L).head()
+    assert(g4.getLong(1) === 0L && g4.isNullAt(2) && g4.isNullAt(3))
+    val v4 = IncrementalAgg.view(merged, 2).filter(col("g") === 4L).head()
+    assert(v4.isNullAt(5), "avg over zero measures must be null, not 0/0")
+
+    // at-scale shape: state read back from its bucketed table must
+    // reach the merge join with no Exchange (broadcast disabled to
+    // force the 100 TB plan, as in the dedup-index pin)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val ords = Tables(spark, sfDir, "orders")
+      IncrementalAgg.writeState(
+        IncrementalAgg.state(ords.filter(col("o_orderkey") % 5 =!= 0),
+          col("o_custkey"), col("o_totalprice"), 2),
+        "graft_spec_mv_state", buckets = 8)
+      val day2 = IncrementalAgg.mergeDelta(
+        spark.table("graft_spec_mv_state"),
+        ords.filter(col("o_orderkey") % 5 === 0),
+        col("o_custkey"), col("o_totalprice"), 2)
+      day2.collect()
+      val all = flatten(day2.queryExecution.executedPlan)
+      val scan = all.collectFirst {
+        case s: FileSourceScanExec if s.relation.location.rootPaths
+          .exists(_.toString.contains("graft_spec_mv_state")) => s
+      }.getOrElse(fail("no scan of the stored MV state"))
+      assert(scan.toString.contains("Bucketed: true"))
+      val aboveScan = all.takeWhile(_ ne scan) // preorder: root..scan
+      val joinIdx = aboveScan.lastIndexWhere(_.nodeName.contains("Join"))
+      assert(joinIdx >= 0, "state scan must feed a merge join")
+      assert(!aboveScan.drop(joinIdx).exists(_.isInstanceOf[Exchange]),
+        "no Exchange between the state scan and its consuming join:\n" +
+          day2.queryExecution.executedPlan)
+      // and the monoid law holds at table scale too
+      val fullOrd = IncrementalAgg.state(ords, col("o_custkey"),
+        col("o_totalprice"), 2)
+      assert(day2.exceptAll(fullOrd).count() === 0 &&
+        fullOrd.exceptAll(day2).count() === 0)
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
   test("round-7 operators stay equi-join only — no products anywhere") {
     val li = Tables(spark, sfDir, "lineitem")
       .select(col("l_orderkey").as("k"), col("l_partkey").as("p"))
