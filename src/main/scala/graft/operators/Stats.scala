@@ -106,6 +106,38 @@ object Stats {
         (abs(col("z")) >= flagAt).as("is_outlier"))
   }
 
+  /** Deterministic sampled quantiles — the 100 TB scale path for
+    * percentile estimation. Exact per-group `percentile` keeps every
+    * value of the group in the aggregation buffer: fine at q13's
+    * scale, a memory wall when one group holds 10¹⁰ rows. This
+    * computes the exact interpolated quantile OVER A 1/r SAMPLE,
+    * cutting buffer and shuffle by r while keeping rank error
+    * O(√(r/n)) w.h.p. (a uniform m-sample estimates any quantile to
+    * ±O(1/√m) rank).
+    *
+    * The sample is `hash32(id) mod r == 0` — membership is a pure
+    * function of row identity ([[graft.functions.PortableHash]], the
+    * replayable arithmetic hash), NOT an RNG: the same rows are
+    * chosen on every run, every engine, every partitioning, so the
+    * estimate is a hash-exact, oracle-checkable VALUE rather than a
+    * distribution — the same reproducibility argument as
+    * mixtureSample/lcgKey, applied to sketching. The filter is a
+    * narrow codegen'd predicate on the scan; the only shuffle is the
+    * r-times-smaller groupBy.
+    */
+  def sampledQuantiles(df: DataFrame, group: Column, id: Column,
+      x: Column, probs: Seq[Double], r: Int): DataFrame = {
+    require(r > 0, s"sampling modulus must be positive, got $r")
+    require(probs.nonEmpty, "need at least one quantile probability")
+    val qs = probs.zipWithIndex.map { case (p, i) =>
+      round(expr(s"percentile(x, ${p}d)"), 6).as(s"q$i") }
+    df.filter(pmod(graft.functions.PortableHash.hash32(id), lit(r.toLong))
+        === 0)
+      .select(group.as("g"), x.as("x"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_sample"), qs: _*)
+  }
+
   def profile(df: DataFrame, cols: Seq[(String, Column)]): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
     val aggs = cols.flatMap { case (n, c) => Seq(

@@ -408,11 +408,44 @@ $union
       ORDER BY g"""),
   )
 
+  // --------------------------------------------------------------- q133
+  /** Deterministic sampled quantiles
+    * ([[graft.operators.Stats.sampledQuantiles]]): exact interpolated
+    * percentiles over a hash32(id) mod 16 sample — the scale path
+    * where q13's exact percentile buffers a whole group. Because
+    * membership is the replayable arithmetic hash, the ESTIMATE is a
+    * hash-exact value: the oracle replays the hash chain, takes the
+    * identical sample, and must reproduce every quantile bit (after
+    * the shared round-6), not just be "close".
+    */
+  val q133SampledQuantiles: QueryDef = QueryDef(
+    "q133_sampled_quantiles",
+    (s, dir) =>
+      graft.operators.Stats.sampledQuantiles(Tables(s, dir, "events"),
+          col("event_type"), col("event_id"), col("value"),
+          probs = Seq(0.25, 0.5, 0.9), r = 16)
+        .orderBy(col("g")),
+    Some {
+      val steps = graft.functions.PortableHash.hash32SqlSteps("event_id")
+      s"""
+      WITH h0 AS (SELECT event_type, value, ${steps(0)} AS h FROM events),
+      h1 AS (SELECT event_type, value, ${steps(1)} AS h FROM h0),
+      h2 AS (SELECT event_type, value, ${steps(2)} AS h FROM h1),
+      hf AS (SELECT event_type, value, ${steps(3)} AS h FROM h2),
+      smp AS (SELECT event_type, value FROM hf WHERE h % 16 = 0)
+      SELECT event_type AS g, COUNT(*) AS n_sample,
+        ROUND(quantile_cont(value, 0.25), 6) AS q0,
+        ROUND(quantile_cont(value, 0.5), 6) AS q1,
+        ROUND(quantile_cont(value, 0.9), 6) AS q2
+      FROM smp GROUP BY event_type ORDER BY g"""
+    },
+  )
+
   private val pid = ProcessHandle.current().pid()
 
   val all: Seq[QueryDef] =
     Seq(q124StreamDedupIndex, q125BpeMerges, q126Bm25,
       q127BpeTokenCounts, q128Scd2, q129Containment,
       q130ContaminationReport, q131TemperatureMixture,
-      q132IncrementalMv)
+      q132IncrementalMv, q133SampledQuantiles)
 }

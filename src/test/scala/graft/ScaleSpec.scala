@@ -183,6 +183,40 @@ class ScaleSpec extends SparkSpec {
     assert(empty.count() === 0)
   }
 
+  test("sampledQuantiles: r=1 is exact, partition-invariant, sane error") {
+    import graft.operators.Stats
+    val ev = Tables(spark, sfDir, "events")
+    // r=1 keeps every row: must equal the exact percentile aggregate
+    val all = Stats.sampledQuantiles(ev, col("event_type"),
+      col("event_id"), col("value"), Seq(0.5), r = 1)
+    val exact = ev.groupBy(col("event_type").as("g"))
+      .agg(count(lit(1)).as("n_sample"),
+        round(expr("percentile(value, 0.5d)"), 6).as("q0"))
+    assert(all.exceptAll(exact).count() === 0 &&
+      exact.exceptAll(all).count() === 0)
+    // membership is content-hash: repartitioning must not move a bit
+    val s16 = Stats.sampledQuantiles(ev, col("event_type"),
+      col("event_id"), col("value"), Seq(0.25, 0.5, 0.9), r = 16)
+    val s16r = Stats.sampledQuantiles(ev.repartition(7, col("user_id")),
+      col("event_type"), col("event_id"), col("value"),
+      Seq(0.25, 0.5, 0.9), r = 16)
+    assert(s16.exceptAll(s16r).count() === 0 &&
+      s16r.exceptAll(s16).count() === 0)
+    // the estimate sits within a loose rank band of the truth: the
+    // sampled median must lie between the exact p25 and p75
+    val bands = ev.groupBy(col("event_type").as("g"))
+      .agg(expr("percentile(value, 0.25d)").as("lo"),
+        expr("percentile(value, 0.75d)").as("hi"))
+      .join(s16.select(col("g"), col("q1")), Seq("g"))
+    assert(bands.count() > 0)
+    assert(bands.filter(col("q1") < col("lo") || col("q1") > col("hi"))
+      .count() === 0, "sampled median outside the exact interquartile band")
+    intercept[IllegalArgumentException] {
+      Stats.sampledQuantiles(ev, col("event_type"), col("event_id"),
+        col("value"), Seq(0.5), r = 0)
+    }
+  }
+
   test("contaminationReport: ppm fractions, threshold cut, empty bench") {
     val bench = Seq((100L, "b0 b1 b2 b3 b4 b5 b6 b7 b8 b9"))
       .toDF("doc_id", "text")
