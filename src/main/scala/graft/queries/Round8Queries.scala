@@ -441,11 +441,30 @@ $union
     },
   )
 
+  // --------------------------------------------------------------- q134
+  /** q132's materialized view maintained BY Structured Streaming
+    * ([[graft.streaming.EventsStream.streamedMvState]]): the same
+    * monoid state as a stateful streaming aggregation in complete
+    * mode, drained and pushed through the same [[graft.operators
+    * .IncrementalAgg.view]]. Reuses q132's oracle — the one-shot
+    * full-table recompute — so the green row proves
+    * streaming == incremental-batch == full recompute, closing the
+    * triangle the way q124/q118 do for the dedup index and the
+    * count-min cells.
+    */
+  val q134StreamMv: QueryDef = QueryDef(
+    "q134_stream_mv",
+    (s, dir) => graft.operators.IncrementalAgg.view(
+        graft.streaming.EventsStream.streamedMvState(s, dir), digits = 2)
+      .orderBy(col("g")),
+    q132IncrementalMv.oracle,
+  )
+
   private val pid = ProcessHandle.current().pid()
 
   val all: Seq[QueryDef] =
     Seq(q124StreamDedupIndex, q125BpeMerges, q126Bm25,
       q127BpeTokenCounts, q128Scd2, q129Containment,
       q130ContaminationReport, q131TemperatureMixture,
-      q132IncrementalMv, q133SampledQuantiles)
+      q132IncrementalMv, q133SampledQuantiles, q134StreamMv)
 }

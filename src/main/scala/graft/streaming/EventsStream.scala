@@ -170,4 +170,31 @@ object EventsStream {
       w: Int): DataFrame =
     drainToLocal(graft.operators.FrequencySketch.cmsCells(
       eventsStream(spark, sfDir), col("user_id"), w), "graft_cms_")
+
+  private val ordersSchema = StructType(Seq(
+    StructField("o_orderkey", LongType),
+    StructField("o_custkey", LongType),
+    StructField("o_orderstatus", StringType),
+    StructField("o_totalprice", DoubleType),
+    StructField("o_orderdate", TimestampType),
+    StructField("o_orderpriority", StringType)))
+
+  /** The materialized-view state maintained BY Structured Streaming —
+    * the continuous form of q132's batch [[graft.operators
+    * .IncrementalAgg]] maintenance. The per-group (cnt, scaled sum,
+    * min, max) monoid runs as a stateful streaming aggregation in
+    * complete mode: state size is exactly |groups| (the MV's own
+    * size), updated per micro-batch, no nightly recompute anywhere.
+    * Drained on the bounded source it must equal the batch state
+    * bit-for-bit — the long-sum state is order-insensitive, so
+    * arrival order cannot move a bit (streaming-equals-batch, graded
+    * through q134 reusing q132's full-recompute oracle).
+    */
+  def streamedMvState(spark: SparkSession, sfDir: String): DataFrame =
+    drainToLocal(
+      graft.operators.IncrementalAgg.state(
+        spark.readStream.schema(ordersSchema)
+          .option("pathGlobFilter", "orders.parquet").parquet(sfDir),
+        col("o_custkey"), col("o_totalprice"), digits = 2),
+      "graft_mv_")
 }
