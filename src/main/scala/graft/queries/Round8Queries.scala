@@ -460,11 +460,56 @@ $union
     q132IncrementalMv.oracle,
   )
 
+  // --------------------------------------------------------------- q135
+  /** CDC apply ([[graft.operators.CdcApply]]): the events feed read
+    * as a change log over a per-user profile (error = delete, all
+    * else = upsert; order = (ts, event_id)), compacted per window by
+    * the no-window struct-max argmax and folded
+    * history-then-delta through [[graft.operators.CdcApply.merge]].
+    * The oracle computes the live state from the FULL log in one
+    * ROW_NUMBER pass, so the green row proves the maintenance law —
+    * merge(compact(history), compact(delta)) == live(compact(all)) —
+    * and the argmax-vs-window equivalence at once.
+    */
+  val q135CdcApply: QueryDef = QueryDef(
+    "q135_cdc_apply",
+    (s, dir) => {
+      val ca = graft.operators.CdcApply
+      val ev = Tables(s, dir, "events")
+      val op = when(col("event_type") === "error", lit("D"))
+        .otherwise(lit("U"))
+      val attrs = Seq(
+        "last_us" -> unix_micros(col("ts")),
+        "event_type" -> col("event_type"),
+        "value" -> col("value"))
+      val split = lit("2024-01-16").cast("timestamp")
+      def window(w: org.apache.spark.sql.DataFrame) =
+        ca.compact(w, col("user_id"), Seq(col("ts"), col("event_id")),
+          op, attrs)
+      ca.merge(window(ev.filter(col("ts") < split)),
+          window(ev.filter(col("ts") >= split)))
+        .orderBy(col("k"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_type, value, event_id,
+          CAST(epoch_ns(ts) // 1000 AS BIGINT) AS us
+        FROM events),
+      r AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+          ORDER BY us DESC, event_id DESC) AS rn
+        FROM e)
+      SELECT user_id AS k, us AS last_us, event_type, value
+      FROM r WHERE rn = 1 AND event_type <> 'error'
+      ORDER BY k"""),
+  )
+
   private val pid = ProcessHandle.current().pid()
 
   val all: Seq[QueryDef] =
     Seq(q124StreamDedupIndex, q125BpeMerges, q126Bm25,
       q127BpeTokenCounts, q128Scd2, q129Containment,
       q130ContaminationReport, q131TemperatureMixture,
-      q132IncrementalMv, q133SampledQuantiles, q134StreamMv)
+      q132IncrementalMv, q133SampledQuantiles, q134StreamMv,
+      q135CdcApply)
 }

@@ -147,6 +147,43 @@ class CorpusOpsSpec extends SparkSpec {
       (4L, Some("c"), 30L, -1L, 1L, true)))
   }
 
+  test("CdcApply: upsert, delete, resurrect, and the maintenance law") {
+    import graft.operators.CdcApply
+    val log = Seq(
+      // user 1: upsert then later upsert -> latest wins
+      (1L, 1000L, 1L, "U", "a"), (2L, 2000L, 1L, "U", "b"),
+      // user 2: upsert then delete -> gone from the live state
+      (3L, 1000L, 2L, "U", "x"), (4L, 3000L, 2L, "D", "x"),
+      // user 3: delete then RE-insert in the later window -> resurrects
+      (5L, 1000L, 3L, "D", "y"), (6L, 4000L, 3L, "U", "z"),
+      // user 4: history-only, untouched by the delta -> persists
+      (7L, 500L, 4L, "U", "keep"),
+      // user 5: appears only in the delta -> inserted
+      (8L, 5000L, 5L, "U", "born"),
+      // user 6: equal ts -> event_id tie-break picks the delete
+      (9L, 100L, 6L, "U", "t"), (10L, 100L, 6L, "D", "t"),
+    ).toDF("event_id", "seq", "user_id", "op0", "attr")
+    def compactW(w: org.apache.spark.sql.DataFrame) =
+      CdcApply.compact(w, col("user_id"),
+        Seq(col("seq"), col("event_id")), col("op0"),
+        Seq("attr" -> col("attr"), "seq" -> col("seq")))
+    val live = CdcApply.merge(
+      compactW(log.filter(col("seq") < 2500L)),
+      compactW(log.filter(col("seq") >= 2500L)))
+    val got = live.orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got === Seq((1L, "b", 2000L), (3L, "z", 4000L),
+      (4L, "keep", 500L), (5L, "born", 5000L)))
+    // the law: two-window maintenance == live state of one compact
+    val oneShot = compactW(log).filter(col("op") =!= "D")
+      .select(col("k"), col("attr"), col("seq"))
+    assert(live.exceptAll(oneShot).count() === 0 &&
+      oneShot.exceptAll(live).count() === 0)
+    intercept[IllegalArgumentException] {
+      CdcApply.merge(compactW(log), compactW(log).drop("seq"))
+    }
+  }
+
   test("incrementalDedup: history, in-batch, and new verdicts") {
     val history = Seq((10L, "k1"), (11L, "k1"), (12L, "k2"))
       .toDF("id", "key")
