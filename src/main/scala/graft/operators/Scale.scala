@@ -168,6 +168,32 @@ object Scale {
     }.toMap
   }
 
+  /** Join-key skew diagnosis — the measurement that DECIDES when
+    * [[saltedJoin]] is worth its fan-out. Per-key counts (one
+    * map-side-combining groupBy), then the top-N heavy keys with
+    * integer-exact shares: `share_ppm` (key rows per million corpus
+    * rows) and `skew_x` (rows in this key's shuffle partition vs a
+    * perfectly even spread, floor — i.e. how many times longer the
+    * straggler task runs than the average, the salt factor that
+    * would flatten it). The corpus total rides a one-row broadcast
+    * cross join (lazy, the bigramNovelty/topK pattern — no eager
+    * count() freezing a stale literal into the plan), and the top-N
+    * cut is a TakeOrdered heap, never a global sort.
+    */
+  def skewReport(df: DataFrame, key: org.apache.spark.sql.Column,
+      topN: Int, parts: Int): DataFrame = {
+    require(topN > 0 && parts > 0, "topN and parts must be positive")
+    val counts = df.select(key.as("k")).groupBy(col("k"))
+      .agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("n_total"))
+    counts.crossJoin(broadcast(total))
+      .select(col("k"), col("cnt"),
+        expr("cnt * 1000000 div n_total").as("share_ppm"),
+        expr(s"cnt * ${parts}L div n_total").as("skew_x"))
+      .orderBy(col("cnt").desc, col("k"))
+      .limit(topN)
+  }
+
   def tokenBudgetSample(df: DataFrame, source: org.apache.spark.sql.Column,
       id: org.apache.spark.sql.Column, tokens: org.apache.spark.sql.Column,
       budgets: Map[String, Long], defaultBudget: Long): DataFrame = {

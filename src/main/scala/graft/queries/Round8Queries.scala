@@ -504,6 +504,43 @@ $union
       ORDER BY k"""),
   )
 
+  // --------------------------------------------------------------- q136
+  /** q135's CDC live state maintained BY Structured Streaming
+    * ([[graft.streaming.EventsStream.streamedCdcLive]]): compact's
+    * argmax as a complete-mode stateful aggregation, state bounded by
+    * the live table's own size. Reuses q135's full-log oracle —
+    * streaming == windowed-batch == one-shot, the q124/q134 pairing
+    * applied to CDC.
+    */
+  val q136StreamCdc: QueryDef = QueryDef(
+    "q136_stream_cdc",
+    (s, dir) => graft.streaming.EventsStream.streamedCdcLive(s, dir)
+      .orderBy(col("k")),
+    q135CdcApply.oracle,
+  )
+
+  // --------------------------------------------------------------- q137
+  /** Join-key skew diagnosis ([[graft.operators.Scale.skewReport]]):
+    * the measurement that tells a 1000-executor job whether a join
+    * needs [[graft.operators.Scale.saltedJoin]] and at what fan-out —
+    * top keys with integer-exact corpus share (ppm) and straggler
+    * factor vs an even 32-partition spread. Every number is integer
+    * floor arithmetic over exact counts: hash-identical in any
+    * engine.
+    */
+  val q137SkewReport: QueryDef = QueryDef(
+    "q137_skew_report",
+    (s, dir) => graft.operators.Scale.skewReport(
+      Tables(s, dir, "events"), col("event_type"), topN = 5, parts = 32),
+    Some("""
+      WITH c AS (
+        SELECT event_type AS k, COUNT(*) AS cnt FROM events GROUP BY 1),
+      t AS (SELECT SUM(cnt) AS n_total FROM c)
+      SELECT k, cnt, CAST(cnt * 1000000 // n_total AS BIGINT) AS share_ppm,
+        CAST(cnt * 32 // n_total AS BIGINT) AS skew_x
+      FROM c, t ORDER BY cnt DESC, k LIMIT 5"""),
+  )
+
   private val pid = ProcessHandle.current().pid()
 
   val all: Seq[QueryDef] =
@@ -511,5 +548,5 @@ $union
       q127BpeTokenCounts, q128Scd2, q129Containment,
       q130ContaminationReport, q131TemperatureMixture,
       q132IncrementalMv, q133SampledQuantiles, q134StreamMv,
-      q135CdcApply)
+      q135CdcApply, q136StreamCdc, q137SkewReport)
 }

@@ -171,6 +171,28 @@ object EventsStream {
     drainToLocal(graft.operators.FrequencySketch.cmsCells(
       eventsStream(spark, sfDir), col("user_id"), w), "graft_cms_")
 
+  /** q135's CDC live state maintained BY Structured Streaming: the
+    * [[graft.operators.CdcApply.compact]] argmax runs as a stateful
+    * complete-mode aggregation (it is just `max(struct)` per key, so
+    * state is one record per key — the live table's own size), and
+    * the delete filter applies on the drained result. On the bounded
+    * source this must equal the batch one-shot compact of the full
+    * log bit-for-bit: argmax over a total order is arrival-order
+    * insensitive, the same argument as the q134 monoid. Graded
+    * through q136 reusing q135's full-log oracle.
+    */
+  def streamedCdcLive(spark: SparkSession, sfDir: String): DataFrame =
+    drainToLocal(
+      graft.operators.CdcApply.compact(
+        eventsStream(spark, sfDir), col("user_id"),
+        Seq(col("ts"), col("event_id")),
+        when(col("event_type") === "error", lit("D")).otherwise(lit("U")),
+        Seq("last_us" -> unix_micros(col("ts")),
+          "event_type" -> col("event_type"), "value" -> col("value"))),
+      "graft_cdc_")
+      .filter(col("op") =!= "D")
+      .select(col("k"), col("last_us"), col("event_type"), col("value"))
+
   private val ordersSchema = StructType(Seq(
     StructField("o_orderkey", LongType),
     StructField("o_custkey", LongType),

@@ -183,6 +183,27 @@ class ScaleSpec extends SparkSpec {
     assert(empty.count() === 0)
   }
 
+  test("skewReport: exact shares, straggler factor, top-N cut, tie order") {
+    val rows = Seq.fill(6)("hot") ++ Seq.fill(3)("warm") ++ Seq("cold")
+    val df = rows.zipWithIndex.map { case (k, i) => (i.toLong, k) }
+      .toDF("id", "key")
+    val full = Scale.skewReport(df, col("key"), topN = 3, parts = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(full === Seq(("hot", 6L, 600000L, 6L),
+      ("warm", 3L, 300000L, 3L), ("cold", 1L, 100000L, 1L)))
+    // top-N keeps the heaviest; ties break by key ascending
+    val cut = Scale.skewReport(df, col("key"), topN = 1, parts = 10)
+      .collect().map(_.getString(0)).toSeq
+    assert(cut === Seq("hot"))
+    val tied = Seq((1L, "b"), (2L, "a")).toDF("id", "key")
+    assert(Scale.skewReport(tied, col("key"), topN = 2, parts = 4)
+      .collect().map(_.getString(0)).toSeq === Seq("a", "b"))
+    intercept[IllegalArgumentException] {
+      Scale.skewReport(df, col("key"), topN = 0, parts = 10)
+    }
+  }
+
   test("sampledQuantiles: r=1 is exact, partition-invariant, sane error") {
     import graft.operators.Stats
     val ev = Tables(spark, sfDir, "events")
