@@ -259,4 +259,32 @@ object Search {
           i => coalesce(element_at(col("m"), i), lit(0.0))).as("v"))
     Dedup.cosinePairs(vecs, col("doc_id"), col("v"), threshold)
   }
+
+  /** Reciprocal-rank fusion (Cormack/Clarke/Büttcher) — the standard
+    * hybrid-retrieval combiner: each retriever contributes
+    * 1/(rrfK + rank) per document, ranks only, scores never compared
+    * across scorers (which is the whole point — BM25 micro-units and
+    * TF-IDF counts are incommensurable; ranks are not). Computed in
+    * exact integer parts-per-billion (`1e9 div (rrfK + rank)`), so
+    * the fused ordering is pure integer arithmetic — replayable in
+    * any engine, no float tie ambiguity; at the default rrfK = 60
+    * and k ≤ 1000 every reciprocal is distinct in ppb, so the
+    * integer floor is rank-faithful.
+    *
+    * Scale shape: the retrievers did the corpus-sized work; their
+    * outputs are k-row candidate lists, so fusion — union, one
+    * combining groupBy, TakeOrdered — touches ≤ Σk rows per query.
+    * Inputs carry (doc_id, rank) with rank 1-based.
+    */
+  def rrfFuse(ranked: Seq[DataFrame], k: Int, rrfK: Int = 60): DataFrame = {
+    require(ranked.nonEmpty, "rrfFuse needs at least one ranked list")
+    require(k > 0 && rrfK >= 0, "k must be positive, rrfK non-negative")
+    ranked.map(_.select(col("doc_id"),
+        expr(s"1000000000 div (${rrfK}L + rank)").as("c")))
+      .reduce(_.unionByName(_))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("rrf_ppb"), count(lit(1)).as("n_lists"))
+      .orderBy(col("rrf_ppb").desc, col("doc_id"))
+      .limit(k)
+  }
 }

@@ -541,6 +541,75 @@ $union
       FROM c, t ORDER BY cnt DESC, k LIMIT 5"""),
   )
 
+  // --------------------------------------------------------------- q138
+  /** Hybrid retrieval via reciprocal-rank fusion
+    * ([[graft.operators.Search.rrfFuse]]): BM25 (q126's scorer) and
+    * raw TF-IDF (q72's) each rank their top 30 for the same query,
+    * and RRF fuses the two candidate lists rank-only in integer ppb.
+    * The rank windows run over 30-row candidate lists (bounded by k,
+    * not the corpus — the retrievers already did the corpus-sized
+    * work), and the oracle replays both scorers' CTEs plus the
+    * integer reciprocal sum end to end.
+    */
+  val q138RrfFusion: QueryDef = QueryDef(
+    "q138_rrf_fusion",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables(s, dir, "documents")
+      val terms = Seq("data", "table", "query")
+      // candidate lists are k-sized: a single-partition rank window
+      // here is 30 rows, not a corpus sort
+      def ranked(df: org.apache.spark.sql.DataFrame) =
+        df.withColumn("rank", row_number().over(
+            Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+          .select(col("doc_id"), col("rank"))
+      graft.operators.Search.rrfFuse(Seq(
+          ranked(graft.operators.Search.bm25TopK(docs, col("doc_id"),
+            col("text"), terms, k = 30)),
+          ranked(graft.operators.Search.topK(docs, col("doc_id"),
+            col("text"), terms, k = 30))),
+        k = 20)
+    },
+    Some("""
+      WITH base AS (
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+        FROM documents),
+      n AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS tot FROM base),
+      f AS (
+        SELECT t.doc_id, b.dl, t.tk, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tk
+              FROM documents) t
+        JOIN base b USING (doc_id)
+        WHERE t.tk IN ('data', 'table', 'query')
+        GROUP BY t.doc_id, b.dl, t.tk),
+      d AS (SELECT tk, COUNT(*) AS df FROM f GROUP BY tk),
+      bm_m AS (
+        SELECT f.doc_id,
+          CAST(floor((n.n - d.df + 0.5) / (d.df + 0.5)
+            * (f.tf * 2.2)
+            / (f.tf + 1.2 * (1.0 - 0.75 + 0.75 * (f.dl * n.n) / n.tot))
+            * 1000000.0) AS BIGINT) AS micro
+        FROM f JOIN d USING (tk), n),
+      bm AS (
+        SELECT doc_id, CAST(SUM(micro) AS BIGINT) AS score
+        FROM bm_m GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 30),
+      tfidf AS (
+        SELECT f.doc_id, CAST(SUM(f.tf * (n.n - d.df)) AS BIGINT) AS score
+        FROM f JOIN d USING (tk), n
+        GROUP BY f.doc_id ORDER BY score DESC, f.doc_id LIMIT 30),
+      ranks AS (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+          AS rank FROM bm
+        UNION ALL
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+          AS rank FROM tfidf)
+      SELECT doc_id,
+        CAST(SUM(1000000000 // (60 + rank)) AS BIGINT) AS rrf_ppb,
+        COUNT(*) AS n_lists
+      FROM ranks GROUP BY doc_id
+      ORDER BY rrf_ppb DESC, doc_id LIMIT 20"""),
+  )
+
   private val pid = ProcessHandle.current().pid()
 
   val all: Seq[QueryDef] =
@@ -548,5 +617,5 @@ $union
       q127BpeTokenCounts, q128Scd2, q129Containment,
       q130ContaminationReport, q131TemperatureMixture,
       q132IncrementalMv, q133SampledQuantiles, q134StreamMv,
-      q135CdcApply, q136StreamCdc, q137SkewReport)
+      q135CdcApply, q136StreamCdc, q137SkewReport, q138RrfFusion)
 }

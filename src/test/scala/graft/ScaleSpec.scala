@@ -183,6 +183,26 @@ class ScaleSpec extends SparkSpec {
     assert(empty.count() === 0)
   }
 
+  test("rrfFuse: exact ppb reciprocals, cross-list consensus, ties") {
+    import graft.operators.Search
+    // retriever A ranks (10, 11, 12); retriever B ranks (11, 10, 13)
+    val a = Seq((10L, 1L), (11L, 2L), (12L, 3L)).toDF("doc_id", "rank")
+    val b = Seq((11L, 1L), (10L, 2L), (13L, 3L)).toDF("doc_id", "rank")
+    val out = Search.rrfFuse(Seq(a, b), k = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val r = (n: Long) => 1000000000L / (60L + n)
+    // 10 and 11 both sum r(1)+r(2) = equal score -> doc_id tie-break;
+    // consensus docs beat single-list docs at equal best rank
+    assert(out === Seq(
+      (10L, r(1) + r(2), 2L), (11L, r(1) + r(2), 2L),
+      (12L, r(3), 1L), (13L, r(3), 1L)))
+    // k cuts after ordering
+    assert(Search.rrfFuse(Seq(a, b), k = 1).collect()
+      .map(_.getLong(0)).toSeq === Seq(10L))
+    intercept[IllegalArgumentException] { Search.rrfFuse(Seq(), k = 5) }
+    intercept[IllegalArgumentException] { Search.rrfFuse(Seq(a), k = 0) }
+  }
+
   test("skewReport: exact shares, straggler factor, top-N cut, tie order") {
     val rows = Seq.fill(6)("hot") ++ Seq.fill(3)("warm") ++ Seq("cold")
     val df = rows.zipWithIndex.map { case (k, i) => (i.toLong, k) }
