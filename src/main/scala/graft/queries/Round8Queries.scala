@@ -610,6 +610,39 @@ $union
       ORDER BY rrf_ppb DESC, doc_id LIMIT 20"""),
   )
 
+  // --------------------------------------------------------------- q139
+  /** Deterministic curriculum order
+    * ([[graft.operators.Scale.curriculumOrder]]): length-binned
+    * easy→hard training order with an LCG intra-bin shuffle, ranked
+    * by the two-phase range ranking (one range exchange, no
+    * single-partition window — q117's graded operator shape). The
+    * oracle is the definition itself: ROW_NUMBER over
+    * (bin, lcg(id), id) minus one. Bit-equal positions prove both
+    * the ranking machinery and the replayable shuffle.
+    */
+  val q139Curriculum: QueryDef = QueryDef(
+    "q139_curriculum",
+    (s, dir) => {
+      val nTok = size(split(col("text"), " ")).cast("long")
+      graft.operators.Scale.curriculumOrder(
+          Tables(s, dir, "documents").select(col("doc_id"),
+            nTok.as("n_tokens"),
+            least(shiftright(nTok, 6), lit(7L)).as("bin")),
+          col("doc_id"), col("bin"))
+        .orderBy(col("curriculum_pos"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+          LEAST(len(string_split(text, ' ')) // 64, 7) AS bin,
+          ((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648 AS h
+        FROM documents)
+      SELECT doc_id, n_tokens, CAST(bin AS BIGINT) AS bin,
+        ROW_NUMBER() OVER (ORDER BY bin, h, doc_id) - 1 AS curriculum_pos
+      FROM d ORDER BY curriculum_pos"""),
+  )
+
   private val pid = ProcessHandle.current().pid()
 
   val all: Seq[QueryDef] =
@@ -617,5 +650,6 @@ $union
       q127BpeTokenCounts, q128Scd2, q129Containment,
       q130ContaminationReport, q131TemperatureMixture,
       q132IncrementalMv, q133SampledQuantiles, q134StreamMv,
-      q135CdcApply, q136StreamCdc, q137SkewReport, q138RrfFusion)
+      q135CdcApply, q136StreamCdc, q137SkewReport, q138RrfFusion,
+      q139Curriculum)
 }

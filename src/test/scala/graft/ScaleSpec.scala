@@ -183,6 +183,31 @@ class ScaleSpec extends SparkSpec {
     assert(empty.count() === 0)
   }
 
+  test("curriculumOrder: dense positions, bins in order, LCG intra-bin") {
+    val docs = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        least(shiftright(size(split(col("text"), " ")).cast("long"), 6),
+          lit(7L)).as("bin"))
+    val out = Scale.curriculumOrder(docs, col("doc_id"), col("bin"))
+    val rows = out.orderBy("curriculum_pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // dense 0..n-1, bins non-decreasing along the order
+    assert(rows.map(_._3).toSeq === rows.indices.map(_.toLong))
+    assert(rows.map(_._2).sliding(2).forall(p => p(0) <= p(1)))
+    // within a bin the order is the LCG permutation of ids
+    val lcg = (id: Long) =>
+      ((id % 2147483648L) * 1103515245L + 12345L) % 2147483648L
+    rows.groupBy(_._2).values.foreach { g =>
+      val ids = g.sortBy(_._3).map(_._1).toSeq
+      assert(ids === ids.sortBy(id => (lcg(id), id)),
+        "intra-bin order must be the LCG permutation")
+    }
+    // content arithmetic: repartitioning cannot move a position
+    val re = Scale.curriculumOrder(docs.repartition(13), col("doc_id"),
+      col("bin"))
+    assert(out.exceptAll(re).count() === 0 && re.exceptAll(out).count() === 0)
+  }
+
   test("rrfFuse: exact ppb reciprocals, cross-list consensus, ties") {
     import graft.operators.Search
     // retriever A ranks (10, 11, 12); retriever B ranks (11, 10, 13)
