@@ -276,4 +276,37 @@ object Similarity {
         round(sum(round(col("v").cast("double") * 1000000, 0).cast("long"))
             .cast("double") / (count(lit(1)) * 1000000.0), 6)
           .as("centroid"))
+
+  /** ANN quality report — the eval harness every approximate
+    * retriever needs before it replaces the exact one: per query,
+    * recall@k against a ground-truth list and the reciprocal rank at
+    * which the TRUE nearest neighbor surfaces in the approximate
+    * list (1e6 div rank; 0 = missed). Both metrics are integer-exact
+    * rationals in ppm, so an approximation's QUALITY is itself a
+    * replayable, hash-checkable value — not a float summary.
+    *
+    * Inputs are (q_id, rank, n_id) candidate lists, k rows per query
+    * — the retrievers did the corpus-sized work, so every join and
+    * aggregate here touches ≤ k rows per query. Queries the
+    * approximate list misses entirely still report (recall 0, rr 0):
+    * the left join from the truth side is the audit's honesty.
+    */
+  def annQualityReport(truth: DataFrame, approx: DataFrame,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val t = truth.select(col("q_id"), col("rank").as("t_rank"), col("n_id"))
+    val a = approx.select(col("q_id"), col("rank").as("a_rank"),
+      col("n_id"))
+    val overlap = t.join(a, Seq("q_id", "n_id"))
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_overlap"),
+        min(when(col("t_rank") === 1, col("a_rank"))).as("nn_rank"))
+    t.select(col("q_id")).distinct()
+      .join(overlap, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        expr(s"coalesce(n_overlap, 0L) * 1000000 div ${k}L")
+          .as("recall_ppm"),
+        coalesce(expr("1000000 div nn_rank"), lit(0L)).as("nn_rr_ppm"))
+  }
 }
