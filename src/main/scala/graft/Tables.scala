@@ -15,17 +15,27 @@ object Tables {
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects ([PARQUET_TYPE_ILLEGAL]). Read it as raw nanos via the
-    * legacy conf and convert to a microsecond TimestampType column —
-    * sub-microsecond precision is irrelevant to every query semantics here
-    * (events are seconds apart; buckets are minutes+).
+  /** `events.ts` arrives in either of two parquet physical layouts
+    * depending on the generator: TIMESTAMP(NANOS) — which Spark's
+    * vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]), so it is read
+    * as raw nano longs via the legacy conf and truncated to micros —
+    * or TIMESTAMP(MICROS) (tz-naive), which Spark reads directly as
+    * TIMESTAMP_NTZ. Both normalize to a microsecond TimestampType
+    * column in the UTC session (every entrypoint pins
+    * spark.sql.session.timeZone=UTC, so the NTZ cast and
+    * timestamp_micros agree on the instant). Sub-microsecond precision
+    * is irrelevant to every query's semantics here (events are seconds
+    * apart; buckets are minutes+).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val ts = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_micros(expr("ts div 1000"))
+      case _ => col("ts").cast("timestamp")
+    }
+    raw.withColumn("ts", ts)
   }
 }

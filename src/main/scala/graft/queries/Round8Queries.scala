@@ -643,6 +643,131 @@ $union
       FROM d ORDER BY curriculum_pos"""),
   )
 
+  // --------------------------------------------------------------- q140
+  /** ANN quality report ([[graft.operators.Similarity
+    * .annQualityReport]]): the multi-probe LSH retriever (q39's graded
+    * operator) audited against the exact brute-force truth (q38's),
+    * per query — recall@10 and the reciprocal rank of the true nearest
+    * neighbor, both as integer ppm. The oracle replays BOTH retrievers
+    * (identical 8-plane signatures, probes, ranking) and the report
+    * join, so the approximation's measured quality is itself
+    * hash-checked — the eval harness is graded, not just the
+    * retrievers it evaluates.
+    */
+  val q140AnnQuality: QueryDef = QueryDef(
+    "q140_ann_quality",
+    (s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") < 5)
+      val truth = graft.operators.Similarity.bruteForceTopK(
+        emb, qs, col("vec_id"), col("embedding"), k = 10)
+      val approx = graft.operators.Similarity.lshTopK(
+        emb, qs, col("vec_id"), col("embedding"), k = 10)
+      graft.operators.Similarity.annQualityReport(truth, approx, k = 10)
+        .orderBy(col("q_id"))
+    },
+    Some(s"""
+      WITH z AS (SELECT vec_id, embedding,
+        sqrt(list_reduce([0.0::DOUBLE] || [CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding], (a, v) -> a + v)) AS nrm,
+        ${CurationQueries.lshCellSql(8)} AS bucket FROM embeddings),
+      qz AS (SELECT * FROM z WHERE vec_id < 5),
+      ex_scored AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+          list_reduce([0.0::DOUBLE] || [CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE) for i in range(1, len(q.embedding) + 1)], (x, v) -> x + v)
+            / (q.nrm * c.nrm) AS cosine
+        FROM qz q JOIN z c ON c.vec_id != q.vec_id),
+      truth AS (
+        SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id
+          ORDER BY cosine DESC, n_id) AS t_rank
+        FROM ex_scored QUALIFY t_rank <= 10),
+      qp AS (SELECT vec_id, embedding, nrm, xor(bucket, m) AS bucket
+        FROM qz, LATERAL (SELECT unnest([0, 1, 2, 4, 8, 16, 32, 64, 128]) AS m) probes),
+      cand AS (SELECT DISTINCT qp.vec_id AS q_id, c.vec_id AS n_id
+        FROM qp JOIN z c USING (bucket) WHERE c.vec_id != qp.vec_id),
+      ap_scored AS (SELECT cand.q_id, cand.n_id,
+        list_reduce([0.0::DOUBLE] || [CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) for i in range(1, len(a.embedding) + 1)], (x, v) -> x + v)
+          / (a.nrm * b.nrm) AS cosine
+        FROM cand JOIN z a ON a.vec_id = cand.q_id
+                  JOIN z b ON b.vec_id = cand.n_id),
+      approx AS (
+        SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id
+          ORDER BY cosine DESC, n_id) AS a_rank
+        FROM ap_scored QUALIFY a_rank <= 10),
+      overlap AS (
+        SELECT q_id, COUNT(*) AS n_overlap,
+          MIN(CASE WHEN t_rank = 1 THEN a_rank END) AS nn_rank
+        FROM truth JOIN approx USING (q_id, n_id)
+        GROUP BY q_id)
+      SELECT t.q_id,
+        COALESCE(o.n_overlap, 0) AS n_overlap,
+        COALESCE(o.n_overlap, 0) * 1000000 // 10 AS recall_ppm,
+        COALESCE(1000000 // o.nn_rank, 0) AS nn_rr_ppm
+      FROM (SELECT DISTINCT q_id FROM truth) t
+      LEFT JOIN overlap o USING (q_id)
+      ORDER BY q_id"""),
+  )
+
+  // --------------------------------------------------------------- q141
+  /** Oracle-replayable HyperLogLog ([[graft.operators.HyperLogLog]]):
+    * per-group approximate distinct parts from m = 64 six-bit
+    * registers, next to the exact count. Completes the graded sketch
+    * family (KMV q109, count-min q116/q118, bloom q110) with the
+    * industry-standard distinct estimator in its most Spark-native
+    * shape: two codegen'd hash aggregations, no UDAF, register table
+    * ≤ 64 rows per group. The oracle replays the PortableHash chain,
+    * the 26-arm leading-zero CASE, the per-register max, and the
+    * pure-integer α·m²/Σ2^−M estimate — so the ESTIMATES hash-match,
+    * not just the exact counts.
+    */
+  val q141HllReplay: QueryDef = QueryDef(
+    "q141_hll_replay",
+    (s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val est = graft.operators.HyperLogLog.estimates(
+        graft.operators.HyperLogLog.registers(
+          li, col("l_returnflag"), col("l_partkey")))
+      li.filter(col("l_partkey").isNotNull)
+        .groupBy(col("l_returnflag").as("g"))
+        .agg(countDistinct(col("l_partkey")).as("exact"))
+        .join(est, Seq("g"))
+        .select(col("g").as("flag"), col("exact"), col("estimate"),
+          round(abs(col("estimate") - col("exact")).cast("double") /
+            col("exact"), 4).as("rel_err"))
+        .orderBy(col("flag"))
+    },
+    Some {
+      val steps = graft.functions.PortableHash.hash32SqlSteps("l_partkey")
+      val rankCase = (1 to 26).map(r =>
+        s"WHEN w >= ${1L << (26 - r)} THEN $r").mkString(
+        "CASE ", " ", " ELSE 27 END")
+      val num = 709L * 64L * 64L * (1L << 27)
+      val sSql = "(s_hit + (64 - n_hit) * 134217728)"
+      s"""
+      WITH h0 AS (
+        SELECT l_returnflag AS flag, ${steps(0)} AS h
+        FROM lineitem WHERE l_partkey IS NOT NULL),
+      h1 AS (SELECT flag, ${steps(1)} AS h FROM h0),
+      h2 AS (SELECT flag, ${steps(2)} AS h FROM h1),
+      hf AS (SELECT flag, ${steps(3)} AS h FROM h2),
+      rw AS (SELECT flag, h % 64 AS reg, h // 64 AS w FROM hf),
+      regs AS (SELECT flag, reg, MAX($rankCase) AS m
+        FROM rw GROUP BY flag, reg),
+      sums AS (SELECT flag, CAST(SUM(134217728 >> m) AS BIGINT) AS s_hit,
+          COUNT(*) AS n_hit
+        FROM regs GROUP BY flag),
+      est AS (SELECT flag,
+          (2 * $num + 1000 * $sSql) // (2000 * $sSql) AS estimate
+        FROM sums),
+      ex AS (SELECT l_returnflag AS flag,
+          COUNT(DISTINCT l_partkey) AS exact
+        FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1)
+      SELECT ex.flag, ex.exact, est.estimate,
+        ROUND(CAST(ABS(est.estimate - ex.exact) AS DOUBLE) / ex.exact, 4)
+          AS rel_err
+      FROM ex JOIN est USING (flag) ORDER BY flag"""
+    },
+  )
+
   private val pid = ProcessHandle.current().pid()
 
   val all: Seq[QueryDef] =
@@ -651,5 +776,5 @@ $union
       q130ContaminationReport, q131TemperatureMixture,
       q132IncrementalMv, q133SampledQuantiles, q134StreamMv,
       q135CdcApply, q136StreamCdc, q137SkewReport, q138RrfFusion,
-      q139Curriculum)
+      q139Curriculum, q140AnnQuality, q141HllReplay)
 }

@@ -12,28 +12,41 @@ import org.apache.spark.sql.types._
   */
 object EventsStream {
 
-  /** Raw parquet schema with ts as nanosecond longs (the nanos-as-long
-    * legacy read, same as Tables.events).
+  /** Raw parquet schema with `ts` replaced by the layout-dependent
+    * type (see [[eventsStream]]).
     */
-  private val rawSchema = StructType(Seq(
+  private def rawSchema(tsType: DataType) = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
   /** The streaming file source requires a directory: stream the sf dir
-    * with a glob filter selecting only events.parquet. Sets the
-    * nanos-as-long conf the read depends on.
+    * with a glob filter selecting only events.parquet. `events.ts`
+    * arrives in either of two physical layouts (same story as
+    * [[graft.Tables.events]], which this mirrors so streaming equals
+    * batch bit-for-bit): TIMESTAMP(NANOS) — read as raw nano longs via
+    * the legacy conf and truncated to micros — or TIMESTAMP(MICROS)
+    * tz-naive, read as TIMESTAMP_NTZ and cast in the UTC session. The
+    * layout is probed from the parquet footer with a one-off batch
+    * schema read (metadata only, no data scan) because a streaming
+    * source needs its schema declared up front.
     */
   private[streaming] def eventsStream(spark: SparkSession, sfDir: String) = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(rawSchema)
+    val tsType =
+      spark.read.parquet(s"$sfDir/events.parquet").schema("ts").dataType
+    val raw = spark.readStream
+      .schema(rawSchema(tsType))
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val ts = tsType match {
+      case LongType => timestamp_micros(expr("ts div 1000"))
+      case _        => col("ts").cast("timestamp")
+    }
+    raw.withColumn("ts", ts)
   }
 
   /** The one windowed aggregation both the memory-drain query (q40) and

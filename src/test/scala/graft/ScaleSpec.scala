@@ -474,6 +474,65 @@ class ScaleSpec extends SparkSpec {
     assert(topk.filter(col("rank") > 5).count() === 0)
   }
 
+  test("ANN quality report: recall/rr ppm, missed queries report zeros") {
+    val truth = Seq(
+      (10L, 1L, 100L), (10L, 2L, 101L), (10L, 3L, 102L),
+      (10L, 4L, 103L), (10L, 5L, 104L),
+      (20L, 1L, 200L), (20L, 2L, 201L), (20L, 3L, 202L),
+      (20L, 4L, 203L), (20L, 5L, 204L)).toDF("q_id", "rank", "n_id")
+    val approx = Seq(
+      // q10: finds 3 of 5; the true NN (100) surfaces at rank 2
+      (10L, 1L, 101L), (10L, 2L, 100L), (10L, 3L, 999L),
+      (10L, 4L, 102L), (10L, 5L, 998L),
+      // q20: total miss — candidates share no ids with the truth
+      (20L, 1L, 997L), (20L, 2L, 996L)).toDF("q_id", "rank", "n_id")
+    val r = Similarity.annQualityReport(truth, approx, k = 5)
+      .orderBy("q_id").as[(Long, Long, Long, Long)].collect()
+    assert(r.toSeq === Seq(
+      (10L, 3L, 600000L, 500000L),
+      (20L, 0L, 0L, 0L)))
+  }
+
+  test("HLL: registers + integer estimate match reference arithmetic") {
+    import graft.operators.HyperLogLog
+    def hash32(x: Long): Long = {
+      val mod = 4294967296L; val mult = 73244475L
+      var h = ((x % mod) + mod) % mod
+      h = ((h ^ (h >> 16)) * mult) % mod
+      h = ((h ^ (h >> 16)) * mult) % mod
+      h ^ (h >> 16)
+    }
+    val keys = (1L to 5000L).map(_ * 17 + 3)
+    val rows = keys.map(k => ("a", Option(k))) ++
+      keys.take(100).map(k => ("a", Option(k))) ++ // dups: max idempotent
+      Seq(("a", Option.empty[Long]), ("b", Option(42L))) // null ignored
+    val df = rows.toDF("g", "k")
+    val regs = HyperLogLog.registers(df, col("g"), col("k"))
+    // reference: reg = h%64, w = h>>6, rank = 27 - bitlen(w) (w=0 → 27)
+    val want = keys.map(hash32).map { h =>
+      val w = h >> 6
+      (h % 64, if (w == 0) 27L else 27L - (64 - java.lang.Long.numberOfLeadingZeros(w)))
+    }.groupBy(_._1).map { case (r, xs) => (r, xs.map(_._2).max) }
+    val gotA = regs.filter(col("g") === "a")
+      .as[(String, Long, Long)].collect().map(t => (t._2, t._3)).toMap
+    assert(gotA === want)
+    // group b: single key 42 → exactly one register at the right rank
+    val gotB = regs.filter(col("g") === "b")
+      .as[(String, Long, Long)].collect()
+    val h42 = hash32(42L)
+    assert(gotB.toSeq === Seq(("b", h42 % 64,
+      27L - (64 - java.lang.Long.numberOfLeadingZeros(h42 >> 6)))))
+    // estimate: exact integer replay of α·m²/Σ2^−M over the registers
+    val s = (0L until 64L).map(r =>
+      1L << (27 - want.getOrElse(r, 0L).toInt)).sum
+    val num = 709L * 64L * 64L * (1L << 27)
+    val est = HyperLogLog.estimates(regs).filter(col("g") === "a")
+      .as[(String, Long)].collect().head._2
+    assert(est === (2 * num + 1000 * s) / (2000 * s))
+    // and the estimate is actually an estimate of 5000
+    assert(math.abs(est - 5000.0) / 5000.0 < 0.4)
+  }
+
   test("multimodal decode stub: schema + deterministic features") {
     val docs = Seq((0L, "hello world this is a test document"),
       (1L, ""), (2L, "short")).toDF("doc_id", "text")
