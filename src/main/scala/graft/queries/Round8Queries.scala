@@ -768,6 +768,64 @@ $union
     },
   )
 
+  // --------------------------------------------------------------- q142
+  /** The HLL register table maintained by Structured Streaming
+    * ([[graft.streaming.EventsStream.streamedHllRegisters]]), then fed
+    * through the same integer estimator as q141 and compared to the
+    * exact batch distinct — approximate distinct users per event type
+    * over the live event stream with ≤ 64 rows of state per group.
+    * The oracle rebuilds registers and estimate from the events table
+    * directly, so the graded claim is streaming-equals-batch down to
+    * the estimate's exact integer value.
+    */
+  val q142StreamHll: QueryDef = QueryDef(
+    "q142_stream_hll",
+    (s, dir) => {
+      val est = graft.operators.HyperLogLog.estimates(
+        graft.streaming.EventsStream.streamedHllRegisters(s, dir))
+      Tables(s, dir, "events")
+        .filter(col("user_id").isNotNull)
+        .groupBy(col("event_type").as("g"))
+        .agg(countDistinct(col("user_id")).as("exact"))
+        .join(est, Seq("g"))
+        .select(col("g").as("etype"), col("exact"), col("estimate"),
+          round(abs(col("estimate") - col("exact")).cast("double") /
+            col("exact"), 4).as("rel_err"))
+        .orderBy(col("etype"))
+    },
+    Some {
+      val steps = graft.functions.PortableHash.hash32SqlSteps("user_id")
+      val rankCase = (1 to 26).map(r =>
+        s"WHEN w >= ${1L << (26 - r)} THEN $r").mkString(
+        "CASE ", " ", " ELSE 27 END")
+      val num = 709L * 64L * 64L * (1L << 27)
+      val sSql = "(s_hit + (64 - n_hit) * 134217728)"
+      s"""
+      WITH h0 AS (
+        SELECT event_type AS etype, ${steps(0)} AS h
+        FROM events WHERE user_id IS NOT NULL),
+      h1 AS (SELECT etype, ${steps(1)} AS h FROM h0),
+      h2 AS (SELECT etype, ${steps(2)} AS h FROM h1),
+      hf AS (SELECT etype, ${steps(3)} AS h FROM h2),
+      rw AS (SELECT etype, h % 64 AS reg, h // 64 AS w FROM hf),
+      regs AS (SELECT etype, reg, MAX($rankCase) AS m
+        FROM rw GROUP BY etype, reg),
+      sums AS (SELECT etype, CAST(SUM(134217728 >> m) AS BIGINT) AS s_hit,
+          COUNT(*) AS n_hit
+        FROM regs GROUP BY etype),
+      est AS (SELECT etype,
+          (2 * $num + 1000 * $sSql) // (2000 * $sSql) AS estimate
+        FROM sums),
+      ex AS (SELECT event_type AS etype,
+          COUNT(DISTINCT user_id) AS exact
+        FROM events WHERE user_id IS NOT NULL GROUP BY 1)
+      SELECT ex.etype, ex.exact, est.estimate,
+        ROUND(CAST(ABS(est.estimate - ex.exact) AS DOUBLE) / ex.exact, 4)
+          AS rel_err
+      FROM ex JOIN est USING (etype) ORDER BY etype"""
+    },
+  )
+
   private val pid = ProcessHandle.current().pid()
 
   val all: Seq[QueryDef] =
@@ -776,5 +834,5 @@ $union
       q130ContaminationReport, q131TemperatureMixture,
       q132IncrementalMv, q133SampledQuantiles, q134StreamMv,
       q135CdcApply, q136StreamCdc, q137SkewReport, q138RrfFusion,
-      q139Curriculum, q140AnnQuality, q141HllReplay)
+      q139Curriculum, q140AnnQuality, q141HllReplay, q142StreamHll)
 }

@@ -206,6 +206,23 @@ object EventsStream {
       .filter(col("op") =!= "D")
       .select(col("k"), col("last_us"), col("event_type"), col("value"))
 
+  /** The HyperLogLog register table maintained BY Structured
+    * Streaming — the continuous form of q141's batch sketch and the
+    * cheapest possible distinct-tracking state: the (group, register)
+    * max-rank aggregation runs as a stateful complete-mode streaming
+    * aggregation, so state is at most 64 rows per group REGARDLESS of
+    * how many distinct keys the stream ever carries — the sketch
+    * property is exactly what bounds the streaming state. max() is
+    * order-insensitive, so the drained registers equal the batch-built
+    * registers bit-for-bit (streaming-equals-batch, graded through
+    * q142 with the same replayable integer estimate as q141).
+    */
+  def streamedHllRegisters(spark: SparkSession, sfDir: String): DataFrame =
+    drainToLocal(
+      graft.operators.HyperLogLog.registers(
+        eventsStream(spark, sfDir), col("event_type"), col("user_id")),
+      "graft_hll_")
+
   private val ordersSchema = StructType(Seq(
     StructField("o_orderkey", LongType),
     StructField("o_custkey", LongType),

@@ -580,6 +580,16 @@ class ScaleSpec extends SparkSpec {
     assert(streamed.exceptAll(batch.select("bucket_start", "event_type", "n")).count() === 0)
   }
 
+  test("streamed HLL registers equal the batch-built registers exactly") {
+    val streamed = graft.streaming.EventsStream
+      .streamedHllRegisters(spark, sfDir)
+    val batch = graft.operators.HyperLogLog.registers(
+      Tables(spark, sfDir, "events"), col("event_type"), col("user_id"))
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+  }
+
   test("streamed count-min cells equal the batch-built cells exactly") {
     val w = 256
     val streamed = graft.streaming.EventsStream
