@@ -65,6 +65,18 @@ object HyperLogLog {
       .agg(max(rank(col("w"))).as("m"))
   }
 
+  /** Union of register tables: max rank per register across every
+    * group in `regs`, relabelled `label` — the sketch merge. Because
+    * max-of-max is max, merging per-shard (or per-day, per-source)
+    * register tables yields EXACTLY the registers a single pass over
+    * the union would build — the property that lets 1000 executors
+    * (or 30 daily snapshots) each sketch their slice independently
+    * and combine in O(m) rows each, no re-scan.
+    */
+  def merge(regs: DataFrame, label: String): DataFrame =
+    regs.groupBy(col("reg")).agg(max(col("m")).as("m"))
+      .select(lit(label).as("g"), col("reg"), col("m"))
+
   /** Per-group integer HLL estimates from a register table:
     * (g, estimate). Unhit registers enter the sum as 2^27 (rank 0).
     */

@@ -826,6 +826,65 @@ $union
     },
   )
 
+  // --------------------------------------------------------------- q143
+  /** HLL sketch merge ([[graft.operators.HyperLogLog.merge]]): the
+    * per-event-type register tables (q142's state) unioned by
+    * per-register max into ONE global sketch, whose integer estimate
+    * is graded against the corpus-wide exact distinct. Because
+    * max-of-max is max, the merged registers equal what a single
+    * global pass would build — so the oracle can replay the registers
+    * globally while the engine takes the merge path, and the
+    * hash-match proves merge-of-parts equals whole. That equality is
+    * the 100 TB property: shards/days sketch independently (64 rows
+    * each) and combine without rescanning anything.
+    */
+  val q143HllMerge: QueryDef = QueryDef(
+    "q143_hll_merge",
+    (s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val est = graft.operators.HyperLogLog.estimates(
+        graft.operators.HyperLogLog.merge(
+          graft.operators.HyperLogLog.registers(
+            ev, col("event_type"), col("user_id")), "all"))
+      ev.filter(col("user_id").isNotNull)
+        .agg(countDistinct(col("user_id")).as("exact"))
+        .withColumn("g", lit("all"))
+        .join(est, Seq("g"))
+        .select(col("g").as("scope"), col("exact"), col("estimate"),
+          round(abs(col("estimate") - col("exact")).cast("double") /
+            col("exact"), 4).as("rel_err"))
+    },
+    Some {
+      val steps = graft.functions.PortableHash.hash32SqlSteps("user_id")
+      val rankCase = (1 to 26).map(r =>
+        s"WHEN w >= ${1L << (26 - r)} THEN $r").mkString(
+        "CASE ", " ", " ELSE 27 END")
+      val num = 709L * 64L * 64L * (1L << 27)
+      val sSql = "(s_hit + (64 - n_hit) * 134217728)"
+      s"""
+      WITH h0 AS (
+        SELECT ${steps(0)} AS h
+        FROM events WHERE user_id IS NOT NULL),
+      h1 AS (SELECT ${steps(1)} AS h FROM h0),
+      h2 AS (SELECT ${steps(2)} AS h FROM h1),
+      hf AS (SELECT ${steps(3)} AS h FROM h2),
+      rw AS (SELECT h % 64 AS reg, h // 64 AS w FROM hf),
+      regs AS (SELECT reg, MAX($rankCase) AS m FROM rw GROUP BY reg),
+      sums AS (SELECT CAST(SUM(134217728 >> m) AS BIGINT) AS s_hit,
+          COUNT(*) AS n_hit
+        FROM regs),
+      est AS (SELECT
+          (2 * $num + 1000 * $sSql) // (2000 * $sSql) AS estimate
+        FROM sums),
+      ex AS (SELECT COUNT(DISTINCT user_id) AS exact
+        FROM events WHERE user_id IS NOT NULL)
+      SELECT 'all' AS scope, ex.exact, est.estimate,
+        ROUND(CAST(ABS(est.estimate - ex.exact) AS DOUBLE) / ex.exact, 4)
+          AS rel_err
+      FROM ex CROSS JOIN est"""
+    },
+  )
+
   private val pid = ProcessHandle.current().pid()
 
   val all: Seq[QueryDef] =
@@ -834,5 +893,6 @@ $union
       q130ContaminationReport, q131TemperatureMixture,
       q132IncrementalMv, q133SampledQuantiles, q134StreamMv,
       q135CdcApply, q136StreamCdc, q137SkewReport, q138RrfFusion,
-      q139Curriculum, q140AnnQuality, q141HllReplay, q142StreamHll)
+      q139Curriculum, q140AnnQuality, q141HllReplay, q142StreamHll,
+      q143HllMerge)
 }

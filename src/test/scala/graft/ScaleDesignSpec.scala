@@ -809,6 +809,33 @@ class ScaleDesignSpec extends SparkSpec {
       s"prefix offsets should come back via broadcast:\n$plan")
   }
 
+  test("HLL registers: codegen'd hash agg with map-side partial, no UDAF") {
+    import graft.operators.HyperLogLog
+    val ev = Tables(spark, sfDir, "events")
+    val regs = HyperLogLog.registers(ev, col("event_type"), col("user_id"))
+    val plan = regs.queryExecution.executedPlan.toString
+    // declarative two-phase build: partial + final HashAggregate —
+    // each map task collapses to ≤ 64 rows per group pre-shuffle
+    val aggs = "HashAggregate".r.findAllIn(plan).size
+    assert(aggs >= 2, s"expected partial+final hash aggregates:\n$plan")
+    // no UDAF: ObjectHashAggregate/SortAggregate would mean the sketch
+    // fell out of whole-stage codegen (the KMV Aggregator's cost —
+    // HLL's entire point is staying declarative)
+    assert(!plan.contains("ObjectHashAggregate"), s"UDAF in plan:\n$plan")
+    assert(!plan.contains("SortAggregate"), s"sort agg in plan:\n$plan")
+    assert(plan.contains("partial_max"), s"no map-side combine:\n$plan")
+    // exactly one shuffle: the (g, reg) exchange; estimates add the
+    // second group-level exchange and nothing else
+    val ex = "Exchange".r.findAllIn(plan).size
+    assert(ex === 1, s"register build must shuffle exactly once:\n$plan")
+    // the scan reads only the two columns the sketch needs and the
+    // null filter reaches parquet
+    assert(plan.contains("PushedFilters: [IsNotNull(user_id)]"),
+      s"null filter must push to the scan:\n$plan")
+    assert(plan.contains("ReadSchema: struct<user_id:bigint,event_type:string>"),
+      s"scan must prune to the sketch's two columns:\n$plan")
+  }
+
   test("bigram novelty: partial aggregation below the frequency shuffle") {
     import graft.operators.CorpusStats
     val docs = Tables(spark, sfDir, "documents")

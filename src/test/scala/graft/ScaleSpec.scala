@@ -533,6 +533,24 @@ class ScaleSpec extends SparkSpec {
     assert(math.abs(est - 5000.0) / 5000.0 < 0.4)
   }
 
+  test("HLL merge: union of per-shard registers equals whole-corpus build") {
+    import graft.operators.HyperLogLog
+    val keys = (1L to 4000L).map(_ * 13 + 7)
+    val (lo, hi) = keys.splitAt(2000)
+    // overlap: 500 keys live in BOTH shards — merge must not double-count
+    val sharded = (lo.map(("s1", _)) ++ hi.map(("s2", _)) ++
+      lo.take(500).map(("s2", _))).toDF("g", "k")
+    val whole = keys.map(("all", _)).toDF("g", "k")
+    val merged = HyperLogLog.merge(
+      HyperLogLog.registers(sharded, col("g"), col("k")), "all")
+    val direct = HyperLogLog.registers(whole, col("g"), col("k"))
+    assert(merged.exceptAll(direct).count() === 0)
+    assert(direct.exceptAll(merged).count() === 0)
+    val estM = HyperLogLog.estimates(merged).as[(String, Long)].collect()
+    val estD = HyperLogLog.estimates(direct).as[(String, Long)].collect()
+    assert(estM.toSeq === estD.toSeq)
+  }
+
   test("multimodal decode stub: schema + deterministic features") {
     val docs = Seq((0L, "hello world this is a test document"),
       (1L, ""), (2L, "short")).toDF("doc_id", "text")
