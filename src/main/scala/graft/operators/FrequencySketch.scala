@@ -40,6 +40,36 @@ object FrequencySketch {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Equi-join output-size estimate from two cell tables built with
+    * the same (d, w) — the AMS/CMS inner-product estimator: per
+    * sketch row, Σ_pos cntA·cntB; the estimate is the min over rows.
+    * True size is Σ_k f_A(k)·f_B(k); hash collisions only ADD cross
+    * terms, so the estimate never undercounts — an upper bound a
+    * planner can trust for "can I afford this join" decisions without
+    * touching either table again (2·w longs per side, mergeable,
+    * reusable across every join the key participates in).
+    *
+    * Absent cells are zero counts, so the inner join over non-empty
+    * cells computes the full inner product; a row with NO overlapping
+    * non-empty cells has inner product 0, which the seeded left join
+    * preserves (otherwise min() would silently skip that row and
+    * return the other row's larger value — or nothing at all for two
+    * disjoint sketches, whose correct estimate is exactly 0).
+    *
+    * Overflow bound: each product ≤ n_A·n_B for row totals n; at 1e9
+    * rows a side the row inner product stays under 1e18 < 2^63. Above
+    * that, sketch shards and merge cells first (cnt sums stay exact).
+    */
+  def cmsJoinSize(cellsA: DataFrame, cellsB: DataFrame): DataFrame = {
+    import cellsA.sparkSession.implicits._
+    val ip = cellsA.select(col("row"), col("pos"), col("cnt").as("ca"))
+      .join(cellsB.select(col("row"), col("pos"), col("cnt").as("cb")),
+        Seq("row", "pos"))
+      .groupBy(col("row")).agg(sum(col("ca") * col("cb")).as("ip"))
+    Seq(0L, 1L).toDF("row").join(ip, Seq("row"), "left")
+      .agg(min(coalesce(col("ip"), lit(0L))).as("est_join_size"))
+  }
+
   /** Point estimates for `keys` (one column named by `keyName`):
     * min over the d rows of the addressed cells — ≥ the true count
     * always, equality unless another key collided in BOTH rows.

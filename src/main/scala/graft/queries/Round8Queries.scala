@@ -885,6 +885,80 @@ $union
     },
   )
 
+  // --------------------------------------------------------------- q144
+  /** Sketch-based join-size estimation ([[graft.operators
+    * .FrequencySketch.cmsJoinSize]]): predict |events ⋈ orders| on
+    * user/customer key from the two tables' CMS cell tables alone —
+    * the AMS inner-product estimator, min over the d rows of
+    * Σ cntA·cntB. The planner-style question ("can I afford this
+    * join?") answered from 2·2·w longs without touching either table;
+    * collisions only add, so the estimate never undercounts, and the
+    * `overcount` column grades that one-sided error exactly. Every
+    * step is portable integer arithmetic, so cells, inner products,
+    * and the final min replay hash-exactly in DuckDB.
+    */
+  val q144JoinSizeSketch: QueryDef = QueryDef(
+    "q144_join_size_sketch",
+    (s, dir) => {
+      val w = 1024
+      val ev = Tables(s, dir, "events")
+      val or = Tables(s, dir, "orders")
+      val est = graft.operators.FrequencySketch.cmsJoinSize(
+        graft.operators.FrequencySketch.cmsCells(ev, col("user_id"), w),
+        graft.operators.FrequencySketch.cmsCells(or, col("o_custkey"), w))
+      val exact = ev.filter(col("user_id").isNotNull)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("na"))
+        .join(or.filter(col("o_custkey").isNotNull)
+            .groupBy(col("o_custkey")).agg(count(lit(1)).as("nb")),
+          col("user_id") === col("o_custkey"))
+        .agg(coalesce(sum(col("na") * col("nb")), lit(0L))
+          .as("exact_join_size"))
+      exact.crossJoin(est)
+        .select(col("exact_join_size"), col("est_join_size"),
+          (col("est_join_size") - col("exact_join_size")).as("overcount"))
+    },
+    Some {
+      def chain(src: String, from: String) = s"""
+      ${src}h0 AS (
+        SELECT *, ((x % 4294967296) + 4294967296) % 4294967296 AS h
+        FROM $from),
+      ${src}h1 AS (SELECT * REPLACE(
+        (xor(h, h >> 16) * 73244475) % 4294967296 AS h) FROM ${src}h0),
+      ${src}h2 AS (SELECT * REPLACE(
+        (xor(h, h >> 16) * 73244475) % 4294967296 AS h) FROM ${src}h1),
+      ${src}hf AS (SELECT * REPLACE(xor(h, h >> 16) AS h) FROM ${src}h2)"""
+      s"""
+      WITH ev AS (SELECT user_id AS x FROM events
+                  WHERE user_id IS NOT NULL),
+      ${chain("e", "ev").trim},
+      oc AS (SELECT o_custkey AS x FROM orders
+             WHERE o_custkey IS NOT NULL),
+      ${chain("o", "oc").trim},
+      ac0 AS (SELECT h % 1024 AS pos, COUNT(*) AS cnt FROM ehf GROUP BY 1),
+      ac1 AS (SELECT (h >> 15) % 1024 AS pos, COUNT(*) AS cnt
+              FROM ehf GROUP BY 1),
+      bc0 AS (SELECT h % 1024 AS pos, COUNT(*) AS cnt FROM ohf GROUP BY 1),
+      bc1 AS (SELECT (h >> 15) % 1024 AS pos, COUNT(*) AS cnt
+              FROM ohf GROUP BY 1),
+      est AS (SELECT LEAST(
+          COALESCE((SELECT CAST(SUM(a.cnt * b.cnt) AS BIGINT)
+                    FROM ac0 a JOIN bc0 b USING (pos)), 0),
+          COALESCE((SELECT CAST(SUM(a.cnt * b.cnt) AS BIGINT)
+                    FROM ac1 a JOIN bc1 b USING (pos)), 0))
+          AS est_join_size),
+      ex AS (SELECT COALESCE(CAST(SUM(e.n * o.n) AS BIGINT), 0)
+          AS exact_join_size
+        FROM (SELECT user_id, COUNT(*) AS n FROM events
+              WHERE user_id IS NOT NULL GROUP BY 1) e
+        JOIN (SELECT o_custkey, COUNT(*) AS n FROM orders
+              WHERE o_custkey IS NOT NULL GROUP BY 1) o
+          ON e.user_id = o.o_custkey)
+      SELECT ex.exact_join_size, est.est_join_size,
+        est.est_join_size - ex.exact_join_size AS overcount
+      FROM ex CROSS JOIN est"""
+    },
+  )
+
   private val pid = ProcessHandle.current().pid()
 
   val all: Seq[QueryDef] =
@@ -894,5 +968,5 @@ $union
       q132IncrementalMv, q133SampledQuantiles, q134StreamMv,
       q135CdcApply, q136StreamCdc, q137SkewReport, q138RrfFusion,
       q139Curriculum, q140AnnQuality, q141HllReplay, q142StreamHll,
-      q143HllMerge)
+      q143HllMerge, q144JoinSizeSketch)
 }

@@ -740,6 +740,36 @@ class ScaleDesignSpec extends SparkSpec {
     assert(unseen.forall(r => !r.isNullAt(1) && r.getLong(1) >= 0L))
   }
 
+  test("CMS join-size: exact when collision-free, 0 when disjoint, ≥ truth") {
+    import graft.operators.FrequencySketch
+    val w = 1024
+    // A: key 1 ×3, key 2 ×2; B: key 1 ×4, key 3 ×5 → true size 3·4 = 12
+    val a = (Seq.fill(3)(1L) ++ Seq.fill(2)(2L)).toDF("k")
+    val b = (Seq.fill(4)(1L) ++ Seq.fill(5)(3L)).toDF("k")
+    val ca = FrequencySketch.cmsCells(a, col("k"), w)
+    val cb = FrequencySketch.cmsCells(b, col("k"), w)
+    val est = FrequencySketch.cmsJoinSize(ca, cb).as[Long].collect().head
+    assert(est === 12L) // 3 keys in 1024 cells: no collisions
+    // disjoint key sets → estimate must be exactly 0, not missing
+    val cc = FrequencySketch.cmsCells(Seq(99L, 98L).toDF("k"), col("k"), w)
+    val dj = FrequencySketch.cmsJoinSize(ca, cc).as[Long].collect().head
+    assert(dj === 0L)
+    // real tables: never undercounts
+    val ev = Tables(spark, sfDir, "events")
+    val or = Tables(spark, sfDir, "orders")
+    val got = FrequencySketch.cmsJoinSize(
+      FrequencySketch.cmsCells(ev, col("user_id"), w),
+      FrequencySketch.cmsCells(or, col("o_custkey"), w))
+      .as[Long].collect().head
+    val exact = ev.filter(col("user_id").isNotNull)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("na"))
+      .join(or.groupBy(col("o_custkey")).agg(count(lit(1)).as("nb")),
+        col("user_id") === col("o_custkey"))
+      .agg(coalesce(sum(col("na") * col("nb")), lit(0L)))
+      .as[Long].collect().head
+    assert(got >= exact, s"AMS estimate $got undercuts true size $exact")
+  }
+
   test("bloom pre-filter: no false negatives, honest FP accounting") {
     val li = Tables(spark, sfDir, "lineitem")
     val dim = Tables(spark, sfDir, "supplier")
