@@ -77,6 +77,52 @@ object Graph {
     ranks
   }
 
+  /** Synchronous label propagation over an (src, dst) edge list —
+    * the community-detection companion to [[pageRank]] (crawl
+    * pipelines cluster hosts/domains into communities for mixture
+    * and contamination decisions the same way they rank them).
+    * `iters` rounds: every node simultaneously adopts the label held
+    * by the most neighbors, ties broken by the SMALLEST label — the
+    * deterministic variant of LPA (Raghavan et al.'s original is
+    * random-order and unreproducible; synchronous + lexicographic
+    * tie-break makes every round a pure function of the last, which
+    * is what lets an iterative clustering hash-match an unrolled SQL
+    * replay). Labels start as the node ids.
+    *
+    * Scale shape per round — the same Pregel-as-joins layout as
+    * [[pageRank]]: one equi-join of the label table with the edge
+    * list, one map-side-combining (node, label) count, one argmax by
+    * min(struct(-cnt, label)) (an aggregate, never a data-sized
+    * window), one left join back to the node table. Labels and edges
+    * both key on the node id; localCheckpoint per round caps lineage
+    * exactly as in pageRank. Pass a symmetrized edge list for
+    * undirected semantics (votes flow src → dst).
+    */
+  def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1)
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint()
+    var labels = nodes.select(col("node"), col("node").as("label"))
+    for (_ <- 1 to iters) {
+      val votes = e
+        .join(labels.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst").as("node"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+      val winner = votes.groupBy(col("node"))
+        .agg(min(struct((-col("cnt")).as("nc"), col("label").as("l")))
+          .as("m"))
+        .select(col("node"), col("m.l").as("new_label"))
+      labels = nodes.join(winner, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("new_label"), col("node")).as("label"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
   /** Exact triangle census + global clustering coefficient over an
     * arbitrary (src, dst) edge list: one row
     * (n_nodes, n_edges, wedges, triangles, global_cc).

@@ -959,6 +959,60 @@ $union
     },
   )
 
+  // --------------------------------------------------------------- q145
+  /** Deterministic label propagation ([[graft.operators.Graph
+    * .labelPropagation]]): 2 synchronous rounds over q93's symmetric
+    * customer↔supplier trade graph, communities reported as
+    * (community, size) for the 50 largest. Majority vote with
+    * smallest-label tie-break makes every round a pure function of
+    * the last, so the whole iterative clustering — votes, argmax,
+    * membership — hash-matches the oracle's unrolled replay, the
+    * same graded-determinism bar q93 sets for PageRank and q106 for
+    * k-means.
+    */
+  val q145LabelProp: QueryDef = QueryDef(
+    "q145_label_prop",
+    (s, dir) => {
+      val o = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val l = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val cs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+      val edges = cs.union(
+        cs.select(col("dst").as("src"), col("src").as("dst")))
+      graft.operators.Graph.labelPropagation(edges, iters = 2)
+        .groupBy(col("label").as("community"))
+        .agg(count(lit(1)).as("size"))
+        .orderBy(col("size").desc, col("community"))
+        .limit(50)
+    },
+    Some {
+      def round(prev: String, v: String, out: String) = s"""
+      $v AS (SELECT e.dst AS node, l.label, COUNT(*) AS cnt
+        FROM e JOIN $prev l ON e.src = l.node GROUP BY 1, 2),
+      ${out}w AS (SELECT node, label, ROW_NUMBER() OVER (
+          PARTITION BY node ORDER BY cnt DESC, label) AS rn FROM $v),
+      $out AS (SELECT n.node, COALESCE(w.label, n.node) AS label
+        FROM nodes n LEFT JOIN (SELECT node, label FROM ${out}w
+          WHERE rn = 1) w USING (node))"""
+      s"""
+      WITH cs AS (
+        SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      e AS (SELECT src, dst FROM cs
+            UNION SELECT dst AS src, src AS dst FROM cs),
+      nodes AS (SELECT DISTINCT node FROM (
+        SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+      l0 AS (SELECT node, node AS label FROM nodes),
+      ${round("l0", "v1", "l1").trim},
+      ${round("l1", "v2", "l2").trim}
+      SELECT label AS community, COUNT(*) AS size
+      FROM l2 GROUP BY 1 ORDER BY size DESC, community LIMIT 50"""
+    },
+  )
+
   private val pid = ProcessHandle.current().pid()
 
   val all: Seq[QueryDef] =
@@ -968,5 +1022,5 @@ $union
       q132IncrementalMv, q133SampledQuantiles, q134StreamMv,
       q135CdcApply, q136StreamCdc, q137SkewReport, q138RrfFusion,
       q139Curriculum, q140AnnQuality, q141HllReplay, q142StreamHll,
-      q143HllMerge, q144JoinSizeSketch)
+      q143HllMerge, q144JoinSizeSketch, q145LabelProp)
 }

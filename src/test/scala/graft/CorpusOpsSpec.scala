@@ -272,6 +272,37 @@ class CorpusOpsSpec extends SparkSpec {
     assert((2 to 4).forall(i => ranks(s"leaf$i") === ranks("leaf1")))
   }
 
+  test("label propagation: sync rounds match a reference implementation") {
+    // two triangles bridged by one edge — communities should pull
+    // toward each triangle's smallest label
+    val und = Seq(("a1", "a2"), ("a2", "a3"), ("a1", "a3"),
+      ("b1", "b2"), ("b2", "b3"), ("b1", "b3"), ("a3", "b1"))
+    val sym = und ++ und.map(_.swap)
+    val edges = sym.toDF("src", "dst")
+    // reference: synchronous majority vote, ties -> smallest label
+    val adj = sym.groupBy(_._1).map { case (n, es) => (n, es.map(_._2)) }
+    var ref = adj.keys.map(n => n -> n).toMap
+    for (_ <- 1 to 2) {
+      val prev = ref
+      ref = adj.map { case (n, nbrs) =>
+        val counts = nbrs.groupBy(prev).map { case (l, xs) => (l, xs.size) }
+        n -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    val got = Graph.labelPropagation(edges, iters = 2)
+      .as[(String, String)].collect().toMap
+    assert(got === ref)
+    // and one more round is stable on this graph: communities converged
+    val got3 = Graph.labelPropagation(edges, iters = 3)
+      .as[(String, String)].collect().toMap
+    val prev3 = got
+    val want3 = adj.map { case (n, nbrs) =>
+      val counts = nbrs.groupBy(prev3).map { case (l, xs) => (l, xs.size) }
+      n -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+    }
+    assert(got3 === want3)
+  }
+
   test("pageRank is partitioning-invariant (exact integer ranks)") {
     val o = Tables(spark, sfDir, "orders")
       .select(col("o_orderkey"), col("o_custkey")).limit(200)
