@@ -73,6 +73,32 @@ object Bench {
     counter
   }
 
+  /** Deterministic single-thread spin (xorshift64, 2²⁷ rounds, min of
+    * 3 after a JIT warm-up), in milliseconds — a host-speed yardstick
+    * stamped into the artifact. loadavg exposes CONTENTION but not a
+    * slower host: two idle machines can differ 30%+ in single-core
+    * speed, which would read as a code regression across rounds. With
+    * the calibration in the artifact, cross-round per-query seconds
+    * can be normalized by the hosts' calibration ratio before anyone
+    * concludes a plan got worse.
+    */
+  private def cpuCalibMs(): Long = {
+    def spin(): Long = {
+      var h = 0x9E3779B97F4A7C15L
+      var i = 0
+      val t0 = System.nanoTime()
+      while (i < (1 << 27)) {
+        h ^= h << 13; h ^= h >>> 7; h ^= h << 17
+        i += 1
+      }
+      // publish h so the loop cannot be dead-code-eliminated
+      if (h == 42L) System.err.print("")
+      (System.nanoTime() - t0) / 1000000L
+    }
+    spin() // JIT warm-up
+    Seq.fill(3)(spin()).min
+  }
+
   private def loadavg(): String =
     try {
       val s = new String(java.nio.file.Files.readAllBytes(
@@ -105,6 +131,7 @@ object Bench {
       f"[bench] WARN: load ${load1()}%.2f never cleared $loadMax%.2f — " +
         "artifact will carry \"valid\":false")
     val loadBefore = loadavg()
+    val calibMs = cpuCalibMs()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
@@ -143,7 +170,7 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val compileExceptions = counter.count.get()
     val json =
-      f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","valid":$valid,"queries":$qs,"sf":"$sfDir","loadavg_before":"$loadBefore","loadavg_after":"${loadavg()}","compile_exceptions":$compileExceptions}"""
+      f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","valid":$valid,"queries":$qs,"sf":"$sfDir","loadavg_before":"$loadBefore","loadavg_after":"${loadavg()}","cpu_calib_ms":$calibMs,"compile_exceptions":$compileExceptions}"""
     println(json)
     // the printed line is the source of truth; an unwritable out path
     // must not turn a successful run into a nonzero exit
