@@ -1013,6 +1013,54 @@ $union
     },
   )
 
+  // --------------------------------------------------------------- q146
+  /** Backfill round-trip ([[graft.sources.Sinks.backfillPartitions]]):
+    * events land day-partitioned, then the EARLIEST day is reprocessed
+    * with a +1000-cent correction and written back through the
+    * dynamic-partition-overwrite sink — only that day's directory is
+    * replaced. The graded read aggregates the whole store per day, so
+    * the hash-match proves BOTH halves of the backfill contract at
+    * once: the corrected day carries the new values, and every other
+    * day still carries the originals (a static overwrite would have
+    * truncated them; the oracle replays the correction over the
+    * source table with a CASE on the backfilled day).
+    */
+  val q146BackfillRoundtrip: QueryDef = QueryDef(
+    "q146_backfill_roundtrip",
+    (s, dir) => {
+      val path = s"/tmp/graft_q146_events_$pid.parquet"
+      val cents = (signum(col("value")) *
+        floor(abs(col("value")) * 100 + lit(0.5))).cast("long")
+      val base = Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          cents.as("cents"),
+          date_format(col("ts"), "yyyyMMdd").cast("int").as("day_id"))
+      graft.sources.Sinks.writePartitionedParquet(
+        base, path, Seq("day_id"))
+      val day0 = base.agg(min(col("day_id"))).head().getInt(0)
+      graft.sources.Sinks.backfillPartitions(
+        base.filter(col("day_id") === day0)
+          .withColumn("cents", col("cents") + 1000L),
+        path, Seq("day_id"))
+      s.read.parquet(path)
+        .groupBy(col("day_id").cast("long").as("day_id"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents_sum"))
+        .orderBy(col("day_id"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT event_id,
+          CAST(CASE WHEN value >= 0 THEN FLOOR(value * 100 + 0.5)
+               ELSE -FLOOR(-value * 100 + 0.5) END AS BIGINT) AS cents,
+          CAST(strftime(ts, '%Y%m%d') AS BIGINT) AS day_id
+        FROM events),
+      d0 AS (SELECT MIN(day_id) AS day0 FROM base)
+      SELECT day_id, COUNT(*) AS n,
+        CAST(SUM(cents + CASE WHEN day_id = (SELECT day0 FROM d0)
+                 THEN 1000 ELSE 0 END) AS BIGINT) AS cents_sum
+      FROM base GROUP BY day_id ORDER BY day_id"""),
+  )
+
   private val pid = ProcessHandle.current().pid()
 
   val all: Seq[QueryDef] =
@@ -1022,5 +1070,6 @@ $union
       q132IncrementalMv, q133SampledQuantiles, q134StreamMv,
       q135CdcApply, q136StreamCdc, q137SkewReport, q138RrfFusion,
       q139Curriculum, q140AnnQuality, q141HllReplay, q142StreamHll,
-      q143HllMerge, q144JoinSizeSketch, q145LabelProp)
+      q143HllMerge, q144JoinSizeSketch, q145LabelProp,
+      q146BackfillRoundtrip)
 }

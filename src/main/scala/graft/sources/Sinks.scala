@@ -30,6 +30,24 @@ object Sinks {
       partCols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(partCols: _*).parquet(path)
 
+  /** Dynamic-partition backfill: overwrite ONLY the partitions the
+    * incoming frame actually carries, leaving every sibling partition
+    * untouched — the reprocessing primitive a date-partitioned 100 TB
+    * store lives on (re-run one bad day without rewriting or even
+    * listing the other 3,650). Spark's default static overwrite would
+    * truncate the whole root first; `partitionOverwriteMode=dynamic`
+    * (set per-write, not session-wide) scopes the delete to the
+    * partitions present in `df`. Atomicity is per partition directory
+    * (same contract as any hive-layout writer); cross-partition
+    * transactionality needs a table format's log.
+    */
+  def backfillPartitions(df: DataFrame, path: String,
+      partCols: Seq[String]): Unit =
+    df.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCols: _*)
+      .parquet(path)
+
   /** Keep-latest upsert into a plain-parquet snapshot — MERGE semantics
     * without a table format: union the current snapshot with the batch,
     * keep the best row per key (greatest `orderCol`; the incoming batch

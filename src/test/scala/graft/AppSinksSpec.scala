@@ -100,6 +100,21 @@ class AppSinksSpec extends SparkSpec {
     assert(Files.exists(dir.resolve("page_000042.html")))
   }
 
+  test("dynamic backfill rewrites only the carried partition") {
+    val dir = Files.createTempDirectory("graft_backfill").toString
+    val base = Seq((1L, 10, "a"), (2L, 10, "b"), (3L, 20, "c"))
+      .toDF("id", "day", "v")
+    Sinks.writePartitionedParquet(base, dir, Seq("day"))
+    // backfill day 10 with DIFFERENT content (one row instead of two);
+    // a static overwrite would also truncate day 20
+    Sinks.backfillPartitions(
+      Seq((9L, 10, "patched")).toDF("id", "day", "v"), dir, Seq("day"))
+    val got = spark.read.parquet(dir)
+      .select(col("id"), col("day"), col("v"))
+      .orderBy("id").as[(Long, Int, String)].collect().toSeq
+    assert(got === Seq((3L, 20, "c"), (9L, 10, "patched")))
+  }
+
   test("operational loop: upsert → compact → upsert → diff composes") {
     // The actual production loop over three synthetic "days", composed
     // end to end (each operator is graded alone; this pins that the
