@@ -1061,6 +1061,37 @@ $union
       FROM base GROUP BY day_id ORDER BY day_id"""),
   )
 
+  // --------------------------------------------------------------- q147
+  /** Signed feature hashing ([[graft.ml.FeatureHash.hashedBow]]):
+    * documents projected into a fixed 1024-dim feature space with no
+    * vocabulary build — feat = rolling_hash(token) mod D, sign from
+    * the next hash bit so collisions cancel in expectation. The
+    * oracle replays tokenization, the polynomial hash, the sign
+    * parity, and the signed sums, so the featurizer's exact sparse
+    * output — including which collision rows cancelled to zero — is
+    * hash-graded.
+    */
+  val q147FeatureHash: QueryDef = QueryDef(
+    "q147_feature_hash",
+    (s, dir) =>
+      graft.ml.FeatureHash.hashedBow(
+          Tables(s, dir, "documents").filter(col("doc_id") < 50),
+          col("doc_id"), col("text"), dims = 1024)
+        .orderBy(col("doc_id"), col("feat")),
+    Some(s"""
+      WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk
+        FROM documents WHERE doc_id < 50),
+      tk AS (SELECT doc_id, tk FROM t WHERE tk <> ''),
+      th AS (SELECT doc_id, ${ScaleQueries.FpLambda.format("tk")} AS h
+        FROM tk),
+      sv AS (SELECT doc_id, h % 1024 AS feat,
+          1 - 2 * ((h // 1024) % 2) AS s FROM th),
+      agg AS (SELECT doc_id, feat, CAST(SUM(s) AS BIGINT) AS val
+        FROM sv GROUP BY 1, 2)
+      SELECT doc_id, feat, val FROM agg WHERE val != 0
+      ORDER BY doc_id, feat"""),
+  )
+
   private val pid = ProcessHandle.current().pid()
 
   val all: Seq[QueryDef] =
@@ -1071,5 +1102,5 @@ $union
       q135CdcApply, q136StreamCdc, q137SkewReport, q138RrfFusion,
       q139Curriculum, q140AnnQuality, q141HllReplay, q142StreamHll,
       q143HllMerge, q144JoinSizeSketch, q145LabelProp,
-      q146BackfillRoundtrip)
+      q146BackfillRoundtrip, q147FeatureHash)
 }

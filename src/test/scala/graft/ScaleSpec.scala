@@ -551,6 +551,39 @@ class ScaleSpec extends SparkSpec {
     assert(estM.toSeq === estD.toSeq)
   }
 
+  test("feature hashing: feat/sign from rolling hash, cancelled rows drop") {
+    import graft.ml.FeatureHash
+    val d = 8
+    def fs(t: String): (Long, Long) = {
+      val h = RollingHash.hash(t)
+      (h % d, 1L - 2L * ((h / d) % 2))
+    }
+    // expected signed sums for "x y  x" (empty token dropped, x twice)
+    val exp = Seq("x", "y", "x").map(fs)
+      .groupBy(_._1).map { case (f, xs) => (f, xs.map(_._2).sum) }
+      .filter(_._2 != 0L)
+    val got = FeatureHash.hashedBow(
+        Seq((1L, "x y  x")).toDF("id", "text"),
+        col("id"), col("text"), d)
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._2, r._3)).toMap
+    assert(got === exp)
+    // a perfectly cancelling pair leaves no row: same feat, opposite
+    // sign — synthesize by finding two 1-char tokens that collide
+    val alphabet = ('a' to 'z').map(_.toString)
+    val pair = (for {
+      a <- alphabet; b <- alphabet if a < b
+      (fa, sa) = fs(a); (fb, sb) = fs(b)
+      if fa == fb && sa == -sb
+    } yield (a, b)).headOption
+    pair.foreach { case (a, b) =>
+      val rows = FeatureHash.hashedBow(
+        Seq((1L, s"$a $b")).toDF("id", "text"),
+        col("id"), col("text"), d).collect()
+      assert(rows.isEmpty)
+    }
+  }
+
   test("multimodal decode stub: schema + deterministic features") {
     val docs = Seq((0L, "hello world this is a test document"),
       (1L, ""), (2L, "short")).toDF("doc_id", "text")
