@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality expectations — the ingestion contract
+  * check every production pipeline runs before letting a batch into
+  * the corpus (null fractions, value domains, ranges, referential
+  * integrity). The design constraint at 100 TB is pass count, not
+  * expressiveness: N checks must cost ONE scan, so every check is a
+  * conditional count fused into a single aggregation (map-side
+  * combined, whole-stage codegen) — never one job per check, which is
+  * how naive validators turn a 20-check contract into 20 full scans.
+  *
+  * A predicate evaluating to NULL counts as a VIOLATION: SQL boolean
+  * semantics would let `value BETWEEN 1 AND 50` silently pass null
+  * values that the contract author almost certainly meant to catch —
+  * the same null-hostile stance the dedup/sketch operators take.
+  * Checks that need another table (foreign keys) compose by passing a
+  * pre-joined frame and asserting on the join result's nullness.
+  */
+object Expectations {
+
+  /** Evaluate `checks` (name → boolean predicate) in one pass:
+    * (check_name, n_rows, n_violations, violation_ppm, passed) with
+    * passed as 0/1 and ppm in integer parts-per-million. Row order is
+    * unspecified — callers order by check_name.
+    */
+  def validate(df: DataFrame, checks: Seq[(String, Column)]): DataFrame = {
+    require(checks.nonEmpty, "validate needs at least one check")
+    val aggs = checks.map { case (n, p) =>
+      sum(when(coalesce(p, lit(false)), lit(0L)).otherwise(lit(1L)))
+        .as(s"v_$n")
+    }
+    val one = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val entries = array(checks.map { case (n, _) =>
+      struct(lit(n).as("check_name"), col(s"v_$n").as("n_violations"))
+    }: _*)
+    one.select(col("n_rows"), explode(entries).as("c"))
+      .select(col("c.check_name").as("check_name"), col("n_rows"),
+        col("c.n_violations").as("n_violations"),
+        expr("c.n_violations * 1000000 div n_rows").as("violation_ppm"),
+        when(col("c.n_violations") === 0, lit(1L)).otherwise(lit(0L))
+          .as("passed"))
+  }
+}

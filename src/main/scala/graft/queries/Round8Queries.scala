@@ -1092,6 +1092,64 @@ $union
       ORDER BY doc_id, feat"""),
   )
 
+  // --------------------------------------------------------------- q148
+  /** Data-contract validation ([[graft.operators.Expectations
+    * .validate]]): seven lineitem expectations — ranges, domains,
+    * positivity, a referential-integrity check against orders via a
+    * pre-joined null probe, and one deliberately tight bound so
+    * nonzero violation ppm is exercised — all evaluated in ONE scan
+    * as fused conditional counts. The oracle replays every check
+    * with identical null-counts-as-violation semantics, so the
+    * contract report (counts, ppm, pass bits) hash-matches.
+    */
+  val q148Expectations: QueryDef = QueryDef(
+    "q148_expectations",
+    (s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val joined = li.join(
+        Tables(s, dir, "orders")
+          .select(col("o_orderkey").as("fk_ok")),
+        col("l_orderkey") === col("fk_ok"), "left")
+      graft.operators.Expectations.validate(joined, Seq(
+          "c1_quantity_range" -> col("l_quantity").between(1, 50),
+          "c2_price_positive" -> (col("l_extendedprice") > 0),
+          "c3_flag_domain" -> col("l_returnflag").isin("A", "N", "R"),
+          "c4_discount_range" -> col("l_discount").between(0, 0.1),
+          "c5_fk_orders" -> col("fk_ok").isNotNull,
+          "c6_shipdate_known" -> col("l_shipdate").isNotNull,
+          "c7_quantity_le_10" -> (col("l_quantity") <= 10)))
+        .orderBy(col("check_name"))
+    },
+    Some {
+      val checks = Seq(
+        "c1_quantity_range" -> "l_quantity BETWEEN 1 AND 50",
+        "c2_price_positive" -> "l_extendedprice > 0",
+        "c3_flag_domain" -> "l_returnflag IN ('A', 'N', 'R')",
+        "c4_discount_range" -> "l_discount BETWEEN 0 AND 0.1",
+        "c5_fk_orders" -> "fk_ok IS NOT NULL",
+        "c6_shipdate_known" -> "l_shipdate IS NOT NULL",
+        "c7_quantity_le_10" -> "l_quantity <= 10")
+      val aggs = checks.map { case (n, p) =>
+        s"CAST(SUM(CASE WHEN NOT COALESCE($p, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v_$n"
+      }.mkString(",\n        ")
+      val rows = checks.map { case (n, _) =>
+        s"""SELECT '$n' AS check_name, n_rows, v_$n AS n_violations,
+          v_$n * 1000000 // n_rows AS violation_ppm,
+          CAST(CASE WHEN v_$n = 0 THEN 1 ELSE 0 END AS BIGINT) AS passed
+          FROM agg"""
+      }.mkString("\n      UNION ALL\n      ")
+      s"""
+      WITH j AS (
+        SELECT l.*, o.o_orderkey AS fk_ok
+        FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      agg AS (SELECT COUNT(*) AS n_rows,
+        $aggs
+        FROM j)
+      $rows
+      ORDER BY check_name"""
+    },
+  )
+
   private val pid = ProcessHandle.current().pid()
 
   val all: Seq[QueryDef] =
@@ -1102,5 +1160,5 @@ $union
       q135CdcApply, q136StreamCdc, q137SkewReport, q138RrfFusion,
       q139Curriculum, q140AnnQuality, q141HllReplay, q142StreamHll,
       q143HllMerge, q144JoinSizeSketch, q145LabelProp,
-      q146BackfillRoundtrip, q147FeatureHash)
+      q146BackfillRoundtrip, q147FeatureHash, q148Expectations)
 }

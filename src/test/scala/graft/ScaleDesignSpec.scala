@@ -770,6 +770,28 @@ class ScaleDesignSpec extends SparkSpec {
     assert(got >= exact, s"AMS estimate $got undercuts true size $exact")
   }
 
+  test("expectations: null predicates count as violations, exact ppm") {
+    import graft.operators.Expectations
+    val df = Seq(
+      (Option(5.0), "A"), (Option(60.0), "A"),
+      (Option.empty[Double], "X"), (Option(10.0), null.asInstanceOf[String]))
+      .toDF("q", "f")
+    val out = Expectations.validate(df, Seq(
+        "f_domain" -> col("f").isin("A", "N", "R"),
+        "q_range" -> col("q").between(1, 50)))
+      .orderBy("check_name").collect()
+    // f_domain: "X" + null f; q_range: 60 + null q — nulls are
+    // violations, never silent passes
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4))).toSeq === Seq(
+      ("f_domain", 4L, 2L, 500000L, 0L),
+      ("q_range", 4L, 2L, 500000L, 0L)))
+    // all-pass check reports passed=1, 0 ppm
+    val ok = Expectations.validate(df, Seq("n" -> lit(true)))
+      .collect().head
+    assert((ok.getLong(2), ok.getLong(3), ok.getLong(4)) === ((0L, 0L, 1L)))
+  }
+
   test("bloom pre-filter: no false negatives, honest FP accounting") {
     val li = Tables(spark, sfDir, "lineitem")
     val dim = Tables(spark, sfDir, "supplier")
