@@ -21,19 +21,23 @@ import org.apache.spark.sql.functions._
   */
 object Expectations {
 
-  /** Evaluate `checks` (name → boolean predicate) in one pass:
-    * (check_name, n_rows, n_violations, violation_ppm, passed) with
-    * passed as 0/1 and ppm in integer parts-per-million. Row order is
-    * unspecified — callers order by check_name.
+  /** The one-row fused aggregation: (n_rows, v_<check>...). Split out
+    * so the SAME counts can run as a complete-mode STREAMING
+    * aggregation (state = this one row, N+1 longs however long the
+    * stream runs) and be drained before [[report]] unpacks it.
     */
-  def validate(df: DataFrame, checks: Seq[(String, Column)]): DataFrame = {
+  def counts(df: DataFrame, checks: Seq[(String, Column)]): DataFrame = {
     require(checks.nonEmpty, "validate needs at least one check")
     val aggs = checks.map { case (n, p) =>
       sum(when(coalesce(p, lit(false)), lit(0L)).otherwise(lit(1L)))
         .as(s"v_$n")
     }
-    val one = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
-    val entries = array(checks.map { case (n, _) =>
+    df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+  }
+
+  /** Unpack a [[counts]] row into the per-check report. */
+  def report(one: DataFrame, checkNames: Seq[String]): DataFrame = {
+    val entries = array(checkNames.map { n =>
       struct(lit(n).as("check_name"), col(s"v_$n").as("n_violations"))
     }: _*)
     one.select(col("n_rows"), explode(entries).as("c"))
@@ -43,4 +47,12 @@ object Expectations {
         when(col("c.n_violations") === 0, lit(1L)).otherwise(lit(0L))
           .as("passed"))
   }
+
+  /** Evaluate `checks` (name → boolean predicate) in one pass:
+    * (check_name, n_rows, n_violations, violation_ppm, passed) with
+    * passed as 0/1 and ppm in integer parts-per-million. Row order is
+    * unspecified — callers order by check_name.
+    */
+  def validate(df: DataFrame, checks: Seq[(String, Column)]): DataFrame =
+    report(counts(df, checks), checks.map(_._1))
 }

@@ -1150,6 +1150,50 @@ $union
     },
   )
 
+  // --------------------------------------------------------------- q149
+  /** The data contract as a CONTINUOUS query ([[graft.streaming
+    * .EventsStream.streamedExpectations]]): q148's fused conditional
+    * counts running as a complete-mode streaming aggregation over the
+    * live event feed — total state is one row of N+1 longs, the
+    * cheapest stateful query in the repo — drained and unpacked into
+    * the same report. The oracle replays the checks over the events
+    * table directly, so streaming-equals-batch is graded down to the
+    * exact violation counts and ppm.
+    */
+  val q149StreamExpectations: QueryDef = QueryDef(
+    "q149_stream_expectations",
+    (s, dir) =>
+      graft.streaming.EventsStream.streamedExpectations(s, dir, Seq(
+          "e1_type_domain" -> col("event_type").isin("click", "view"),
+          "e2_user_notnull" -> col("user_id").isNotNull,
+          "e3_value_nonneg" -> (col("value") >= 0),
+          "e4_ts_2024" ->
+            (col("ts") >= lit("2024-01-01").cast("timestamp"))))
+        .orderBy(col("check_name")),
+    Some {
+      val checks = Seq(
+        "e1_type_domain" -> "event_type IN ('click', 'view')",
+        "e2_user_notnull" -> "user_id IS NOT NULL",
+        "e3_value_nonneg" -> "value >= 0",
+        "e4_ts_2024" -> "ts >= TIMESTAMP '2024-01-01'")
+      val aggs = checks.map { case (n, p) =>
+        s"CAST(SUM(CASE WHEN NOT COALESCE($p, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v_$n"
+      }.mkString(",\n        ")
+      val rows = checks.map { case (n, _) =>
+        s"""SELECT '$n' AS check_name, n_rows, v_$n AS n_violations,
+          v_$n * 1000000 // n_rows AS violation_ppm,
+          CAST(CASE WHEN v_$n = 0 THEN 1 ELSE 0 END AS BIGINT) AS passed
+          FROM agg"""
+      }.mkString("\n      UNION ALL\n      ")
+      s"""
+      WITH agg AS (SELECT COUNT(*) AS n_rows,
+        $aggs
+        FROM events)
+      $rows
+      ORDER BY check_name"""
+    },
+  )
+
   private val pid = ProcessHandle.current().pid()
 
   val all: Seq[QueryDef] =
@@ -1160,5 +1204,6 @@ $union
       q135CdcApply, q136StreamCdc, q137SkewReport, q138RrfFusion,
       q139Curriculum, q140AnnQuality, q141HllReplay, q142StreamHll,
       q143HllMerge, q144JoinSizeSketch, q145LabelProp,
-      q146BackfillRoundtrip, q147FeatureHash, q148Expectations)
+      q146BackfillRoundtrip, q147FeatureHash, q148Expectations,
+      q149StreamExpectations)
 }

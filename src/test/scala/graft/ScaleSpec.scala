@@ -641,6 +641,18 @@ class ScaleSpec extends SparkSpec {
     assert(batch.exceptAll(streamed).count() === 0)
   }
 
+  test("streamed expectations equal the batch contract report exactly") {
+    val checks = Seq(
+      "a_type" -> col("event_type").isin("click"),
+      "b_user" -> col("user_id").isNotNull)
+    val streamed = graft.streaming.EventsStream
+      .streamedExpectations(spark, sfDir, checks)
+    val batch = graft.operators.Expectations.validate(
+      Tables(spark, sfDir, "events"), checks)
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+  }
+
   test("streamed count-min cells equal the batch-built cells exactly") {
     val w = 256
     val streamed = graft.streaming.EventsStream
