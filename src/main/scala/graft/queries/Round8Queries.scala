@@ -1194,6 +1194,114 @@ $union
     },
   )
 
+  // --------------------------------------------------------------- q150
+  /** The planner report — sketches composed into EXPLAIN ESTIMATE for
+    * the events⋈orders join, one row: row counts, HLL distinct-key
+    * estimates for each side (q141's registers under a constant
+    * group), the AMS join-size estimate from the CMS cell tables
+    * (q144), and the exact join size for reference. This is the
+    * composition argument made gradable: every number a cost-based
+    * decision needs (broadcast? salt? how many output rows?) comes
+    * from O(registers + cells) state, never a second scan of either
+    * table at decision time — and the whole report hash-matches a
+    * DuckDB replay assembled from the same oracle fragments the
+    * component queries grade against.
+    */
+  val q150PlanEstimate: QueryDef = QueryDef(
+    "q150_plan_estimate",
+    (s, dir) => {
+      import graft.operators.{FrequencySketch, HyperLogLog}
+      val w = 1024
+      val ev = Tables(s, dir, "events")
+        .filter(col("user_id").isNotNull)
+      val or = Tables(s, dir, "orders")
+        .filter(col("o_custkey").isNotNull)
+      val dA = HyperLogLog.estimates(HyperLogLog.registers(
+          ev, lit("a"), col("user_id")))
+        .select(col("estimate").as("dist_users_est"))
+      val dB = HyperLogLog.estimates(HyperLogLog.registers(
+          or, lit("b"), col("o_custkey")))
+        .select(col("estimate").as("dist_custs_est"))
+      val jz = FrequencySketch.cmsJoinSize(
+          FrequencySketch.cmsCells(ev, col("user_id"), w),
+          FrequencySketch.cmsCells(or, col("o_custkey"), w))
+        .select(col("est_join_size"))
+      val exact = ev.groupBy(col("user_id")).agg(count(lit(1)).as("na"))
+        .join(or.groupBy(col("o_custkey")).agg(count(lit(1)).as("nb")),
+          col("user_id") === col("o_custkey"))
+        .agg(coalesce(sum(col("na") * col("nb")), lit(0L))
+          .as("exact_join_size"))
+      ev.agg(count(lit(1)).as("n_events"))
+        .crossJoin(or.agg(count(lit(1)).as("n_orders")))
+        .crossJoin(dA).crossJoin(dB).crossJoin(jz).crossJoin(exact)
+    },
+    Some {
+      def hllEst(src: String, table: String, key: String) = {
+        val steps = graft.functions.PortableHash.hash32SqlSteps(key)
+        val rankCase = (1 to 26).map(r =>
+          s"WHEN w >= ${1L << (26 - r)} THEN $r").mkString(
+          "CASE ", " ", " ELSE 27 END")
+        val num = 709L * 64L * 64L * (1L << 27)
+        val sS = "(s_hit + (64 - n_hit) * 134217728)"
+        s"""
+      ${src}h0 AS (SELECT ${steps(0)} AS h FROM $table
+        WHERE $key IS NOT NULL),
+      ${src}h1 AS (SELECT ${steps(1)} AS h FROM ${src}h0),
+      ${src}h2 AS (SELECT ${steps(2)} AS h FROM ${src}h1),
+      ${src}hf AS (SELECT ${steps(3)} AS h FROM ${src}h2),
+      ${src}rw AS (SELECT h % 64 AS reg, h // 64 AS w FROM ${src}hf),
+      ${src}regs AS (SELECT reg, MAX($rankCase) AS m FROM ${src}rw
+        GROUP BY reg),
+      ${src}sums AS (SELECT CAST(SUM(134217728 >> m) AS BIGINT) AS s_hit,
+        COUNT(*) AS n_hit FROM ${src}regs),
+      ${src}est AS (SELECT (2 * $num + 1000 * $sS) // (2000 * $sS)
+        AS estimate FROM ${src}sums)"""
+      }
+      def cmsChain(src: String, table: String, key: String) = {
+        val steps = graft.functions.PortableHash.hash32SqlSteps(key)
+        s"""
+      ${src}c0 AS (SELECT ${steps(0)} AS h FROM $table
+        WHERE $key IS NOT NULL),
+      ${src}c1 AS (SELECT ${steps(1)} AS h FROM ${src}c0),
+      ${src}c2 AS (SELECT ${steps(2)} AS h FROM ${src}c1),
+      ${src}cf AS (SELECT ${steps(3)} AS h FROM ${src}c2),
+      ${src}cell0 AS (SELECT h % 1024 AS pos, COUNT(*) AS cnt
+        FROM ${src}cf GROUP BY 1),
+      ${src}cell1 AS (SELECT (h >> 15) % 1024 AS pos, COUNT(*) AS cnt
+        FROM ${src}cf GROUP BY 1)"""
+      }
+      s"""
+      WITH ${hllEst("a", "events", "user_id").trim},
+      ${hllEst("b", "orders", "o_custkey").trim},
+      ${cmsChain("x", "events", "user_id").trim},
+      ${cmsChain("y", "orders", "o_custkey").trim},
+      jz AS (SELECT LEAST(
+          COALESCE((SELECT CAST(SUM(a.cnt * b.cnt) AS BIGINT)
+                    FROM xcell0 a JOIN ycell0 b USING (pos)), 0),
+          COALESCE((SELECT CAST(SUM(a.cnt * b.cnt) AS BIGINT)
+                    FROM xcell1 a JOIN ycell1 b USING (pos)), 0))
+          AS est_join_size),
+      ex AS (SELECT COALESCE(CAST(SUM(e.n * o.n) AS BIGINT), 0)
+          AS exact_join_size
+        FROM (SELECT user_id, COUNT(*) AS n FROM events
+              WHERE user_id IS NOT NULL GROUP BY 1) e
+        JOIN (SELECT o_custkey, COUNT(*) AS n FROM orders
+              WHERE o_custkey IS NOT NULL GROUP BY 1) o
+          ON e.user_id = o.o_custkey),
+      cnts AS (SELECT
+        (SELECT COUNT(*) FROM events WHERE user_id IS NOT NULL)
+          AS n_events,
+        (SELECT COUNT(*) FROM orders WHERE o_custkey IS NOT NULL)
+          AS n_orders)
+      SELECT cnts.n_events, cnts.n_orders,
+        aest.estimate AS dist_users_est,
+        best.estimate AS dist_custs_est,
+        jz.est_join_size, ex.exact_join_size
+      FROM cnts CROSS JOIN aest CROSS JOIN best
+        CROSS JOIN jz CROSS JOIN ex"""
+    },
+  )
+
   private val pid = ProcessHandle.current().pid()
 
   val all: Seq[QueryDef] =
@@ -1205,5 +1313,5 @@ $union
       q139Curriculum, q140AnnQuality, q141HllReplay, q142StreamHll,
       q143HllMerge, q144JoinSizeSketch, q145LabelProp,
       q146BackfillRoundtrip, q147FeatureHash, q148Expectations,
-      q149StreamExpectations)
+      q149StreamExpectations, q150PlanEstimate)
 }
