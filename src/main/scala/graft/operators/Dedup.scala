@@ -611,4 +611,34 @@ object Dedup {
       DedupIndex.minhashBandIndex(hSh, bands, rowsPerBand),
       hSh, incoming, id, text, n, threshold, bands, rowsPerBand)
   }
+
+  /** The LSH S-curve — the DESIGN math behind every (bands, rows)
+    * choice in the family, as data: for each banding of the signature
+    * and each Jaccard similarity s = si/10, the candidate-collision
+    * probability 1 − (1 − s^r)^b. Both powers are spelled as
+    * fixed-order multiply folds (never `pow`, whose rounding is not
+    * specified identically across engines), so the curve is
+    * bit-replayable and the banding decision an operator documents is
+    * itself a graded artifact, not a code comment: (32, 4) puts the
+    * 0.5-collision threshold near s ≈ (1/32)^(1/4) ≈ 0.42 —
+    * deliberately far BELOW q35's 0.8 similarity target, i.e.
+    * recall-biased banding with the exact-Jaccard verify supplying
+    * the precision, which is exactly the candidates-then-verify
+    * contract the dedup family documents.
+    */
+  def lshCurve(spark: org.apache.spark.sql.SparkSession,
+      combos: Seq[(Int, Int)], sSteps: Int = 9): DataFrame = {
+    require(combos.nonEmpty && sSteps >= 1)
+    import spark.implicits._
+    val base = combos.toDF("bands", "rows")
+      .crossJoin(spark.range(1, sSteps + 1).toDF("si"))
+    val s = col("si").cast("double") / lit((sSteps + 1).toDouble)
+    val sr = aggregate(sequence(lit(1), col("rows")),
+      lit(1.0), (acc, _) => acc * s)
+    val p = lit(1.0) - aggregate(sequence(lit(1), col("bands")),
+      lit(1.0), (acc, _) => acc * (lit(1.0) - sr))
+    base.select(col("bands").cast("long").as("bands"),
+      col("rows").cast("long").as("rows"), col("si"),
+      round(p, 6).as("collide_prob"))
+  }
 }

@@ -1302,6 +1302,41 @@ $union
     },
   )
 
+  // --------------------------------------------------------------- q151
+  /** The LSH S-curve as a graded table ([[graft.operators.Dedup
+    * .lshCurve]]): collision probability 1 − (1 − s^r)^b for every
+    * banding of a 128-hash MinHash signature × Jaccard s ∈ {0.1..0.9}
+    * — the design sheet that justifies q35's (32, 4) banding, with
+    * both powers as fixed-order multiply folds so the doubles are
+    * bit-identical to DuckDB's list_reduce replay. 45 rows that turn
+    * "we picked the bands by the textbook curve" into a hash-checked
+    * claim.
+    */
+  val q151LshTuning: QueryDef = QueryDef(
+    "q151_lsh_tuning",
+    (s, dir) =>
+      graft.operators.Dedup.lshCurve(s,
+          Seq((128, 1), (64, 2), (32, 4), (16, 8), (8, 16)))
+        .orderBy(col("bands").desc, col("si")),
+    Some("""
+      WITH combos(bands, rows) AS (VALUES
+        (128, 1), (64, 2), (32, 4), (16, 8), (8, 16)),
+      grid AS (SELECT bands, rows, si
+        FROM combos, (SELECT unnest(range(1, 10)) AS si)),
+      calc AS (SELECT bands, rows, si,
+        list_reduce([1.0::DOUBLE] || [si / 10.0 for i in range(1, rows + 1)],
+          (a, v) -> a * v) AS sr
+        FROM grid),
+      p AS (SELECT bands, rows, si,
+        ROUND(1.0 - list_reduce(
+          [1.0::DOUBLE] || [(1.0 - sr) for i in range(1, bands + 1)],
+          (a, v) -> a * v), 6) AS collide_prob
+        FROM calc)
+      SELECT CAST(bands AS BIGINT) AS bands, CAST(rows AS BIGINT) AS rows,
+        CAST(si AS BIGINT) AS si, collide_prob
+      FROM p ORDER BY bands DESC, si"""),
+  )
+
   private val pid = ProcessHandle.current().pid()
 
   val all: Seq[QueryDef] =
@@ -1313,5 +1348,5 @@ $union
       q139Curriculum, q140AnnQuality, q141HllReplay, q142StreamHll,
       q143HllMerge, q144JoinSizeSketch, q145LabelProp,
       q146BackfillRoundtrip, q147FeatureHash, q148Expectations,
-      q149StreamExpectations, q150PlanEstimate)
+      q149StreamExpectations, q150PlanEstimate, q151LshTuning)
 }

@@ -584,6 +584,23 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("LSH S-curve: monotone in s, (32,4) recall-biased vs 0.8 target") {
+    val c = Dedup.lshCurve(spark, Seq((32, 4)))
+      .orderBy("si").select("collide_prob").as[Double].collect()
+    assert(c.length === 9)
+    assert(c.sliding(2).forall(w => w(0) <= w(1)))
+    // threshold ≈ (1/32)^(1/4) ≈ 0.42: below 0.5 at s=0.3, above at 0.4
+    assert(c(2) < 0.5 && c(3) > 0.5)
+    // at the q35 similarity target s=0.8 the banding is near-certain
+    assert(c(7) > 0.999)
+    // reference arithmetic: exact fold replay for one point (s=0.3)
+    val sr = (1 to 4).foldLeft(1.0)((a, _) => a * 0.3)
+    val p = 1.0 - (1 to 32).foldLeft(1.0)((a, _) => a * (1.0 - sr))
+    val want = BigDecimal(p)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(c(2) === want)
+  }
+
   test("multimodal decode stub: schema + deterministic features") {
     val docs = Seq((0L, "hello world this is a test document"),
       (1L, ""), (2L, "short")).toDF("doc_id", "text")
