@@ -1337,6 +1337,43 @@ $union
       FROM p ORDER BY bands DESC, si"""),
   )
 
+  // --------------------------------------------------------------- q152
+  /** Incremental JOIN-view maintenance ([[graft.operators
+    * .IncrementalJoin.mergeDelta]]): the enriched events⋈customer
+    * view advanced by insert-only deltas on BOTH sides (10% of events
+    * and 1-in-7 customers arrive as the delta), then aggregated per
+    * (segment, event type). The oracle recomputes the join from
+    * scratch, so the hash-match proves the delta algebra
+    * A⋈B ∪ ΔA⋈B_new ∪ A⋈ΔB partitions the new pairs exactly — no
+    * pair lost, none double-counted — which is what lets steady state
+    * cost O(Δ) instead of a nightly full join.
+    */
+  val q152IncrementalJoin: QueryDef = QueryDef(
+    "q152_incremental_join",
+    (s, dir) => {
+      val ev = Tables(s, dir, "events")
+        .filter(col("user_id").isNotNull)
+        .select(col("user_id"), col("event_id"), col("event_type"))
+      val cust = Tables(s, dir, "customer")
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      val (dA, oA) = (ev.filter(col("event_id") % 10 === 0),
+        ev.filter(col("event_id") % 10 =!= 0))
+      val (dB, oB) = (cust.filter(col("user_id") % 7 === 0),
+        cust.filter(col("user_id") % 7 =!= 0))
+      val oldView = oA.join(oB, Seq("user_id"))
+      graft.operators.IncrementalJoin
+        .mergeDelta(oldView, oA, dA, oB, dB, "user_id")
+        .groupBy(col("c_mktsegment"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("c_mktsegment"), col("event_type"))
+    },
+    Some("""
+      SELECT c.c_mktsegment, e.event_type, COUNT(*) AS n
+      FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      WHERE e.user_id IS NOT NULL
+      GROUP BY 1, 2 ORDER BY 1, 2"""),
+  )
+
   private val pid = ProcessHandle.current().pid()
 
   val all: Seq[QueryDef] =
@@ -1348,5 +1385,6 @@ $union
       q139Curriculum, q140AnnQuality, q141HllReplay, q142StreamHll,
       q143HllMerge, q144JoinSizeSketch, q145LabelProp,
       q146BackfillRoundtrip, q147FeatureHash, q148Expectations,
-      q149StreamExpectations, q150PlanEstimate, q151LshTuning)
+      q149StreamExpectations, q150PlanEstimate, q151LshTuning,
+      q152IncrementalJoin)
 }

@@ -770,6 +770,32 @@ class ScaleDesignSpec extends SparkSpec {
     assert(got >= exact, s"AMS estimate $got undercuts true size $exact")
   }
 
+  test("incremental join view: delta algebra equals full recompute") {
+    import graft.operators.IncrementalJoin
+    val ev = Tables(spark, sfDir, "events")
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("event_id"), col("event_type"))
+    val cust = Tables(spark, sfDir, "customer")
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    val (dA, oA) = (ev.filter(col("event_id") % 10 === 0),
+      ev.filter(col("event_id") % 10 =!= 0))
+    val (dB, oB) = (cust.filter(col("user_id") % 7 === 0),
+      cust.filter(col("user_id") % 7 =!= 0))
+    val maintained = IncrementalJoin.mergeDelta(
+      oA.join(oB, Seq("user_id")), oA, dA, oB, dB, "user_id")
+    val recompute = ev.join(cust, Seq("user_id"))
+    // exact set equality row-for-row: no pair lost, none double-counted
+    assert(maintained.count() === recompute.count())
+    assert(maintained.exceptAll(recompute).count() === 0)
+    assert(recompute.exceptAll(maintained).count() === 0)
+    // the history-side term joins a tiny delta: must broadcast, so
+    // history streams through its scan without a join shuffle
+    val plan = oA.join(dB, Seq("user_id"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"A ⋈ ΔB should broadcast the delta:\n$plan")
+  }
+
   test("expectations: null predicates count as violations, exact ppm") {
     import graft.operators.Expectations
     val df = Seq(
