@@ -1374,6 +1374,36 @@ $union
       GROUP BY 1, 2 ORDER BY 1, 2"""),
   )
 
+  // --------------------------------------------------------------- q153
+  /** Hopping-window aggregation: Spark's native sliding
+    * `window(ts, "3 hours", "1 hour")` — each event expands into
+    * window/slide = 3 overlapping buckets via Expand before the
+    * map-side-combining count (the inherent cost of hopping windows;
+    * the expansion factor is the ratio, never data-dependent). The
+    * oracle replays the bucket assignment as pure integer epoch
+    * arithmetic — start ∈ {⌊t⌋ₕ, ⌊t⌋ₕ−1h, ⌊t⌋ₕ−2h} — so the
+    * engine's window alignment, inclusivity, and per-bucket counts
+    * all hash-match. Complements q14/q40's tumbling windows.
+    */
+  val q153HoppingWindow: QueryDef = QueryDef(
+    "q153_hopping_window",
+    (s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy(window(col("ts"), "3 hours", "1 hour").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").cast("long").as("bucket_start"),
+          col("event_type"), col("n"))
+        .orderBy(col("bucket_start"), col("event_type")),
+    Some("""
+      WITH e AS (SELECT epoch_us(ts) // 1000000 AS sec, event_type
+        FROM events),
+      x AS (SELECT ((sec // 3600) - k) * 3600 AS bucket_start, event_type
+        FROM e, (SELECT unnest(range(0, 3)) AS k) r)
+      SELECT bucket_start, event_type, COUNT(*) AS n
+      FROM x GROUP BY 1, 2 ORDER BY 1, 2"""),
+  )
+
   private val pid = ProcessHandle.current().pid()
 
   val all: Seq[QueryDef] =
@@ -1386,5 +1416,5 @@ $union
       q143HllMerge, q144JoinSizeSketch, q145LabelProp,
       q146BackfillRoundtrip, q147FeatureHash, q148Expectations,
       q149StreamExpectations, q150PlanEstimate, q151LshTuning,
-      q152IncrementalJoin)
+      q152IncrementalJoin, q153HoppingWindow)
 }
