@@ -1404,6 +1404,28 @@ $union
       FROM x GROUP BY 1, 2 ORDER BY 1, 2"""),
   )
 
+  // --------------------------------------------------------------- q154
+  /** q153's hopping windows maintained BY Structured Streaming
+    * ([[graft.streaming.EventsStream.hoppingCounts]]): the sliding
+    * window runs as a watermarked complete-mode stateful aggregation,
+    * and on the bounded source the drained counts must equal the
+    * batch expansion bit-for-bit — the last member of the
+    * streaming-equals-batch family (windows q40, dedup q41, index
+    * q124, MV q134, CDC q136, CMS q118, HLL q142, contract q149).
+    * Oracle: q153's integer-epoch replay.
+    */
+  val q154StreamHopping: QueryDef = QueryDef(
+    "q154_stream_hopping",
+    (s, dir) => graft.streaming.EventsStream.hoppingCounts(s, dir),
+    Some("""
+      WITH e AS (SELECT epoch_us(ts) // 1000000 AS sec, event_type
+        FROM events),
+      x AS (SELECT ((sec // 3600) - k) * 3600 AS bucket_start, event_type
+        FROM e, (SELECT unnest(range(0, 3)) AS k) r)
+      SELECT bucket_start, event_type, COUNT(*) AS n
+      FROM x GROUP BY 1, 2 ORDER BY 1, 2"""),
+  )
+
   private val pid = ProcessHandle.current().pid()
 
   val all: Seq[QueryDef] =
@@ -1416,5 +1438,5 @@ $union
       q143HllMerge, q144JoinSizeSketch, q145LabelProp,
       q146BackfillRoundtrip, q147FeatureHash, q148Expectations,
       q149StreamExpectations, q150PlanEstimate, q151LshTuning,
-      q152IncrementalJoin, q153HoppingWindow)
+      q152IncrementalJoin, q153HoppingWindow, q154StreamHopping)
 }
