@@ -770,6 +770,38 @@ class ScaleDesignSpec extends SparkSpec {
     assert(got >= exact, s"AMS estimate $got undercuts true size $exact")
   }
 
+  test("plan lint: fires on known hazards, clean on graded plans") {
+    import graft.plans.PlanLint
+    import org.apache.spark.sql.expressions.Window
+    val a = spark.range(100).toDF("x")
+    val b = spark.range(100).toDF("y")
+    // cross join with no condition: small sides plan as a broadcast
+    // nested loop, large ones as a cartesian — both are the hazard
+    val cross = a.crossJoin(b)
+    assert(PlanLint.findings(cross).exists(f =>
+      f._1 == "cartesian_product" || f._1 == "nested_loop_join"))
+    val bigCross = spark.range(10000000).toDF("x")
+      .crossJoin(spark.range(10000000).toDF("y"))
+    assert(PlanLint.findings(bigCross)
+      .exists(_._1 == "cartesian_product"))
+    // nested loop: non-equi theta join
+    val theta = a.join(b, col("x") < col("y"))
+    assert(PlanLint.findings(theta).exists(_._1 == "nested_loop_join"))
+    // single-partition window: global row_number
+    val w = a.withColumn("rn",
+      row_number().over(Window.orderBy(col("x"))))
+    assert(PlanLint.findings(w)
+      .exists(_._1 == "single_partition_window"))
+    // root global sort without a bounding limit
+    val sorted = a.orderBy(col("x"))
+    assert(PlanLint.findings(sorted).exists(_._1 == "global_sort"))
+    // ...but a top-k (TakeOrderedAndProject) does NOT flag
+    assert(PlanLint.clean(a.orderBy(col("x")).limit(5)))
+    // and the graded join/agg plans lint clean
+    val q3 = SparkEntry.queries("q03_join_revenue")(spark, sfDir)
+    assert(PlanLint.findings(q3).filterNot(_._1 == "global_sort").isEmpty)
+  }
+
   test("incremental join view: delta algebra equals full recompute") {
     import graft.operators.IncrementalJoin
     val ev = Tables(spark, sfDir, "events")
