@@ -28,14 +28,25 @@ object Tables {
     * apart; buckets are minutes+).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/events.parquet")
-    val ts = raw.schema("ts").dataType match {
+    raw.withColumn("ts", normalizedTs(raw.schema("ts").dataType))
+  }
+
+  /** The ONE place both readers (this batch loader and
+    * [[graft.streaming.EventsStream]]'s file source) turn a raw `ts`
+    * column of either physical layout into the canonical
+    * microsecond TimestampType — shared so a third layout, or a fix
+    * to the truncation, cannot be applied to one reader and silently
+    * break every streaming-equals-batch grade through the other.
+    */
+  def normalizedTs(
+      raw: org.apache.spark.sql.types.DataType): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    raw match {
       case org.apache.spark.sql.types.LongType =>
         timestamp_micros(expr("ts div 1000"))
       case _ => col("ts").cast("timestamp")
     }
-    raw.withColumn("ts", ts)
   }
 }

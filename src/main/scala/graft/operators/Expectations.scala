@@ -28,14 +28,26 @@ object Expectations {
     */
   def counts(df: DataFrame, checks: Seq[(String, Column)]): DataFrame = {
     require(checks.nonEmpty, "validate needs at least one check")
+    // plain identifiers only: the names become column names (v_<name>)
+    // and are resolved with col(), where '.' or '`' would parse as
+    // struct access / quoting instead of the literal name
+    checks.foreach { case (n, _) =>
+      require(n.matches("[A-Za-z0-9_]+"),
+        s"check name '$n' must be [A-Za-z0-9_]+")
+    }
     val aggs = checks.map { case (n, p) =>
-      sum(when(coalesce(p, lit(false)), lit(0L)).otherwise(lit(1L)))
-        .as(s"v_$n")
+      // coalesce(0): sum over ZERO rows is NULL — an empty batch has
+      // zero violations, not unknown ones
+      coalesce(sum(when(coalesce(p, lit(false)), lit(0L))
+        .otherwise(lit(1L))), lit(0L)).as(s"v_$n")
     }
     df.agg(count(lit(1)).as("n_rows"), aggs: _*)
   }
 
-  /** Unpack a [[counts]] row into the per-check report. */
+  /** Unpack a [[counts]] row into the per-check report. An empty
+    * input (n_rows = 0) passes vacuously: 0 violations, 0 ppm,
+    * passed = 1 — an empty batch satisfies every contract.
+    */
   def report(one: DataFrame, checkNames: Seq[String]): DataFrame = {
     val entries = array(checkNames.map { n =>
       struct(lit(n).as("check_name"), col(s"v_$n").as("n_violations"))
@@ -43,7 +55,9 @@ object Expectations {
     one.select(col("n_rows"), explode(entries).as("c"))
       .select(col("c.check_name").as("check_name"), col("n_rows"),
         col("c.n_violations").as("n_violations"),
-        expr("c.n_violations * 1000000 div n_rows").as("violation_ppm"),
+        when(col("n_rows") === 0, lit(0L))
+          .otherwise(expr("c.n_violations * 1000000 div n_rows"))
+          .as("violation_ppm"),
         when(col("c.n_violations") === 0, lit(1L)).otherwise(lit(0L))
           .as("passed"))
   }

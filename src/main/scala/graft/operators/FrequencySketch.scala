@@ -61,13 +61,20 @@ object FrequencySketch {
     * that, sketch shards and merge cells first (cnt sums stay exact).
     */
   def cmsJoinSize(cellsA: DataFrame, cellsB: DataFrame): DataFrame = {
-    import cellsA.sparkSession.implicits._
     val ip = cellsA.select(col("row"), col("pos"), col("cnt").as("ca"))
       .join(cellsB.select(col("row"), col("pos"), col("cnt").as("cb")),
         Seq("row", "pos"))
       .groupBy(col("row")).agg(sum(col("ca") * col("cb")).as("ip"))
-    Seq(0L, 1L).toDF("row").join(ip, Seq("row"), "left")
-      .agg(min(coalesce(col("ip"), lit(0L))).as("est_join_size"))
+    // seed with the sketch rows actually PRESENT in the inputs (never
+    // a hardcoded d): a hardcoded row the builder didn't use would
+    // coalesce to 0 and silently undercut the min for d != 2 sketches.
+    // Two empty cell tables (empty build sides) estimate 0 via the
+    // outer coalesce — the true join size of anything with nothing.
+    val rows = cellsA.select(col("row"))
+      .union(cellsB.select(col("row"))).distinct()
+    rows.join(ip, Seq("row"), "left")
+      .agg(coalesce(min(coalesce(col("ip"), lit(0L))), lit(0L))
+        .as("est_join_size"))
   }
 
   /** Point estimates for `keys` (one column named by `keyName`):

@@ -707,6 +707,100 @@ $union
       ORDER BY q_id"""),
   )
 
+  // ---- shared oracle fragments: the sketch family (q141-q144, q150)
+  // and the expectations report (q148/q149). One definition per piece
+  // of replay arithmetic — the FpLambda/SimhashCtes convention — so a
+  // fix cannot desync one graded oracle from its siblings.
+
+  /** 1 + leading zeros of the 26-bit HLL payload, as the CASE chain
+    * both engines evaluate identically.
+    */
+  private val HllRankCase = (1 to 26).map(r =>
+    s"WHEN w >= ${1L << (26 - r)} THEN $r").mkString(
+    "CASE ", " ", " ELSE 27 END")
+
+  /** α₆₄·m²·2²⁷ ×1000 — the HLL estimate numerator. */
+  private val HllNum = 709L * 64L * 64L * (1L << 27)
+
+  /** The scaled register sum with unhit registers at 2^27 each,
+    * over columns (s_hit, n_hit).
+    */
+  private val HllSumSql = "(s_hit + (64 - n_hit) * 134217728)"
+
+  /** Half-up integer α·m²/Σ2^−M over [[HllSumSql]]. */
+  private val HllEstimateSql =
+    s"(2 * $HllNum + 1000 * $HllSumSql) // (2000 * $HllSumSql)"
+
+  /** Global (ungrouped) HLL estimate CTE chain ending in
+    * `<src>est(estimate)`.
+    */
+  private def hllEstCtes(src: String, table: String, key: String) = {
+    val steps = graft.functions.PortableHash.hash32SqlSteps(key)
+    s"""
+      ${src}h0 AS (SELECT ${steps(0)} AS h FROM $table
+        WHERE $key IS NOT NULL),
+      ${src}h1 AS (SELECT ${steps(1)} AS h FROM ${src}h0),
+      ${src}h2 AS (SELECT ${steps(2)} AS h FROM ${src}h1),
+      ${src}hf AS (SELECT ${steps(3)} AS h FROM ${src}h2),
+      ${src}rw AS (SELECT h % 64 AS reg, h // 64 AS w FROM ${src}hf),
+      ${src}regs AS (SELECT reg, MAX($HllRankCase) AS m FROM ${src}rw
+        GROUP BY reg),
+      ${src}sums AS (SELECT CAST(SUM(134217728 >> m) AS BIGINT) AS s_hit,
+        COUNT(*) AS n_hit FROM ${src}regs),
+      ${src}est AS (SELECT $HllEstimateSql AS estimate FROM ${src}sums)"""
+  }
+
+  /** CMS d=2×w=1024 cell-table CTE chain ending in
+    * `<src>cell0/<src>cell1(pos, cnt)`.
+    */
+  private def cmsCellCtes(src: String, table: String, key: String) = {
+    val steps = graft.functions.PortableHash.hash32SqlSteps(key)
+    s"""
+      ${src}c0 AS (SELECT ${steps(0)} AS h FROM $table
+        WHERE $key IS NOT NULL),
+      ${src}c1 AS (SELECT ${steps(1)} AS h FROM ${src}c0),
+      ${src}c2 AS (SELECT ${steps(2)} AS h FROM ${src}c1),
+      ${src}cf AS (SELECT ${steps(3)} AS h FROM ${src}c2),
+      ${src}cell0 AS (SELECT h % 1024 AS pos, COUNT(*) AS cnt
+        FROM ${src}cf GROUP BY 1),
+      ${src}cell1 AS (SELECT (h >> 15) % 1024 AS pos, COUNT(*) AS cnt
+        FROM ${src}cf GROUP BY 1)"""
+  }
+
+  /** AMS join-size estimate over two [[cmsCellCtes]] chains. */
+  private def cmsJoinSizeSql(a: String, b: String) = s"""
+      SELECT LEAST(
+          COALESCE((SELECT CAST(SUM(x.cnt * y.cnt) AS BIGINT)
+                    FROM ${a}cell0 x JOIN ${b}cell0 y USING (pos)), 0),
+          COALESCE((SELECT CAST(SUM(x.cnt * y.cnt) AS BIGINT)
+                    FROM ${a}cell1 x JOIN ${b}cell1 y USING (pos)), 0))
+          AS est_join_size"""
+
+  /** The one-scan expectations oracle: fused conditional counts over
+    * `from`, unpacked into per-check report rows (q148/q149 share
+    * this; optional `withCte` prepends a source CTE).
+    */
+  private def expectationsOracleSql(checks: Seq[(String, String)],
+      from: String, withCte: Option[String]): String = {
+    val aggs = checks.map { case (n, p) =>
+      s"CAST(SUM(CASE WHEN NOT COALESCE($p, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v_$n"
+    }.mkString(",\n        ")
+    val rows = checks.map { case (n, _) =>
+      s"""SELECT '$n' AS check_name, n_rows, v_$n AS n_violations,
+          v_$n * 1000000 // n_rows AS violation_ppm,
+          CAST(CASE WHEN v_$n = 0 THEN 1 ELSE 0 END AS BIGINT) AS passed
+          FROM agg"""
+    }.mkString("\n      UNION ALL\n      ")
+    val withPrefix = withCte.map(c => s"$c,").getOrElse("")
+    s"""
+      WITH $withPrefix
+      agg AS (SELECT COUNT(*) AS n_rows,
+        $aggs
+        FROM $from)
+      $rows
+      ORDER BY check_name"""
+  }
+
   // --------------------------------------------------------------- q141
   /** Oracle-replayable HyperLogLog ([[graft.operators.HyperLogLog]]):
     * per-group approximate distinct parts from m = 64 six-bit
@@ -737,11 +831,6 @@ $union
     },
     Some {
       val steps = graft.functions.PortableHash.hash32SqlSteps("l_partkey")
-      val rankCase = (1 to 26).map(r =>
-        s"WHEN w >= ${1L << (26 - r)} THEN $r").mkString(
-        "CASE ", " ", " ELSE 27 END")
-      val num = 709L * 64L * 64L * (1L << 27)
-      val sSql = "(s_hit + (64 - n_hit) * 134217728)"
       s"""
       WITH h0 AS (
         SELECT l_returnflag AS flag, ${steps(0)} AS h
@@ -750,14 +839,12 @@ $union
       h2 AS (SELECT flag, ${steps(2)} AS h FROM h1),
       hf AS (SELECT flag, ${steps(3)} AS h FROM h2),
       rw AS (SELECT flag, h % 64 AS reg, h // 64 AS w FROM hf),
-      regs AS (SELECT flag, reg, MAX($rankCase) AS m
+      regs AS (SELECT flag, reg, MAX($HllRankCase) AS m
         FROM rw GROUP BY flag, reg),
       sums AS (SELECT flag, CAST(SUM(134217728 >> m) AS BIGINT) AS s_hit,
           COUNT(*) AS n_hit
         FROM regs GROUP BY flag),
-      est AS (SELECT flag,
-          (2 * $num + 1000 * $sSql) // (2000 * $sSql) AS estimate
-        FROM sums),
+      est AS (SELECT flag, $HllEstimateSql AS estimate FROM sums),
       ex AS (SELECT l_returnflag AS flag,
           COUNT(DISTINCT l_partkey) AS exact
         FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1)
@@ -795,11 +882,6 @@ $union
     },
     Some {
       val steps = graft.functions.PortableHash.hash32SqlSteps("user_id")
-      val rankCase = (1 to 26).map(r =>
-        s"WHEN w >= ${1L << (26 - r)} THEN $r").mkString(
-        "CASE ", " ", " ELSE 27 END")
-      val num = 709L * 64L * 64L * (1L << 27)
-      val sSql = "(s_hit + (64 - n_hit) * 134217728)"
       s"""
       WITH h0 AS (
         SELECT event_type AS etype, ${steps(0)} AS h
@@ -808,14 +890,12 @@ $union
       h2 AS (SELECT etype, ${steps(2)} AS h FROM h1),
       hf AS (SELECT etype, ${steps(3)} AS h FROM h2),
       rw AS (SELECT etype, h % 64 AS reg, h // 64 AS w FROM hf),
-      regs AS (SELECT etype, reg, MAX($rankCase) AS m
+      regs AS (SELECT etype, reg, MAX($HllRankCase) AS m
         FROM rw GROUP BY etype, reg),
       sums AS (SELECT etype, CAST(SUM(134217728 >> m) AS BIGINT) AS s_hit,
           COUNT(*) AS n_hit
         FROM regs GROUP BY etype),
-      est AS (SELECT etype,
-          (2 * $num + 1000 * $sSql) // (2000 * $sSql) AS estimate
-        FROM sums),
+      est AS (SELECT etype, $HllEstimateSql AS estimate FROM sums),
       ex AS (SELECT event_type AS etype,
           COUNT(DISTINCT user_id) AS exact
         FROM events WHERE user_id IS NOT NULL GROUP BY 1)
@@ -854,35 +934,14 @@ $union
           round(abs(col("estimate") - col("exact")).cast("double") /
             col("exact"), 4).as("rel_err"))
     },
-    Some {
-      val steps = graft.functions.PortableHash.hash32SqlSteps("user_id")
-      val rankCase = (1 to 26).map(r =>
-        s"WHEN w >= ${1L << (26 - r)} THEN $r").mkString(
-        "CASE ", " ", " ELSE 27 END")
-      val num = 709L * 64L * 64L * (1L << 27)
-      val sSql = "(s_hit + (64 - n_hit) * 134217728)"
-      s"""
-      WITH h0 AS (
-        SELECT ${steps(0)} AS h
-        FROM events WHERE user_id IS NOT NULL),
-      h1 AS (SELECT ${steps(1)} AS h FROM h0),
-      h2 AS (SELECT ${steps(2)} AS h FROM h1),
-      hf AS (SELECT ${steps(3)} AS h FROM h2),
-      rw AS (SELECT h % 64 AS reg, h // 64 AS w FROM hf),
-      regs AS (SELECT reg, MAX($rankCase) AS m FROM rw GROUP BY reg),
-      sums AS (SELECT CAST(SUM(134217728 >> m) AS BIGINT) AS s_hit,
-          COUNT(*) AS n_hit
-        FROM regs),
-      est AS (SELECT
-          (2 * $num + 1000 * $sSql) // (2000 * $sSql) AS estimate
-        FROM sums),
+    Some(s"""
+      WITH ${hllEstCtes("", "events", "user_id").trim},
       ex AS (SELECT COUNT(DISTINCT user_id) AS exact
         FROM events WHERE user_id IS NOT NULL)
       SELECT 'all' AS scope, ex.exact, est.estimate,
         ROUND(CAST(ABS(est.estimate - ex.exact) AS DOUBLE) / ex.exact, 4)
           AS rel_err
-      FROM ex CROSS JOIN est"""
-    },
+      FROM ex CROSS JOIN est"""),
   )
 
   // --------------------------------------------------------------- q144
@@ -917,35 +976,10 @@ $union
         .select(col("exact_join_size"), col("est_join_size"),
           (col("est_join_size") - col("exact_join_size")).as("overcount"))
     },
-    Some {
-      def chain(src: String, from: String) = s"""
-      ${src}h0 AS (
-        SELECT *, ((x % 4294967296) + 4294967296) % 4294967296 AS h
-        FROM $from),
-      ${src}h1 AS (SELECT * REPLACE(
-        (xor(h, h >> 16) * 73244475) % 4294967296 AS h) FROM ${src}h0),
-      ${src}h2 AS (SELECT * REPLACE(
-        (xor(h, h >> 16) * 73244475) % 4294967296 AS h) FROM ${src}h1),
-      ${src}hf AS (SELECT * REPLACE(xor(h, h >> 16) AS h) FROM ${src}h2)"""
-      s"""
-      WITH ev AS (SELECT user_id AS x FROM events
-                  WHERE user_id IS NOT NULL),
-      ${chain("e", "ev").trim},
-      oc AS (SELECT o_custkey AS x FROM orders
-             WHERE o_custkey IS NOT NULL),
-      ${chain("o", "oc").trim},
-      ac0 AS (SELECT h % 1024 AS pos, COUNT(*) AS cnt FROM ehf GROUP BY 1),
-      ac1 AS (SELECT (h >> 15) % 1024 AS pos, COUNT(*) AS cnt
-              FROM ehf GROUP BY 1),
-      bc0 AS (SELECT h % 1024 AS pos, COUNT(*) AS cnt FROM ohf GROUP BY 1),
-      bc1 AS (SELECT (h >> 15) % 1024 AS pos, COUNT(*) AS cnt
-              FROM ohf GROUP BY 1),
-      est AS (SELECT LEAST(
-          COALESCE((SELECT CAST(SUM(a.cnt * b.cnt) AS BIGINT)
-                    FROM ac0 a JOIN bc0 b USING (pos)), 0),
-          COALESCE((SELECT CAST(SUM(a.cnt * b.cnt) AS BIGINT)
-                    FROM ac1 a JOIN bc1 b USING (pos)), 0))
-          AS est_join_size),
+    Some(s"""
+      WITH ${cmsCellCtes("x", "events", "user_id").trim},
+      ${cmsCellCtes("y", "orders", "o_custkey").trim},
+      est AS (${cmsJoinSizeSql("x", "y")}),
       ex AS (SELECT COALESCE(CAST(SUM(e.n * o.n) AS BIGINT), 0)
           AS exact_join_size
         FROM (SELECT user_id, COUNT(*) AS n FROM events
@@ -955,8 +989,7 @@ $union
           ON e.user_id = o.o_custkey)
       SELECT ex.exact_join_size, est.est_join_size,
         est.est_join_size - ex.exact_join_size AS overcount
-      FROM ex CROSS JOIN est"""
-    },
+      FROM ex CROSS JOIN est"""),
   )
 
   // --------------------------------------------------------------- q145
@@ -1120,34 +1153,19 @@ $union
           "c7_quantity_le_10" -> (col("l_quantity") <= 10)))
         .orderBy(col("check_name"))
     },
-    Some {
-      val checks = Seq(
+    Some(expectationsOracleSql(
+      Seq(
         "c1_quantity_range" -> "l_quantity BETWEEN 1 AND 50",
         "c2_price_positive" -> "l_extendedprice > 0",
         "c3_flag_domain" -> "l_returnflag IN ('A', 'N', 'R')",
         "c4_discount_range" -> "l_discount BETWEEN 0 AND 0.1",
         "c5_fk_orders" -> "fk_ok IS NOT NULL",
         "c6_shipdate_known" -> "l_shipdate IS NOT NULL",
-        "c7_quantity_le_10" -> "l_quantity <= 10")
-      val aggs = checks.map { case (n, p) =>
-        s"CAST(SUM(CASE WHEN NOT COALESCE($p, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v_$n"
-      }.mkString(",\n        ")
-      val rows = checks.map { case (n, _) =>
-        s"""SELECT '$n' AS check_name, n_rows, v_$n AS n_violations,
-          v_$n * 1000000 // n_rows AS violation_ppm,
-          CAST(CASE WHEN v_$n = 0 THEN 1 ELSE 0 END AS BIGINT) AS passed
-          FROM agg"""
-      }.mkString("\n      UNION ALL\n      ")
-      s"""
-      WITH j AS (
+        "c7_quantity_le_10" -> "l_quantity <= 10"),
+      from = "j",
+      withCte = Some("""j AS (
         SELECT l.*, o.o_orderkey AS fk_ok
-        FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey),
-      agg AS (SELECT COUNT(*) AS n_rows,
-        $aggs
-        FROM j)
-      $rows
-      ORDER BY check_name"""
-    },
+        FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey)"""))),
   )
 
   // --------------------------------------------------------------- q149
@@ -1170,28 +1188,14 @@ $union
           "e4_ts_2024" ->
             (col("ts") >= lit("2024-01-01").cast("timestamp"))))
         .orderBy(col("check_name")),
-    Some {
-      val checks = Seq(
+    Some(expectationsOracleSql(
+      Seq(
         "e1_type_domain" -> "event_type IN ('click', 'view')",
         "e2_user_notnull" -> "user_id IS NOT NULL",
         "e3_value_nonneg" -> "value >= 0",
-        "e4_ts_2024" -> "ts >= TIMESTAMP '2024-01-01'")
-      val aggs = checks.map { case (n, p) =>
-        s"CAST(SUM(CASE WHEN NOT COALESCE($p, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v_$n"
-      }.mkString(",\n        ")
-      val rows = checks.map { case (n, _) =>
-        s"""SELECT '$n' AS check_name, n_rows, v_$n AS n_violations,
-          v_$n * 1000000 // n_rows AS violation_ppm,
-          CAST(CASE WHEN v_$n = 0 THEN 1 ELSE 0 END AS BIGINT) AS passed
-          FROM agg"""
-      }.mkString("\n      UNION ALL\n      ")
-      s"""
-      WITH agg AS (SELECT COUNT(*) AS n_rows,
-        $aggs
-        FROM events)
-      $rows
-      ORDER BY check_name"""
-    },
+        "e4_ts_2024" -> "ts >= TIMESTAMP '2024-01-01'"),
+      from = "events",
+      withCte = None)),
   )
 
   // --------------------------------------------------------------- q150
@@ -1235,52 +1239,12 @@ $union
         .crossJoin(or.agg(count(lit(1)).as("n_orders")))
         .crossJoin(dA).crossJoin(dB).crossJoin(jz).crossJoin(exact)
     },
-    Some {
-      def hllEst(src: String, table: String, key: String) = {
-        val steps = graft.functions.PortableHash.hash32SqlSteps(key)
-        val rankCase = (1 to 26).map(r =>
-          s"WHEN w >= ${1L << (26 - r)} THEN $r").mkString(
-          "CASE ", " ", " ELSE 27 END")
-        val num = 709L * 64L * 64L * (1L << 27)
-        val sS = "(s_hit + (64 - n_hit) * 134217728)"
-        s"""
-      ${src}h0 AS (SELECT ${steps(0)} AS h FROM $table
-        WHERE $key IS NOT NULL),
-      ${src}h1 AS (SELECT ${steps(1)} AS h FROM ${src}h0),
-      ${src}h2 AS (SELECT ${steps(2)} AS h FROM ${src}h1),
-      ${src}hf AS (SELECT ${steps(3)} AS h FROM ${src}h2),
-      ${src}rw AS (SELECT h % 64 AS reg, h // 64 AS w FROM ${src}hf),
-      ${src}regs AS (SELECT reg, MAX($rankCase) AS m FROM ${src}rw
-        GROUP BY reg),
-      ${src}sums AS (SELECT CAST(SUM(134217728 >> m) AS BIGINT) AS s_hit,
-        COUNT(*) AS n_hit FROM ${src}regs),
-      ${src}est AS (SELECT (2 * $num + 1000 * $sS) // (2000 * $sS)
-        AS estimate FROM ${src}sums)"""
-      }
-      def cmsChain(src: String, table: String, key: String) = {
-        val steps = graft.functions.PortableHash.hash32SqlSteps(key)
-        s"""
-      ${src}c0 AS (SELECT ${steps(0)} AS h FROM $table
-        WHERE $key IS NOT NULL),
-      ${src}c1 AS (SELECT ${steps(1)} AS h FROM ${src}c0),
-      ${src}c2 AS (SELECT ${steps(2)} AS h FROM ${src}c1),
-      ${src}cf AS (SELECT ${steps(3)} AS h FROM ${src}c2),
-      ${src}cell0 AS (SELECT h % 1024 AS pos, COUNT(*) AS cnt
-        FROM ${src}cf GROUP BY 1),
-      ${src}cell1 AS (SELECT (h >> 15) % 1024 AS pos, COUNT(*) AS cnt
-        FROM ${src}cf GROUP BY 1)"""
-      }
-      s"""
-      WITH ${hllEst("a", "events", "user_id").trim},
-      ${hllEst("b", "orders", "o_custkey").trim},
-      ${cmsChain("x", "events", "user_id").trim},
-      ${cmsChain("y", "orders", "o_custkey").trim},
-      jz AS (SELECT LEAST(
-          COALESCE((SELECT CAST(SUM(a.cnt * b.cnt) AS BIGINT)
-                    FROM xcell0 a JOIN ycell0 b USING (pos)), 0),
-          COALESCE((SELECT CAST(SUM(a.cnt * b.cnt) AS BIGINT)
-                    FROM xcell1 a JOIN ycell1 b USING (pos)), 0))
-          AS est_join_size),
+    Some(s"""
+      WITH ${hllEstCtes("a", "events", "user_id").trim},
+      ${hllEstCtes("b", "orders", "o_custkey").trim},
+      ${cmsCellCtes("x", "events", "user_id").trim},
+      ${cmsCellCtes("y", "orders", "o_custkey").trim},
+      jz AS (${cmsJoinSizeSql("x", "y")}),
       ex AS (SELECT COALESCE(CAST(SUM(e.n * o.n) AS BIGINT), 0)
           AS exact_join_size
         FROM (SELECT user_id, COUNT(*) AS n FROM events
@@ -1298,8 +1262,7 @@ $union
         best.estimate AS dist_custs_est,
         jz.est_join_size, ex.exact_join_size
       FROM cnts CROSS JOIN aest CROSS JOIN best
-        CROSS JOIN jz CROSS JOIN ex"""
-    },
+        CROSS JOIN jz CROSS JOIN ex"""),
   )
 
   // --------------------------------------------------------------- q151

@@ -38,15 +38,11 @@ object EventsStream {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val tsType =
       spark.read.parquet(s"$sfDir/events.parquet").schema("ts").dataType
-    val raw = spark.readStream
+    spark.readStream
       .schema(rawSchema(tsType))
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-    val ts = tsType match {
-      case LongType => timestamp_micros(expr("ts div 1000"))
-      case _        => col("ts").cast("timestamp")
-    }
-    raw.withColumn("ts", ts)
+      .withColumn("ts", graft.Tables.normalizedTs(tsType))
   }
 
   /** The one windowed aggregation both the memory-drain query (q40) and
@@ -224,19 +220,21 @@ object EventsStream {
       "graft_hll_")
 
   /** q153's hopping-window counts as a CONTINUOUS query: the same
-    * sliding `window(ts, 3 hours, 1 hour)` runs as a watermarked
-    * stateful streaming aggregation in complete mode — state is the
-    * set of open windows × event types (on a bounded source, the
-    * stream's time span ÷ slide; in a true continuous run the
-    * watermark expires closed windows, bounding state by lateness ÷
-    * slide). Counts are order-insensitive longs,
-    * so the drained result equals the batch hopping aggregation
-    * bit-for-bit, graded through q154 with q153's oracle shape.
+    * sliding `window(ts, 3 hours, 1 hour)` as a stateful streaming
+    * aggregation, drained in COMPLETE mode for batch parity — which
+    * means state here is every window ever opened (time span ÷ slide
+    * on the bounded source; Spark does NOT apply watermark eviction
+    * in complete mode, so complete is only for bounded replays and
+    * parity checks). A true continuous deployment runs the SAME
+    * aggregation in append/update mode with the watermark — the shape
+    * [[windowedToParquetSink]] demonstrates — where state is bounded
+    * by lateness ÷ slide. Counts are order-insensitive longs, so the
+    * drained result equals the batch hopping aggregation bit-for-bit,
+    * graded through q154 with q153's oracle shape.
     */
   def hoppingCounts(spark: SparkSession, sfDir: String): DataFrame =
     drainToLocal(
       eventsStream(spark, sfDir)
-        .withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "3 hours", "1 hour").as("w"),
           col("event_type"))
         .agg(count(lit(1)).as("n")),

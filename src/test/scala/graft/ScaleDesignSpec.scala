@@ -754,6 +754,17 @@ class ScaleDesignSpec extends SparkSpec {
     val cc = FrequencySketch.cmsCells(Seq(99L, 98L).toDF("k"), col("k"), w)
     val dj = FrequencySketch.cmsJoinSize(ca, cc).as[Long].collect().head
     assert(dj === 0L)
+    // d=1 cell tables (hand-built): the row seed must come from the
+    // INPUTS — a hardcoded d=2 seed would coalesce the absent row to
+    // 0 and undercut the min to 0
+    val d1a = Seq((0L, 5L, 3L)).toDF("row", "pos", "cnt")
+    val d1b = Seq((0L, 5L, 4L)).toDF("row", "pos", "cnt")
+    assert(FrequencySketch.cmsJoinSize(d1a, d1b)
+      .as[Long].collect().head === 12L)
+    // two empty cell tables: estimate 0, never an empty/NULL result
+    val empty = d1a.filter(lit(false))
+    assert(FrequencySketch.cmsJoinSize(empty, empty)
+      .as[Long].collect().head === 0L)
     // real tables: never undercounts
     val ev = Tables(spark, sfDir, "events")
     val or = Tables(spark, sfDir, "orders")
