@@ -35,6 +35,10 @@ object Expectations {
       require(n.matches("[A-Za-z0-9_]+"),
         s"check name '$n' must be [A-Za-z0-9_]+")
     }
+    // duplicate names would create two v_<name> columns and surface
+    // later as an unrelated-looking AMBIGUOUS_REFERENCE — fail here
+    require(checks.map(_._1).distinct.size == checks.size,
+      "check names must be unique")
     val aggs = checks.map { case (n, p) =>
       // coalesce(0): sum over ZERO rows is NULL — an empty batch has
       // zero violations, not unknown ones

@@ -60,10 +60,17 @@ object PlanLint {
         ("single_partition_window", w.nodeName)
     }
     // a global sort is only a hazard when nothing above it bounds the
-    // output: flag it when it is the effective root of the plan
+    // output: flag it when it is the effective root — descending
+    // through wrappers that DON'T bound cardinality (projections and
+    // filters preserve the unbounded total-order materialization; a
+    // limit/TakeOrdered/join above the sort would not appear here)
     def effectiveRoot(p: SparkPlan): SparkPlan = p match {
       case a: AdaptiveSparkPlanExec => effectiveRoot(a.executedPlan)
       case q: QueryStageExec        => effectiveRoot(q.plan)
+      case pr: org.apache.spark.sql.execution.ProjectExec =>
+        effectiveRoot(pr.child)
+      case f: org.apache.spark.sql.execution.FilterExec =>
+        effectiveRoot(f.child)
       case other => other
     }
     val rootSort = effectiveRoot(root) match {

@@ -782,12 +782,16 @@ $union
     */
   private def expectationsOracleSql(checks: Seq[(String, String)],
       from: String, withCte: Option[String]): String = {
+    // mirrors Expectations' empty-batch contract exactly: sums
+    // coalesce to 0 and ppm guards n_rows = 0, so an empty source
+    // passes vacuously in BOTH engines instead of desyncing on NULLs
     val aggs = checks.map { case (n, p) =>
-      s"CAST(SUM(CASE WHEN NOT COALESCE($p, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v_$n"
+      s"COALESCE(CAST(SUM(CASE WHEN NOT COALESCE($p, FALSE) THEN 1 ELSE 0 END) AS BIGINT), 0) AS v_$n"
     }.mkString(",\n        ")
     val rows = checks.map { case (n, _) =>
       s"""SELECT '$n' AS check_name, n_rows, v_$n AS n_violations,
-          v_$n * 1000000 // n_rows AS violation_ppm,
+          CASE WHEN n_rows = 0 THEN 0
+               ELSE v_$n * 1000000 // n_rows END AS violation_ppm,
           CAST(CASE WHEN v_$n = 0 THEN 1 ELSE 0 END AS BIGINT) AS passed
           FROM agg"""
     }.mkString("\n      UNION ALL\n      ")
@@ -800,6 +804,26 @@ $union
       $rows
       ORDER BY check_name"""
   }
+
+  /** The hopping-window replay (q153 batch, q154 streaming — ONE
+    * definition so the streaming-equals-batch pair cannot desync).
+    */
+  private val HoppingOracleSql = """
+      WITH e AS (SELECT epoch_us(ts) // 1000000 AS sec, event_type
+        FROM events),
+      x AS (SELECT ((sec // 3600) - k) * 3600 AS bucket_start, event_type
+        FROM e, (SELECT unnest(range(0, 3)) AS k) r)
+      SELECT bucket_start, event_type, COUNT(*) AS n
+      FROM x GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  /** Exact events⋈orders join size as a CTE body (q144 + q150). */
+  private val ExactJoinSizeSql = """SELECT
+          COALESCE(CAST(SUM(e.n * o.n) AS BIGINT), 0) AS exact_join_size
+        FROM (SELECT user_id, COUNT(*) AS n FROM events
+              WHERE user_id IS NOT NULL GROUP BY 1) e
+        JOIN (SELECT o_custkey, COUNT(*) AS n FROM orders
+              WHERE o_custkey IS NOT NULL GROUP BY 1) o
+          ON e.user_id = o.o_custkey"""
 
   // --------------------------------------------------------------- q141
   /** Oracle-replayable HyperLogLog ([[graft.operators.HyperLogLog]]):
@@ -980,13 +1004,7 @@ $union
       WITH ${cmsCellCtes("x", "events", "user_id").trim},
       ${cmsCellCtes("y", "orders", "o_custkey").trim},
       est AS (${cmsJoinSizeSql("x", "y")}),
-      ex AS (SELECT COALESCE(CAST(SUM(e.n * o.n) AS BIGINT), 0)
-          AS exact_join_size
-        FROM (SELECT user_id, COUNT(*) AS n FROM events
-              WHERE user_id IS NOT NULL GROUP BY 1) e
-        JOIN (SELECT o_custkey, COUNT(*) AS n FROM orders
-              WHERE o_custkey IS NOT NULL GROUP BY 1) o
-          ON e.user_id = o.o_custkey)
+      ex AS ($ExactJoinSizeSql)
       SELECT ex.exact_join_size, est.est_join_size,
         est.est_join_size - ex.exact_join_size AS overcount
       FROM ex CROSS JOIN est"""),
@@ -1245,13 +1263,7 @@ $union
       ${cmsCellCtes("x", "events", "user_id").trim},
       ${cmsCellCtes("y", "orders", "o_custkey").trim},
       jz AS (${cmsJoinSizeSql("x", "y")}),
-      ex AS (SELECT COALESCE(CAST(SUM(e.n * o.n) AS BIGINT), 0)
-          AS exact_join_size
-        FROM (SELECT user_id, COUNT(*) AS n FROM events
-              WHERE user_id IS NOT NULL GROUP BY 1) e
-        JOIN (SELECT o_custkey, COUNT(*) AS n FROM orders
-              WHERE o_custkey IS NOT NULL GROUP BY 1) o
-          ON e.user_id = o.o_custkey),
+      ex AS ($ExactJoinSizeSql),
       cnts AS (SELECT
         (SELECT COUNT(*) FROM events WHERE user_id IS NOT NULL)
           AS n_events,
@@ -1358,35 +1370,25 @@ $union
         .select(col("w.start").cast("long").as("bucket_start"),
           col("event_type"), col("n"))
         .orderBy(col("bucket_start"), col("event_type")),
-    Some("""
-      WITH e AS (SELECT epoch_us(ts) // 1000000 AS sec, event_type
-        FROM events),
-      x AS (SELECT ((sec // 3600) - k) * 3600 AS bucket_start, event_type
-        FROM e, (SELECT unnest(range(0, 3)) AS k) r)
-      SELECT bucket_start, event_type, COUNT(*) AS n
-      FROM x GROUP BY 1, 2 ORDER BY 1, 2"""),
+    Some(HoppingOracleSql),
   )
 
   // --------------------------------------------------------------- q154
   /** q153's hopping windows maintained BY Structured Streaming
     * ([[graft.streaming.EventsStream.hoppingCounts]]): the sliding
-    * window runs as a watermarked complete-mode stateful aggregation,
-    * and on the bounded source the drained counts must equal the
+    * window runs as a complete-mode stateful aggregation (complete
+    * mode retains every window on the bounded source — a continuous
+    * deployment uses append/update with a watermark instead; see
+    * hoppingCounts' doc), and the drained counts must equal the
     * batch expansion bit-for-bit — the last member of the
     * streaming-equals-batch family (windows q40, dedup q41, index
     * q124, MV q134, CDC q136, CMS q118, HLL q142, contract q149).
-    * Oracle: q153's integer-epoch replay.
+    * Oracle: the SAME [[HoppingOracleSql]] as q153, single-sourced.
     */
   val q154StreamHopping: QueryDef = QueryDef(
     "q154_stream_hopping",
     (s, dir) => graft.streaming.EventsStream.hoppingCounts(s, dir),
-    Some("""
-      WITH e AS (SELECT epoch_us(ts) // 1000000 AS sec, event_type
-        FROM events),
-      x AS (SELECT ((sec // 3600) - k) * 3600 AS bucket_start, event_type
-        FROM e, (SELECT unnest(range(0, 3)) AS k) r)
-      SELECT bucket_start, event_type, COUNT(*) AS n
-      FROM x GROUP BY 1, 2 ORDER BY 1, 2"""),
+    Some(HoppingOracleSql),
   )
 
   private val pid = ProcessHandle.current().pid()

@@ -806,6 +806,10 @@ class ScaleDesignSpec extends SparkSpec {
     // root global sort without a bounding limit
     val sorted = a.orderBy(col("x"))
     assert(PlanLint.findings(sorted).exists(_._1 == "global_sort"))
+    // a projection/filter above the sort bounds nothing — still flags
+    val projected = a.orderBy(col("x"))
+      .filter(col("x") > 1).select((col("x") * 2).as("y"))
+    assert(PlanLint.findings(projected).exists(_._1 == "global_sort"))
     // ...but a top-k (TakeOrderedAndProject) does NOT flag
     assert(PlanLint.clean(a.orderBy(col("x")).limit(5)))
     // and the graded join/agg plans lint clean
