@@ -1391,6 +1391,46 @@ $union
     Some(HoppingOracleSql),
   )
 
+  // --------------------------------------------------------------- q155
+  /** Per-group top-k by aggregation ([[graft.plans.TopKByKey]]): the
+    * 3 highest-priced lineitems per return flag from an O(k) typed
+    * Aggregator buffer — where the textbook ROW_NUMBER-per-group
+    * window sorts and materializes ENTIRE groups on single tasks
+    * (fatal under group skew at scale) and collect_list buffers
+    * group-sized state, this keeps k pairs per group with map-side
+    * partial aggregation. Total (score DESC, id ASC) ordering makes
+    * the retained set order-free, so the oracle IS that textbook
+    * window — the two must agree rank-for-rank.
+    */
+  val q155GroupTopK: QueryDef = QueryDef(
+    "q155_group_topk",
+    (s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val cents = (signum(col("l_extendedprice")) *
+        floor(abs(col("l_extendedprice")) * 100 + lit(0.5))).cast("long")
+      val id = col("l_orderkey") * 10 + col("l_linenumber")
+      li.groupBy(col("l_returnflag").as("flag"))
+        .agg(graft.plans.TopKByKey.topK(cents, id, 3).as("tk"))
+        .select(col("flag"), posexplode(col("tk")))
+        .select(col("flag"), (col("pos") + 1).cast("long").as("rank"),
+          col("col._1").as("price_cents"), col("col._2").as("row_id"))
+        .orderBy(col("flag"), col("rank"))
+    },
+    Some("""
+      WITH s AS (SELECT l_returnflag AS flag,
+        CAST(CASE WHEN l_extendedprice >= 0
+             THEN FLOOR(l_extendedprice * 100 + 0.5)
+             ELSE -FLOOR(-l_extendedprice * 100 + 0.5) END AS BIGINT)
+          AS price_cents,
+        l_orderkey * 10 + l_linenumber AS row_id FROM lineitem),
+      r AS (SELECT flag, price_cents, row_id,
+        ROW_NUMBER() OVER (PARTITION BY flag
+          ORDER BY price_cents DESC, row_id) AS rank
+        FROM s)
+      SELECT flag, rank, price_cents, row_id FROM r WHERE rank <= 3
+      ORDER BY flag, rank"""),
+  )
+
   private val pid = ProcessHandle.current().pid()
 
   val all: Seq[QueryDef] =
@@ -1403,5 +1443,6 @@ $union
       q143HllMerge, q144JoinSizeSketch, q145LabelProp,
       q146BackfillRoundtrip, q147FeatureHash, q148Expectations,
       q149StreamExpectations, q150PlanEstimate, q151LshTuning,
-      q152IncrementalJoin, q153HoppingWindow, q154StreamHopping)
+      q152IncrementalJoin, q153HoppingWindow, q154StreamHopping,
+      q155GroupTopK)
 }

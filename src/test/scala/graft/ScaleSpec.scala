@@ -601,6 +601,30 @@ class ScaleSpec extends SparkSpec {
     assert(c(2) === want)
   }
 
+  test("TopKByKey: matches sort-take reference, partition-invariant") {
+    import graft.plans.TopKByKey
+    import org.apache.spark.sql.Row
+    val data = (1 to 500).map(i =>
+      ("g" + (i % 3), (i * 37 % 101).toLong, i.toLong))
+    val want = data.groupBy(_._1).map { case (g, xs) =>
+      g -> xs.map(t => (t._2, t._3)).sortBy { case (s, id) => (-s, id) }
+        .take(5)
+    }
+    def run(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("g").agg(TopKByKey.topK(col("s"), col("id"), 5).as("tk"))
+        .collect().map(r => r.getString(0) ->
+          r.getSeq[Row](1).map(p => (p.getLong(0), p.getLong(1))).toSeq)
+        .toMap
+    val df = data.toDF("g", "s", "id")
+    assert(run(df) === want)
+    // retained set is order-free: any partitioning gives identical ranks
+    assert(run(df.repartition(17)) === want)
+    // null scores are ignored like SQL aggregates; ties break by id
+    val got = run(Seq(("g", Option(7L), 2L), ("g", Option(7L), 1L),
+      ("g", Option.empty[Long], 0L)).toDF("g", "s", "id"))
+    assert(got("g") === Seq((7L, 1L), (7L, 2L)))
+  }
+
   test("multimodal decode stub: schema + deterministic features") {
     val docs = Seq((0L, "hello world this is a test document"),
       (1L, ""), (2L, "short")).toDF("doc_id", "text")
