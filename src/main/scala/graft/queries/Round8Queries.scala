@@ -1431,6 +1431,34 @@ $union
       ORDER BY flag, rank"""),
   )
 
+  // --------------------------------------------------------------- q156
+  /** q155's bounded top-k Aggregator as CONTINUOUS streaming state
+    * ([[graft.streaming.EventsStream.streamedTopK]]): the live
+    * leaderboard — top-3 events per type by value — with O(k) state
+    * per group however long the stream runs. Extends the
+    * streaming-equals-batch family to the custom-Aggregator surface
+    * (the declarative sketches had it; this proves typed mergeable
+    * buffers get it too). Oracle: the same textbook ROW_NUMBER window
+    * as q155, over events.
+    */
+  val q156StreamTopK: QueryDef = QueryDef(
+    "q156_stream_topk",
+    (s, dir) => graft.streaming.EventsStream.streamedTopK(s, dir, 3),
+    Some("""
+      WITH s AS (SELECT event_type,
+        CAST(CASE WHEN value >= 0
+             THEN FLOOR(value * 100 + 0.5)
+             ELSE -FLOOR(-value * 100 + 0.5) END AS BIGINT)
+          AS value_cents,
+        event_id FROM events),
+      r AS (SELECT event_type, value_cents, event_id,
+        ROW_NUMBER() OVER (PARTITION BY event_type
+          ORDER BY value_cents DESC, event_id) AS rank
+        FROM s)
+      SELECT event_type, rank, value_cents, event_id FROM r
+      WHERE rank <= 3 ORDER BY event_type, rank"""),
+  )
+
   private val pid = ProcessHandle.current().pid()
 
   val all: Seq[QueryDef] =
@@ -1444,5 +1472,5 @@ $union
       q146BackfillRoundtrip, q147FeatureHash, q148Expectations,
       q149StreamExpectations, q150PlanEstimate, q151LshTuning,
       q152IncrementalJoin, q153HoppingWindow, q154StreamHopping,
-      q155GroupTopK)
+      q155GroupTopK, q156StreamTopK)
 }

@@ -263,6 +263,33 @@ object EventsStream {
         "graft_expect_"),
       checks.map(_._1))
 
+  /** Per-group top-k maintained BY Structured Streaming — the typed
+    * [[graft.plans.TopKByKey]] Aggregator as CONTINUOUS state: unlike
+    * the declarative sketch aggregations (CMS q118, HLL q142), this
+    * proves the custom-Aggregator surface also runs as a stateful
+    * streaming aggregation — state per group is the O(k) buffer, the
+    * exact property that makes a "live leaderboard" viable on an
+    * unbounded stream. The buffer's retained set is arrival-order
+    * free (total (score DESC, id ASC) order), so the drained result
+    * equals the batch aggregation bit-for-bit (graded through q156
+    * against the same ROW_NUMBER oracle shape as q155).
+    */
+  def streamedTopK(spark: SparkSession, sfDir: String,
+      k: Int): DataFrame = {
+    val cents = (signum(col("value")) *
+      floor(abs(col("value")) * 100 + lit(0.5))).cast("long")
+    drainToLocal(
+      eventsStream(spark, sfDir)
+        .groupBy(col("event_type"))
+        .agg(graft.plans.TopKByKey.topK(cents, col("event_id"), k)
+          .as("tk")),
+      "graft_topk_")
+      .select(col("event_type"), posexplode(col("tk")))
+      .select(col("event_type"), (col("pos") + 1).cast("long").as("rank"),
+        col("col._1").as("value_cents"), col("col._2").as("event_id"))
+      .orderBy(col("event_type"), col("rank"))
+  }
+
   private val ordersSchema = StructType(Seq(
     StructField("o_orderkey", LongType),
     StructField("o_custkey", LongType),
