@@ -102,4 +102,27 @@ class ParsersPropertySpec extends SparkSpec {
       assert(JpText.int2kanji(n).nonEmpty)
     }
   }
+
+  test("TopKByKey property: any inputs, k, and merge split = sort-take") {
+    // exercises the hand-written buffer insertion/merge directly (no
+    // Spark job): random scores with heavy ties, random k, random
+    // partial-buffer splits — the finish must equal the reference
+    // sort-take under the total (score DESC, id ASC) order
+    val gen = Gen.listOfN(120,
+      Gen.zip(Gen.choose(0L, 15L), Gen.choose(0L, 500L)))
+    (0 until 30).foreach { i =>
+      val agg = new graft.plans.TopKByKey(i % 7 + 1)
+      val k = i % 7 + 1
+      val xs = gen.pureApply(Gen.Parameters.default, Seed(9000L + i))
+        .distinctBy(_._2) // ids are unique row keys by contract
+      val want = xs.sortBy { case (s, id) => (-s, id) }.take(k)
+      val nParts = i % 4 + 1
+      val bufs = xs.grouped(math.max(1, xs.size / nParts)).toSeq
+        .map(_.foldLeft(agg.zero) { (b, x) =>
+          agg.reduce(b, (Long.box(x._1), Long.box(x._2)))
+        })
+      val merged = bufs.foldLeft(agg.zero)(agg.merge)
+      assert(agg.finish(merged) === want, s"iteration $i (k=$k)")
+    }
+  }
 }
