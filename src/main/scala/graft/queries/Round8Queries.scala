@@ -1459,6 +1459,47 @@ $union
       WHERE rank <= 3 ORDER BY event_type, rank"""),
   )
 
+  // --------------------------------------------------------------- q157
+  /** Right-to-be-forgotten erasure ([[graft.sources.Sinks
+    * .eraseKeys]]): events land day-partitioned, every user_id
+    * divisible by 101 is erased, and the per-day (count, distinct
+    * users) of the re-read store must hash-match an oracle that
+    * filters the source directly — proving the three-step erase
+    * (find affected partitions, rewrite survivors via dynamic
+    * overwrite, remove fully-erased directories) deleted exactly the
+    * requested keys and nothing else. The store-side joins broadcast
+    * the key set and prune to affected partitions, so at 100 TB an
+    * erasure request costs O(affected partitions), not a table
+    * rewrite.
+    */
+  val q157Erasure: QueryDef = QueryDef(
+    "q157_erasure",
+    (s, dir) => {
+      val path = s"/tmp/graft_q157_events_$pid.parquet"
+      val base = Tables(s, dir, "events")
+        .filter(col("user_id").isNotNull)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          date_format(col("ts"), "yyyyMMdd").cast("int").as("day_id"))
+      graft.sources.Sinks.writePartitionedParquet(
+        base, path, Seq("day_id"))
+      val victims = base.select(col("user_id")).distinct()
+        .filter(col("user_id") % 101 === 0)
+      graft.sources.Sinks.eraseKeys(s, path, "day_id", "user_id",
+        victims)
+      s.read.parquet(path)
+        .groupBy(col("day_id").cast("long").as("day_id"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("day_id"))
+    },
+    Some("""
+      SELECT CAST(strftime(ts, '%Y%m%d') AS BIGINT) AS day_id,
+        COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+      FROM events
+      WHERE user_id IS NOT NULL AND user_id % 101 != 0
+      GROUP BY 1 ORDER BY 1"""),
+  )
+
   private val pid = ProcessHandle.current().pid()
 
   val all: Seq[QueryDef] =
@@ -1472,5 +1513,5 @@ $union
       q146BackfillRoundtrip, q147FeatureHash, q148Expectations,
       q149StreamExpectations, q150PlanEstimate, q151LshTuning,
       q152IncrementalJoin, q153HoppingWindow, q154StreamHopping,
-      q155GroupTopK, q156StreamTopK)
+      q155GroupTopK, q156StreamTopK, q157Erasure)
 }

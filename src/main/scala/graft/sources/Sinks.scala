@@ -48,6 +48,53 @@ object Sinks {
       .partitionBy(partCols: _*)
       .parquet(path)
 
+  /** Targeted key erasure from a partitioned store — the
+    * right-to-be-forgotten pass: delete every row whose `keyCol`
+    * appears in `keys`, rewriting ONLY the partitions that contain
+    * such rows. Three steps, none of which touches an unaffected
+    * partition's data twice: (1) one scan finds the affected
+    * partition values (semi-join against the broadcast key set);
+    * (2) the affected partitions — and only they, via a pruned scan —
+    * are anti-joined and rewritten through the dynamic-overwrite
+    * sink; (3) partitions whose rows were ALL erased are deleted
+    * explicitly, because a dynamic overwrite cannot write an empty
+    * partition — without this step a fully-erased user's data would
+    * silently SURVIVE, the worst possible failure mode for an erasure
+    * primitive. Returns the number of rows erased.
+    *
+    * The key set broadcasts (erasure requests are tiny against a
+    * 100 TB store); the semi/anti joins therefore never shuffle the
+    * store. Single-writer contract, like every sink here.
+    */
+  def eraseKeys(spark: org.apache.spark.sql.SparkSession, path: String,
+      partCol: String, keyCol: String, keys: DataFrame): Long = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val k = broadcast(keys.select(col(keyCol)).distinct())
+    val store = spark.read.parquet(path)
+    val hit = store.join(k, Seq(keyCol), "semi")
+    val affected = hit.select(col(partCol)).distinct().collect()
+      .map(_.get(0))
+    if (affected.isEmpty) return 0L
+    val erased = hit.count()
+    val scoped = store.filter(col(partCol).isin(affected: _*))
+    // localCheckpoint: the remainder must be MATERIALIZED before the
+    // write — its lineage reads the very path the overwrite mutates,
+    // and survivors must be known before the store changes
+    val remaining = scoped.join(k, Seq(keyCol), "anti").localCheckpoint()
+    val survivors = remaining.select(col(partCol)).distinct().collect()
+      .map(_.get(0)).toSet
+    // partitions with survivors: rewrite in place (dynamic overwrite)
+    backfillPartitions(remaining, path, Seq(partCol))
+    // partitions erased entirely: remove their directories outright
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    affected.filterNot(survivors).foreach { v =>
+      fs.delete(
+        new org.apache.hadoop.fs.Path(path, s"$partCol=$v"), true)
+    }
+    erased
+  }
+
   /** Keep-latest upsert into a plain-parquet snapshot — MERGE semantics
     * without a table format: union the current snapshot with the batch,
     * keep the best row per key (greatest `orderCol`; the incoming batch

@@ -115,6 +115,30 @@ class AppSinksSpec extends SparkSpec {
     assert(got === Seq((3L, 20, "c"), (9L, 10, "patched")))
   }
 
+  test("eraseKeys: affected partitions rewritten, fully-erased removed") {
+    val dir = Files.createTempDirectory("graft_erase").toString
+    val base = Seq((1L, 10, "a"), (2L, 10, "b"), (3L, 20, "c"),
+      (4L, 30, "d")).toDF("user_id", "day", "v")
+    Sinks.writePartitionedParquet(base, dir, Seq("day"))
+    val day30Files = new java.io.File(s"$dir/day=30").list().sorted.toSeq
+    val erased = Sinks.eraseKeys(spark, dir, "day", "user_id",
+      Seq(1L, 3L, 99L).toDF("user_id"))
+    assert(erased === 2L) // user 99 isn't in the store
+    val got = spark.read.parquet(dir)
+      .select(col("user_id"), col("day"), col("v"))
+      .orderBy("user_id").as[(Long, Int, String)].collect().toSeq
+    assert(got === Seq((2L, 10, "b"), (4L, 30, "d")))
+    // day=20 lost its only row: the directory must be GONE — a
+    // dynamic overwrite alone would have left user 3's data behind
+    assert(!new java.io.File(s"$dir/day=20").exists())
+    // day=30 had no hits: bit-untouched (same files, not rewritten)
+    assert(new java.io.File(s"$dir/day=30").list().sorted.toSeq
+      === day30Files)
+    // erasing nothing is a no-op returning 0
+    assert(Sinks.eraseKeys(spark, dir, "day", "user_id",
+      Seq(123L).toDF("user_id")) === 0L)
+  }
+
   test("operational loop: upsert → compact → upsert → diff composes") {
     // The actual production loop over three synthetic "days", composed
     // end to end (each operator is graded alone; this pins that the
