@@ -58,4 +58,64 @@ object CorpusStats {
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("novelty"), lit(0L)).as("novelty"))
   }
+
+  /** Collocation extraction by pointwise mutual information — the
+    * corpus-global companion to [[bigramNovelty]]'s per-document
+    * score: the top-`topK` adjacent token pairs that co-occur far
+    * more than their unigram frequencies predict (Church & Hanks
+    * 1990's association ratio). Curation pipelines mine these for
+    * tokenizer merge seeding, stop-phrase lists, and boilerplate
+    * signatures.
+    *
+    * The score is the LIFT — the exponential of PMI:
+    *
+    *   lift(x,y) = P(x,y)/(P(x)P(y)) = c(xy)·U² / (c(x)·c(y)·B)
+    *
+    * with U the corpus unigram total and B the bigram total. log is
+    * monotone, so ranking by lift IS ranking by PMI without touching
+    * libm (the object doc's rule). All five factors are exact
+    * integer counts; the score is ONE fixed-order double expression —
+    * ((((c_xy·U)/c_x)·U)/c_y)/B, 6dp-rounded — every multiply and
+    * divide in the same IEEE order in both engines (the q79 cosine
+    * argument). `minCount` suppresses the unstable low-support tail
+    * (a pair seen twice between two hapaxes "lifts" absurdly), the
+    * standard PMI cutoff.
+    *
+    * Scale shape: one explode each for unigrams and bigram pairs,
+    * map-side-combining counts for both, then two equi-joins of the
+    * (minCount-pruned) pair table against the unigram table keyed on
+    * the word, one-row totals attached by broadcast cross join, and
+    * a top-K TakeOrdered — nothing global but the two scalar
+    * aggregates. For bounded vocabularies the unigram side is
+    * broadcastable; the default stays a shuffle join because a
+    * 100 TB web corpus's vocabulary is not small.
+    */
+  def pmiCollocations(docs: DataFrame, text: Column, minCount: Long,
+      topK: Int): DataFrame = {
+    val toks = docs.select(graft.functions.TextFunctions.tokens(text).as("w"))
+    val uni = toks.select(explode(col("w")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("c"))
+    val uniTotal = uni.agg(coalesce(sum(col("c")), lit(0L)).as("n_uni"))
+    val pairs = toks.select(
+        explode(when(size(col("w")) >= 2,
+            transform(sequence(lit(1), size(col("w")) - 1),
+              i => struct(element_at(col("w"), i).as("lhs"),
+                element_at(col("w"), i + 1).as("rhs"))))
+          .otherwise(array().cast("array<struct<lhs:string,rhs:string>>")))
+          .as("p"))
+      .select(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+    val pairCnt = pairs.groupBy(col("lhs"), col("rhs"))
+      .agg(count(lit(1)).as("c_xy"))
+    val pairTotal = pairCnt.agg(coalesce(sum(col("c_xy")), lit(0L)).as("n_bi"))
+    pairCnt.filter(col("c_xy") >= minCount)
+      .join(uni.select(col("word").as("lhs"), col("c").as("c_x")), Seq("lhs"))
+      .join(uni.select(col("word").as("rhs"), col("c").as("c_y")), Seq("rhs"))
+      .crossJoin(broadcast(uniTotal))
+      .crossJoin(broadcast(pairTotal))
+      .select(col("lhs"), col("rhs"), col("c_xy"), col("c_x"), col("c_y"),
+        round(col("c_xy").cast("double") * col("n_uni") / col("c_x")
+            * col("n_uni") / col("c_y") / col("n_bi"), 6).as("lift"))
+      .orderBy(col("lift").desc, col("lhs"), col("rhs"))
+      .limit(topK)
+  }
 }

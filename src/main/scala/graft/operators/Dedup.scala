@@ -641,4 +641,39 @@ object Dedup {
       col("rows").cast("long").as("rows"), col("si"),
       round(p, 6).as("collide_prob"))
   }
+
+  /** Temporal debounce — the TIME-axis member of the dedup family:
+    * an event is suppressed when the PREVIOUS event of the same
+    * (`seqKey`, `state`) pair lies within `withinUs` microseconds
+    * (double-click squash, retry-storm collapse, at-least-once
+    * delivery cleanup). The predecessor rule (vs. "within Δ of the
+    * last KEPT event") is deliberate: it is a pure per-row function
+    * of the ordered sequence — one `lag` — where last-kept semantics
+    * need a running scan dependency; for burst suppression the two
+    * differ only inside bursts longer than Δ, and the predecessor
+    * rule is the one every engine can replay declaratively.
+    *
+    * Total function, P2/F12 style: rows come back with a `kept`
+    * flag, callers filter — dropped events are usually the
+    * interesting ones to audit. `orderKeys` must totally order each
+    * sequence (the q119 convention). Scale: one window partitioned
+    * by (seqKey, state) — bounded by per-actor activity — and
+    * nothing else; the flag is scan-side afterward.
+    */
+  def debounce(df: DataFrame, seqKey: Column, state: Column, ts: Column,
+      orderKeys: Seq[Column], withinUs: Long): DataFrame = {
+    require(withinUs >= 0, s"withinUs must be >= 0, got $withinUs")
+    val oks = orderKeys.zipWithIndex.map { case (c, i) => c.as(s"__o$i") }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__k"), col("__s"))
+      .orderBy(orderKeys.indices.map(i => col(s"__o$i")): _*)
+    df.select(df.columns.map(col) ++ oks ++
+        Seq(seqKey.as("__k"), state.as("__s"),
+          unix_micros(ts).as("__us")): _*)
+      .withColumn("kept",
+        coalesce(col("__us") - lag(col("__us"), 1).over(w) > withinUs,
+          lit(true)))
+      .drop((orderKeys.indices.map(i => s"__o$i") ++
+        Seq("__k", "__s", "__us")): _*)
+  }
 }

@@ -123,6 +123,57 @@ object Graph {
     labels
   }
 
+  /** Multi-source breadth-first hop counts over an (src, dst) edge
+    * list: every node reachable from `seeds` within `maxHops` hops,
+    * labeled with its MINIMUM hop distance (0 for the seeds
+    * themselves). The crawl-frontier / blast-radius primitive — "how
+    * far does influence of these hosts reach", "which suppliers sit
+    * within 2 hops of the flagged customers" — and the reachability
+    * companion to [[pageRank]]/[[labelPropagation]].
+    *
+    * Frontier iteration, the textbook distributed BFS: per hop one
+    * equi-join of the current frontier with the edge list on the node
+    * key, one distinct, one anti-join against the visited set — all
+    * hash operators keyed on the node id, so pre-partitioning edges
+    * and visited on that key makes every hop exchange-free on the
+    * big side. Per-hop cost is Σ deg(frontier) (the BFS optimum),
+    * never |V| or |E| wholesale; the loop exits early the moment a
+    * frontier drains empty. Seeds outside the graph are dropped by a
+    * semi-join (they have no edges and would distort hop-0 counts).
+    * Frontier and visited are localCheckpoint'ed per hop — the
+    * iterative-lineage rule from [[pageRank]].
+    *
+    * Minimum-hop determinism needs no tie-break: synchronous rounds
+    * mean a node joins the visited set at exactly its BFS distance,
+    * whatever order edges arrive in — which is why the result can
+    * hash-match an unrolled SQL replay.
+    */
+  def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    var frontier = seeds.select(col("node")).distinct()
+      .join(nodes, Seq("node"), "left_semi")
+      .localCheckpoint()
+    var visited = frontier.select(col("node"), lit(0L).as("hop"))
+      .localCheckpoint()
+    var hop = 0
+    while (hop < maxHops && !frontier.isEmpty) {
+      hop += 1
+      frontier = frontier
+        .join(e, col("node") === col("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(visited.select(col("node")), Seq("node"), "left_anti")
+        .localCheckpoint()
+      visited = visited
+        .union(frontier.select(col("node"), lit(hop.toLong).as("hop")))
+        .localCheckpoint()
+    }
+    visited
+  }
+
   /** Exact triangle census + global clustering coefficient over an
     * arbitrary (src, dst) edge list: one row
     * (n_nodes, n_edges, wedges, triangles, global_cc).

@@ -56,4 +56,19 @@ object Scd2 {
         col("valid_to_us"), col("n_events"),
         col("valid_to_us").isNull.as("is_current"))
   }
+
+  /** Point-in-time snapshot read over a [[build]] interval table: the
+    * state of every key AT `tUs` micros — rows whose
+    * [valid_from_us, valid_to_us) interval contains the instant
+    * (current rows have null valid_to_us = unbounded). Time travel
+    * without storing snapshots: one codegen'd scan-side filter,
+    * embarrassingly parallel, no shuffle — and when the interval
+    * table is stored partitioned/z-ordered by validity time the scan
+    * prunes to the files overlapping `tUs` (the q78/q94 layouts).
+    * Keys born after `tUs` simply have no row, which IS the correct
+    * historical answer.
+    */
+  def snapshotAt(intervals: DataFrame, tUs: Long): DataFrame =
+    intervals.filter(col("valid_from_us") <= tUs &&
+      (col("valid_to_us").isNull || col("valid_to_us") > tUs))
 }

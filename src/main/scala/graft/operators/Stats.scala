@@ -138,6 +138,113 @@ object Stats {
       .agg(count(lit(1)).as("n_sample"), qs: _*)
   }
 
+  /** Per-group robust outlier census by median absolute deviation:
+    * n, the group median and MAD (in doubled/quadrupled integer
+    * units — see below), and the count of rows with
+    * |x − median| > k·MAD. The robust alternative to [[zScores]]:
+    * mean/stddev move with the outliers they're hunting (one wild
+    * value inflates σ and hides its peers), while the 50% breakdown
+    * point of median+MAD (Hampel 1974) does not — the standard
+    * choice for fat-tailed quality metrics.
+    *
+    * Exactness without rounding: `x` must be integer-valued. A
+    * linear-interpolated median of integers is a multiple of ½, and
+    * the MAD — a median of |int − ½-multiple| deviations — a
+    * multiple of ¼; every intermediate (sum, difference, half) of
+    * such values is exactly representable in a double, and both
+    * engines' interpolation formulas compose exact operations on
+    * them, so the comparison |x − med| > k·MAD is EXACT — no 1-ulp
+    * divergence for the rounding rule to paper over (contrast q07,
+    * where fractional inputs force the 6dp guard). The outputs
+    * med2 = 2·median and mad4 = 4·MAD are therefore exact longs.
+    *
+    * Scale shape: two exact per-group percentile aggregations (the
+    * group medians joined back between them — the join re-keys on
+    * the group, the same single-shuffle shape as the aggs) and one
+    * counting agg. Exact group percentiles buffer each group's
+    * values (the A1/q13 trade); at 100 TB cardinalities switch the
+    * two medians to [[sampledQuantiles]] — hash-sampling commutes
+    * with this operator exactly as documented there.
+    */
+  def madOutliers(df: DataFrame, group: Column, x: Column,
+      k: Int = 3): DataFrame = {
+    val base = df.select(group.as("grp"), x.cast("long").as("x"))
+    val med = base.groupBy(col("grp"))
+      .agg(expr("percentile(x, 0.5d)").as("med"))
+    val dev = base.join(med, Seq("grp"))
+      .withColumn("adev", abs(col("x") - col("med")))
+    val mad = dev.groupBy(col("grp"))
+      .agg(expr("percentile(adev, 0.5d)").as("mad"))
+    dev.join(mad, Seq("grp"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"),
+        (min(col("med")) * 2).cast("long").as("med2"),
+        (min(col("mad")) * 4).cast("long").as("mad4"),
+        sum(when(col("adev") > lit(k.toDouble) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+  }
+
+  /** Full χ² contingency table between two LOW-cardinality
+    * categoricals: one row per (a, b) cell of the |A|×|B| cross —
+    * absent combinations included at observed 0, because their
+    * expected-count terms are part of the statistic — with the
+    * observed count, the expected count in integer micro-units
+    * (r·c·10⁶ div N, exact), and the cell's χ² contribution
+    * (o·N − r·c)²/(r·c·N) in micro-units. The total statistic is the
+    * SUM of term_micro — an integer sum, order-independent — so
+    * callers get both the drill-down and a deterministic total from
+    * one result; a float Σ(o−e)²/e would reassociate.
+    *
+    * Each double term is one fixed-order expression over exact
+    * integers (o·N and r·c are exact longs well under 2⁵³ for the
+    * intended cardinalities), rounded half-up at micro precision —
+    * deterministic and engine-replayable. Scale shape: one
+    * map-side-combining cell count, two marginal aggregates of cell
+    * cardinality, the |A|×|B| scaffold built by joining the two
+    * BROADCAST marginals (meant for enum-like columns; the scaffold
+    * is quadratic in category counts by definition of the test).
+    * Exact-integer bound: r·c·10⁶ needs N ≤ ~3·10⁶ rows, the same
+    * bound as [[giniImpurity]] — sample first beyond it.
+    */
+  def chiSquareCells(df: DataFrame, a: Column, b: Column): DataFrame = {
+    val cells = df.select(a.as("a"), b.as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("o"))
+    val ra = cells.groupBy(col("a")).agg(sum(col("o")).as("r"))
+    val cb = cells.groupBy(col("b")).agg(sum(col("o")).as("c"))
+    val n = cells.agg(coalesce(sum(col("o")), lit(0L)).as("n"))
+    val term = (col("o") * col("n") - col("r") * col("c")).cast("double")
+    broadcast(ra).crossJoin(broadcast(cb))
+      .join(cells, Seq("a", "b"), "left")
+      .na.fill(0L, Seq("o"))
+      .crossJoin(broadcast(n))
+      .select(col("a"), col("b"), col("o"),
+        expr("(r * c * 1000000) div n").as("exp_micro"),
+        round(term * term / col("r") / col("c") / col("n") * 1e6, 0)
+          .cast("long").as("term_micro"))
+  }
+
+  /** Per-group Gini impurity of a label distribution,
+    * 1 − Σ (cᵢ/n)² = (n² − Σcᵢ²)·10⁶ div n² in exact integer
+    * micro-units — the log-free diversity/purity index (label balance
+    * of a stratum, language mix of a source, class skew of a dedup
+    * cluster). Entropy needs log; for MONITORING a concentration,
+    * Gini ranks distributions the same way and stays rational.
+    *
+    * Two map-side-combining aggregations (label-cell counts, then the
+    * per-group moment sum) — shuffle volume is #distinct (group,
+    * label) then #groups. Exact-overflow bound: n²·10⁶ needs
+    * n ≤ ~3·10⁶ rows per group; beyond that, sample per group first
+    * (q133's hash-sample commutes with a proportion-based index).
+    */
+  def giniImpurity(df: DataFrame, group: Column, label: Column): DataFrame =
+    df.select(group.as("grp"), label.as("lbl"))
+      .groupBy(col("grp"), col("lbl")).agg(count(lit(1)).as("c"))
+      .groupBy(col("grp"))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("n_labels"),
+        sum(col("c") * col("c")).as("ss"))
+      .select(col("grp"), col("n"), col("n_labels"),
+        expr("((n * n - ss) * 1000000) div (n * n)").as("gini_micro"))
+
   def profile(df: DataFrame, cols: Seq[(String, Column)]): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
     val aggs = cols.flatMap { case (n, c) => Seq(

@@ -186,22 +186,11 @@ $union
   )
 
   // --------------------------------------------------------------- q128
-  /** SCD-2 dimension build ([[graft.operators.Scd2.build]]): each
-    * user's event-type timeline collapsed into validity intervals
-    * [valid_from, valid_to) with null-open current rows — the
-    * dimension-table shape AsOfJoin/RangeJoin consume for
-    * leakage-free as-of feature joins. Runs and interval closes are
-    * window arithmetic over a (ts_us, event_id) total order, so the
-    * oracle replays them exactly; one Exchange on user_id end to end.
-    */
-  val q128Scd2: QueryDef = QueryDef(
-    "q128_scd2_intervals",
-    (s, dir) => graft.operators.Scd2.build(Tables(s, dir, "events"),
-        col("user_id"), col("event_type"), col("ts"), col("event_id"))
-      .withColumnRenamed("k", "user_id")
-      .withColumnRenamed("attr", "event_type")
-      .orderBy(col("user_id"), col("valid_from_us")),
-    Some("""
+  /** The SCD-2 interval-build CTE chain (events → change flags → runs
+    * → intervals `f`), shared verbatim by q128 (the full table) and
+    * q167 (the point-in-time snapshot read) so the two grades cannot
+    * drift. Ends after `f` — callers append their SELECT. */
+  private val Scd2OracleCtes = """
       WITH e AS (
         SELECT user_id AS k, event_type AS attr,
           CAST(epoch_ns(ts) // 1000 AS BIGINT) AS ts_us, event_id AS tb
@@ -225,7 +214,24 @@ $union
           lead(valid_from_us) OVER (PARTITION BY k ORDER BY run_id)
             AS valid_to_us,
           n_events
-        FROM g)
+        FROM g)"""
+
+  /** SCD-2 dimension build ([[graft.operators.Scd2.build]]): each
+    * user's event-type timeline collapsed into validity intervals
+    * [valid_from, valid_to) with null-open current rows — the
+    * dimension-table shape AsOfJoin/RangeJoin consume for
+    * leakage-free as-of feature joins. Runs and interval closes are
+    * window arithmetic over a (ts_us, event_id) total order, so the
+    * oracle replays them exactly; one Exchange on user_id end to end.
+    */
+  val q128Scd2: QueryDef = QueryDef(
+    "q128_scd2_intervals",
+    (s, dir) => graft.operators.Scd2.build(Tables(s, dir, "events"),
+        col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumnRenamed("k", "user_id")
+      .withColumnRenamed("attr", "event_type")
+      .orderBy(col("user_id"), col("valid_from_us")),
+    Some(s"""$Scd2OracleCtes
       SELECT user_id, event_type, valid_from_us, valid_to_us, n_events,
         valid_to_us IS NULL AS is_current
       FROM f
@@ -1500,6 +1506,467 @@ $union
       GROUP BY 1 ORDER BY 1"""),
   )
 
+  // --------------------------------------------------------------- q158
+  /** Multi-source BFS hop census ([[graft.operators.Graph.bfsHops]]):
+    * every 100th customer seeds a breadth-first sweep of the
+    * customer↔supplier co-purchase graph, and the per-hop census
+    * (count, lexicographic endpoints) of the minimum-hop labeling
+    * must hash-match a 3-hop unrolled frontier replay in SQL. The
+    * reachability member of the graph family (rank q93, communities
+    * q145, census q108): synchronous frontier rounds make the
+    * minimum hop a pure function of the edge set, which is what
+    * makes an iterative traversal oracle-checkable at all.
+    */
+  val q158BfsHops: QueryDef = QueryDef(
+    "q158_bfs_hops",
+    (s, dir) => {
+      val o = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val l = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val cs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+      val edges = cs.union(
+        cs.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = Tables(s, dir, "customer")
+        .filter(col("c_custkey") % 100 === 0)
+        .select(concat(lit("c"), col("c_custkey")).as("node"))
+      graft.operators.Graph.bfsHops(edges, seeds, maxHops = 3)
+        .groupBy(col("hop"))
+        .agg(count(lit(1)).as("n"), min(col("node")).as("first_node"),
+          max(col("node")).as("last_node"))
+        .orderBy(col("hop"))
+    },
+    Some("""
+      WITH cs AS (
+        SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      e AS (SELECT src, dst FROM cs
+            UNION SELECT dst AS src, src AS dst FROM cs),
+      nodes AS (SELECT DISTINCT node FROM (
+        SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+      f0 AS (SELECT DISTINCT 'c' || c_custkey AS node FROM customer
+        WHERE c_custkey % 100 = 0
+          AND 'c' || c_custkey IN (SELECT node FROM nodes)),
+      v0 AS (SELECT node, 0 AS hop FROM f0),
+      f1 AS (SELECT DISTINCT e.dst AS node FROM f0 JOIN e ON f0.node = e.src
+        WHERE e.dst NOT IN (SELECT node FROM v0)),
+      v1 AS (SELECT * FROM v0 UNION ALL SELECT node, 1 FROM f1),
+      f2 AS (SELECT DISTINCT e.dst AS node FROM f1 JOIN e ON f1.node = e.src
+        WHERE e.dst NOT IN (SELECT node FROM v1)),
+      v2 AS (SELECT * FROM v1 UNION ALL SELECT node, 2 FROM f2),
+      f3 AS (SELECT DISTINCT e.dst AS node FROM f2 JOIN e ON f2.node = e.src
+        WHERE e.dst NOT IN (SELECT node FROM v2)),
+      v3 AS (SELECT * FROM v2 UNION ALL SELECT node, 3 FROM f3)
+      SELECT CAST(hop AS BIGINT) AS hop, COUNT(*) AS n,
+        MIN(node) AS first_node, MAX(node) AS last_node
+      FROM v3 GROUP BY hop ORDER BY hop"""),
+  )
+
+  // --------------------------------------------------------------- q159
+  /** Binary-classifier evaluation from integer rank statistics
+    * ([[graft.ml.BinaryMetrics.rankMetrics]]): price-as-ranker for
+    * order status F, scored in $10 buckets so ties are DENSE — the
+    * average-rank tie handling is the part of a Mann–Whitney AUC
+    * that silently drifts between implementations, so the graded
+    * form forces it everywhere. One row: AUC plus the full
+    * threshold-15000 confusion matrix with micro-unit
+    * precision/recall/F1. The oracle replays the doubled rank-sum
+    * identity 2·R⁺ = Σ pos·(2·cum_below + cnt + 1) over the same
+    * distinct-score histogram (its cumulative count from a window —
+    * fine in DuckDB; the operator uses the two-phase ranking).
+    */
+  val q159AucEval: QueryDef = QueryDef(
+    "q159_auc_eval",
+    (s, dir) =>
+      graft.ml.BinaryMetrics.rankMetrics(
+        Tables(s, dir, "orders"),
+        col("o_orderstatus") === "F",
+        expr("cast(floor(o_totalprice * 100 + 0.5) as bigint) div 1000"),
+        thr = 15000L),
+    Some("""
+      WITH b AS (SELECT
+          CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) // 1000 AS s,
+          CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        FROM orders),
+      g AS (SELECT s, COUNT(*) AS cnt, SUM(y) AS pos FROM b GROUP BY s),
+      c AS (SELECT s, cnt, pos,
+          COALESCE(SUM(cnt) OVER (ORDER BY s
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS cum_below
+        FROM g),
+      a AS (SELECT SUM(pos) AS p, SUM(cnt - pos) AS n,
+          SUM(pos * (2 * cum_below + cnt + 1)) AS ranksum2,
+          SUM(CASE WHEN s >= 15000 THEN pos ELSE 0 END) AS tp,
+          SUM(CASE WHEN s >= 15000 THEN cnt - pos ELSE 0 END) AS fp
+        FROM c)
+      SELECT CAST(p AS BIGINT) AS n_pos, CAST(n AS BIGINT) AS n_neg,
+        CASE WHEN p > 0 AND n > 0 THEN
+          ROUND(CAST(ranksum2 - p * (p + 1) AS DOUBLE) / (2.0 * p * n), 6)
+        END AS auc,
+        CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+        CAST(p - tp AS BIGINT) AS fn, CAST(n - fp AS BIGINT) AS tn,
+        CASE WHEN tp + fp > 0 THEN
+          CAST((tp * 1000000) // (tp + fp) AS BIGINT) END
+          AS precision_micro,
+        CASE WHEN p > 0 THEN CAST((tp * 1000000) // p AS BIGINT) END
+          AS recall_micro,
+        CASE WHEN tp + fp + p > 0 THEN
+          CAST((2 * tp * 1000000) // (tp + fp + p) AS BIGINT) END
+          AS f1_micro
+      FROM a"""),
+  )
+
+  // --------------------------------------------------------------- q160
+  /** PMI collocation mining ([[graft.operators.CorpusStats
+    * .pmiCollocations]]): the top-50 adjacent token pairs by lift
+    * c(xy)·U²/(c(x)·c(y)·B) with support ≥ 5 — ranking by the
+    * exponential of PMI, so the logarithm never enters the engines
+    * (log is monotone; the ORDER is the deliverable). The lift is
+    * one fixed-order double expression over five exact integer
+    * counts, 6dp-rounded, replayed operation-for-operation by the
+    * oracle; tokenization is the q82 split (no empty-token filter,
+    * single-sourced semantics).
+    */
+  val q160PmiCollocations: QueryDef = QueryDef(
+    "q160_pmi_collocations",
+    (s, dir) => graft.operators.CorpusStats.pmiCollocations(
+      Tables(s, dir, "documents"), col("text"), minCount = 5L, topK = 50),
+    Some("""
+      WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
+      u AS (SELECT unnest(w) AS word FROM t),
+      uc AS (SELECT word, COUNT(*) AS c FROM u GROUP BY word),
+      ut AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_uni FROM u),
+      bg AS (SELECT w[i] AS lhs, w[i + 1] AS rhs
+        FROM t, LATERAL (SELECT unnest(range(1, len(w))) AS i) r),
+      pc AS (SELECT lhs, rhs, COUNT(*) AS c_xy FROM bg GROUP BY lhs, rhs),
+      bt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_bi FROM bg)
+      SELECT p.lhs, p.rhs, CAST(p.c_xy AS BIGINT) AS c_xy,
+        CAST(x.c AS BIGINT) AS c_x, CAST(y.c AS BIGINT) AS c_y,
+        ROUND(CAST(p.c_xy AS DOUBLE) * n_uni / x.c * n_uni / y.c / n_bi, 6)
+          AS lift
+      FROM pc p JOIN uc x ON p.lhs = x.word JOIN uc y ON p.rhs = y.word,
+        ut, bt
+      WHERE p.c_xy >= 5
+      ORDER BY lift DESC, p.lhs, p.rhs LIMIT 50"""),
+  )
+
+  // --------------------------------------------------------------- q161
+  /** Robust outlier census by median absolute deviation
+    * ([[graft.operators.Stats.madOutliers]]): per event type, the
+    * count of cent values more than 3 MADs from the median —
+    * the 50%-breakdown companion to q104's mean/stddev z-scores.
+    * Integer cents make the interpolated median a ½-multiple and
+    * the MAD a ¼-multiple, both exact in doubles, so med2/mad4 land
+    * as exact longs and the 3·MAD comparison is hash-exact WITHOUT
+    * the 6dp rounding guard every other float output needs — the
+    * operator doc carries the argument.
+    */
+  val q161MadOutliers: QueryDef = QueryDef(
+    "q161_mad_outliers",
+    (s, dir) =>
+      graft.operators.Stats.madOutliers(
+          Tables(s, dir, "events").filter(col("value").isNotNull),
+          col("event_type"),
+          (signum(col("value")) *
+            floor(abs(col("value")) * 100 + lit(0.5))).cast("long"),
+          k = 3)
+        .withColumnRenamed("grp", "event_type")
+        .orderBy(col("event_type")),
+    Some("""
+      WITH b AS (SELECT event_type,
+          CAST(CASE WHEN value >= 0 THEN FLOOR(value * 100 + 0.5)
+               ELSE -FLOOR(-value * 100 + 0.5) END AS BIGINT) AS x
+        FROM events WHERE value IS NOT NULL),
+      m AS (SELECT event_type, quantile_cont(x, 0.5) AS med
+        FROM b GROUP BY event_type),
+      d AS (SELECT b.event_type, b.x, m.med, ABS(b.x - m.med) AS adev
+        FROM b JOIN m USING (event_type)),
+      md AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        FROM d GROUP BY event_type)
+      SELECT d.event_type, COUNT(*) AS n,
+        CAST(2 * MIN(d.med) AS BIGINT) AS med2,
+        CAST(4 * MIN(md.mad) AS BIGINT) AS mad4,
+        CAST(SUM(CASE WHEN d.adev > 3 * md.mad THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_outliers
+      FROM d JOIN md USING (event_type)
+      GROUP BY d.event_type
+      ORDER BY d.event_type"""),
+  )
+
+  // --------------------------------------------------------------- q162
+  /** Exponentially decayed counters ([[graft.operators.Decay
+    * .decayedCounts]]): per event type, the 0.9-per-day
+    * freshness-weighted count at the corpus max date, weights from
+    * the integer recurrence w₀=10⁶, w_{d+1}=(w·9) div 10 — never
+    * pow, never a float sum. The oracle joins the SAME driver-
+    * generated micro-unit VALUES table ([[graft.operators.Decay
+    * .weightsMicro]] is the single source), so a drift in either
+    * engine's age arithmetic or the recurrence itself breaks the
+    * hash.
+    */
+  /** q162's oracle, shared verbatim with its streaming twin q169 —
+    * the VALUES table comes from the SAME integer recurrence the
+    * operator ships ([[graft.operators.Decay.weightsMicro]]). */
+  private val DecayOracleSql: String = {
+    val values = graft.operators.Decay.weightsMicro(9L, 10L, 30)
+      .zipWithIndex.map { case (w, d) => s"($d, $w)" }.mkString(", ")
+    s"""
+      WITH mx AS (SELECT CAST(MAX(ts) AS DATE) AS ref FROM events
+        WHERE ts IS NOT NULL),
+      b AS (SELECT event_type,
+          LEAST(date_diff('day', CAST(ts AS DATE),
+            (SELECT ref FROM mx)), 30) AS age
+        FROM events WHERE ts IS NOT NULL),
+      w(age, wt) AS (VALUES $values)
+      SELECT b.event_type, COUNT(*) AS n,
+        CAST(SUM(w.wt) AS BIGINT) AS decayed_micro
+      FROM b JOIN w ON b.age = w.age
+      GROUP BY b.event_type ORDER BY b.event_type"""
+  }
+
+  val q162DecayedCounts: QueryDef = QueryDef(
+    "q162_decayed_counts",
+    (s, dir) => graft.operators.Decay.decayedCounts(
+        Tables(s, dir, "events"), col("event_type"), col("ts"),
+        num = 9L, den = 10L, maxAge = 30)
+      .withColumnRenamed("k", "event_type")
+      .orderBy(col("event_type")),
+    Some(DecayOracleSql),
+  )
+
+  // --------------------------------------------------------------- q163
+  /** First-order Markov transition model ([[graft.operators.Markov
+    * .transitions]]): per-user event sequences under the q119 total
+    * order (event time, then id), collapsed to the add-one-smoothed
+    * transition table p_micro = ((c+1)·10⁶) div (c_prev + V) — exact
+    * integer probabilities over observed pairs. The oracle replays
+    * lead-over-window, both marginals, and the smoothing division;
+    * the window partitions by user (bounded sequences), never
+    * globally.
+    */
+  val q163MarkovTransitions: QueryDef = QueryDef(
+    "q163_markov_transitions",
+    (s, dir) => graft.operators.Markov.transitions(
+        Tables(s, dir, "events").filter(col("user_id").isNotNull),
+        col("user_id"),
+        Seq(unix_micros(col("ts")), col("event_id")),
+        col("event_type"))
+      .orderBy(col("prev"), col("next")),
+    Some("""
+      WITH ev AS (SELECT user_id, event_type, event_id,
+          CAST(epoch_ns(ts) // 1000 AS BIGINT) AS us
+        FROM events WHERE user_id IS NOT NULL),
+      p AS (SELECT event_type AS prev,
+          LEAD(event_type) OVER (PARTITION BY user_id
+            ORDER BY us, event_id) AS next
+        FROM ev),
+      c AS (SELECT prev, next, COUNT(*) AS c FROM p
+        WHERE next IS NOT NULL GROUP BY prev, next),
+      rt AS (SELECT prev, SUM(c) AS c_prev FROM c GROUP BY prev),
+      v AS (SELECT COUNT(DISTINCT event_type) AS v FROM ev)
+      SELECT c.prev, c.next, CAST(c.c AS BIGINT) AS c,
+        CAST(((c.c + 1) * 1000000) // (rt.c_prev + v.v) AS BIGINT)
+          AS p_micro
+      FROM c JOIN rt USING (prev), v
+      ORDER BY prev, next"""),
+  )
+
+  // --------------------------------------------------------------- q164
+  /** χ² contingency cells ([[graft.operators.Stats.chiSquareCells]]):
+    * order priority × order status, the full 5×3 grid with absent
+    * cells at observed 0, expected counts in exact integer
+    * micro-units and each cell's χ² term micro-rounded from one
+    * fixed-order double expression — Σ term_micro is the statistic,
+    * as an order-independent integer sum. The oracle rebuilds the
+    * grid from broadcast marginals and replays the identical IEEE
+    * sequence.
+    */
+  val q164ChiSquare: QueryDef = QueryDef(
+    "q164_chi_square",
+    (s, dir) => graft.operators.Stats.chiSquareCells(
+        Tables(s, dir, "orders"),
+        col("o_orderpriority"), col("o_orderstatus"))
+      .orderBy(col("a"), col("b")),
+    Some("""
+      WITH cells AS (SELECT o_orderpriority AS a, o_orderstatus AS b,
+          COUNT(*) AS o
+        FROM orders GROUP BY 1, 2),
+      ra AS (SELECT a, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY a),
+      cb AS (SELECT b, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY b),
+      nn AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+      grid AS (SELECT ra.a, cb.b, ra.r, cb.c, COALESCE(cells.o, 0) AS o
+        FROM ra CROSS JOIN cb
+        LEFT JOIN cells ON cells.a = ra.a AND cells.b = cb.b),
+      d AS (SELECT a, b, o, r, c,
+          CAST(o * (SELECT n FROM nn) - r * c AS DOUBLE) AS dd
+        FROM grid)
+      SELECT a, b, CAST(o AS BIGINT) AS o,
+        CAST((r * c * 1000000) // (SELECT n FROM nn) AS BIGINT)
+          AS exp_micro,
+        CAST(ROUND(dd * dd / r / c / (SELECT n FROM nn) * 1000000, 0)
+          AS BIGINT) AS term_micro
+      FROM d ORDER BY a, b"""),
+  )
+
+  // --------------------------------------------------------------- q165
+  /** Per-source Gini impurity of the language mix
+    * ([[graft.operators.Stats.giniImpurity]]):
+    * (n² − Σc²)·10⁶ div n² in exact integer micro-units — the
+    * log-free diversity index. Purely rational, so the hash-match is
+    * unconditional (no float anywhere).
+    */
+  val q165GiniImpurity: QueryDef = QueryDef(
+    "q165_gini_impurity",
+    (s, dir) => graft.operators.Stats.giniImpurity(
+        Tables(s, dir, "documents"), col("source"), col("lang"))
+      .withColumnRenamed("grp", "source")
+      .orderBy(col("source")),
+    Some("""
+      WITH cells AS (SELECT source, lang, COUNT(*) AS c
+        FROM documents GROUP BY source, lang),
+      g AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n,
+          COUNT(*) AS n_labels, CAST(SUM(c * c) AS BIGINT) AS ss
+        FROM cells GROUP BY source)
+      SELECT source, n, CAST(n_labels AS BIGINT) AS n_labels,
+        CAST(((n * n - ss) * 1000000) // (n * n) AS BIGINT) AS gini_micro
+      FROM g ORDER BY source"""),
+  )
+
+  // --------------------------------------------------------------- q166
+  /** Per-group heavy hitters: the SpaceSaving Aggregator
+    * ([[graft.plans.HeavyHitters]]) composed under groupBy — top-5
+    * terms per SOURCE in O(capacity) memory per group per partition,
+    * where q59 ran the same typed buffer globally. No new code is the
+    * point: a correctly-mergeable Aggregator distributes under any
+    * grouping Catalyst plans (map-side partial merge included), and
+    * this row grades that composition. Within capacity the sketch is
+    * exact, so the oracle is the per-group count window.
+    */
+  val q166GroupHeavyHitters: QueryDef = QueryDef(
+    "q166_group_heavy_hitters",
+    (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("source"),
+          explode(graft.functions.TextFunctions.tokens(col("text")))
+            .as("term"))
+        .filter(col("term") =!= "")
+        .groupBy(col("source"))
+        .agg(graft.plans.HeavyHitters.topItems(col("term"),
+          capacity = 4096, topK = 5).as("top"))
+        .select(col("source"), posexplode(col("top")))
+        .select(col("source"), (col("pos") + 1).cast("long").as("rank"),
+          col("col").getField("_1").as("term"),
+          col("col").getField("_2").as("cnt"),
+          col("col").getField("_3").as("err"))
+        .orderBy(col("source"), col("rank")),
+    Some("""
+      WITH tf AS (
+        SELECT source, term, COUNT(*) AS cnt FROM (
+          SELECT source, unnest(string_split(text, ' ')) AS term
+          FROM documents)
+        WHERE term <> '' GROUP BY source, term),
+      r AS (
+        SELECT source, term, cnt,
+          CAST(row_number() OVER (PARTITION BY source
+            ORDER BY cnt DESC, term) AS BIGINT) AS rank
+        FROM tf)
+      SELECT source, rank, term, cnt, CAST(0 AS BIGINT) AS err
+      FROM r WHERE rank <= 5
+      ORDER BY source, rank"""),
+  )
+
+  // --------------------------------------------------------------- q167
+  /** Point-in-time snapshot read ([[graft.operators.Scd2
+    * .snapshotAt]]): the per-state census of every user AS OF
+    * 2024-01-15T00:00:00Z, reconstructed from q128's interval table
+    * by one codegen'd containment filter — time travel without
+    * stored snapshots. The oracle appends the same instant filter to
+    * the SHARED q128 CTE chain ([[Scd2OracleCtes]]), so the build
+    * and the read are graded against one single-sourced timeline.
+    */
+  val q167TimeTravel: QueryDef = QueryDef(
+    "q167_time_travel",
+    (s, dir) => {
+      val iv = graft.operators.Scd2.build(Tables(s, dir, "events"),
+        col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      graft.operators.Scd2.snapshotAt(iv, 1705276800000000L)
+        .groupBy(col("attr").as("event_type"))
+        .agg(count(lit(1)).as("n_keys"),
+          min(col("k")).as("min_user"), max(col("k")).as("max_user"),
+          sum(col("n_events")).as("n_events"))
+        .orderBy(col("event_type"))
+    },
+    Some(s"""$Scd2OracleCtes
+      SELECT event_type, COUNT(*) AS n_keys,
+        MIN(user_id) AS min_user, MAX(user_id) AS max_user,
+        CAST(SUM(n_events) AS BIGINT) AS n_events
+      FROM f
+      WHERE valid_from_us <= 1705276800000000
+        AND (valid_to_us IS NULL OR valid_to_us > 1705276800000000)
+      GROUP BY event_type
+      ORDER BY event_type"""),
+  )
+
+  // --------------------------------------------------------------- q168
+  /** Temporal debounce ([[graft.operators.Dedup.debounce]]): per
+    * (user, event type), events within 5 s of their predecessor are
+    * flagged as bounce — retry storms and double-clicks collapsed
+    * before counts mean anything. Graded as the per-type
+    * kept/dropped census; the oracle replays the lag-gap rule over
+    * the same (ts_us, event_id) total order.
+    */
+  val q168Debounce: QueryDef = QueryDef(
+    "q168_debounce",
+    (s, dir) => {
+      val flagged = graft.operators.Dedup.debounce(
+        Tables(s, dir, "events").filter(col("user_id").isNotNull),
+        col("user_id"), col("event_type"), col("ts"),
+        Seq(unix_micros(col("ts")), col("event_id")),
+        withinUs = 5000000L)
+      flagged.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+        .select(col("event_type"), col("n"), col("n_kept"),
+          (col("n") - col("n_kept")).as("n_dropped"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH ev AS (SELECT user_id, event_type, event_id,
+          CAST(epoch_ns(ts) // 1000 AS BIGINT) AS us
+        FROM events WHERE user_id IS NOT NULL),
+      l AS (SELECT event_type,
+          us - LAG(us) OVER (PARTITION BY user_id, event_type
+            ORDER BY us, event_id) AS gap
+        FROM ev),
+      k AS (SELECT event_type, COALESCE(gap > 5000000, TRUE) AS kept
+        FROM l)
+      SELECT event_type, COUNT(*) AS n,
+        CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        CAST(SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT)
+          AS n_dropped
+      FROM k GROUP BY event_type ORDER BY event_type"""),
+  )
+
+  // --------------------------------------------------------------- q169
+  /** q162's decayed counters maintained BY Structured Streaming
+    * ([[graft.streaming.EventsStream.streamedDecayedCounts]]): the
+    * freshness-weighted count as a stateful streaming aggregation —
+    * integer weight sums are a commutative monoid, so state is one
+    * (n, Σw) pair per type and arrival order cannot move a bit.
+    * Drained on the bounded source it must equal the batch operator
+    * exactly; oracle: the SAME [[DecayOracleSql]] as q162,
+    * single-sourced. Tenth member of the streaming-equals-batch
+    * family.
+    */
+  val q169StreamDecay: QueryDef = QueryDef(
+    "q169_stream_decay",
+    (s, dir) => graft.streaming.EventsStream.streamedDecayedCounts(
+      s, dir, num = 9L, den = 10L, maxAge = 30),
+    Some(DecayOracleSql),
+  )
+
   private val pid = ProcessHandle.current().pid()
 
   val all: Seq[QueryDef] =
@@ -1513,5 +1980,9 @@ $union
       q146BackfillRoundtrip, q147FeatureHash, q148Expectations,
       q149StreamExpectations, q150PlanEstimate, q151LshTuning,
       q152IncrementalJoin, q153HoppingWindow, q154StreamHopping,
-      q155GroupTopK, q156StreamTopK, q157Erasure)
+      q155GroupTopK, q156StreamTopK, q157Erasure, q158BfsHops,
+      q159AucEval, q160PmiCollocations, q161MadOutliers,
+      q162DecayedCounts, q163MarkovTransitions, q164ChiSquare,
+      q165GiniImpurity, q166GroupHeavyHitters, q167TimeTravel,
+      q168Debounce, q169StreamDecay)
 }

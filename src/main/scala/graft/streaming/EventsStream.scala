@@ -290,6 +290,39 @@ object EventsStream {
       .orderBy(col("event_type"), col("rank"))
   }
 
+  /** q162's exponentially decayed counters maintained BY Structured
+    * Streaming: the per-type freshness-weighted count runs as a
+    * stateful streaming aggregation — the decayed sum is an integer
+    * sum of per-row weights, a commutative monoid, so state is one
+    * (n, Σw) pair per group updated per micro-batch, and arrival
+    * order cannot move a bit. The reference date comes from a
+    * metadata-cheap batch max over the same bounded source (a
+    * continuous deployment passes its cutoff explicitly — the decay
+    * law needs SOME fixed "now" to be replayable at all; recomputing
+    * "now" per batch would make old rows' weights drift, which is a
+    * re-aggregation, not a counter). Drained in complete mode it
+    * must equal [[graft.operators.Decay.decayedCounts]] bit-for-bit
+    * — streaming-equals-batch, graded through q169 reusing q162's
+    * VALUES-table oracle.
+    */
+  def streamedDecayedCounts(spark: SparkSession, sfDir: String,
+      num: Long, den: Long, maxAge: Int): DataFrame = {
+    val ref = graft.Tables(spark, sfDir, "events")
+      .filter(col("ts").isNotNull)
+      .agg(max(to_date(col("ts")))).head().getDate(0)
+    val w = graft.operators.Decay.weightsMicro(num, den, maxAge)
+    val wt = element_at(array(w.map(lit): _*),
+      least(datediff(lit(ref), to_date(col("ts"))), lit(maxAge))
+        .cast("int") + 1)
+    drainToLocal(
+      eventsStream(spark, sfDir)
+        .filter(col("ts").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(wt).as("decayed_micro")),
+      "graft_decay_")
+      .orderBy(col("event_type"))
+  }
+
   private val ordersSchema = StructType(Seq(
     StructField("o_orderkey", LongType),
     StructField("o_custkey", LongType),

@@ -550,4 +550,202 @@ class CorpusOpsSpec extends SparkSpec {
     assert(files.nonEmpty && files.forall(_.contains("lang=en")),
       s"scan touched non-pruned files: ${files.take(3).mkString(",")}")
   }
+
+  test("bfsHops: minimum hop wins when a node is reachable two ways") {
+    // a-b-c-d path plus a shortcut a-c: c must label 1, not 2
+    val und = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val got = Graph.bfsHops(edges, Seq("a").toDF("node"), maxHops = 3)
+      .as[(String, Long)].collect().toMap
+    assert(got === Map("a" -> 0L, "b" -> 1L, "c" -> 1L, "d" -> 2L))
+  }
+
+  test("bfsHops: maxHops bounds the sweep; unreachable nodes are absent") {
+    val und = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("x", "y"))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val got = Graph.bfsHops(edges, Seq("a").toDF("node"), maxHops = 2)
+      .as[(String, Long)].collect().toMap
+    assert(got === Map("a" -> 0L, "b" -> 1L, "c" -> 2L))
+    assert(!got.contains("x") && !got.contains("y"))
+  }
+
+  test("bfsHops: seeds outside the graph are dropped; multi-source " +
+      "takes the closer source; partition-invariant") {
+    val und = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val seeds = Seq("a", "e", "ghost").toDF("node")
+    val got = Graph.bfsHops(edges, seeds, maxHops = 4)
+      .as[(String, Long)].collect().toMap
+    // c is 2 from both ends; b is 1 from a; d is 1 from e
+    assert(got === Map("a" -> 0L, "e" -> 0L, "b" -> 1L, "d" -> 1L,
+      "c" -> 2L))
+    val rep = Graph.bfsHops(edges.repartition(7), seeds, maxHops = 4)
+      .as[(String, Long)].collect().toMap
+    assert(rep === got)
+  }
+
+  test("pmiCollocations: lift is the exact count ratio; minCount prunes") {
+    val docs = Seq("a b", "a b", "c d").toDF("text")
+    // unigrams a:2 b:2 c:1 d:1, U=6; bigrams (a,b):2 (c,d):1, B=3
+    // lift(a,b) = 2*6*6/(2*2*3) = 6.0; lift(c,d) = 36/3 = 12.0
+    val all = graft.operators.CorpusStats
+      .pmiCollocations(docs, col("text"), minCount = 1L, topK = 10)
+      .select("lhs", "rhs", "c_xy", "lift")
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(all === Seq(("c", "d", 1L, 12.0), ("a", "b", 2L, 6.0)))
+    val pruned = graft.operators.CorpusStats
+      .pmiCollocations(docs, col("text"), minCount = 2L, topK = 10)
+      .select("lhs", "rhs").as[(String, String)].collect().toSeq
+    assert(pruned === Seq(("a", "b")))
+  }
+
+  test("madOutliers: hand-computed median/MAD, exact long outputs") {
+    // odd group: median 3, MAD 1, one point beyond 3*MAD
+    // even group: median 2.5, MAD (0.5+1.5)/2 = 1.0, outlier 1000
+    val df = Seq(("odd", 1L), ("odd", 2L), ("odd", 3L), ("odd", 4L),
+      ("odd", 100L),
+      ("even", 1L), ("even", 2L), ("even", 3L), ("even", 1000L))
+      .toDF("g", "x")
+    val got = graft.operators.Stats
+      .madOutliers(df, col("g"), col("x"), k = 3)
+      .orderBy("grp")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(("even", 4L, 5L, 4L, 1L), ("odd", 5L, 6L, 4L, 1L)))
+    // exact percentiles -> partition-invariant
+    val rep = graft.operators.Stats
+      .madOutliers(df.repartition(7), col("g"), col("x"), k = 3)
+      .orderBy("grp")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(rep === got)
+  }
+
+  test("decayedCounts: integer recurrence weights, age clamp, null ts") {
+    import graft.operators.Decay
+    assert(Decay.weightsMicro(9L, 10L, 3) ===
+      Seq(1000000L, 900000L, 810000L, 729000L))
+    val df = Seq(
+      ("a", "2024-01-10"), ("a", "2024-01-09"), ("a", "2024-01-08"),
+      ("b", "2024-01-10"), ("b", null))
+      .toDF("k", "d").withColumn("ts", to_timestamp(col("d")))
+    val got = Decay.decayedCounts(df, col("k"), col("ts"), 9L, 10L, 30)
+      .orderBy("k").as[(String, Long, Long)].collect().toSeq
+    // a: ages 0,1,2 -> 1000000+900000+810000; b: null ts row excluded
+    assert(got === Seq(("a", 3L, 2710000L), ("b", 1L, 1000000L)))
+    // ages beyond maxAge clamp to the floor weight
+    val clamped = Decay.decayedCounts(df, col("k"), col("ts"), 9L, 10L, 1)
+      .orderBy("k").as[(String, Long, Long)].collect().toSeq
+    assert(clamped.head === ("a", 3L, 1000000L + 900000L + 900000L))
+    val rep = Decay
+      .decayedCounts(df.repartition(7), col("k"), col("ts"), 9L, 10L, 30)
+      .orderBy("k").as[(String, Long, Long)].collect().toSeq
+    assert(rep === got)
+  }
+
+  test("markov transitions: smoothing, marginals, and V with a " +
+      "sink-only state") {
+    // user 1: A,B,A,C (ts order, tie broken by id); user 2: A,B
+    val df = Seq(
+      (1L, 10L, 1L, "A"), (1L, 10L, 2L, "B"), (1L, 20L, 3L, "A"),
+      (1L, 30L, 4L, "C"),
+      (2L, 10L, 5L, "A"), (2L, 20L, 6L, "B"))
+      .toDF("u", "t", "id", "s")
+    val got = graft.operators.Markov
+      .transitions(df, col("u"), Seq(col("t"), col("id")), col("s"))
+      .orderBy("prev", "next")
+      .as[(String, String, Long, Long)].collect().toSeq
+    // c_A=3, c_B=1; V=3 (C has no outgoing transitions but counts)
+    assert(got === Seq(
+      ("A", "B", 2L, 500000L),   // (2+1)e6 div (3+3)
+      ("A", "C", 1L, 333333L),   // (1+1)e6 div 6
+      ("B", "A", 1L, 500000L)))  // (1+1)e6 div (1+3)
+    val rep = graft.operators.Markov
+      .transitions(df.repartition(5), col("u"),
+        Seq(col("t"), col("id")), col("s"))
+      .orderBy("prev", "next")
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(rep === got)
+  }
+
+  test("chiSquareCells: absent cell included; terms sum to the " +
+      "textbook statistic") {
+    // contingency [[3,1],[0,2]]: expected [[2,2],[1,1]], chi2 = 3.0
+    val df = Seq(("x", "p"), ("x", "p"), ("x", "p"), ("x", "q"),
+      ("y", "q"), ("y", "q")).toDF("a", "b")
+    val got = graft.operators.Stats.chiSquareCells(df, col("a"), col("b"))
+      .orderBy("a", "b")
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      ("x", "p", 3L, 2000000L, 500000L),
+      ("x", "q", 1L, 2000000L, 500000L),
+      ("y", "p", 0L, 1000000L, 1000000L),  // the absent cell
+      ("y", "q", 2L, 1000000L, 1000000L)))
+    assert(got.map(_._5).sum === 3000000L)
+  }
+
+  test("snapshotAt: before-first, mid-run, boundary, and current reads") {
+    // user 1: A at t=100, B at t=300 (current); user 2: C at t=500
+    val ev = Seq((1L, 100L, 1L, "A"), (1L, 300L, 2L, "B"),
+      (2L, 500L, 3L, "C")).toDF("u", "us", "id", "s")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val iv = Scd2.build(ev, col("u"), col("s"), col("ts"), col("id"))
+    def at(t: Long): Map[Long, String] =
+      Scd2.snapshotAt(iv, t).select("k", "attr")
+        .as[(Long, String)].collect().toMap
+    assert(at(50L) === Map.empty)                 // before any key exists
+    assert(at(200L) === Map(1L -> "A"))           // mid first run
+    assert(at(300L) === Map(1L -> "B"))           // boundary: from-inclusive
+    assert(at(900L) === Map(1L -> "B", 2L -> "C")) // current rows unbounded
+  }
+
+  test("debounce: predecessor rule, pair scoping, boundary gap") {
+    // user 1 / type X: t=0, 3s, 7s -> 3s bounced (gap 3s), 7s ALSO
+    // bounced (gap to predecessor 4s, though 7s from last kept — the
+    // documented predecessor semantics); type Y untouched.
+    val ev = Seq(
+      (1L, 0L, 1L, "X"), (1L, 3000000L, 2L, "X"), (1L, 7000000L, 3L, "X"),
+      (1L, 1000000L, 4L, "Y"),
+      (2L, 5000000L, 5L, "X"), (2L, 10000000L, 6L, "X"))
+      .toDF("u", "us", "id", "s")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val got = Dedup.debounce(ev, col("u"), col("s"), col("ts"),
+        Seq(col("us"), col("id")), withinUs = 5000000L)
+      .select("id", "kept").as[(Long, Boolean)].collect().toMap
+    assert(got === Map(1L -> true, 2L -> false, 3L -> false,
+      4L -> true, 5L -> true, 6L -> false)) // 6: gap == 5s, not > 5s
+    // schema: input columns survive, plus the flag
+    val cols = Dedup.debounce(ev, col("u"), col("s"), col("ts"),
+      Seq(col("us"), col("id")), 5000000L).columns.toSeq
+    assert(cols === ev.columns.toSeq :+ "kept")
+  }
+
+  test("per-group heavy hitters: groups are independent, exact within " +
+      "capacity") {
+    val df = Seq.fill(5)(("g1", "a")) ++ Seq.fill(3)(("g1", "b")) ++
+      Seq.fill(1)(("g1", "c")) ++
+      Seq.fill(4)(("g2", "c")) ++ Seq.fill(4)(("g2", "d"))
+    val got = df.toDF("g", "t")
+      .groupBy(col("g"))
+      .agg(graft.plans.HeavyHitters.topItems(col("t"), 16, 2).as("top"))
+      .select(col("g"), posexplode(col("top")))
+      .select(col("g"), col("pos"), col("col").getField("_1"),
+        col("col").getField("_2"), col("col").getField("_3"))
+      .as[(String, Int, String, Long, Long)].collect().toSeq.sorted
+    assert(got === Seq(
+      ("g1", 0, "a", 5L, 0L), ("g1", 1, "b", 3L, 0L),
+      ("g2", 0, "c", 4L, 0L), ("g2", 1, "d", 4L, 0L))) // tie -> lexic.
+  }
+
+  test("giniImpurity: pure, balanced, and mixed groups") {
+    val df = Seq(("g1", "a"), ("g1", "a"), ("g1", "a"),
+      ("g2", "a"), ("g2", "b"),
+      ("g3", "a"), ("g3", "a"), ("g3", "b"), ("g3", "c"))
+      .toDF("g", "l")
+    val got = graft.operators.Stats.giniImpurity(df, col("g"), col("l"))
+      .orderBy("grp")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      ("g1", 3L, 1L, 0L),
+      ("g2", 2L, 2L, 500000L),
+      ("g3", 4L, 3L, 625000L)))  // (16-6)e6 div 16
+  }
 }

@@ -168,4 +168,54 @@ class MlSpec extends SparkSpec {
     assert(soloOut.filter(col("cat") === "only")
       .collect().forall(_.isNullAt(3)))
   }
+
+  test("rankMetrics: perfect separation gives AUC 1 and a clean " +
+      "confusion matrix") {
+    val df = Seq((true, 10L), (true, 10L), (false, 1L), (false, 1L))
+      .toDF("y", "s")
+    val out = graft.ml.BinaryMetrics.rankMetrics(df, col("y"), col("s"),
+      thr = 5L).collect().head
+    assert(out.getLong(0) === 2L && out.getLong(1) === 2L) // n_pos n_neg
+    assert(out.getDouble(2) === 1.0)                       // auc
+    assert((3 to 6).map(out.getLong) === Seq(2L, 0L, 0L, 2L)) // tp fp fn tn
+    assert((7 to 9).map(out.getLong) === Seq(1000000L, 1000000L, 1000000L))
+  }
+
+  test("rankMetrics: average-rank tie handling (hand-computed AUC)") {
+    // scores 1-,2+,2-,3+: ranks 1, {2,3}->2.5 avg, 4
+    // R+ = 2.5 + 4 = 6.5 -> AUC = (6.5 - 3) / 4 = 0.875
+    val df = Seq((false, 1L), (true, 2L), (false, 2L), (true, 3L))
+      .toDF("y", "s")
+    val out = graft.ml.BinaryMetrics.rankMetrics(df, col("y"), col("s"),
+      thr = 2L).collect().head
+    assert(out.getDouble(2) === 0.875)
+    assert((3 to 6).map(out.getLong) === Seq(2L, 1L, 0L, 1L))
+    assert(out.getLong(7) === 666666L)  // 2e6 div 3
+    assert(out.getLong(8) === 1000000L)
+    assert(out.getLong(9) === 800000L)  // 4e6 div 5
+    // all scores tied -> AUC exactly 0.5
+    val tied = Seq((true, 7L), (false, 7L), (true, 7L), (false, 7L))
+      .toDF("y", "s")
+    val t = graft.ml.BinaryMetrics.rankMetrics(tied, col("y"), col("s"),
+      thr = 9L).collect().head
+    assert(t.getDouble(2) === 0.5)
+    assert(t.getLong(3) === 0L && t.isNullAt(7)) // empty positive side
+  }
+
+  test("rankMetrics: degenerate one-class input nulls AUC; " +
+      "partition-invariant") {
+    val onePos = Seq((true, 3L), (true, 9L)).toDF("y", "s")
+    val d = graft.ml.BinaryMetrics.rankMetrics(onePos, col("y"),
+      col("s"), thr = 5L).collect().head
+    assert(d.isNullAt(2) && d.getLong(1) === 0L)
+    val df = Seq((false, 1L), (true, 2L), (false, 2L), (true, 3L),
+      (true, 5L), (false, 4L), (true, 4L), (false, 9L))
+      .toDF("y", "s")
+    val a = graft.ml.BinaryMetrics
+      .rankMetrics(df, col("y"), col("s"), thr = 4L).collect().head
+    val b = graft.ml.BinaryMetrics
+      .rankMetrics(df.repartition(7), col("y"), col("s"), thr = 4L)
+      .collect().head
+    assert(a.toSeq === b.toSeq)
+  }
 }

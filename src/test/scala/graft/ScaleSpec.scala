@@ -682,6 +682,17 @@ class ScaleSpec extends SparkSpec {
     assert(batch.exceptAll(streamed).count() === 0)
   }
 
+  test("streamed decayed counters equal the batch operator exactly") {
+    val streamed = graft.streaming.EventsStream
+      .streamedDecayedCounts(spark, sfDir, 9L, 10L, 30)
+    val batch = graft.operators.Decay.decayedCounts(
+        Tables(spark, sfDir, "events"), col("event_type"), col("ts"),
+        9L, 10L, 30)
+      .withColumnRenamed("k", "event_type")
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+  }
+
   test("streamed expectations equal the batch contract report exactly") {
     val checks = Seq(
       "a_type" -> col("event_type").isin("click"),
