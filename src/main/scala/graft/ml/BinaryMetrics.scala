@@ -46,32 +46,16 @@ object BinaryMetrics {
     */
   def rankMetrics(df: DataFrame, label: Column, score: Column,
       thr: Long): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
     val g = df
       .select(score.cast("long").as("s"),
         label.cast("boolean").cast("long").as("y"))
       .groupBy(col("s"))
       .agg(count(lit(1)).as("cnt"), sum(col("y")).as("pos"))
     // Two-phase cumulative count of rows strictly below each distinct
-    // score: range partition by score, per-partition totals become
-    // driver-side offsets, a partition-local running sum finishes the
-    // prefix — no global window anywhere.
-    val keyed = g.repartitionByRange(col("s"))
-      .sortWithinPartitions(col("s"))
-      .withColumn("__pid", spark_partition_id().cast("long"))
-      .localCheckpoint()
-    val totals = keyed.groupBy(col("__pid")).agg(sum(col("cnt")).as("__n"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
-    val offsets = totals.map(_._1)
-      .zip(totals.scanLeft(0L)(_ + _._2).init).toSeq
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__pid")).orderBy(col("s"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val cum = keyed
-      .join(broadcast(offsets.toDF("__pid", "__off")), Seq("__pid"))
-      .withColumn("cum_below",
-        col("__off") + sum(col("cnt")).over(w) - col("cnt"))
+    // score — the shared range-prefix machinery, no global window.
+    val cum = graft.operators.Stats
+      .rangePrefixSums(g, col("s"), Seq("cnt"))
+      .withColumn("cum_below", col("cum_cnt") - col("cnt"))
     val a = cum.agg(
       sum(col("pos")).as("p"),
       sum(col("cnt") - col("pos")).as("n"),
@@ -92,5 +76,33 @@ object BinaryMetrics {
       when(col("p") > 0, expr("(tp * 1000000) div p")).as("recall_micro"),
       when(col("tp") + col("fp") + col("p") > 0,
         expr("(2 * tp * 1000000) div (tp + fp + p)")).as("f1_micro"))
+  }
+
+  /** Reliability diagram bins — the calibration companion to
+    * [[rankMetrics]] (AUC says the RANKING is good; calibration says
+    * the SCORES mean what they claim): equal-WIDTH score bins
+    * (floor division by `binWidth` — deterministic and stable as data
+    * grows, where equal-frequency bins move with every batch), each
+    * with its count, positive count, observed positive rate and mean
+    * score in integer micro-units. A well-calibrated scorer has
+    * pos_rate_micro tracking the bin's score; the drill-down is the
+    * deliverable, so no curve summary is collapsed here.
+    *
+    * One map-side-combining aggregation — shuffle volume is #bins.
+    * mean_score_micro = (Σs·10⁶) div n needs |Σs| ≤ ~9·10¹² — scores
+    * in bounded units (the house integer-score discipline) keep that
+    * true far past 10⁹ rows.
+    */
+  def calibrationBins(df: DataFrame, label: Column, score: Column,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    df.select(score.cast("long").as("s"),
+        label.cast("boolean").cast("long").as("y"))
+      .groupBy(expr(s"s div $binWidth").as("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
+        sum(col("s")).as("sum_s"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        expr("(n_pos * 1000000) div n").as("pos_rate_micro"),
+        expr("(sum_s * 1000000) div n").as("mean_score_micro"))
   }
 }

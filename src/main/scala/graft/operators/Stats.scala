@@ -184,6 +184,103 @@ object Stats {
           .otherwise(0L)).as("n_outliers"))
   }
 
+  /** Scale-safe global prefix sums: appends `cum_<c>` (INCLUSIVE
+    * running sum in `key` order) for each named long column, without
+    * a single-partition window. The q117/[[graft.operators.Splits
+    * .rangeRanked]] two-phase layout generalized from row positions
+    * to arbitrary weights: range-partition by key, per-partition
+    * totals collected to the driver as offsets (≤ shuffle.partitions
+    * rows), a broadcast join adds them back, and a PARTITION-LOCAL
+    * window finishes the prefix — no task ever sees more than one
+    * range's rows. Ties on `key` land in one partition (range
+    * partitioning is key-granular) but their relative cum order
+    * follows sort order; pass a total-order key when per-row prefix
+    * values must be deterministic (aggregating to distinct keys
+    * first, as the AUC/KS callers do, sidesteps this entirely).
+    * Checkpointed once: the partition-id assignment must not be
+    * recomputed between the totals pass and the join.
+    */
+  private[graft] def rangePrefixSums(df: DataFrame, key: Column,
+      sumCols: Seq[String]): DataFrame = {
+    require(sumCols.nonEmpty, "need at least one column to prefix-sum")
+    val spark = df.sparkSession
+    val keyed = df.withColumn("__key", key)
+      .repartitionByRange(col("__key"))
+      .sortWithinPartitions(col("__key"))
+      .withColumn("__pid", spark_partition_id().cast("long"))
+      .localCheckpoint()
+    val aggs = sumCols.map(c => coalesce(sum(col(c)), lit(0L)).as(c))
+    val totals = keyed.groupBy(col("__pid"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map(r => (r.getLong(0), sumCols.indices.map(i => r.getLong(i + 1))))
+      .sortBy(_._1)
+    val offsets = totals.map(_._1).zip(
+      totals.map(_._2).scanLeft(sumCols.map(_ => 0L): Seq[Long]) {
+        (acc, t) => acc.zip(t).map { case (x, y) => x + y }
+      }.init)
+    val offSchema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("__pid",
+        org.apache.spark.sql.types.LongType) +:
+      sumCols.indices.map(i => org.apache.spark.sql.types.StructField(
+        s"__off$i", org.apache.spark.sql.types.LongType)))
+    val offRows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(offsets.map { case (pid, offs) =>
+        org.apache.spark.sql.Row.fromSeq(pid +: offs)
+      }.toSeq: _*)
+    val offDf = spark.createDataFrame(offRows, offSchema)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pid")).orderBy(col("__key"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val joined = keyed.join(broadcast(offDf), Seq("__pid"))
+    val withCums = sumCols.zipWithIndex.foldLeft(joined) {
+      case (d, (c, i)) =>
+        d.withColumn(s"cum_$c", col(s"__off$i") + sum(col(c)).over(w))
+    }
+    withCums.drop(("__pid" +: "__key" +:
+      sumCols.indices.map(i => s"__off$i")): _*)
+  }
+
+  /** Two-sample Kolmogorov–Smirnov distance in exact integer
+    * micro-units — the distribution-drift gate of a production
+    * pipeline (yesterday's feature distribution vs today's): one row
+    * (n_a, n_b, at_value, ks_micro) with
+    *
+    *   ks_micro = max over values v of
+    *              (|cumA(v)·n_b − cumB(v)·n_a| · 10⁶) div (n_a·n_b)
+    *
+    * and `at_value` the smallest v attaining the max. Cross-
+    * multiplying the two CDFs keeps everything integer — no float
+    * CDF subtraction, so the statistic is hash-exact and replayable.
+    * (PSI, the other standard drift score, needs log; KS needs only
+    * order — same reason the repo ranks by lift, not PMI.)
+    *
+    * Scale shape: each side collapses to its distinct-value histogram
+    * (map-side combining), a full-outer merge aligns the supports,
+    * [[rangePrefixSums]] builds both CDFs two-phase, and the max is a
+    * TakeOrdered(1) — no global sort materialization, no
+    * single-partition window. Long-range guard: cum·n ≤ n_a·n_b and
+    * the ·10⁶ needs n_a·n_b ≤ ~9·10¹² — beyond that drop to ppm
+    * units or pre-sample.
+    */
+  def ksDistance(a: DataFrame, b: DataFrame, x: Column): DataFrame = {
+    val ga = a.select(x.cast("long").as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("ca"))
+    val gb = b.select(x.cast("long").as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("cb"))
+    val merged = ga.join(gb, Seq("v"), "full_outer")
+      .na.fill(0L, Seq("ca", "cb"))
+    val cums = rangePrefixSums(merged, col("v"), Seq("ca", "cb"))
+    val nA = merged.agg(coalesce(sum(col("ca")), lit(0L)).as("n_a"))
+    val nB = merged.agg(coalesce(sum(col("cb")), lit(0L)).as("n_b"))
+    cums.crossJoin(broadcast(nA)).crossJoin(broadcast(nB))
+      .select(col("n_a"), col("n_b"), col("v").as("at_value"),
+        expr("(abs(cum_ca * n_b - cum_cb * n_a) * 1000000)" +
+          " div (n_a * n_b)").as("ks_micro"))
+      .orderBy(col("ks_micro").desc, col("at_value"))
+      .limit(1)
+  }
+
   /** Full χ² contingency table between two LOW-cardinality
     * categoricals: one row per (a, b) cell of the |A|×|B| cross —
     * absent combinations included at observed 0, because their

@@ -1967,6 +1967,82 @@ $union
     Some(DecayOracleSql),
   )
 
+  // --------------------------------------------------------------- q170
+  /** Calibration bins ([[graft.ml.BinaryMetrics.calibrationBins]]):
+    * q159's price-ranks-status scorer binned into equal-width $50k
+    * score buckets with observed positive rate and mean score in
+    * integer micro-units — AUC grades the ranking, this grades what
+    * the scores MEAN. One map-side-combining agg; every output is
+    * exact integer arithmetic.
+    */
+  val q170Calibration: QueryDef = QueryDef(
+    "q170_calibration",
+    (s, dir) => graft.ml.BinaryMetrics.calibrationBins(
+        Tables(s, dir, "orders"),
+        col("o_orderstatus") === "F",
+        expr("cast(floor(o_totalprice * 100 + 0.5) as bigint) div 1000"),
+        binWidth = 5000L)
+      .orderBy(col("bin")),
+    Some("""
+      WITH b AS (SELECT
+          CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) // 1000 AS s,
+          CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        FROM orders),
+      g AS (SELECT s // 5000 AS bin, COUNT(*) AS n,
+          SUM(y) AS n_pos, SUM(s) AS sum_s
+        FROM b GROUP BY 1)
+      SELECT CAST(bin AS BIGINT) AS bin, n, CAST(n_pos AS BIGINT) AS n_pos,
+        CAST((n_pos * 1000000) // n AS BIGINT) AS pos_rate_micro,
+        CAST((sum_s * 1000000) // n AS BIGINT) AS mean_score_micro
+      FROM g ORDER BY bin"""),
+  )
+
+  // --------------------------------------------------------------- q171
+  /** Two-sample KS drift distance ([[graft.operators.Stats
+    * .ksDistance]]): purchase vs click value distributions, the
+    * supremum CDF gap in exact integer micro-units by
+    * cross-multiplying the two cumulative counts — the
+    * distribution-drift gate with no float CDF anywhere. CDFs come
+    * from the shared two-phase range prefix machinery (the q159
+    * refactor); the oracle replays the cross-multiplied maximum over
+    * the merged support.
+    */
+  val q171KsDrift: QueryDef = QueryDef(
+    "q171_ks_drift",
+    (s, dir) => {
+      val ev = Tables(s, dir, "events").filter(col("value").isNotNull)
+      val cents = (signum(col("value")) *
+        floor(abs(col("value")) * 100 + lit(0.5))).cast("long")
+      graft.operators.Stats.ksDistance(
+        ev.filter(col("event_type") === "purchase"),
+        ev.filter(col("event_type") === "click"),
+        cents)
+    },
+    Some("""
+      WITH base AS (SELECT event_type,
+          CAST(CASE WHEN value >= 0 THEN FLOOR(value * 100 + 0.5)
+               ELSE -FLOOR(-value * 100 + 0.5) END AS BIGINT) AS v
+        FROM events WHERE value IS NOT NULL),
+      ga AS (SELECT v, COUNT(*) AS ca FROM base
+        WHERE event_type = 'purchase' GROUP BY v),
+      gb AS (SELECT v, COUNT(*) AS cb FROM base
+        WHERE event_type = 'click' GROUP BY v),
+      j AS (SELECT COALESCE(ga.v, gb.v) AS v,
+          COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+        FROM ga FULL OUTER JOIN gb ON ga.v = gb.v),
+      t AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+          CAST(SUM(cb) AS BIGINT) AS n_b FROM j),
+      c AS (SELECT v,
+          SUM(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cuma,
+          SUM(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cumb
+        FROM j)
+      SELECT t.n_a, t.n_b, c.v AS at_value,
+        CAST((ABS(c.cuma * t.n_b - c.cumb * t.n_a) * 1000000)
+          // (t.n_a * t.n_b) AS BIGINT) AS ks_micro
+      FROM c, t
+      ORDER BY ks_micro DESC, at_value LIMIT 1"""),
+  )
+
   private val pid = ProcessHandle.current().pid()
 
   val all: Seq[QueryDef] =
@@ -1984,5 +2060,5 @@ $union
       q159AucEval, q160PmiCollocations, q161MadOutliers,
       q162DecayedCounts, q163MarkovTransitions, q164ChiSquare,
       q165GiniImpurity, q166GroupHeavyHitters, q167TimeTravel,
-      q168Debounce, q169StreamDecay)
+      q168Debounce, q169StreamDecay, q170Calibration, q171KsDrift)
 }

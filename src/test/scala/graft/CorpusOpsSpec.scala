@@ -735,6 +735,38 @@ class CorpusOpsSpec extends SparkSpec {
       ("g2", 0, "c", 4L, 0L), ("g2", 1, "d", 4L, 0L))) // tie -> lexic.
   }
 
+  test("rangePrefixSums: inclusive prefixes, partition-invariant") {
+    val df = (1L to 100L).map(i => (i, 1L, i % 3)).toDF("k", "one", "w")
+    val got = graft.operators.Stats
+      .rangePrefixSums(df, col("k"), Seq("one", "w"))
+      .orderBy("k").select("k", "cum_one", "cum_w")
+      .as[(Long, Long, Long)].collect().toSeq
+    val expect = (1L to 100L).map(i =>
+      (i, i, (1L to i).map(_ % 3).sum))
+    assert(got === expect)
+    val rep = graft.operators.Stats
+      .rangePrefixSums(df.repartition(13), col("k"), Seq("one", "w"))
+      .orderBy("k").select("k", "cum_one", "cum_w")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(rep === expect)
+  }
+
+  test("ksDistance: hand-computed supremum, zero on identical inputs") {
+    // a = {1,2,3}, b = {3,4}: CDF gap peaks at v=2 with 2/3 - 0
+    val a = Seq(1L, 2L, 3L).toDF("x")
+    val b = Seq(3L, 4L).toDF("x")
+    val got = graft.operators.Stats.ksDistance(a, b, col("x"))
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(got === ((3L, 2L, 2L, 666666L)))
+    // order of sides only moves the labels, not the distance
+    val swapped = graft.operators.Stats.ksDistance(b, a, col("x"))
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(swapped === ((2L, 3L, 2L, 666666L)))
+    val same = graft.operators.Stats.ksDistance(a, a, col("x"))
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(same._4 === 0L)
+  }
+
   test("giniImpurity: pure, balanced, and mixed groups") {
     val df = Seq(("g1", "a"), ("g1", "a"), ("g1", "a"),
       ("g2", "a"), ("g2", "b"),

@@ -202,6 +202,20 @@ class MlSpec extends SparkSpec {
     assert(t.getLong(3) === 0L && t.isNullAt(7)) // empty positive side
   }
 
+  test("calibrationBins: equal-width binning, exact micro rates") {
+    // bin width 10: scores 1,9 -> bin 0; 15,15 -> bin 1; 25 -> bin 2
+    val df = Seq((false, 1L), (true, 9L), (true, 15L), (false, 15L),
+      (true, 25L)).toDF("y", "s")
+    val got = graft.ml.BinaryMetrics
+      .calibrationBins(df, col("y"), col("s"), binWidth = 10L)
+      .orderBy("bin")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (0L, 2L, 1L, 500000L, 5000000L),   // mean score (1+9)/2 = 5
+      (1L, 2L, 1L, 500000L, 15000000L),
+      (2L, 1L, 1L, 1000000L, 25000000L)))
+  }
+
   test("rankMetrics: degenerate one-class input nulls AUC; " +
       "partition-invariant") {
     val onePos = Seq((true, 3L), (true, 9L)).toDF("y", "s")

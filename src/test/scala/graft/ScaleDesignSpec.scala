@@ -817,6 +817,49 @@ class ScaleDesignSpec extends SparkSpec {
     assert(PlanLint.findings(q3).filterNot(_._1 == "global_sort").isEmpty)
   }
 
+  test("plan lint: the round-8 analytics operators carry no scale " +
+      "hazards") {
+    import graft.plans.PlanLint
+    // AUC: the two-phase prefix machinery must never plan a
+    // single-partition window or a cartesian; its only nested loops
+    // are one-row scalar/offset attaches
+    val auc = graft.ml.BinaryMetrics.rankMetrics(
+      Tables(spark, sfDir, "orders"), col("o_orderstatus") === "F",
+      expr("cast(floor(o_totalprice * 100 + 0.5) as bigint) div 1000"),
+      15000L)
+    assert(PlanLint.findings(auc).forall(_._1 == "nested_loop_join"))
+    // KS: same machinery, same contract
+    val ev = Tables(spark, sfDir, "events").filter(col("value").isNotNull)
+    val cents = (signum(col("value")) *
+      floor(abs(col("value")) * 100 + lit(0.5))).cast("long")
+    val ks = graft.operators.Stats.ksDistance(
+      ev.filter(col("event_type") === "purchase"),
+      ev.filter(col("event_type") === "click"), cents)
+    assert(PlanLint.findings(ks).forall(_._1 == "nested_loop_join"))
+    // BFS hop labeling: joins and anti-joins only — nothing cartesian,
+    // no windows at all
+    val und = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+    val bfs = graft.operators.Graph.bfsHops(
+      und.union(und.select(col("dst"), col("src"))),
+      Seq("a").toDF("node"), 2)
+    assert(PlanLint.clean(bfs))
+    // decayed counters: ONE one-row reference-date attach and a plain
+    // agg — the weight lookup must stay a scan-side array index
+    val decay = graft.operators.Decay.decayedCounts(
+      Tables(spark, sfDir, "events"), col("event_type"), col("ts"),
+      9L, 10L, 30)
+    val fs = PlanLint.findings(decay)
+    assert(fs.forall(_._1 == "nested_loop_join") && fs.size <= 1,
+      s"unexpected hazards: $fs")
+    // Markov transitions: the lead window must be sequence-partitioned
+    val mk = graft.operators.Markov.transitions(
+      Tables(spark, sfDir, "events").filter(col("user_id").isNotNull),
+      col("user_id"), Seq(unix_micros(col("ts")), col("event_id")),
+      col("event_type"))
+    assert(PlanLint.findings(mk)
+      .forall(_._1 == "nested_loop_join")) // the one-row V attach
+  }
+
   test("incremental join view: delta algebra equals full recompute") {
     import graft.operators.IncrementalJoin
     val ev = Tables(spark, sfDir, "events")
