@@ -90,6 +90,36 @@ object CorpusStats {
     * broadcastable; the default stays a shuffle join because a
     * 100 TB web corpus's vocabulary is not small.
     */
+  /** Per-group lexical richness — type-token ratio and hapax fraction
+    * in exact integer micro-units: n_tokens, n_types (distinct words
+    * within the group), n_hapax (words seen exactly once there),
+    * ttr_micro = types·10⁶ div tokens, hapax_micro = hapax·10⁶ div
+    * types. The vocabulary-diversity quality signal (Templin 1957's
+    * TTR; hapax rate is its tail-weight companion): machine-generated
+    * boilerplate and spam repeat a tiny vocabulary (low TTR, low
+    * hapax), natural prose does not — a standard corpus-curation
+    * filter axis next to [[bigramNovelty]]'s sequence-level score.
+    *
+    * Scale shape: two map-side-combining aggregations — (group, word)
+    * cells, then per-group moments over the cell table; shuffle
+    * volume is #distinct cells then #groups. Purely rational, so the
+    * outputs are hash-exact everywhere.
+    */
+  def lexicalRichness(docs: DataFrame, group: Column,
+      text: Column): DataFrame = {
+    val wc = docs
+      .select(group.as("grp"),
+        explode(graft.functions.TextFunctions.tokens(text)).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("grp"), col("word")).agg(count(lit(1)).as("c"))
+    wc.groupBy(col("grp"))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("grp"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        expr("(n_types * 1000000) div n_tokens").as("ttr_micro"),
+        expr("(n_hapax * 1000000) div n_types").as("hapax_micro"))
+  }
+
   def pmiCollocations(docs: DataFrame, text: Column, minCount: Long,
       topK: Int): DataFrame = {
     val toks = docs.select(graft.functions.TextFunctions.tokens(text).as("w"))

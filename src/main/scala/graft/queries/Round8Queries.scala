@@ -2043,6 +2043,86 @@ $union
       ORDER BY ks_micro DESC, at_value LIMIT 1"""),
   )
 
+  // --------------------------------------------------------------- q172
+  /** Seasonal anomaly detection by pure composition — per
+    * (event type, hour-of-day) cell, the per-day counts z-scored
+    * against that cell's own 30-day history
+    * ([[graft.operators.Stats.zScores]] over a groupBy, zero new
+    * operator code — the q166 composition argument applied to the
+    * moments machinery): the "why is 3 a.m. signup traffic 2σ hot
+    * today" pager query. Exact integer moments make the flags
+    * replayable; the oracle recomputes the identical z arithmetic
+    * over the identical cells.
+    */
+  val q172SeasonalAnomaly: QueryDef = QueryDef(
+    "q172_seasonal_anomaly",
+    (s, dir) => {
+      val cells = Tables(s, dir, "events")
+        .groupBy(col("event_type"),
+          date_format(col("ts"), "yyyyMMdd").cast("long").as("day_id"),
+          hour(col("ts")).cast("long").as("hr"))
+        .agg(count(lit(1)).as("c"))
+      graft.operators.Stats.zScores(cells,
+          concat_ws("|", col("event_type"), col("hr")),
+          col("day_id"), col("c"), scale = 1L, flagAt = 2.0)
+        .filter(col("is_outlier"))
+        .select(col("grp").as("cell"), col("id").as("day_id"),
+          col("x").as("n"), col("z"))
+        .orderBy(col("cell"), col("day_id"))
+    },
+    Some("""
+      WITH c AS (
+        SELECT event_type || '|' || CAST(hour(ts) AS VARCHAR) AS grp,
+          CAST(strftime(ts, '%Y%m%d') AS BIGINT) AS day_id,
+          COUNT(*) AS x
+        FROM events GROUP BY 1, 2),
+      m AS (
+        SELECT grp, COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS s,
+          CAST(SUM(x * x) AS BIGINT) AS ss
+        FROM c GROUP BY grp),
+      z AS (
+        SELECT c.grp, c.day_id, c.x,
+          CASE WHEN ss * n - s * s = 0 THEN 0.0
+               ELSE ROUND(CAST(c.x * n - s AS DOUBLE)
+                 / sqrt(CAST(ss * n - s * s AS DOUBLE)), 6) END AS z
+        FROM c JOIN m USING (grp))
+      SELECT grp AS cell, day_id, CAST(x AS BIGINT) AS n, z
+      FROM z WHERE abs(z) >= 2.0
+      ORDER BY cell, day_id"""),
+  )
+
+  // --------------------------------------------------------------- q173
+  /** Per-source lexical richness ([[graft.operators.CorpusStats
+    * .lexicalRichness]]): type-token ratio and hapax fraction in
+    * exact micro-units — the vocabulary-diversity axis of corpus
+    * quality (boilerplate repeats a tiny vocabulary; prose does
+    * not). Purely rational, unconditional hash-match.
+    */
+  val q173LexicalRichness: QueryDef = QueryDef(
+    "q173_lexical_richness",
+    (s, dir) => graft.operators.CorpusStats.lexicalRichness(
+        Tables(s, dir, "documents"), col("source"), col("text"))
+      .withColumnRenamed("grp", "source")
+      .orderBy(col("source")),
+    Some("""
+      WITH wc AS (
+        SELECT source, term, COUNT(*) AS c FROM (
+          SELECT source, unnest(string_split(text, ' ')) AS term
+          FROM documents)
+        WHERE term <> '' GROUP BY source, term),
+      g AS (
+        SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+          COUNT(*) AS n_types,
+          CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_hapax
+        FROM wc GROUP BY source)
+      SELECT source, n_tokens, CAST(n_types AS BIGINT) AS n_types,
+        n_hapax,
+        CAST((n_types * 1000000) // n_tokens AS BIGINT) AS ttr_micro,
+        CAST((n_hapax * 1000000) // n_types AS BIGINT) AS hapax_micro
+      FROM g ORDER BY source"""),
+  )
+
   private val pid = ProcessHandle.current().pid()
 
   val all: Seq[QueryDef] =
@@ -2060,5 +2140,6 @@ $union
       q159AucEval, q160PmiCollocations, q161MadOutliers,
       q162DecayedCounts, q163MarkovTransitions, q164ChiSquare,
       q165GiniImpurity, q166GroupHeavyHitters, q167TimeTravel,
-      q168Debounce, q169StreamDecay, q170Calibration, q171KsDrift)
+      q168Debounce, q169StreamDecay, q170Calibration, q171KsDrift,
+      q172SeasonalAnomaly, q173LexicalRichness)
 }

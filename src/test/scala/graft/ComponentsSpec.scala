@@ -48,6 +48,68 @@ class ComponentsSpec extends SparkSpec {
     }
   }
 
+  test("bfsHops matches a reference BFS on seeded random graphs") {
+    def refBfs(edges: Seq[(Long, Long)], seeds: Set[Long],
+        maxHops: Int): Map[Long, Long] = {
+      val adj = edges.groupBy(_._1).map { case (s, es) =>
+        (s, es.map(_._2).distinct) }
+      val inGraph = edges.flatMap(e => Seq(e._1, e._2)).toSet
+      var dist = seeds.intersect(inGraph).map(_ -> 0L).toMap
+      var frontier = dist.keySet
+      var hop = 0L
+      while (hop < maxHops && frontier.nonEmpty) {
+        hop += 1
+        val next = frontier.flatMap(n => adj.getOrElse(n, Seq.empty))
+          .diff(dist.keySet)
+        dist = dist ++ next.map(_ -> hop)
+        frontier = next
+      }
+      dist
+    }
+    val rnd = new scala.util.Random(1234)
+    for (trial <- 0 until 4) {
+      val n = 25 + trial * 15
+      val m = rnd.nextInt(3 * n) + n / 2
+      val und = Seq.fill(m)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val sym = und ++ und.map(_.swap)
+      val seeds = Seq.fill(3)(rnd.nextInt(2 * n).toLong) // some off-graph
+      val maxHops = 1 + rnd.nextInt(4)
+      val got = graft.operators.Graph.bfsHops(
+          sym.toDF("src", "dst"), seeds.toDF("node"), maxHops)
+        .as[(Long, Long)].collect().toMap
+      assert(got === refBfs(sym, seeds.toSet, maxHops),
+        s"trial $trial (n=$n, m=$m, maxHops=$maxHops)")
+    }
+  }
+
+  test("ksDistance matches a reference supremum on seeded samples") {
+    def refKs(a: Seq[Long], b: Seq[Long]): (Long, Long) = {
+      val support = (a ++ b).distinct.sorted
+      val pairs = support.map { v =>
+        val cumA = a.count(_ <= v).toLong
+        val cumB = b.count(_ <= v).toLong
+        (v, math.abs(cumA * b.size - cumB * a.size) * 1000000L /
+          (a.size.toLong * b.size))
+      }
+      val best = pairs.map(_._2).max
+      (pairs.filter(_._2 == best).map(_._1).min, best)
+    }
+    val rnd = new scala.util.Random(99)
+    for (trial <- 0 until 4) {
+      val a = Seq.fill(30 + rnd.nextInt(40))(rnd.nextInt(20).toLong)
+      val b = Seq.fill(30 + rnd.nextInt(40))(
+        (rnd.nextInt(20) + trial).toLong)
+      val (refV, refKsv) = refKs(a, b)
+      val got = graft.operators.Stats
+        .ksDistance(a.toDF("x"), b.toDF("x"), col("x"))
+        .as[(Long, Long, Long, Long)].collect().head
+      assert(got === ((a.size.toLong, b.size.toLong, refV, refKsv)),
+        s"trial $trial")
+      assert(refKsv >= 0L && refKsv <= 1000000L)
+    }
+  }
+
   test("chain graph collapses to one component rooted at 0") {
     val n = 200
     val edges = (0L until (n - 1).toLong).map(i => (i, i + 1))

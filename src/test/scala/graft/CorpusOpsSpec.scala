@@ -767,6 +767,20 @@ class CorpusOpsSpec extends SparkSpec {
     assert(same._4 === 0L)
   }
 
+  test("lexicalRichness: types, hapax, and micro ratios by hand") {
+    // g1: "a a b" + "b c" -> tokens 5, types {a,b,c}=3, hapax {c}=1
+    // g2: "x y z" -> tokens 3, types 3, hapax 3
+    val docs = Seq(("g1", "a a b"), ("g1", "b c"), ("g2", "x y z"))
+      .toDF("src", "text")
+    val got = graft.operators.CorpusStats
+      .lexicalRichness(docs, col("src"), col("text"))
+      .orderBy("grp")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      ("g1", 5L, 3L, 1L, 600000L, 333333L),
+      ("g2", 3L, 3L, 3L, 1000000L, 1000000L)))
+  }
+
   test("giniImpurity: pure, balanced, and mixed groups") {
     val df = Seq(("g1", "a"), ("g1", "a"), ("g1", "a"),
       ("g2", "a"), ("g2", "b"),
