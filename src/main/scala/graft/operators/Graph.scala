@@ -123,6 +123,63 @@ object Graph {
     labels
   }
 
+  /** Personalized PageRank: [[pageRank]]'s integer fixed point with
+    * the teleport mass restricted to `seeds` — rank becomes proximity
+    * TO THE SEED SET rather than global importance (the "suppliers
+    * most entangled with the flagged customers" / related-entity
+    * query; Haveliwala 2002's topic-sensitive PageRank). Same
+    * engine-exact arithmetic: total mass `scale` starts split over
+    * the (in-graph) seeds, each iteration returns
+    * (scale div |S|)·(1−d) to every seed and pushes d·in_mass along
+    * edges, all in integer division — bit-identical under any
+    * partitioning, replayable by an unrolled SQL oracle. Non-seed
+    * dangling nodes leak mass exactly as in [[pageRank]]; here that
+    * CONCENTRATES rank near the seeds, which is the semantics wanted.
+    *
+    * Scale shape per iteration: identical to [[pageRank]] (join on
+    * the node key, map-side-combining groupBy on dst, left join back)
+    * plus one broadcast-able seed membership join at init — seeds are
+    * a flag column thereafter, so the loop body is unchanged.
+    */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+      iters: Int, scale: Long = 1000000000000L, dampNum: Long = 85,
+      dampDen: Long = 100): DataFrame = {
+    require(iters >= 1 && dampNum >= 0 && dampNum <= dampDen)
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .localCheckpoint()
+    val eOut = e
+      .join(e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")),
+        Seq("src"))
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val seeded = nodes.join(
+        seeds.select(col("node")).distinct().withColumn("__s", lit(true)),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("__s"), lit(false)).as("is_seed"))
+      .localCheckpoint()
+    val nSeeds = seeded.filter(col("is_seed")).count()
+    require(nSeeds > 0, "no seed is present in the graph")
+    val init = scale / nSeeds
+    val teleport = (init * (dampDen - dampNum)) / dampDen
+    var ranks = seeded.select(col("node"), col("is_seed"),
+      when(col("is_seed"), init).otherwise(0L).as("rank"))
+    for (_ <- 1 to iters) {
+      val inMass = ranks
+        .join(eOut, col("node") === col("src"))
+        .select(col("dst"), expr("rank div outdeg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("in_mass"))
+      ranks = seeded
+        .join(inMass, col("node") === col("dst"), "left")
+        .select(col("node"), col("is_seed"),
+          (when(col("is_seed"), teleport).otherwise(0L) +
+            expr(s"(coalesce(in_mass, 0L) * $dampNum) div $dampDen"))
+            .as("rank"))
+        .localCheckpoint()
+    }
+    ranks.select(col("node"), col("rank"))
+  }
+
   /** Multi-source breadth-first hop counts over an (src, dst) edge
     * list: every node reachable from `seeds` within `maxHops` hops,
     * labeled with its MINIMUM hop distance (0 for the seeds

@@ -184,6 +184,51 @@ object Stats {
           .otherwise(0L)).as("n_outliers"))
   }
 
+  /** Per-group lag-1 autocorrelation of an integer series — the
+    * self-similarity diagnostic of operational time series ("is
+    * today's volume predicted by yesterday's"), and the
+    * exact-arithmetic Pearson form of the [[exactMoments]] family
+    * applied to consecutive (xₜ₋₁, xₜ) pairs:
+    *
+    *   r = (n·Σab − Σa·Σb) / (√(n·Σa²−(Σa)²) · √(n·Σb²−(Σb)²))
+    *
+    * Every sum is an exact integer (order-independent); the closed
+    * form is one fixed-order double expression with two correctly-
+    * rounded sqrts, 6dp-rounded — deterministic in any engine.
+    * Zero variance on either margin yields null (no correlation is
+    * defined), groups with fewer than two points vanish (no pairs).
+    *
+    * The pairing `lag` runs per group ordered by `orderKey` —
+    * bounded series per group (daily buckets, not raw rows), the
+    * legitimate window shape; everything after is one map-side-
+    * combining aggregate. Gaps in `orderKey` pair across the gap
+    * (the series the caller provides IS the series measured — densify
+    * first if absent buckets must count as zero).
+    */
+  def lagAutocorrelation(df: DataFrame, group: Column, orderKey: Column,
+      value: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("k"))
+    val pairs = df
+      .select(group.as("grp"), orderKey.as("k"),
+        value.cast("long").as("b"))
+      .withColumn("a", lag(col("b"), 1).over(w))
+      .filter(col("a").isNotNull)
+    val varA = col("n") * col("saa") - col("sa") * col("sa")
+    val varB = col("n") * col("sbb") - col("sb") * col("sb")
+    pairs.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("a")).as("sa"),
+        sum(col("b")).as("sb"), sum(col("a") * col("b")).as("sab"),
+        sum(col("a") * col("a")).as("saa"),
+        sum(col("b") * col("b")).as("sbb"))
+      .select(col("grp"), col("n").as("n_pairs"),
+        when(varA > 0 && varB > 0,
+          round((col("n") * col("sab") - col("sa") * col("sb"))
+              .cast("double") /
+            (sqrt(varA.cast("double")) * sqrt(varB.cast("double"))), 6))
+          .as("r"))
+  }
+
   /** Scale-safe global prefix sums: appends `cum_<c>` (INCLUSIVE
     * running sum in `key` order) for each named long column, without
     * a single-partition window. The q117/[[graft.operators.Splits

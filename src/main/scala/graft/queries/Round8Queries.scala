@@ -2123,6 +2123,116 @@ $union
       FROM g ORDER BY source"""),
   )
 
+  // --------------------------------------------------------------- q174
+  /** Personalized PageRank ([[graft.operators.Graph
+    * .personalizedPageRank]]): teleport mass restricted to every
+    * 100th customer, 2 integer fixed-point iterations over the
+    * co-purchase graph — proximity to the flagged set rather than
+    * global importance (the related-entity ranking BFS's hop count
+    * is too coarse for). Exact integer mass arithmetic (q93's
+    * argument), so the oracle unrolls both iterations with
+    * seed-gated teleports and must agree bit-for-bit on the top-100.
+    */
+  val q174PersonalizedPagerank: QueryDef = QueryDef(
+    "q174_personalized_pagerank",
+    (s, dir) => {
+      val o = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val l = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val cs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+      val edges = cs.union(
+        cs.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = Tables(s, dir, "customer")
+        .filter(col("c_custkey") % 100 === 0)
+        .select(concat(lit("c"), col("c_custkey")).as("node"))
+      graft.operators.Graph.personalizedPageRank(edges, seeds, iters = 2)
+        .orderBy(col("rank").desc, col("node"))
+        .limit(100)
+    },
+    Some {
+      def it(prev: String, out: String) = s"""
+      $out AS (
+        SELECT nd.node, nd.is_seed,
+          (CASE WHEN nd.is_seed
+            THEN (((SELECT 1000000000000 // n FROM ns) * 15) // 100)
+            ELSE 0 END)
+          + ((COALESCE(m.in_mass, 0) * 85) // 100) AS rank
+        FROM sd nd LEFT JOIN (
+          SELECT e.dst AS node,
+            CAST(SUM(r.rank // o.outdeg) AS BIGINT) AS in_mass
+          FROM $prev r JOIN e ON r.node = e.src
+                       JOIN outdeg o ON e.src = o.src
+          GROUP BY e.dst) m ON nd.node = m.node)"""
+      s"""
+      WITH cs AS (
+        SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      e AS (SELECT src, dst FROM cs
+            UNION SELECT dst AS src, src AS dst FROM cs),
+      nodes AS (SELECT DISTINCT node FROM (
+        SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+      sd AS (SELECT node, node IN (SELECT 'c' || c_custkey FROM customer
+          WHERE c_custkey % 100 = 0) AS is_seed
+        FROM nodes),
+      ns AS (SELECT COUNT(*) AS n FROM sd WHERE is_seed),
+      outdeg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+      r0 AS (SELECT node, is_seed,
+          CASE WHEN is_seed THEN (SELECT 1000000000000 // n FROM ns)
+               ELSE 0 END AS rank
+        FROM sd),
+      ${it("r0", "it1").trim},
+      ${it("it1", "it2").trim}
+      SELECT node, rank FROM it2
+      ORDER BY rank DESC, node LIMIT 100"""
+    },
+  )
+
+  // --------------------------------------------------------------- q175
+  /** Per-type lag-1 autocorrelation of daily volumes
+    * ([[graft.operators.Stats.lagAutocorrelation]]): does today's
+    * count predict tomorrow's — the self-similarity diagnostic next
+    * to q172's cell anomalies, as exact integer moments over
+    * consecutive-day pairs with one fixed-order closed form. The
+    * oracle replays the pairing and the Pearson arithmetic exactly.
+    */
+  val q175Autocorrelation: QueryDef = QueryDef(
+    "q175_autocorrelation",
+    (s, dir) => {
+      val daily = Tables(s, dir, "events")
+        .groupBy(col("event_type"),
+          date_format(col("ts"), "yyyyMMdd").cast("long").as("day_id"))
+        .agg(count(lit(1)).as("c"))
+      graft.operators.Stats.lagAutocorrelation(daily,
+          col("event_type"), col("day_id"), col("c"))
+        .withColumnRenamed("grp", "event_type")
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH d AS (SELECT event_type,
+          CAST(strftime(ts, '%Y%m%d') AS BIGINT) AS day_id,
+          COUNT(*) AS c
+        FROM events GROUP BY 1, 2),
+      p AS (SELECT event_type, c AS b,
+          LAG(c) OVER (PARTITION BY event_type ORDER BY day_id) AS a
+        FROM d),
+      g AS (SELECT event_type, COUNT(*) AS n,
+          CAST(SUM(a) AS BIGINT) AS sa, CAST(SUM(b) AS BIGINT) AS sb,
+          CAST(SUM(a * b) AS BIGINT) AS sab,
+          CAST(SUM(a * a) AS BIGINT) AS saa,
+          CAST(SUM(b * b) AS BIGINT) AS sbb
+        FROM p WHERE a IS NOT NULL GROUP BY event_type)
+      SELECT event_type, n AS n_pairs,
+        CASE WHEN n * saa - sa * sa > 0 AND n * sbb - sb * sb > 0 THEN
+          ROUND(CAST(n * sab - sa * sb AS DOUBLE)
+            / (sqrt(CAST(n * saa - sa * sa AS DOUBLE))
+               * sqrt(CAST(n * sbb - sb * sb AS DOUBLE))), 6)
+        END AS r
+      FROM g ORDER BY event_type"""),
+  )
+
   private val pid = ProcessHandle.current().pid()
 
   val all: Seq[QueryDef] =
@@ -2141,5 +2251,6 @@ $union
       q162DecayedCounts, q163MarkovTransitions, q164ChiSquare,
       q165GiniImpurity, q166GroupHeavyHitters, q167TimeTravel,
       q168Debounce, q169StreamDecay, q170Calibration, q171KsDrift,
-      q172SeasonalAnomaly, q173LexicalRichness)
+      q172SeasonalAnomaly, q173LexicalRichness,
+      q174PersonalizedPagerank, q175Autocorrelation)
 }

@@ -767,6 +767,56 @@ class CorpusOpsSpec extends SparkSpec {
     assert(same._4 === 0L)
   }
 
+  test("personalizedPageRank: all-seeds degenerates to pageRank; " +
+      "rank decays with distance from the seed") {
+    val rnd = new scala.util.Random(7)
+    val und = Seq.fill(40)(
+      (rnd.nextInt(12).toLong.toString, rnd.nextInt(12).toLong.toString))
+      .filter(e => e._1 != e._2)
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val nodes = und.flatMap(e => Seq(e._1, e._2)).distinct.toDF("node")
+    val ppr = Graph.personalizedPageRank(edges, nodes, iters = 3)
+      .as[(String, Long)].collect().toMap
+    val pr = Graph.pageRank(edges, iters = 3)
+      .as[(String, Long)].collect().toMap
+    assert(ppr === pr)
+    // path a-b-c-d seeded at a: the seed dominates, and within a
+    // distance PARITY rank decays (synchronous mass oscillates
+    // between parities on a path, so b-vs-c is NOT ordered — only
+    // same-parity distances compare: b(1) > d(3))
+    val path = Seq(("a", "b"), ("b", "c"), ("c", "d"))
+    val pe = (path ++ path.map(_.swap)).toDF("src", "dst")
+    val got = Graph.personalizedPageRank(pe, Seq("a").toDF("node"), 4)
+      .as[(String, Long)].collect().toMap
+    assert(got("a") === got.values.max)
+    assert(got("b") > got("d"))
+    // integer truncation only loses mass
+    assert(got.values.sum <= 1000000000000L)
+    // a seed set disjoint from the graph is a caller error
+    intercept[IllegalArgumentException] {
+      Graph.personalizedPageRank(pe, Seq("zz").toDF("node"), 2)
+    }
+  }
+
+  test("lagAutocorrelation: perfect trend, perfect alternation, " +
+      "constant series") {
+    val df = Seq(
+      ("up", 1L, 1L), ("up", 2L, 2L), ("up", 3L, 3L),
+      ("alt", 1L, 1L), ("alt", 2L, 2L), ("alt", 3L, 1L), ("alt", 4L, 2L),
+      ("flat", 1L, 5L), ("flat", 2L, 5L), ("flat", 3L, 5L),
+      ("single", 1L, 9L))
+      .toDF("g", "d", "c")
+    val got = graft.operators.Stats
+      .lagAutocorrelation(df, col("g"), col("d"), col("c"))
+      .orderBy("grp").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSeq
+    assert(got === Seq(
+      ("alt", 3L, Some(-1.0)),
+      ("flat", 2L, None),     // zero variance -> undefined
+      ("up", 2L, Some(1.0)))) // "single" has no pairs -> absent
+  }
+
   test("lexicalRichness: types, hapax, and micro ratios by hand") {
     // g1: "a a b" + "b c" -> tokens 5, types {a,b,c}=3, hapax {c}=1
     // g2: "x y z" -> tokens 3, types 3, hapax 3
