@@ -13,7 +13,8 @@ object SparkEntry {
   private def queries_ : Seq[QueryDef] =
     graft.queries.CoreQueries.all ++ graft.queries.DomainQueries.all ++
       graft.queries.ScaleQueries.all ++ graft.queries.PipelineQueries.all ++
-      graft.queries.CurationQueries.all ++ graft.queries.Round8Queries.all
+      graft.queries.CurationQueries.all ++ graft.queries.Round8Queries.all ++
+      graft.queries.IntegrityQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -148,4 +148,45 @@ object CorpusStats {
       .orderBy(col("lift").desc, col("lhs"), col("rhs"))
       .limit(topK)
   }
+
+  /** Distinguishing terms per cluster — c-TF-IDF with a LINEAR
+    * inverse-cluster-frequency, `score = tf_c(t) · (C − cdf(t))`
+    * where cdf(t) counts clusters containing t and C is the cluster
+    * count: a term everywhere scores 0, a term confined to one
+    * cluster scores tf·(C−1). Linear-not-log for the same reason the
+    * collocation ranker uses lift over PMI: the score stays exact
+    * integer (hash-replayable) and the RANKING inside a cluster
+    * agrees with log-idf wherever cdf differs — labelling clusters
+    * with their top terms only consumes the ranking. Ties break
+    * lexically.
+    *
+    * Scale shape: one explode to (cluster, term) with a map-side-
+    * combining count — everything after runs on the CELL table
+    * (≤ clusters × vocabulary): cdf is a second combining groupBy of
+    * the cells, C a one-row aggregate attached by broadcast cross
+    * join (lazy, never an eager count), and the per-cluster top-k is
+    * a window over cells partitioned by cluster — partitions bounded
+    * by a cluster's vocabulary, not its corpus slice.
+    */
+  def distinctiveTerms(docs: DataFrame, cluster: Column, text: Column,
+      topK: Int): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val cells = docs.select(cluster.as("cluster"),
+        explode(graft.functions.TextFunctions.tokens(text)).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("cluster"), col("term")).agg(count(lit(1)).as("tf"))
+    val cdf = cells.groupBy(col("term")).agg(count(lit(1)).as("cdf"))
+    val nClusters = cells.select(col("cluster")).distinct()
+      .agg(count(lit(1)).as("n_clusters"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster"))
+      .orderBy(col("score").desc, col("term"))
+    cells.join(cdf, Seq("term"))
+      .crossJoin(broadcast(nClusters))
+      .withColumn("score", col("tf") * (col("n_clusters") - col("cdf")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("cluster"), col("rank"), col("term"), col("tf"),
+        col("cdf"), col("score"))
+  }
 }

@@ -286,4 +286,61 @@ object Graph {
         when(col("wedges") > 0,
           round(lit(3.0) * col("triangles") / col("wedges"), 6)))
   }
+
+  /** Single-source shortest paths over non-negative INTEGER edge
+    * weights — [[bfsHops]] generalized from hop counts to weighted
+    * distance, as synchronous frontier Bellman–Ford: after round i,
+    * `dist` holds the exact shortest distance using ≤ i edges, a pure
+    * function of the edge set (what makes an iterative traversal
+    * oracle-checkable; run to |V|−1 rounds for the unconditional
+    * fixpoint). `edges` is (src, dst, w); parallel edges collapse to
+    * their minimum weight first. Output: (node, dist) for every node
+    * reached within `maxIters` edges of a seed.
+    *
+    * Scale shape is the [[pageRank]] loop's: per round, one equi-join
+    * of the FRONTIER (only nodes improved last round — their edges
+    * are the only ones that can improve anything, so work decays as
+    * the wave passes) against the edge list, one map-side-combining
+    * min-groupBy on dst, and a min-merge with the standing distances;
+    * per-iteration localCheckpoints bound lineage, driver traffic is
+    * zero, and everything keys on the node — bucketable. Frontier
+    * relaxation provably computes the same d_i as full Bellman–Ford:
+    * a node unimproved in round i−1 already contributed its
+    * candidates the round after it last improved, and min is
+    * monotone.
+    *
+    * Weight guard: distances stay exact while maxIters · max(w)
+    * < 2^63 — integer weights, no float accumulation drift.
+    */
+  def ssspWeighted(edges: DataFrame, seeds: DataFrame,
+      maxIters: Int): DataFrame = {
+    require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
+    val e = edges
+      .select(col("src"), col("dst"), col("w").cast("long").as("w"))
+      .filter(col("w").isNotNull && col("w") >= 0)
+      .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
+      .localCheckpoint()
+    var dist = seeds.select(col("node")).distinct()
+      .select(col("node"), lit(0L).as("dist"))
+      .localCheckpoint()
+    var frontier = dist
+    var it = 0
+    while (it < maxIters && !frontier.isEmpty) {
+      it += 1
+      val cand = frontier.join(e, col("node") === col("src"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("nd"))
+        .groupBy(col("node")).agg(min(col("nd")).as("nd"))
+      val merged = dist.join(cand, Seq("node"), "full_outer")
+        .select(col("node"),
+          least(coalesce(col("dist"), col("nd")),
+            coalesce(col("nd"), col("dist"))).as("d2"),
+          (col("dist").isNull ||
+            (col("nd").isNotNull && col("nd") < col("dist"))).as("imp"))
+        .localCheckpoint()
+      frontier = merged.filter(col("imp"))
+        .select(col("node"), col("d2").as("dist"))
+      dist = merged.select(col("node"), col("d2").as("dist"))
+    }
+    dist
+  }
 }

@@ -287,4 +287,43 @@ object Search {
       .orderBy(col("rrf_ppb").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** Exact phrase matching over a positional inverted index — the IR
+    * primitive [[bm25TopK]]'s bag-of-words scoring cannot express
+    * ("new york" is not "york new"). Tokens are space-split with
+    * empties kept (the corpus tokenization contract shared by the
+    * n-gram operators); a match is `phrase` appearing as a CONSECUTIVE
+    * token run. Returns one row per occurrence: (id, pos) with `pos`
+    * the 0-based start token.
+    *
+    * Scale shape: the posting build filters to the phrase's terms
+    * BEFORE the explode leaves the scan stage — a codegen'd
+    * `array_contains` on the token array, so the shuffled relation is
+    * |postings of the phrase terms|, not |corpus tokens|. The phrase
+    * then assembles by equi-joining each term's postings at aligned
+    * offsets (term i at pos − i), keyed on (id, pos): narrow
+    * candidate lists joining on both columns, never a positional
+    * window or a per-document collect. A k-term phrase costs k−1
+    * equi-joins of monotonically shrinking relations — the classic
+    * positional-index plan, declarative end to end.
+    */
+  def phraseOccurrences(docs: DataFrame, id: Column, text: Column,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one token")
+    val terms = phrase.distinct
+    val postings = docs
+      .select(id.as("id"), split(text, " ", -1).as("t"))
+      .filter(terms.map(t => array_contains(col("t"), t)).reduce(_ && _))
+      .select(col("id"), posexplode(col("t")).as(Seq("pos", "tok")))
+      .filter(col("tok").isin(terms: _*))
+    var m = postings.filter(col("tok") === phrase.head)
+      .select(col("id"), col("pos").cast("long").as("pos"))
+    phrase.zipWithIndex.drop(1).foreach { case (t, i) =>
+      m = m.join(
+        postings.filter(col("tok") === t)
+          .select(col("id"), (col("pos").cast("long") - i).as("pos")),
+        Seq("id", "pos"))
+    }
+    m
+  }
 }
