@@ -343,4 +343,51 @@ object Graph {
     }
     dist
   }
+
+  /** k-core peeling: repeatedly delete nodes of degree < k (with
+    * their edges) until fixpoint or `maxPeels` rounds — the standard
+    * "dense part of the graph" extraction (spam/bot rings in a link
+    * graph survive; long tails peel away). Returns the surviving
+    * nodes with their degree INSIDE the core. Undirected semantics:
+    * edges are symmetrized and self-loops dropped first.
+    *
+    * Like [[bfsHops]]/[[ssspWeighted]], rounds are synchronous — all
+    * sub-k nodes of a round delete together — so the state after p
+    * peels is a pure function of (edges, k, p): that is what the
+    * unrolled-CTE oracle replays, and the fixpoint (reached when a
+    * round deletes nothing, checked with `isEmpty` on the victim set)
+    * is the true k-core regardless of deletion order (the classic
+    * invariance of the peeling process).
+    *
+    * Scale shape per round: one map-side-combining degree count, one
+    * victim filter, two left-anti joins to shrink the edge list, all
+    * keyed on node ids; localCheckpoint bounds lineage. Work per
+    * round is proportional to the SURVIVING edge set, which only
+    * shrinks.
+    */
+  def kCore(edges: DataFrame, k: Int, maxPeels: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxPeels >= 1, s"maxPeels must be >= 1, got $maxPeels")
+    var e = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint()
+    var peel = 0
+    var done = false
+    while (peel < maxPeels && !done) {
+      peel += 1
+      val deg = e.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("deg"))
+      val victims = deg.filter(col("deg") < k).select(col("node"))
+        .localCheckpoint()
+      if (victims.isEmpty) done = true
+      else e = e
+        .join(victims.select(col("node").as("src")), Seq("src"), "left_anti")
+        .join(victims.select(col("node").as("dst")), Seq("dst"), "left_anti")
+        .select(col("src"), col("dst"))
+        .localCheckpoint()
+    }
+    e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+  }
 }

