@@ -390,4 +390,58 @@ object Graph {
     }
     e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
   }
+
+  /** HITS hubs-and-authorities in integer fixed point (max-norm
+    * variant): per round, authority = Σ hub over in-edges and hub =
+    * Σ authority over out-edges, each rescaled to [0, 10⁶] by the
+    * round's MAXIMUM (max-norm instead of L2: power iteration
+    * converges to the same principal direction under any norm, and
+    * the max keeps every score an exact integer — the L2 norm's sqrt
+    * would not replay). Scores are ppm of the round's best node.
+    *
+    * Complements [[pageRank]]: PageRank ranks by random-surfer mass
+    * on the symmetrized graph; HITS separates REFERRING well (hubs)
+    * from BEING REFERRED (authorities) — on a bipartite buyer→seller
+    * graph the two sides get the two roles.
+    *
+    * Scale shape per round: two node-keyed equi-joins with map-side-
+    * combining sums, and the max attaches as a LAZY one-row broadcast
+    * (no driver collect — the bigramNovelty idiom). localCheckpoint
+    * per round bounds lineage. Overflow: score ≤ 10⁶ and degree ≤ D
+    * give raw ≤ 10⁶·D; the 10⁶ rescale needs D ≤ ~9·10⁶ — cap or
+    * pre-aggregate beyond that.
+    *
+    * Returns (node, hub_ppm, auth_ppm) for every node.
+    */
+  def hits(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val scale = 1000000L
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint()
+    var h = nodes.select(col("node"), lit(scale).as("score"))
+    var a = nodes.select(col("node"), lit(0L).as("score"))
+    def pass(from: DataFrame, inKey: String, outKey: String): DataFrame = {
+      val raw = e.join(from, col(inKey) === col("node"))
+        .groupBy(col(outKey).as("node")).agg(sum(col("score")).as("raw"))
+      val all = nodes.join(raw, Seq("node"), "left")
+        .select(col("node"), coalesce(col("raw"), lit(0L)).as("raw"))
+      val mx = all.agg(max(col("raw")).as("m"))
+      all.crossJoin(broadcast(mx))
+        .select(col("node"),
+          when(col("m") === 0, lit(0L))
+            .otherwise(expr(s"($scale * raw) div m")).as("score"))
+        .localCheckpoint()
+    }
+    for (_ <- 1 to iters) {
+      a = pass(h, "src", "dst")
+      h = pass(a, "dst", "src")
+    }
+    h.select(col("node"), col("score").as("hub_ppm"))
+      .join(a.select(col("node"), col("score").as("auth_ppm")),
+        Seq("node"))
+      .select(col("node"), col("hub_ppm"), col("auth_ppm"))
+  }
 }

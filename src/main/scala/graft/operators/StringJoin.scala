@@ -68,11 +68,14 @@ object StringJoin {
       .filter(col("id_a") < col("id_b") &&
         abs(col("len_a") - col("len_b")) <= maxDist)
       .select(col("id_a"), col("id_b")).distinct()
+    // bounded verify: the threshold form abandons the DP once the
+    // distance provably exceeds maxDist — O(d·len) per candidate, not
+    // O(len²) — and returns -1 past the bound
     cand
       .join(s.select(col("id").as("id_a"), col("s").as("s_a")), Seq("id_a"))
       .join(s.select(col("id").as("id_b"), col("s").as("s_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        levenshtein(col("s_a"), col("s_b")).cast("long").as("dist"))
-      .filter(col("dist") <= maxDist)
+        levenshtein(col("s_a"), col("s_b"), maxDist).cast("long").as("dist"))
+      .filter(col("dist") >= 0)
   }
 }

@@ -236,6 +236,66 @@ object AssociationQueries {
       GROUP BY deg ORDER BY deg"""),
   )
 
+  // --------------------------------------------------------------- q186
+  /** HITS on the directed customer→supplier purchase graph, two
+    * rounds of integer max-norm power iteration
+    * ([[graft.operators.Graph.hits]]): suppliers accumulate authority
+    * from the customers referring to them, customers accumulate hub
+    * mass from the authorities they reach. Graded: the 12 strongest
+    * authorities with both scores; the oracle unrolls both rounds —
+    * raw sums, per-round max, ppm rescale (all non-negative, so
+    * `//` = `div`) — as CTEs.
+    */
+  val q186Hits: QueryDef = QueryDef(
+    "q186_hits",
+    (s, dir) => {
+      val o = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val l = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val cs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+      graft.operators.Graph.hits(cs, iters = 2)
+        .orderBy(col("auth_ppm").desc, col("node"))
+        .limit(12)
+    },
+    Some("""
+      WITH cs AS (
+        SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      nd AS (SELECT DISTINCT node FROM (
+        SELECT src AS node FROM cs UNION ALL SELECT dst FROM cs)),
+      h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS s FROM nd),
+      a1r AS (SELECT nd.node,
+          CAST(COALESCE((SELECT SUM(h0.s) FROM cs JOIN h0 ON cs.src = h0.node
+            WHERE cs.dst = nd.node), 0) AS BIGINT) AS raw FROM nd),
+      a1m AS (SELECT MAX(raw) AS m FROM a1r),
+      a1 AS (SELECT node, CASE WHEN m = 0 THEN 0
+          ELSE (1000000 * raw) // m END AS s FROM a1r CROSS JOIN a1m),
+      h1r AS (SELECT nd.node,
+          CAST(COALESCE((SELECT SUM(a1.s) FROM cs JOIN a1 ON cs.dst = a1.node
+            WHERE cs.src = nd.node), 0) AS BIGINT) AS raw FROM nd),
+      h1m AS (SELECT MAX(raw) AS m FROM h1r),
+      h1 AS (SELECT node, CASE WHEN m = 0 THEN 0
+          ELSE (1000000 * raw) // m END AS s FROM h1r CROSS JOIN h1m),
+      a2r AS (SELECT nd.node,
+          CAST(COALESCE((SELECT SUM(h1.s) FROM cs JOIN h1 ON cs.src = h1.node
+            WHERE cs.dst = nd.node), 0) AS BIGINT) AS raw FROM nd),
+      a2m AS (SELECT MAX(raw) AS m FROM a2r),
+      a2 AS (SELECT node, CASE WHEN m = 0 THEN 0
+          ELSE (1000000 * raw) // m END AS s FROM a2r CROSS JOIN a2m),
+      h2r AS (SELECT nd.node,
+          CAST(COALESCE((SELECT SUM(a2.s) FROM cs JOIN a2 ON cs.dst = a2.node
+            WHERE cs.src = nd.node), 0) AS BIGINT) AS raw FROM nd),
+      h2m AS (SELECT MAX(raw) AS m FROM h2r),
+      h2 AS (SELECT node, CASE WHEN m = 0 THEN 0
+          ELSE (1000000 * raw) // m END AS s FROM h2r CROSS JOIN h2m)
+      SELECT h2.node AS node, h2.s AS hub_ppm, a2.s AS auth_ppm
+      FROM h2 JOIN a2 ON h2.node = a2.node
+      ORDER BY auth_ppm DESC, h2.node LIMIT 12"""),
+  )
+
   val all: Seq[QueryDef] = Seq(q181ItemPairs, q182EditDistanceJoin,
-    q183Cuped, q184Attribution, q185KCore)
+    q183Cuped, q184Attribution, q185KCore, q186Hits)
 }

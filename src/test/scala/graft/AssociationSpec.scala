@@ -155,6 +155,54 @@ class AssociationSpec extends SparkSpec {
     assert(got.forall(r => r._2 == 0L && r._3 == r._4))
   }
 
+  test("hits matches reference max-norm power iteration on seeded " +
+      "random digraphs") {
+    def ref(edges: Seq[(Long, Long)], iters: Int): Map[Long, (Long, Long)] = {
+      val e = edges.distinct
+      val nodes = e.flatMap(t => Seq(t._1, t._2)).distinct
+      var h = nodes.map(_ -> 1000000L).toMap
+      var a = nodes.map(_ -> 0L).toMap
+      def pass(from: Map[Long, Long], in: ((Long, Long)) => Long,
+          out: ((Long, Long)) => Long): Map[Long, Long] = {
+        val raw = nodes.map(n => n -> e.filter(t => out(t) == n)
+          .map(t => from(in(t))).sum).toMap
+        val m = raw.values.max
+        raw.map { case (n, r) =>
+          n -> (if (m == 0) 0L else 1000000L * r / m) }
+      }
+      for (_ <- 1 to iters) {
+        a = pass(h, _._1, _._2)
+        h = pass(a, _._2, _._1)
+      }
+      nodes.map(n => n -> ((h(n), a(n)))).toMap
+    }
+    val rnd = new scala.util.Random(47)
+    for (trial <- 0 until 3) {
+      val n = 12 + trial * 8
+      val m = n + rnd.nextInt(3 * n)
+      val edges = Seq.fill(m)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val iters = 1 + rnd.nextInt(3)
+      val got = graft.operators.Graph.hits(
+          edges.toDF("src", "dst"), iters)
+        .as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got === ref(edges, iters),
+        s"trial $trial (n=$n, m=$m, iters=$iters)")
+    }
+  }
+
+  test("hits: on a bipartite star the busy buyer is the top hub and " +
+      "the shared seller the top authority") {
+    val edges = Seq((10L, 1L), (10L, 2L), (10L, 3L), (11L, 1L))
+    val got = graft.operators.Graph.hits(edges.toDF("src", "dst"), 2)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(10L)._2 === 1000000L) // hub max
+    assert(got(1L)._3 === 1000000L)  // authority max (bought by both)
+    assert(got(1L)._3 > got(2L)._3 && got(10L)._2 > got(11L)._2)
+    assert(got(1L)._2 === 0L) // sellers never refer → zero hub
+  }
+
   test("plan lint: wave-B operators carry no scale hazards") {
     import graft.plans.PlanLint
     val pairs = graft.operators.Association.frequentItemPairs(
