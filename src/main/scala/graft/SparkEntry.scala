@@ -15,7 +15,8 @@ object SparkEntry {
       graft.queries.ScaleQueries.all ++ graft.queries.PipelineQueries.all ++
       graft.queries.CurationQueries.all ++ graft.queries.Round8Queries.all ++
       graft.queries.IntegrityQueries.all ++
-      graft.queries.AssociationQueries.all
+      graft.queries.AssociationQueries.all ++
+      graft.queries.SchemaQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
