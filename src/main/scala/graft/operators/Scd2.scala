@@ -71,4 +71,41 @@ object Scd2 {
   def snapshotAt(intervals: DataFrame, tUs: Long): DataFrame =
     intervals.filter(col("valid_from_us") <= tUs &&
       (col("valid_to_us").isNull || col("valid_to_us") > tUs))
+
+  /** Temporal (validity-interval) join of two SCD2 timelines on the
+    * same entity key: one output row per pair of intervals that
+    * OVERLAP in time, carrying both attributes and the intersected
+    * [from, to) window — the feature-store alignment step ("which
+    * (attrA, attrB) combinations were ever simultaneously true, and
+    * when"), and the general bitemporal building block.
+    *
+    * Inputs are two [[build]] outputs (k, attr, valid_from_us,
+    * valid_to_us, …); output: (k, attr_a, attr_b, from_us, to_us)
+    * with null to_us = still open on both sides. Half-open interval
+    * algebra: [a, b) ∩ [c, d) is non-empty iff a < d ∧ c < b (nulls
+    * = +∞).
+    *
+    * Scale shape: an equi-join on the ENTITY KEY with the overlap
+    * predicate as a post-filter — per-key work is |runs_A|·|runs_B|
+    * for that key, bounded by attribute churn (runs per entity are
+    * dozens, not data-sized), never a cross-table nested loop; the
+    * planner keys the exchange on k exactly like any SortMergeJoin.
+    * For keyLESS interval joins use [[RangeJoin]]'s binning instead —
+    * different operator for a different shape.
+    */
+  def temporalJoin(a: DataFrame, b: DataFrame): DataFrame = {
+    val inf = Long.MaxValue
+    val l = a.select(col("k"), col("attr").as("attr_a"),
+      col("valid_from_us").as("fa"),
+      coalesce(col("valid_to_us"), lit(inf)).as("ta"))
+    val r = b.select(col("k"), col("attr").as("attr_b"),
+      col("valid_from_us").as("fb"),
+      coalesce(col("valid_to_us"), lit(inf)).as("tb"))
+    l.join(r, Seq("k"))
+      .filter(col("fa") < col("tb") && col("fb") < col("ta"))
+      .select(col("k"), col("attr_a"), col("attr_b"),
+        greatest(col("fa"), col("fb")).as("from_us"),
+        when(least(col("ta"), col("tb")) === inf, lit(null).cast("long"))
+          .otherwise(least(col("ta"), col("tb"))).as("to_us"))
+  }
 }

@@ -144,5 +144,80 @@ object SchemaQueries {
       ORDER BY gid, flag, status"""),
   )
 
-  val all: Seq[QueryDef] = Seq(q187FdDiscovery, q188IndDiscovery, q189Cube)
+  // --------------------------------------------------------------- q190
+  /** The SCD2 run-building CTE chain (q128's oracle shape),
+    * parameterized by the attribute expression so two timelines can
+    * be built in one statement. Ends in `<p>f(k, attr,
+    * valid_from_us, valid_to_us)`.
+    */
+  private def scd2Ctes(p: String, attrSql: String): String = s"""
+      ${p}e AS (
+        SELECT user_id AS k, $attrSql AS attr,
+          CAST(epoch_ns(ts) // 1000 AS BIGINT) AS ts_us, event_id AS tb
+        FROM events),
+      ${p}o AS (
+        SELECT k, attr, ts_us, tb,
+          CASE WHEN lag(attr) OVER (PARTITION BY k ORDER BY ts_us, tb)
+            IS NOT DISTINCT FROM attr THEN 0 ELSE 1 END AS chg
+        FROM ${p}e),
+      ${p}r AS (
+        SELECT k, attr, ts_us,
+          CAST(SUM(chg) OVER (PARTITION BY k ORDER BY ts_us, tb
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_id
+        FROM ${p}o),
+      ${p}g AS (
+        SELECT k, run_id, MIN(attr) AS attr,
+          MIN(ts_us) AS valid_from_us
+        FROM ${p}r GROUP BY k, run_id),
+      ${p}f AS (
+        SELECT k, attr, valid_from_us,
+          lead(valid_from_us) OVER (PARTITION BY k ORDER BY run_id)
+            AS valid_to_us
+        FROM ${p}g)"""
+
+  /** Temporal join of two SCD2 timelines per user — the event-type
+    * runs against the value-band runs ([[graft.operators.Scd2
+    * .temporalJoin]]): which (type, band) states were simultaneously
+    * true and for how long. Graded as the (attr_a, attr_b) overlap
+    * census with closed-window durations (open windows count their
+    * presence, not their unbounded span). Half-open interval algebra
+    * replayed verbatim in the oracle.
+    */
+  val q190TemporalJoin: QueryDef = QueryDef(
+    "q190_temporal_join",
+    (s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val a = graft.operators.Scd2.build(ev, col("user_id"),
+        col("event_type"), col("ts"), col("event_id"))
+      val b = graft.operators.Scd2.build(ev, col("user_id"),
+        expr("cast(floor(value) as bigint) div 100"), col("ts"),
+        col("event_id"))
+      graft.operators.Scd2.temporalJoin(a, b)
+        .groupBy(col("attr_a"), col("attr_b"))
+        .agg(count(lit(1)).as("n_windows"),
+          sum(when(col("to_us").isNotNull,
+            col("to_us") - col("from_us")).otherwise(0L))
+            .as("closed_dur_us"))
+        .orderBy(col("attr_a"), col("attr_b"))
+    },
+    Some(s"""
+      WITH ${scd2Ctes("a", "event_type").trim.stripPrefix("")}
+      , ${scd2Ctes("b", "CAST(floor(value) AS BIGINT) // 100").trim}
+      , ja AS (SELECT k, attr AS attr_a, valid_from_us AS fa,
+          COALESCE(valid_to_us, 9223372036854775807) AS ta FROM af)
+      , jb AS (SELECT k, attr AS attr_b, valid_from_us AS fb,
+          COALESCE(valid_to_us, 9223372036854775807) AS tb FROM bf)
+      , j AS (
+        SELECT attr_a, attr_b,
+          GREATEST(fa, fb) AS from_us, LEAST(ta, tb) AS to_raw
+        FROM ja JOIN jb ON ja.k = jb.k
+        WHERE fa < tb AND fb < ta)
+      SELECT attr_a, attr_b, COUNT(*) AS n_windows,
+        CAST(SUM(CASE WHEN to_raw <> 9223372036854775807
+          THEN to_raw - from_us ELSE 0 END) AS BIGINT) AS closed_dur_us
+      FROM j GROUP BY 1, 2 ORDER BY 1, 2"""),
+  )
+
+  val all: Seq[QueryDef] = Seq(q187FdDiscovery, q188IndDiscovery,
+    q189Cube, q190TemporalJoin)
 }

@@ -43,6 +43,35 @@ class SchemaDiscoverySpec extends SparkSpec {
       ("p_in_c", 3L, 1L, false))) // 3 missing
   }
 
+  test("temporalJoin: intersected windows, open ends, no-overlap " +
+      "exclusion; self-join is the identity tiling") {
+    import graft.operators.Scd2
+    def tl(rows: Seq[(Long, String, Long, Option[Long])]) =
+      rows.toDF("k", "attr", "valid_from_us", "valid_to_us")
+    val a = tl(Seq((1L, "x", 0L, Some(10L)), (1L, "y", 10L, None),
+      (2L, "x", 0L, Some(5L))))
+    val b = tl(Seq((1L, "p", 5L, Some(12L)), (1L, "q", 12L, None),
+      (3L, "p", 0L, None)))
+    val got = Scd2.temporalJoin(a, b)
+      .as[(Long, String, String, Long, Option[Long])].collect().toSet
+    assert(got === Set(
+      (1L, "x", "p", 5L, Some(10L)),   // [0,10) ∩ [5,12)
+      (1L, "y", "p", 10L, Some(12L)),  // [10,∞) ∩ [5,12)
+      (1L, "y", "q", 12L, None)))      // [10,∞) ∩ [12,∞) open
+    // adjacent half-open intervals do NOT overlap: [0,5) vs [5,10)
+    val adj = Scd2.temporalJoin(
+      tl(Seq((9L, "x", 0L, Some(5L)))),
+      tl(Seq((9L, "p", 5L, Some(10L)))))
+    assert(adj.isEmpty)
+    // a timeline joined with itself reproduces each interval (runs of
+    // one timeline never overlap each other)
+    val self = Scd2.temporalJoin(a, a.withColumnRenamed("attr", "attr2")
+        .withColumnRenamed("attr2", "attr"))
+      .as[(Long, String, String, Long, Option[Long])].collect()
+    assert(self.forall(r => r._2 == r._3))
+    assert(self.length === 3)
+  }
+
   test("plan lint: schema discovery is aggregates and anti-joins only") {
     import graft.plans.PlanLint
     val fd = SchemaDiscovery.functionalDependencies(
