@@ -326,4 +326,60 @@ object Search {
     }
     m
   }
+
+  /** Rank-biased overlap at depth k (Webber et al., the prefix form
+    * without extrapolation): how similar two RANKINGS are, weighting
+    * agreement at the top geometrically more than agreement deep in
+    * the tail — the metric for "did the cheap retriever's ranking
+    * track the expensive one's" (q140 grades recall of a SET; RBO
+    * grades the ORDER). Inputs carry (doc_id, rank) with unique
+    * 1-based ranks.
+    *
+    *   rbo = Σ_{d=1..k} (1−p)·p^(d−1) · |A_d ∩ B_d| / d
+    *
+    * in ppb, with the geometric weights generated ONCE as a
+    * truncating integer fold (the Decay weight-table pattern: w₁ =
+    * (10⁹·(10⁶−p_ppm)) div 10⁶, w_{d+1} = (w_d·p_ppm) div 10⁶ — no
+    * `pow`, bit-replayable) and each term's division floored. Every
+    * arithmetic step is integer, so the score is hash-exact.
+    *
+    * Scale shape: the rankings are k-row lists (the retrievers did
+    * the corpus-sized work — q138's argument); the prefix-overlap
+    * counts X_d come from one explode of each shared doc's entry
+    * depth (max of its two ranks) over [entry, k] and a combining
+    * groupBy — O(k²) rows total, bounded by the DEPTH, never the
+    * corpus. Returns one row (k, overlap_at_k, rbo_ppb).
+    */
+  def rboOverlap(a: DataFrame, b: DataFrame, k: Int,
+      pPpm: Long): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(pPpm >= 0 && pPpm < 1000000L,
+      s"pPpm must be in [0, 1000000), got $pPpm")
+    val spark = a.sparkSession
+    val w = new Array[Long](k + 1)
+    w(1) = (1000000000L * (1000000L - pPpm)) / 1000000L
+    for (d <- 2 to k) w(d) = w(d - 1) * pPpm / 1000000L
+    val wSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("d",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("w",
+        org.apache.spark.sql.types.LongType)))
+    val wRows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList((1 to k).map(d =>
+        org.apache.spark.sql.Row(d.toLong, w(d))): _*)
+    val wDf = spark.createDataFrame(wRows, wSchema)
+    val entries = a.select(col("doc_id"), col("rank").as("ra"))
+      .join(b.select(col("doc_id"), col("rank").as("rb")), Seq("doc_id"))
+      .select(greatest(col("ra"), col("rb")).cast("long").as("entry"))
+      .filter(col("entry") <= k)
+    val xd = entries
+      .select(explode(sequence(col("entry"), lit(k.toLong))).as("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("x"))
+    wDf.join(xd, Seq("d"), "left")
+      .select(col("d"), col("w"), coalesce(col("x"), lit(0L)).as("x"))
+      .agg(coalesce(sum(expr("(w * x) div d")), lit(0L)).as("rbo_ppb"),
+        coalesce(max(when(col("d") === k, col("x"))), lit(0L))
+          .as("overlap_at_k"))
+      .select(lit(k.toLong).as("k"), col("overlap_at_k"), col("rbo_ppb"))
+  }
 }

@@ -218,6 +218,89 @@ object SchemaQueries {
       FROM j GROUP BY 1, 2 ORDER BY 1, 2"""),
   )
 
+  // --------------------------------------------------------------- q191
+  /** The truncating geometric RBO weight table as SQL VALUES — the
+    * identical integer fold [[graft.operators.Search.rboOverlap]]
+    * runs (w₁ = (10⁹·(10⁶−p)) div 10⁶, w_{d+1} = (w_d·p) div 10⁶).
+    */
+  private def rboWeightValues(k: Int, pPpm: Long): String = {
+    val w = new Array[Long](k + 1)
+    w(1) = (1000000000L * (1000000L - pPpm)) / 1000000L
+    for (d <- 2 to k) w(d) = w(d - 1) * pPpm / 1000000L
+    (1 to k).map(d => s"(${d}, ${w(d)})").mkString(", ")
+  }
+
+  /** Rank-biased overlap between the BM25 and TF-IDF rankings for
+    * the same query (q126/q72's scorers, q138's candidate lists):
+    * RBO@30 at p = 0.9 in exact ppb. Where q138 FUSES the rankings
+    * and q140 grades set recall, q191 MEASURES their order agreement
+    * — the retrieval-evaluation triangle's third side. The oracle
+    * replays both scorers, both rank windows, the entry depths, the
+    * prefix-overlap counts, and the truncating geometric weights.
+    */
+  val q191Rbo: QueryDef = QueryDef(
+    "q191_rbo",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables(s, dir, "documents")
+      val terms = Seq("data", "table", "query")
+      def ranked(df: org.apache.spark.sql.DataFrame) =
+        df.withColumn("rank", row_number().over(
+            Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+          .select(col("doc_id"), col("rank"))
+      graft.operators.Search.rboOverlap(
+        ranked(graft.operators.Search.bm25TopK(docs, col("doc_id"),
+          col("text"), terms, k = 30)),
+        ranked(graft.operators.Search.topK(docs, col("doc_id"),
+          col("text"), terms, k = 30)),
+        k = 30, pPpm = 900000L)
+    },
+    Some(s"""
+      WITH base AS (
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+        FROM documents),
+      n AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS tot FROM base),
+      f AS (
+        SELECT t.doc_id, b.dl, t.tk, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tk
+              FROM documents) t
+        JOIN base b USING (doc_id)
+        WHERE t.tk IN ('data', 'table', 'query')
+        GROUP BY t.doc_id, b.dl, t.tk),
+      d AS (SELECT tk, COUNT(*) AS df FROM f GROUP BY tk),
+      bm_m AS (
+        SELECT f.doc_id,
+          CAST(floor((n.n - d.df + 0.5) / (d.df + 0.5)
+            * (f.tf * 2.2)
+            / (f.tf + 1.2 * (1.0 - 0.75 + 0.75 * (f.dl * n.n) / n.tot))
+            * 1000000.0) AS BIGINT) AS micro
+        FROM f JOIN d USING (tk), n),
+      bm AS (
+        SELECT doc_id, CAST(SUM(micro) AS BIGINT) AS score
+        FROM bm_m GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 30),
+      tfidf AS (
+        SELECT f.doc_id, CAST(SUM(f.tf * (n.n - d.df)) AS BIGINT) AS score
+        FROM f JOIN d USING (tk), n
+        GROUP BY f.doc_id ORDER BY score DESC, f.doc_id LIMIT 30),
+      ea AS (SELECT doc_id,
+          ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS ra FROM bm),
+      eb AS (SELECT doc_id,
+          ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rb FROM tfidf),
+      ent AS (
+        SELECT GREATEST(ra, rb) AS entry FROM ea JOIN eb USING (doc_id)
+        WHERE GREATEST(ra, rb) <= 30),
+      wt(d, w) AS (VALUES ${rboWeightValues(30, 900000L)}),
+      xd AS (
+        SELECT wt.d, wt.w, COUNT(ent.entry) AS x
+        FROM wt LEFT JOIN ent ON ent.entry <= wt.d
+        GROUP BY wt.d, wt.w)
+      SELECT CAST(30 AS BIGINT) AS k,
+        CAST(COALESCE(MAX(CASE WHEN d = 30 THEN x END), 0) AS BIGINT)
+          AS overlap_at_k,
+        CAST(COALESCE(SUM((w * x) // d), 0) AS BIGINT) AS rbo_ppb
+      FROM xd"""),
+  )
+
   val all: Seq[QueryDef] = Seq(q187FdDiscovery, q188IndDiscovery,
-    q189Cube, q190TemporalJoin)
+    q189Cube, q190TemporalJoin, q191Rbo)
 }

@@ -203,6 +203,32 @@ class AssociationSpec extends SparkSpec {
     assert(got(1L)._2 === 0L) // sellers never refer → zero hub
   }
 
+  test("rboOverlap: identity ≈ 1, disjoint = 0, top disagreement " +
+      "costs more than tail disagreement") {
+    import graft.operators.Search
+    def rl(ids: Seq[Long]) = ids.zipWithIndex
+      .map { case (id, i) => (id, (i + 1).toLong) }.toDF("doc_id", "rank")
+    val k = 10
+    val a = rl(1L to 10L)
+    def rbo(b: org.apache.spark.sql.DataFrame): (Long, Long) =
+      Search.rboOverlap(a, b, k, 900000L)
+        .select(col("overlap_at_k"), col("rbo_ppb"))
+        .as[(Long, Long)].head()
+    val (ovId, rboId) = rbo(rl(1L to 10L))
+    assert(ovId === 10L)
+    // identity = Σ w_d exactly (X_d = d cancels the /d)
+    val w = new Array[Long](k + 1)
+    w(1) = (1000000000L * 100000L) / 1000000L
+    for (d <- 2 to k) w(d) = w(d - 1) * 900000L / 1000000L
+    assert(rboId === w.slice(1, k + 1).sum)
+    val (ovDis, rboDis) = rbo(rl(11L to 20L))
+    assert(ovDis === 0L && rboDis === 0L)
+    // swapping ranks 1,2 hurts more than swapping 9,10
+    val topSwap = rbo(rl(Seq(2L, 1L) ++ (3L to 10L)))._2
+    val tailSwap = rbo(rl((1L to 8L) ++ Seq(10L, 9L)))._2
+    assert(topSwap < rboId && tailSwap < rboId && topSwap < tailSwap)
+  }
+
   test("plan lint: wave-B operators carry no scale hazards") {
     import graft.plans.PlanLint
     val pairs = graft.operators.Association.frequentItemPairs(
