@@ -301,6 +301,49 @@ object SchemaQueries {
       FROM xd"""),
   )
 
+  // --------------------------------------------------------------- q192
+  /** Peak state concurrency: how many users were simultaneously in
+    * each event-type state ([[graft.operators.Concurrency]] over the
+    * q128 SCD2 intervals), with the earliest instant attaining the
+    * peak. The oracle does what the operator deliberately does NOT —
+    * a per-attr window running sum — which is exactly the
+    * equivalence being graded: the composite-order two-phase prefix
+    * minus per-attr base must equal the per-group window.
+    */
+  val q192Concurrency: QueryDef = QueryDef(
+    "q192_concurrency",
+    (s, dir) => {
+      val intervals = graft.operators.Scd2.build(
+        Tables(s, dir, "events"), col("user_id"), col("event_type"),
+        col("ts"), col("event_id"))
+        .select(col("attr"), col("valid_from_us").as("from_us"),
+          col("valid_to_us").as("to_us"))
+      graft.operators.Concurrency.maxConcurrency(intervals)
+        .orderBy(col("attr"))
+    },
+    Some(s"""
+      WITH ${scd2Ctes("a", "event_type").trim}
+      , deltas AS (
+        SELECT attr, valid_from_us AS t, 1 AS delta FROM af
+        UNION ALL
+        SELECT attr, valid_to_us AS t, -1 AS delta FROM af
+        WHERE valid_to_us IS NOT NULL)
+      , cells AS (
+        SELECT attr, t, CAST(SUM(delta) AS BIGINT) AS delta
+        FROM deltas GROUP BY attr, t)
+      , conc AS (
+        SELECT attr, t, CAST(SUM(delta) OVER (PARTITION BY attr
+          ORDER BY t ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c
+        FROM cells)
+      , mx AS (SELECT attr, MAX(c) AS max_concurrency
+               FROM conc GROUP BY attr)
+      SELECT conc.attr AS attr, mx.max_concurrency, MIN(t) AS at_us
+      FROM conc JOIN mx ON conc.attr = mx.attr
+        AND conc.c = mx.max_concurrency
+      GROUP BY conc.attr, mx.max_concurrency
+      ORDER BY attr"""),
+  )
+
   val all: Seq[QueryDef] = Seq(q187FdDiscovery, q188IndDiscovery,
-    q189Cube, q190TemporalJoin, q191Rbo)
+    q189Cube, q190TemporalJoin, q191Rbo, q192Concurrency)
 }

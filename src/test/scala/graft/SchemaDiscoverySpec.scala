@@ -72,6 +72,69 @@ class SchemaDiscoverySpec extends SparkSpec {
     assert(self.length === 3)
   }
 
+  test("maxConcurrency: overlap counting, half-open adjacency, open " +
+      "intervals") {
+    import graft.operators.Concurrency
+    def iv(rows: Seq[(String, Long, Option[Long])]) =
+      rows.toDF("attr", "from_us", "to_us")
+    // x: [0,10) [5,15) [14,20) → peak 2, first at t=5; y: adjacent
+    // half-open intervals never overlap (peak 1 at t=0); z: two open
+    // intervals accumulate forever (peak 2 at t=7)
+    val got = Concurrency.maxConcurrency(iv(Seq(
+        ("x", 0L, Some(10L)), ("x", 5L, Some(15L)), ("x", 14L, Some(20L)),
+        ("y", 0L, Some(5L)), ("y", 5L, Some(10L)),
+        ("z", 3L, None), ("z", 7L, None))))
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got === Map("x" -> ((2L, 5L)), "y" -> ((1L, 0L)),
+      "z" -> ((2L, 7L))))
+  }
+
+  test("maxConcurrency matches a reference sweep on random intervals") {
+    import graft.operators.Concurrency
+    def ref(rows: Seq[(String, Long, Option[Long])])
+        : Map[String, (Long, Long)] =
+      rows.groupBy(_._1).map { case (attr, ivs) =>
+        val deltas = (ivs.map(i => (i._2, 1L)) ++
+          ivs.flatMap(i => i._3.map(t => (t, -1L))))
+          .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+          .sortBy(_._1)
+        var run = 0L
+        val cum = deltas.map { case (t, d) => run += d; (t, run) }
+        val mx = cum.map(_._2).max
+        attr -> ((mx, cum.filter(_._2 == mx).map(_._1).min))
+      }
+    val rnd = new scala.util.Random(61)
+    for (trial <- 0 until 4) {
+      val rows = Seq.fill(40 + trial * 30) {
+        val attr = s"a${rnd.nextInt(4)}"
+        val from = rnd.nextInt(50).toLong
+        val to = if (rnd.nextInt(5) == 0) None
+          else Some(from + 1 + rnd.nextInt(20))
+        (attr, from, to)
+      }
+      val got = Concurrency.maxConcurrency(
+          rows.toDF("attr", "from_us", "to_us"))
+        .as[(String, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got === ref(rows), s"trial $trial")
+    }
+  }
+
+  test("plan lint: maxConcurrency never plans a single-partition " +
+      "window (its whole point)") {
+    import graft.plans.PlanLint
+    val intervals = graft.operators.Scd2.build(
+      Tables(spark, sfDir, "events"), col("user_id"), col("event_type"),
+      col("ts"), col("event_id"))
+      .select(col("attr"), col("valid_from_us").as("from_us"),
+        col("valid_to_us").as("to_us"))
+    val conc = graft.operators.Concurrency.maxConcurrency(intervals)
+    assert(!PlanLint.findings(conc)
+      .exists(_._1 == "single_partition_window"),
+      PlanLint.findings(conc).toString)
+  }
+
   test("plan lint: schema discovery is aggregates and anti-joins only") {
     import graft.plans.PlanLint
     val fd = SchemaDiscovery.functionalDependencies(
