@@ -19,14 +19,12 @@ import org.apache.spark.sql.functions._
   * The scale point is HOW the running sum runs: a per-attr window
   * would funnel each attribute's full boundary history through one
   * task (unbounded — exactly the q117 anti-pattern, since a popular
-  * state has corpus-many boundaries). Instead the boundary cells take
-  * ONE global two-phase prefix sum over the composite (attr, t) order
-  * ([[Stats.rangePrefixSums]] — range partition, driver offsets,
-  * partition-local windows), and each attribute's own running sum is
-  * recovered by subtracting the attribute's BASE (the global
-  * cumulative just before its first boundary, one `min_by` row per
-  * attribute): grouped prefix sums without per-group windows, because
-  * a composite-range order keeps each group contiguous.
+  * state has corpus-many boundaries). Instead the boundary cells run
+  * through [[Stats.groupedPrefixSums]] — one global two-phase prefix
+  * over the composite (attr, t) order with each attribute's own
+  * running sum recovered by base subtraction: grouped prefix sums
+  * without per-group windows, because a composite-range order keeps
+  * each group contiguous.
   */
 object Concurrency {
 
@@ -42,13 +40,8 @@ object Concurrency {
     val cells = starts.unionByName(ends)
       .groupBy(col("attr"), col("t"))
       .agg(sum(col("delta")).as("delta"))
-    val cum = Stats.rangePrefixSums(cells,
-      struct(col("attr"), col("t")), Seq("delta"))
-    val base = cum.groupBy(col("attr"))
-      .agg(expr("min_by(cum_delta - delta, t)").as("base"))
-    val conc = cum.join(base, Seq("attr"))
-      .select(col("attr"), col("t"),
-        (col("cum_delta") - col("base")).as("c"))
+    val conc = Stats.groupedPrefixSums(cells, "attr", "t", Seq("delta"))
+      .select(col("attr"), col("t"), col("gcum_delta").as("c"))
     val mx = conc.groupBy(col("attr"))
       .agg(max(col("c")).as("max_concurrency"))
     conc.join(mx, Seq("attr"))

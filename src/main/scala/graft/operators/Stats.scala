@@ -286,6 +286,102 @@ object Stats {
       sumCols.indices.map(i => s"__off$i")): _*)
   }
 
+  /** GROUPED prefix sums without per-group windows: appends
+    * `gcum_<c>` (inclusive running sum in `key` order WITHIN each
+    * `group`) for each named long column. One global
+    * [[rangePrefixSums]] over the composite (group, key) order — a
+    * composite-range order keeps each group contiguous, so the
+    * group's running sum is the global cumulative minus the group's
+    * BASE (the global cumulative just before its first row, one
+    * `min_by` row per group). A per-group window would funnel each
+    * group's full history through one task; this never does,
+    * whatever the group sizes.
+    *
+    * Contract: (group, key) unique per row (aggregate to cells
+    * first — every caller does), key non-null.
+    */
+  private[graft] def groupedPrefixSums(df: DataFrame, group: String,
+      key: String, sumCols: Seq[String]): DataFrame = {
+    val cum = rangePrefixSums(df, struct(col(group), col(key)), sumCols)
+    val baseAggs = sumCols.map(c =>
+      expr(s"min_by(cum_$c - $c, $key)").as(s"__base_$c"))
+    val bases = cum.groupBy(col(group))
+      .agg(baseAggs.head, baseAggs.tail: _*)
+    sumCols.foldLeft(cum.join(bases, Seq(group))) { (d, c) =>
+      d.withColumn(s"gcum_$c", col(s"cum_$c") - col(s"__base_$c"))
+    }.drop(sumCols.flatMap(c => Seq(s"cum_$c", s"__base_$c")): _*)
+  }
+
+  /** Exact weighted quantiles per group on [[groupedPrefixSums]]:
+    * for each requested q in ppm, the SMALLEST value whose inclusive
+    * cumulative weight reaches q·total (the lower weighted quantile
+    * — the inverse-CDF convention, exact integer comparison
+    * cum·10⁶ ≥ q_ppm·total, no interpolation). q_ppm = 500000 is the
+    * weighted median. Output: (grp, q_ppm, value, cum_w, total_w).
+    *
+    * Scale shape: one map-side-combining (group, value) weight-cell
+    * aggregate, the grouped two-phase prefix, per-group totals as the
+    * cells' max inclusive cum (a combining agg, not a second scan),
+    * and a qs-sized broadcast cross join — no per-group window, no
+    * sort materialization. Weight guard: cum·10⁶ needs
+    * total ≤ ~9·10¹² per group.
+    */
+  def weightedQuantiles(df: DataFrame, group: Column, value: Column,
+      weight: Column, qsPpm: Seq[Long]): DataFrame = {
+    require(qsPpm.nonEmpty && qsPpm.forall(q => q >= 1 && q <= 1000000L),
+      s"quantiles must be in (0, 1000000] ppm, got $qsPpm")
+    val cells = df.select(group.as("grp"), value.cast("long").as("v"),
+        weight.cast("long").as("w"))
+      .filter(col("v").isNotNull && col("w").isNotNull && col("w") > 0)
+      .groupBy(col("grp"), col("v")).agg(sum(col("w")).as("w"))
+    val cum = groupedPrefixSums(cells, "grp", "v", Seq("w"))
+    val tot = cum.groupBy(col("grp")).agg(max(col("gcum_w")).as("total_w"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val qs = qsPpm.toDF("q_ppm")
+    cum.join(tot, Seq("grp"))
+      .crossJoin(broadcast(qs))
+      .filter(col("gcum_w") * 1000000L >= col("q_ppm") * col("total_w"))
+      .groupBy(col("grp"), col("q_ppm"), col("total_w"))
+      .agg(min(col("v")).as("value"))
+      .join(cum.select(col("grp"), col("v").as("value"),
+        col("gcum_w").as("cum_w")), Seq("grp", "value"))
+      .select(col("grp"), col("q_ppm"), col("value"), col("cum_w"),
+        col("total_w"))
+  }
+
+  /** Two-sample Mann–Whitney U in exact DOUBLED integers (ties
+    * contribute half wins; ×2 keeps them integral): U2_a =
+    * Σ_v 2·c_a(v)·cumB_less(v) + c_a(v)·c_b(v), symmetrically for
+    * U2_b, with the invariant U2_a + U2_b = 2·n_a·n_b (spec-pinned).
+    * The rank-sum complement to [[ksDistance]]: KS sees the largest
+    * local CDF gap, MW the global stochastic dominance — a
+    * distribution drift gate wants both.
+    *
+    * Scale shape is ksDistance's: distinct-value histograms
+    * (map-side combining), full-outer support merge,
+    * [[rangePrefixSums]] for the EXCLUSIVE less-than prefixes, one
+    * final one-row aggregate. Same ·overflow guard: needs
+    * n_a·n_b ≤ ~4.6·10¹⁸.
+    */
+  def mannWhitneyU2(a: DataFrame, b: DataFrame, x: Column): DataFrame = {
+    val ga = a.select(x.cast("long").as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("ca"))
+    val gb = b.select(x.cast("long").as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("cb"))
+    val merged = ga.join(gb, Seq("v"), "full_outer")
+      .select(col("v"), coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    val cum = rangePrefixSums(merged, col("v"), Seq("ca", "cb"))
+    cum.agg(
+        coalesce(sum(col("ca")), lit(0L)).as("n_a"),
+        coalesce(sum(col("cb")), lit(0L)).as("n_b"),
+        coalesce(sum(lit(2L) * col("ca") * (col("cum_cb") - col("cb"))
+          + col("ca") * col("cb")), lit(0L)).as("u2_a"),
+        coalesce(sum(lit(2L) * col("cb") * (col("cum_ca") - col("ca"))
+          + col("ca") * col("cb")), lit(0L)).as("u2_b"))
+  }
+
   /** Two-sample Kolmogorov–Smirnov distance in exact integer
     * micro-units — the distribution-drift gate of a production
     * pipeline (yesterday's feature distribution vs today's): one row

@@ -344,6 +344,95 @@ object SchemaQueries {
       ORDER BY attr"""),
   )
 
+  // --------------------------------------------------------------- q193
+  /** Exact weighted quantiles per return flag — the quartiles of
+    * line-item PRICE weighted by QUANTITY ("the price point below
+    * which a quarter of the units ship"), on
+    * [[graft.operators.Stats.weightedQuantiles]]'s grouped two-phase
+    * prefix machinery. Inverse-CDF convention, exact integer
+    * comparison (cum·10⁶ ≥ q·total). The oracle replays with the
+    * per-group window the operator avoids — the q192 equivalence
+    * grade applied to weighted order statistics.
+    */
+  val q193WeightedQuantiles: QueryDef = QueryDef(
+    "q193_weighted_quantiles",
+    (s, dir) =>
+      graft.operators.Stats.weightedQuantiles(
+        Tables(s, dir, "lineitem"), col("l_returnflag"),
+        floor(col("l_extendedprice")), floor(col("l_quantity")),
+        Seq(250000L, 500000L, 750000L))
+        .orderBy(col("grp"), col("q_ppm")),
+    Some("""
+      WITH cells AS (
+        SELECT l_returnflag AS grp,
+          CAST(floor(l_extendedprice) AS BIGINT) AS v,
+          CAST(SUM(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS w
+        FROM lineitem WHERE CAST(floor(l_quantity) AS BIGINT) > 0
+        GROUP BY 1, 2),
+      cum AS (
+        SELECT grp, v, w, CAST(SUM(w) OVER (PARTITION BY grp ORDER BY v
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw
+        FROM cells),
+      tot AS (SELECT grp, MAX(cw) AS total_w FROM cum GROUP BY grp),
+      qs(q_ppm) AS (VALUES (250000), (500000), (750000)),
+      sel AS (
+        SELECT cum.grp, q_ppm, MIN(v) AS value, total_w
+        FROM cum JOIN tot USING (grp) CROSS JOIN qs
+        WHERE cw * 1000000 >= q_ppm * total_w
+        GROUP BY cum.grp, q_ppm, total_w)
+      SELECT sel.grp AS grp, CAST(q_ppm AS BIGINT) AS q_ppm, value,
+        cum.cw AS cum_w, sel.total_w
+      FROM sel JOIN cum ON sel.grp = cum.grp AND sel.value = cum.v
+      ORDER BY grp, q_ppm"""),
+  )
+
+  // --------------------------------------------------------------- q194
+  /** Mann–Whitney U between purchase and click value distributions
+    * (cents, q171's rounding), in exact doubled integers
+    * ([[graft.operators.Stats.mannWhitneyU2]]) — the rank-sum
+    * complement to the KS gate: q171 sees the largest local CDF gap,
+    * q194 the global stochastic dominance. One row
+    * (n_a, n_b, u2_a, u2_b); the U2a + U2b = 2·n_a·n_b identity is
+    * spec-pinned, and the oracle replays histograms → exclusive
+    * prefixes → the doubled-tie sum.
+    */
+  val q194MannWhitney: QueryDef = QueryDef(
+    "q194_mann_whitney",
+    (s, dir) => {
+      val ev = Tables(s, dir, "events").filter(col("value").isNotNull)
+      val cents = (signum(col("value")) *
+        floor(abs(col("value")) * 100 + lit(0.5))).cast("long")
+      graft.operators.Stats.mannWhitneyU2(
+        ev.filter(col("event_type") === "purchase"),
+        ev.filter(col("event_type") === "click"),
+        cents)
+    },
+    Some("""
+      WITH base AS (SELECT event_type,
+          CAST(CASE WHEN value >= 0 THEN FLOOR(value * 100 + 0.5)
+               ELSE -FLOOR(-value * 100 + 0.5) END AS BIGINT) AS v
+        FROM events WHERE value IS NOT NULL),
+      ga AS (SELECT v, COUNT(*) AS ca FROM base
+        WHERE event_type = 'purchase' GROUP BY v),
+      gb AS (SELECT v, COUNT(*) AS cb FROM base
+        WHERE event_type = 'click' GROUP BY v),
+      j AS (SELECT COALESCE(ga.v, gb.v) AS v,
+          COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+        FROM ga FULL OUTER JOIN gb ON ga.v = gb.v),
+      c AS (SELECT v, ca, cb,
+          SUM(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - ca
+            AS lta,
+          SUM(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - cb
+            AS ltb
+        FROM j)
+      SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+        CAST(SUM(cb) AS BIGINT) AS n_b,
+        CAST(SUM(2 * ca * ltb + ca * cb) AS BIGINT) AS u2_a,
+        CAST(SUM(2 * cb * lta + ca * cb) AS BIGINT) AS u2_b
+      FROM c"""),
+  )
+
   val all: Seq[QueryDef] = Seq(q187FdDiscovery, q188IndDiscovery,
-    q189Cube, q190TemporalJoin, q191Rbo, q192Concurrency)
+    q189Cube, q190TemporalJoin, q191Rbo, q192Concurrency,
+    q193WeightedQuantiles, q194MannWhitney)
 }

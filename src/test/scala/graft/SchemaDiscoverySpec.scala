@@ -121,6 +121,65 @@ class SchemaDiscoverySpec extends SparkSpec {
     }
   }
 
+  test("weightedQuantiles matches a reference inverse CDF on random " +
+      "weighted samples; unit weights degrade to plain quantiles") {
+    import graft.operators.Stats
+    def ref(rows: Seq[(String, Long, Long)], q: Long)
+        : Map[String, Long] =
+      rows.groupBy(_._1).map { case (g, rs) =>
+        val cells = rs.groupBy(_._2).view.mapValues(_.map(_._3).sum)
+          .toSeq.sortBy(_._1)
+        val total = cells.map(_._2).sum
+        var cum = 0L
+        g -> cells.collectFirst {
+          case (v, w) if { cum += w; cum * 1000000L >= q * total } => v
+        }.get
+      }
+    val rnd = new scala.util.Random(83)
+    for (trial <- 0 until 3) {
+      val rows = Seq.fill(60 + trial * 40)((s"g${rnd.nextInt(3)}",
+        rnd.nextInt(25).toLong, 1L + rnd.nextInt(9)))
+      for (q <- Seq(100000L, 500000L, 900000L, 1000000L)) {
+        val got = Stats.weightedQuantiles(rows.toDF("g", "v", "w"),
+            col("g"), col("v"), col("w"), Seq(q))
+          .select(col("grp"), col("value"))
+          .as[(String, Long)].collect().toMap
+        assert(got === ref(rows, q), s"trial $trial q=$q")
+      }
+    }
+    // q = 1000000 is the maximum value (cum == total there)
+    val mx = Stats.weightedQuantiles(
+        Seq(("g", 1L, 5L), ("g", 9L, 1L)).toDF("g", "v", "w"),
+        col("g"), col("v"), col("w"), Seq(1000000L))
+      .select(col("value")).as[Long].head()
+    assert(mx === 9L)
+  }
+
+  test("mannWhitneyU2 matches brute-force pair counting and the " +
+      "2·n_a·n_b identity") {
+    import graft.operators.Stats
+    val rnd = new scala.util.Random(97)
+    for (trial <- 0 until 3) {
+      val a = Seq.fill(20 + rnd.nextInt(30))(rnd.nextInt(12).toLong)
+      val b = Seq.fill(20 + rnd.nextInt(30))(rnd.nextInt(12).toLong + trial)
+      val u2aRef = (for (x <- a; y <- b) yield
+        (if (x > y) 2L else if (x == y) 1L else 0L)).sum
+      val u2bRef = (for (x <- a; y <- b) yield
+        (if (y > x) 2L else if (x == y) 1L else 0L)).sum
+      val (na, nb, u2a, u2b) = Stats.mannWhitneyU2(
+          a.toDF("x"), b.toDF("x"), col("x"))
+        .as[(Long, Long, Long, Long)].head()
+      assert((na, nb, u2a, u2b) ===
+        ((a.size.toLong, b.size.toLong, u2aRef, u2bRef)), s"trial $trial")
+      assert(u2a + u2b === 2L * na * nb)
+    }
+    // total separation: every a below every b
+    val sep = Stats.mannWhitneyU2(Seq(1L, 2L).toDF("x"),
+      Seq(10L, 11L, 12L).toDF("x"), col("x"))
+      .as[(Long, Long, Long, Long)].head()
+    assert(sep === ((2L, 3L, 0L, 12L)))
+  }
+
   test("plan lint: maxConcurrency never plans a single-partition " +
       "window (its whole point)") {
     import graft.plans.PlanLint
