@@ -312,6 +312,89 @@ object Stats {
     }.drop(sumCols.flatMap(c => Seq(s"cum_$c", s"__base_$c")): _*)
   }
 
+  /** Grouped prefix MAX — [[groupedPrefixSums]] for a monoid that
+    * cannot base-subtract (max is not invertible, so the
+    * global-cum-minus-base trick is unavailable). Appends `gmax_<c>`:
+    * the running maximum of `c` in `key` order within each `group`.
+    *
+    * Construction: composite-range partition as before; the
+    * partition-LOCAL running max is a window over (__pid, group) —
+    * bounded by partition size; the cross-partition CARRY joins back
+    * from the per-(partition, group) max table, whose per-group row
+    * count is the number of partitions the group SPANS (≤
+    * shuffle.partitions, a config constant — so the carry window
+    * partitioned by group is bounded by P, never by data). Two
+    * bounded windows and one equi-join replace the per-group
+    * data-sized window.
+    *
+    * Same contract as [[groupedPrefixSums]]: (group, key) unique,
+    * key non-null, columns long.
+    */
+  private[graft] def groupedPrefixMax(df: DataFrame, group: String,
+      key: String, maxCols: Seq[String]): DataFrame = {
+    require(maxCols.nonEmpty, "need at least one column to prefix-max")
+    val keyed = df
+      .repartitionByRange(struct(col(group), col(key)))
+      .sortWithinPartitions(struct(col(group), col(key)))
+      .withColumn("__pid", spark_partition_id().cast("long"))
+      .localCheckpoint()
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pid"), col(group)).orderBy(col(key))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val pidAggs = maxCols.map(c => max(col(c)).as(s"__pm_$c"))
+    val pidMax = keyed.groupBy(col("__pid"), col(group))
+      .agg(pidAggs.head, pidAggs.tail: _*)
+    val wCarry = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(group)).orderBy(col("__pid"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    val carries = maxCols.foldLeft(pidMax) { (d, c) =>
+      d.withColumn(s"__carry_$c", max(col(s"__pm_$c")).over(wCarry))
+    }.select(col("__pid") +: col(group) +:
+      maxCols.map(c => col(s"__carry_$c")): _*)
+    val joined = keyed.join(carries, Seq("__pid", group))
+    maxCols.foldLeft(joined) { (d, c) =>
+      d.withColumn(s"gmax_$c",
+        greatest(max(col(c)).over(wLocal),
+          coalesce(col(s"__carry_$c"), lit(Long.MinValue))))
+    }.drop(("__pid" +: maxCols.map(c => s"__carry_$c")): _*)
+  }
+
+  /** Maximum drawdown per group — the largest peak-to-trough drop of
+    * a cumulative series (budget burn-down monitoring, model-metric
+    * regression depth, any high-water-mark question): balance(t) =
+    * running sum of deltas, drawdown(t) = runningMax(balance) −
+    * balance, reported as the per-group maximum with the earliest
+    * trough instant. Pure composition of the two grouped-prefix
+    * primitives — sums for the balance, MAX for the high-water mark —
+    * so no per-group window at any group size.
+    *
+    * Input: one row per (group, key) with a signed integer delta
+    * (aggregate to cells first). Output: (grp, max_drawdown_, at_key)
+    * — 0 for a never-declining series.
+    */
+  def maxDrawdown(df: DataFrame, group: Column, key: Column,
+      delta: Column): DataFrame = {
+    val cells = df.select(group.as("grp"), key.cast("long").as("k"),
+        delta.cast("long").as("d"))
+      .filter(col("k").isNotNull)
+      .groupBy(col("grp"), col("k")).agg(sum(col("d")).as("d"))
+    val bal = groupedPrefixSums(cells, "grp", "k", Seq("d"))
+      .withColumnRenamed("gcum_d", "bal")
+      .select(col("grp"), col("k"), col("bal").as("d"))
+    // reuse the cells contract: (grp, k) unique, column named d
+    val hwm = groupedPrefixMax(bal, "grp", "k", Seq("d"))
+      .select(col("grp"), col("k"),
+        (col("gmax_d") - col("d")).as("dd"))
+    val mx = hwm.groupBy(col("grp")).agg(max(col("dd")).as("max_drawdown"))
+    hwm.join(mx, Seq("grp"))
+      .filter(col("dd") === col("max_drawdown"))
+      .groupBy(col("grp"), col("max_drawdown"))
+      .agg(min(col("k")).as("at_key"))
+      .select(col("grp"), col("max_drawdown"), col("at_key"))
+  }
+
   /** Exact weighted quantiles per group on [[groupedPrefixSums]]:
     * for each requested q in ppm, the SMALLEST value whose inclusive
     * cumulative weight reaches q·total (the lower weighted quantile

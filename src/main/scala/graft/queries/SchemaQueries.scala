@@ -432,7 +432,53 @@ object SchemaQueries {
       FROM c"""),
   )
 
+  // --------------------------------------------------------------- q195
+  /** Maximum drawdown per user of the signed purchase-minus-error
+    * balance over event time ([[graft.operators.Stats.maxDrawdown]]):
+    * the largest peak-to-trough drop and its earliest trough instant.
+    * Composes the grouped-prefix SUM (balance) with the grouped-
+    * prefix MAX (high-water mark) — the non-invertible-monoid scan,
+    * whose cross-partition carry is a window bounded by
+    * shuffle.partitions, never by a user's history. The oracle does
+    * both scans with the per-user windows the operator avoids.
+    */
+  val q195Drawdown: QueryDef = QueryDef(
+    "q195_drawdown",
+    (s, dir) => {
+      val ev = Tables(s, dir, "events")
+        .filter(col("event_type").isin("purchase", "error") &&
+          col("value").isNotNull)
+      graft.operators.Stats.maxDrawdown(ev,
+          col("user_id"),
+          unix_micros(col("ts").cast("timestamp")),
+          when(col("event_type") === "purchase",
+            floor(col("value")).cast("long"))
+            .otherwise(-floor(col("value")).cast("long")))
+        .orderBy(col("grp"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT user_id AS grp, CAST(epoch_ns(ts) // 1000 AS BIGINT) AS k,
+          CAST(CASE WHEN event_type = 'purchase' THEN floor(value)
+               ELSE -floor(value) END AS BIGINT) AS d
+        FROM events
+        WHERE event_type IN ('purchase', 'error') AND value IS NOT NULL),
+      cells AS (SELECT grp, k, CAST(SUM(d) AS BIGINT) AS d
+        FROM base GROUP BY 1, 2),
+      bal AS (SELECT grp, k, CAST(SUM(d) OVER (PARTITION BY grp
+          ORDER BY k ROWS UNBOUNDED PRECEDING) AS BIGINT) AS b
+        FROM cells),
+      dd AS (SELECT grp, k, CAST(MAX(b) OVER (PARTITION BY grp
+          ORDER BY k ROWS UNBOUNDED PRECEDING) - b AS BIGINT) AS dd
+        FROM bal),
+      mx AS (SELECT grp, MAX(dd) AS max_drawdown FROM dd GROUP BY grp)
+      SELECT dd.grp AS grp, mx.max_drawdown, MIN(k) AS at_key
+      FROM dd JOIN mx ON dd.grp = mx.grp AND dd.dd = mx.max_drawdown
+      GROUP BY dd.grp, mx.max_drawdown
+      ORDER BY grp"""),
+  )
+
   val all: Seq[QueryDef] = Seq(q187FdDiscovery, q188IndDiscovery,
     q189Cube, q190TemporalJoin, q191Rbo, q192Concurrency,
-    q193WeightedQuantiles, q194MannWhitney)
+    q193WeightedQuantiles, q194MannWhitney, q195Drawdown)
 }

@@ -180,6 +180,49 @@ class SchemaDiscoverySpec extends SparkSpec {
     assert(sep === ((2L, 3L, 0L, 12L)))
   }
 
+  test("maxDrawdown matches a reference scan; rising series draw " +
+      "down zero; one giant group exercises the carry path") {
+    import graft.operators.Stats
+    def ref(rows: Seq[(String, Long, Long)]): Map[String, (Long, Long)] =
+      rows.groupBy(_._1).map { case (g, rs) =>
+        val cells = rs.groupBy(_._2).view.mapValues(_.map(_._3).sum)
+          .toSeq.sortBy(_._1)
+        var bal = 0L; var hwm = Long.MinValue
+        val dds = cells.map { case (k, d) =>
+          bal += d; hwm = math.max(hwm, bal); (k, hwm - bal) }
+        val mx = dds.map(_._2).max
+        g -> ((mx, dds.filter(_._2 == mx).map(_._1).min))
+      }
+    val rnd = new scala.util.Random(113)
+    for (trial <- 0 until 3) {
+      val nGroups = if (trial == 2) 1 else 4 // giant-group trial
+      val rows = Seq.fill(80 + trial * 60)((s"u${rnd.nextInt(nGroups)}",
+        rnd.nextInt(40).toLong, rnd.nextInt(21).toLong - 10L))
+      val got = Stats.maxDrawdown(rows.toDF("g", "k", "d"),
+          col("g"), col("k"), col("d"))
+        .as[(String, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got === ref(rows), s"trial $trial")
+    }
+    val rising = Stats.maxDrawdown(
+      (1L to 20L).map(i => ("u", i, 1L)).toDF("g", "k", "d"),
+      col("g"), col("k"), col("d"))
+      .as[(String, Long, Long)].collect()
+    assert(rising.toSeq === Seq(("u", 0L, 1L)))
+  }
+
+  test("plan lint: maxDrawdown's windows are partition-local or " +
+      "bounded by shuffle.partitions — never data-sized per group") {
+    import graft.plans.PlanLint
+    val ev = Tables(spark, sfDir, "events")
+    val dd = graft.operators.Stats.maxDrawdown(ev, col("user_id"),
+      unix_micros(col("ts").cast("timestamp")),
+      floor(col("value")).cast("long"))
+    assert(!PlanLint.findings(dd)
+      .exists(_._1 == "single_partition_window"),
+      PlanLint.findings(dd).toString)
+  }
+
   test("plan lint: maxConcurrency never plans a single-partition " +
       "window (its whole point)") {
     import graft.plans.PlanLint
