@@ -433,6 +433,30 @@ object Stats {
         col("total_w"))
   }
 
+  /** Cumulative distinct reach: per time bucket, how many keys appear
+    * for the FIRST time and how many distinct keys have appeared up
+    * to and including it — the growth curve every "total users /
+    * total documents ever seen" dashboard plots. Exact, not sketched:
+    * first-occurrence collapses each key to one row (a combining
+    * min-aggregate), bucket counts are a second combining aggregate
+    * over key-cardinality rows, and the running total is the
+    * two-phase [[rangePrefixSums]] — no window over data-sized
+    * partitions, no distinct-within-window rescans per bucket.
+    * Output: (bucket, new_keys, cum_distinct), buckets with no new
+    * keys absent (left-join a calendar to densify).
+    */
+  def cumulativeDistinct(df: DataFrame, key: Column,
+      bucket: Column): DataFrame = {
+    val first = df.select(key.as("k"), bucket.cast("long").as("b"))
+      .filter(col("k").isNotNull && col("b").isNotNull)
+      .groupBy(col("k")).agg(min(col("b")).as("b"))
+    val perBucket = first.groupBy(col("b"))
+      .agg(count(lit(1)).as("new_keys"))
+    rangePrefixSums(perBucket, col("b"), Seq("new_keys"))
+      .select(col("b").as("bucket"), col("new_keys"),
+        col("cum_new_keys").as("cum_distinct"))
+  }
+
   /** Two-sample Mann–Whitney U in exact DOUBLED integers (ties
     * contribute half wins; ×2 keeps them integral): U2_a =
     * Σ_v 2·c_a(v)·cumB_less(v) + c_a(v)·c_b(v), symmetrically for

@@ -478,7 +478,129 @@ object SchemaQueries {
       ORDER BY grp"""),
   )
 
+  // --------------------------------------------------------------- q196
+  /** Three-way merge census ([[graft.operators.Merge3]]): two
+    * synthetic branches of lineitem diverge from base — ours bumps
+    * quantities on the %100=1 orders, deletes the %100=2 orders, and
+    * inserts a line 9 on the %100=5 orders; theirs bumps PRICES on
+    * %100=3, bumps quantities DIFFERENTLY on %100=1 (true conflict),
+    * makes the same %100=2 deletes and the same %100=5 inserts
+    * (convergent edits), plus its own %100=7 inserts. Every verdict
+    * class is populated; the key is orderkey·10+linenumber and the
+    * "hash" the canonical value quantity·10⁶+price-floor (exact
+    * replay, the sync contract). Graded as the verdict census with
+    * merged-value sums.
+    */
+  val q196ThreeWayMerge: QueryDef = QueryDef(
+    "q196_three_way_merge",
+    (s, dir) => {
+      val li = Tables(s, dir, "lineitem").select(
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("k"),
+        col("l_orderkey").as("ok"),
+        col("l_linenumber").as("ln"),
+        floor(col("l_quantity")).cast("long").as("q"),
+        floor(col("l_extendedprice")).cast("long").as("p"))
+      def h(q: org.apache.spark.sql.Column, p: org.apache.spark.sql.Column) =
+        (q * 1000000L + p).as("h")
+      val base = li.select(col("k"), h(col("q"), col("p")))
+      val inserts5 = li.filter(col("ok") % 100 === 5 && col("ln") === 1)
+        .select((col("ok") * 10 + 9).as("k"), h(lit(99L), col("p")))
+      val ours = li.filter(!(col("ok") % 100 === 2))
+        .select(col("k"),
+          h(when(col("ok") % 100 === 1, col("q") + 1).otherwise(col("q")),
+            col("p")))
+        .unionByName(inserts5)
+      val theirs = li.filter(!(col("ok") % 100 === 2))
+        .select(col("k"),
+          h(when(col("ok") % 100 === 1, col("q") + 2).otherwise(col("q")),
+            when(col("ok") % 100 === 3, col("p") + 1).otherwise(col("p"))))
+        .unionByName(inserts5)
+        .unionByName(li.filter(col("ok") % 100 === 7 && col("ln") === 1)
+          .select((col("ok") * 10 + 9).as("k"), h(lit(77L), col("p"))))
+      graft.operators.Merge3.threeWayMerge(base, ours, theirs)
+        .groupBy(col("verdict"))
+        .agg(count(lit(1)).as("n"),
+          sum(coalesce(col("h_merged"), lit(0L))).as("merged_sum"))
+        .orderBy(col("verdict"))
+    },
+    Some("""
+      WITH li AS (
+        SELECT l_orderkey * 10 + l_linenumber AS k,
+          l_orderkey AS ok, l_linenumber AS ln,
+          CAST(floor(l_quantity) AS BIGINT) AS q,
+          CAST(floor(l_extendedprice) AS BIGINT) AS p
+        FROM lineitem),
+      base AS (SELECT k, q * 1000000 + p AS h FROM li),
+      ins5 AS (SELECT ok * 10 + 9 AS k, 99 * 1000000 + p AS h
+        FROM li WHERE ok % 100 = 5 AND ln = 1),
+      ours AS (
+        SELECT k, (CASE WHEN ok % 100 = 1 THEN q + 1 ELSE q END)
+          * 1000000 + p AS h
+        FROM li WHERE NOT (ok % 100 = 2)
+        UNION ALL SELECT k, h FROM ins5),
+      theirs AS (
+        SELECT k, (CASE WHEN ok % 100 = 1 THEN q + 2 ELSE q END)
+          * 1000000
+          + (CASE WHEN ok % 100 = 3 THEN p + 1 ELSE p END) AS h
+        FROM li WHERE NOT (ok % 100 = 2)
+        UNION ALL SELECT k, h FROM ins5
+        UNION ALL SELECT ok * 10 + 9 AS k, 77 * 1000000 + p AS h
+          FROM li WHERE ok % 100 = 7 AND ln = 1),
+      j AS (
+        SELECT COALESCE(b.k, o.k, t.k) AS k, b.h AS hb, o.h AS ho,
+          t.h AS ht
+        FROM base b
+        FULL OUTER JOIN ours o ON b.k = o.k
+        FULL OUTER JOIN theirs t ON COALESCE(b.k, o.k) = t.k),
+      v AS (
+        SELECT k,
+          CASE WHEN ho IS NOT DISTINCT FROM hb
+                AND ht IS NOT DISTINCT FROM hb THEN 'unchanged'
+               WHEN ho IS NOT DISTINCT FROM hb THEN 'take_theirs'
+               WHEN ht IS NOT DISTINCT FROM hb THEN 'take_ours'
+               WHEN ho IS NOT DISTINCT FROM ht THEN 'both_same'
+               ELSE 'conflict' END AS verdict,
+          CASE WHEN ho IS NOT DISTINCT FROM hb
+                AND ht IS NOT DISTINCT FROM hb THEN hb
+               WHEN ho IS NOT DISTINCT FROM hb THEN ht
+               WHEN ht IS NOT DISTINCT FROM hb THEN ho
+               WHEN ho IS NOT DISTINCT FROM ht THEN ho
+               ELSE NULL END AS h_merged
+        FROM j)
+      SELECT verdict, COUNT(*) AS n,
+        CAST(SUM(COALESCE(h_merged, 0)) AS BIGINT) AS merged_sum
+      FROM v GROUP BY verdict ORDER BY verdict"""),
+  )
+
+  // --------------------------------------------------------------- q197
+  /** Cumulative distinct reach of users by hour
+    * ([[graft.operators.Stats.cumulativeDistinct]]): per hour, the
+    * first-time users and the total ever seen — exact
+    * first-occurrence collapse + two-phase running sum, never a
+    * distinct-within-window rescan. The oracle replays
+    * min-day-per-user, daily counts, and a window running total.
+    */
+  val q197CumulativeDistinct: QueryDef = QueryDef(
+    "q197_cumulative_distinct",
+    (s, dir) =>
+      graft.operators.Stats.cumulativeDistinct(
+        Tables(s, dir, "events"), col("user_id"),
+        expr("unix_micros(cast(ts as timestamp)) div 3600000000"))
+        .orderBy(col("bucket")),
+    Some("""
+      WITH f AS (
+        SELECT user_id,
+          MIN(CAST(epoch_ns(ts) // 1000 AS BIGINT) // 3600000000) AS b
+        FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+      d AS (SELECT b, COUNT(*) AS new_keys FROM f GROUP BY b)
+      SELECT b AS bucket, new_keys,
+        CAST(SUM(new_keys) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING)
+          AS BIGINT) AS cum_distinct
+      FROM d ORDER BY bucket"""),
+  )
+
   val all: Seq[QueryDef] = Seq(q187FdDiscovery, q188IndDiscovery,
     q189Cube, q190TemporalJoin, q191Rbo, q192Concurrency,
-    q193WeightedQuantiles, q194MannWhitney, q195Drawdown)
+    q193WeightedQuantiles, q194MannWhitney, q195Drawdown,
+    q196ThreeWayMerge, q197CumulativeDistinct)
 }

@@ -211,6 +211,49 @@ class SchemaDiscoverySpec extends SparkSpec {
     assert(rising.toSeq === Seq(("u", 0L, 1L)))
   }
 
+  test("threeWayMerge: the full verdict lattice on a hand fixture") {
+    import graft.operators.Merge3
+    def t(rows: Seq[(Long, Long)]) = rows.toDF("k", "h")
+    // k1 untouched; k2 ours-only edit; k3 theirs-only edit; k4 both
+    // edit same; k5 both edit differently; k6 ours delete (theirs
+    // keeps base → take_ours deletion); k7 both delete; k8 delete vs
+    // update conflict; k9 disjoint insert (ours); k10 convergent
+    // insert; k11 divergent insert
+    val base = t(Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L),
+      (5L, 50L), (6L, 60L), (7L, 70L), (8L, 80L)))
+    val ours = t(Seq((1L, 10L), (2L, 21L), (3L, 30L), (4L, 44L),
+      (5L, 55L), (8L, 88L), (9L, 90L), (10L, 100L), (11L, 110L)))
+    val theirs = t(Seq((1L, 10L), (2L, 20L), (3L, 33L), (4L, 44L),
+      (5L, 56L), (6L, 60L), (10L, 100L), (11L, 111L)))
+    val got = Merge3.threeWayMerge(base, ours, theirs)
+      .select(col("k"), col("verdict"), col("h_merged"))
+      .as[(Long, String, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got === Map(
+      1L -> (("unchanged", Some(10L))),
+      2L -> (("take_ours", Some(21L))),
+      3L -> (("take_theirs", Some(33L))),
+      4L -> (("both_same", Some(44L))),
+      5L -> (("conflict", None)),
+      6L -> (("take_ours", None)),      // clean deletion: merged absent
+      7L -> (("both_same", None)),      // both deleted
+      8L -> (("conflict", None)),       // delete vs update
+      9L -> (("take_ours", Some(90L))), // disjoint insert
+      10L -> (("both_same", Some(100L))),
+      11L -> (("conflict", None))))     // divergent insert
+  }
+
+  test("cumulativeDistinct: first occurrences only, exact running " +
+      "total, null keys excluded") {
+    import graft.operators.Stats
+    val rows = Seq((Some("a"), 1L), (Some("b"), 1L), (Some("a"), 2L),
+      (Some("c"), 2L), (Some("c"), 5L), (None, 1L))
+    val got = Stats.cumulativeDistinct(rows.toDF("k", "b"),
+        col("k"), col("b"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq((1L, 2L, 2L), (2L, 1L, 3L)))
+  }
+
   test("plan lint: maxDrawdown's windows are partition-local or " +
       "bounded by shuffle.partitions — never data-sized per group") {
     import graft.plans.PlanLint
