@@ -599,8 +599,71 @@ object SchemaQueries {
       FROM d ORDER BY bucket"""),
   )
 
+  // --------------------------------------------------------------- q198
+  /** The production near-dup loop graded END-TO-END in one row set:
+    * MinHash+LSH candidate pairs with exact-Jaccard verify (q35's
+    * operator) → alternating-star connected components with
+    * min-representative keep (q68's operator) → per-source kept-
+    * corpus census (docs, survivors, characters in and out). The
+    * stages are individually hash-green; this row grades their
+    * COMPOSITION — the actual pipeline a curation run executes — so
+    * a contract drift between stages (id types, missing singleton
+    * nodes, rep-choice convention) fails here even if each stage
+    * still passes alone. Oracle: exact all-pairs Jaccard (banding is
+    * recall-complete at 0.8 on this corpus — the q35 equivalence) +
+    * recursive minimum-label propagation + the same census.
+    */
+  val q198DedupE2e: QueryDef = QueryDef(
+    "q198_dedup_e2e",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val pairs = graft.operators.Dedup.minhashLshPairs(docs,
+        col("doc_id"), col("text"), n = 3, threshold = 0.8)
+      val clusters = graft.operators.Components.dedupClusters(
+        pairs.select(col("id_a").as("src"), col("id_b").as("dst")),
+        docs.select(col("doc_id").as("node")))
+      docs.join(clusters, col("doc_id") === col("node"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("is_rep")).as("n_kept"),
+          sum(col("n_chars")).as("chars_total"),
+          sum(when(col("is_rep") === 1, col("n_chars"))
+            .otherwise(0L)).as("chars_kept"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH RECURSIVE docs AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      sh AS (
+        SELECT doc_id,
+          list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                         for i in range(1, len(t) - 1)]) AS shingles
+        FROM docs WHERE len(t) >= 3),
+      p AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+            / len(list_distinct(a.shingles || b.shingles)) >= 0.8),
+      e AS (SELECT id_a AS s, id_b AS d FROM p
+            UNION ALL SELECT id_b, id_a FROM p),
+      lab(node, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.d, l.label FROM lab l JOIN e ON e.s = l.node
+        WHERE l.label < e.d),
+      cc AS (SELECT node, MIN(label) AS component FROM lab GROUP BY node)
+      SELECT d.source AS source, COUNT(*) AS n_docs,
+        CAST(SUM(CASE WHEN cc.node = cc.component THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_kept,
+        CAST(SUM(d.n_chars) AS BIGINT) AS chars_total,
+        CAST(SUM(CASE WHEN cc.node = cc.component THEN d.n_chars
+          ELSE 0 END) AS BIGINT) AS chars_kept
+      FROM documents d JOIN cc ON d.doc_id = cc.node
+      GROUP BY d.source ORDER BY source"""),
+  )
+
   val all: Seq[QueryDef] = Seq(q187FdDiscovery, q188IndDiscovery,
     q189Cube, q190TemporalJoin, q191Rbo, q192Concurrency,
     q193WeightedQuantiles, q194MannWhitney, q195Drawdown,
-    q196ThreeWayMerge, q197CumulativeDistinct)
+    q196ThreeWayMerge, q197CumulativeDistinct, q198DedupE2e)
 }
