@@ -433,6 +433,50 @@ object Stats {
         col("total_w"))
   }
 
+  /** One-sided CUSUM change-point detection per group, exact integer:
+    * the classic recursive statistic S_t = max(0, S_{t−1} + (x_t − k))
+    * has the closed form S_t = P_t − min(P_0..P_t) with P the plain
+    * prefix sum of (x − k) — the max(0, ·) fold is the drawdown
+    * identity read upside down — so the sequential-looking monitor is
+    * two grouped scans: [[groupedPrefixSums]] for P and
+    * [[groupedPrefixMax]] of −P for the running minimum. No
+    * sequential state, no per-group window, bit-exact.
+    *
+    * `k` is the reference drift (allowance) subtracted per
+    * observation; an alarm fires where S_t > h. Output per group:
+    * (grp, max_stat, at_key, first_alarm_key) with
+    * first_alarm_key null when the statistic never exceeds h.
+    * Input rows are (group, key, x) cells — aggregate duplicates
+    * first; x and k integer (scale to cents/micros upstream).
+    */
+  def cusumAlarms(df: DataFrame, group: Column, key: Column, x: Column,
+      k: Long, h: Long): DataFrame = {
+    require(h >= 0, s"threshold h must be >= 0, got $h")
+    val cells = df.select(group.as("grp"), key.cast("long").as("ky"),
+        (x.cast("long") - k).as("d"))
+      .filter(col("ky").isNotNull)
+      .groupBy(col("grp"), col("ky")).agg(sum(col("d")).as("d"))
+    val p = groupedPrefixSums(cells, "grp", "ky", Seq("d"))
+      .select(col("grp"), col("ky"), col("gcum_d").as("pd"))
+    // running min of P including a virtual P_0 = 0 start: S_t =
+    // P_t − min(0, min P_1..P_t)
+    val negP = p.select(col("grp"), col("ky"), (-col("pd")).as("d"))
+    val s = groupedPrefixMax(negP, "grp", "ky", Seq("d"))
+      .join(p, Seq("grp", "ky"))
+      .select(col("grp"), col("ky"),
+        (col("pd") + greatest(col("gmax_d"), lit(0L))).as("s"))
+    val mx = s.groupBy(col("grp")).agg(max(col("s")).as("max_stat"))
+    val atMax = s.join(mx, Seq("grp"))
+      .filter(col("s") === col("max_stat"))
+      .groupBy(col("grp"), col("max_stat"))
+      .agg(min(col("ky")).as("at_key"))
+    val alarm = s.filter(col("s") > h)
+      .groupBy(col("grp")).agg(min(col("ky")).as("first_alarm_key"))
+    atMax.join(alarm, Seq("grp"), "left")
+      .select(col("grp"), col("max_stat"), col("at_key"),
+        col("first_alarm_key"))
+  }
+
   /** Cumulative distinct reach: per time bucket, how many keys appear
     * for the FIRST time and how many distinct keys have appeared up
     * to and including it — the growth curve every "total users /

@@ -662,8 +662,54 @@ object SchemaQueries {
       GROUP BY d.source ORDER BY source"""),
   )
 
+  // --------------------------------------------------------------- q199
+  /** One-sided CUSUM monitoring of hourly event volumes per type
+    * ([[graft.operators.Stats.cusumAlarms]], allowance k = 3 ≈ the
+    * mean hourly rate, threshold h = 15): the sequential-looking
+    * recursion max(0, S+d) computed as two grouped scans via the
+    * closed form S_t = P_t − min(P_0..P_t). The oracle replays both
+    * scans with per-group windows and the same GREATEST(…, 0) virtual
+    * start — grading the closed form against the textbook definition.
+    */
+  val q199Cusum: QueryDef = QueryDef(
+    "q199_cusum",
+    (s, dir) => {
+      val cells = Tables(s, dir, "events")
+        .groupBy(col("event_type").as("g"),
+          expr("unix_micros(cast(ts as timestamp)) div 3600000000")
+            .as("ky"))
+        .agg(count(lit(1)).as("x"))
+      graft.operators.Stats.cusumAlarms(cells, col("g"), col("ky"),
+          col("x"), k = 3L, h = 15L)
+        .orderBy(col("grp"))
+    },
+    Some("""
+      WITH cells AS (
+        SELECT event_type AS g,
+          CAST(epoch_ns(ts) // 1000 // 3600000000 AS BIGINT) AS ky,
+          COUNT(*) AS x
+        FROM events GROUP BY 1, 2),
+      p AS (
+        SELECT g, ky, CAST(SUM(x - 3) OVER (PARTITION BY g ORDER BY ky
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pd
+        FROM cells),
+      s AS (
+        SELECT g, ky, pd + GREATEST(MAX(-pd) OVER (PARTITION BY g
+          ORDER BY ky ROWS UNBOUNDED PRECEDING), 0) AS s
+        FROM p),
+      mx AS (SELECT g, MAX(s) AS max_stat FROM s GROUP BY g),
+      am AS (SELECT s.g, mx.max_stat, MIN(ky) AS at_key
+        FROM s JOIN mx ON s.g = mx.g AND s.s = mx.max_stat
+        GROUP BY s.g, mx.max_stat),
+      al AS (SELECT g, MIN(ky) AS first_alarm_key FROM s
+        WHERE s > 15 GROUP BY g)
+      SELECT am.g AS grp, am.max_stat, am.at_key, al.first_alarm_key
+      FROM am LEFT JOIN al ON am.g = al.g
+      ORDER BY grp"""),
+  )
+
   val all: Seq[QueryDef] = Seq(q187FdDiscovery, q188IndDiscovery,
     q189Cube, q190TemporalJoin, q191Rbo, q192Concurrency,
     q193WeightedQuantiles, q194MannWhitney, q195Drawdown,
-    q196ThreeWayMerge, q197CumulativeDistinct, q198DedupE2e)
+    q196ThreeWayMerge, q197CumulativeDistinct, q198DedupE2e, q199Cusum)
 }

@@ -254,6 +254,74 @@ class SchemaDiscoverySpec extends SparkSpec {
     assert(got.toSeq === Seq((1L, 2L, 2L), (2L, 1L, 3L)))
   }
 
+  test("cusumAlarms: the closed form equals the sequential " +
+      "max(0, S+d) recursion on seeded random series") {
+    import graft.operators.Stats
+    def ref(rows: Seq[(String, Long, Long)], k: Long, h: Long)
+        : Map[String, (Long, Long, Option[Long])] =
+      rows.groupBy(_._1).map { case (g, rs) =>
+        val cells = rs.groupBy(_._2).view.mapValues(_.map(_._3).sum)
+          .toSeq.sortBy(_._1)
+        var s = 0L
+        val states = cells.map { case (ky, x) =>
+          s = math.max(0L, s + (x - k)); (ky, s) }
+        val mx = states.map(_._2).max
+        g -> ((mx, states.filter(_._2 == mx).map(_._1).min,
+          states.find(_._2 > h).map(_._1)))
+      }
+    val rnd = new scala.util.Random(131)
+    for (trial <- 0 until 4) {
+      val k = 2L + trial
+      val h = 5L + 3 * trial
+      val rows = Seq.fill(100)((s"m${rnd.nextInt(3)}",
+        rnd.nextInt(50).toLong, rnd.nextInt(8).toLong))
+      // cusumAlarms applies k per aggregated CELL — collapse dup keys
+      // to one observation first, as the contract requires
+      val cells = rows.groupBy(r => (r._1, r._2)).toSeq
+        .map { case ((g, ky), rs) => (g, ky, rs.map(_._3).sum) }
+      val got = Stats.cusumAlarms(cells.toDF("g", "ky", "x"),
+          col("g"), col("ky"), col("x"), k, h)
+        .as[(String, Long, Long, Option[Long])].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(got === ref(cells, k, h), s"trial $trial (k=$k, h=$h)")
+    }
+  }
+
+  test("threeWayMerge matches a reference classifier on random edits") {
+    import graft.operators.Merge3
+    val rnd = new scala.util.Random(137)
+    for (trial <- 0 until 3) {
+      val keys = (1L to 60L)
+      def mutate(): Map[Long, Long] = keys.flatMap { k =>
+        rnd.nextInt(5) match {
+          case 0 => None // delete
+          case 1 => Some(k -> (1000L + rnd.nextInt(3))) // edit
+          case _ => Some(k -> 100L) // keep base value
+        }
+      }.toMap ++ (61L to 70L).flatMap(k =>
+        if (rnd.nextBoolean()) Some(k -> (2000L + rnd.nextInt(2)))
+        else None) // inserts
+      val base = keys.map(k => k -> 100L).toMap
+      val ours = mutate(); val theirs = mutate()
+      def ref(k: Long): (String, Option[Long]) = {
+        val (b, o, t) = (base.get(k), ours.get(k), theirs.get(k))
+        if (o == b && t == b) ("unchanged", b)
+        else if (o == b) ("take_theirs", t)
+        else if (t == b) ("take_ours", o)
+        else if (o == t) ("both_same", o)
+        else ("conflict", None)
+      }
+      val allKeys = (base.keySet ++ ours.keySet ++ theirs.keySet).toSeq
+      val expect = allKeys.map(k => k -> ref(k)).toMap
+      def df(m: Map[Long, Long]) = m.toSeq.toDF("k", "h")
+      val got = Merge3.threeWayMerge(df(base), df(ours), df(theirs))
+        .select(col("k"), col("verdict"), col("h_merged"))
+        .as[(Long, String, Option[Long])].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got === expect, s"trial $trial")
+    }
+  }
+
   test("plan lint: maxDrawdown's windows are partition-local or " +
       "bounded by shuffle.partitions — never data-sized per group") {
     import graft.plans.PlanLint
