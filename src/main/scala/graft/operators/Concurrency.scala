@@ -50,4 +50,45 @@ object Concurrency {
       .agg(min(col("t")).as("at_us"))
       .select(col("attr"), col("max_concurrency"), col("at_us"))
   }
+
+  /** Interval-UNION length per group — total time covered by at
+    * least one interval, overlaps merged (user active time, SLA
+    * uptime, machine busy time). Input (grp, from_us, to_us); only
+    * CLOSED intervals participate (an open interval has unbounded
+    * cover — filter or cap upstream), empty/negative ones are
+    * dropped.
+    *
+    * The sweep needs NO neighbor access: at a boundary cell the
+    * previous concurrency is `conc − delta` — a per-row expression —
+    * so cover transitions are pure row-local flags (off→on where
+    * conc > 0 ∧ conc−delta = 0; on→off where conc = 0 ∧
+    * conc−delta > 0) and the union length telescopes to
+    * Σ t[off] − Σ t[on]. One grouped prefix sum
+    * ([[Stats.groupedPrefixSums]]) plus one combining aggregate:
+    * no per-group window, no lead/lag, no segment materialization.
+    * Closed-interval series always end at concurrency 0, so the
+    * telescoping sum is exact. Output: (grp, covered_us,
+    * n_segments) with n_segments the count of merged islands.
+    */
+  def coveredTime(intervals: DataFrame): DataFrame = {
+    val iv = intervals.filter(col("to_us").isNotNull &&
+      col("to_us") > col("from_us"))
+    val deltas = iv.select(col("grp"), col("from_us").as("t"),
+        lit(1L).as("delta"))
+      .unionByName(iv.select(col("grp"), col("to_us").as("t"),
+        lit(-1L).as("delta")))
+      .groupBy(col("grp"), col("t"))
+      .agg(sum(col("delta")).as("delta"))
+      .filter(col("delta") =!= 0) // touching boundaries cancel
+    val conc = Stats.groupedPrefixSums(deltas, "grp", "t", Seq("delta"))
+      .select(col("grp"), col("t"), col("delta"),
+        col("gcum_delta").as("c"))
+    conc.groupBy(col("grp"))
+      .agg(
+        sum(when(col("c") === 0 && col("c") - col("delta") > 0, col("t"))
+          .when(col("c") > 0 && col("c") - col("delta") === 0, -col("t"))
+          .otherwise(0L)).as("covered_us"),
+        sum(when(col("c") > 0 && col("c") - col("delta") === 0, 1L)
+          .otherwise(0L)).as("n_segments"))
+  }
 }

@@ -708,8 +708,58 @@ object SchemaQueries {
       ORDER BY grp"""),
   )
 
+  // --------------------------------------------------------------- q200
+  /** Total covered (active) time per user: each event opens an
+    * activity window of `value` seconds; the union length merges the
+    * overlaps ([[graft.operators.Concurrency.coveredTime]] —
+    * row-local transition flags on one grouped prefix sum, no
+    * lead/lag, no per-group window). The oracle is the INDEPENDENT
+    * island formulation: intervals sorted, a new island wherever
+    * from exceeds the running max of prior ends, union length =
+    * Σ island spans — merging by windows what the operator merges by
+    * telescoping.
+    */
+  val q200CoveredTime: QueryDef = QueryDef(
+    "q200_covered_time",
+    (s, dir) => {
+      val f = expr("unix_micros(cast(ts as timestamp))")
+      val iv = Tables(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .select(col("user_id").as("grp"), f.as("from_us"),
+          (f + floor(col("value")).cast("long") * 1000000L).as("to_us"))
+      graft.operators.Concurrency.coveredTime(iv)
+        .orderBy(col("grp"))
+    },
+    Some("""
+      WITH iv0 AS (
+        SELECT user_id AS grp,
+          CAST(epoch_ns(ts) // 1000 AS BIGINT) AS f,
+          CAST(epoch_ns(ts) // 1000 AS BIGINT)
+            + CAST(floor(value) AS BIGINT) * 1000000 AS t
+        FROM events WHERE value IS NOT NULL),
+      iv AS (SELECT grp, f, t FROM iv0 WHERE t > f),
+      marked AS (
+        SELECT grp, f, t,
+          CASE WHEN f > COALESCE(MAX(t) OVER (PARTITION BY grp
+            ORDER BY f, t ROWS BETWEEN UNBOUNDED PRECEDING
+            AND 1 PRECEDING), -9223372036854775808) THEN 1 ELSE 0 END
+            AS new_island
+        FROM iv)
+      , isl AS (
+        SELECT grp, f, t, CAST(SUM(new_island) OVER (PARTITION BY grp
+          ORDER BY f, t ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+        FROM marked)
+      , spans AS (
+        SELECT grp, island, MAX(t) - MIN(f) AS len FROM isl
+        GROUP BY grp, island)
+      SELECT grp, CAST(SUM(len) AS BIGINT) AS covered_us,
+        COUNT(*) AS n_segments
+      FROM spans GROUP BY grp ORDER BY grp"""),
+  )
+
   val all: Seq[QueryDef] = Seq(q187FdDiscovery, q188IndDiscovery,
     q189Cube, q190TemporalJoin, q191Rbo, q192Concurrency,
     q193WeightedQuantiles, q194MannWhitney, q195Drawdown,
-    q196ThreeWayMerge, q197CumulativeDistinct, q198DedupE2e, q199Cusum)
+    q196ThreeWayMerge, q197CumulativeDistinct, q198DedupE2e, q199Cusum,
+    q200CoveredTime)
 }

@@ -322,6 +322,51 @@ class SchemaDiscoverySpec extends SparkSpec {
     }
   }
 
+  test("coveredTime: merges overlaps, keeps gaps, drops opens; " +
+      "matches a reference merger on random intervals") {
+    import graft.operators.Concurrency
+    def iv(rows: Seq[(String, Long, Option[Long])]) =
+      rows.toDF("grp", "from_us", "to_us")
+    // [0,10)∪[5,20) = 20; gap to [30,35) = 5 → 25 over 2 segments;
+    // touching [40,45)+[45,50) merge; nested [60,100)⊇[70,80); the
+    // open and the empty interval are dropped
+    val got = Concurrency.coveredTime(iv(Seq(
+        ("u", 0L, Some(10L)), ("u", 5L, Some(20L)), ("u", 30L, Some(35L)),
+        ("u", 99L, None), ("u", 7L, Some(7L)),
+        ("v", 40L, Some(45L)), ("v", 45L, Some(50L)),
+        ("w", 60L, Some(100L)), ("w", 70L, Some(80L)))))
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got === Map("u" -> ((25L, 2L)), "v" -> ((10L, 1L)),
+      "w" -> ((40L, 1L))))
+    def ref(rows: Seq[(String, Long, Long)]): Map[String, (Long, Long)] =
+      rows.groupBy(_._1).map { case (g, rs) =>
+        val sorted = rs.map(r => (r._2, r._3)).sortBy(identity)
+        var segs = List.empty[(Long, Long)]
+        sorted.foreach { case (f, t) =>
+          segs match {
+            case (a, b) :: rest if f <= b =>
+              segs = (a, math.max(b, t)) :: rest
+            case _ => segs = (f, t) :: segs
+          }
+        }
+        g -> ((segs.map(s => s._2 - s._1).sum, segs.size.toLong))
+      }
+    val rnd = new scala.util.Random(139)
+    for (trial <- 0 until 4) {
+      val rows = Seq.fill(60 + trial * 40) {
+        val f = rnd.nextInt(200).toLong
+        (s"g${rnd.nextInt(3)}", f, f + 1 + rnd.nextInt(30).toLong)
+      }
+      val got2 = Concurrency.coveredTime(
+          rows.map(r => (r._1, r._2, Some(r._3)))
+            .toDF("grp", "from_us", "to_us"))
+        .as[(String, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got2 === ref(rows), s"trial $trial")
+    }
+  }
+
   test("plan lint: maxDrawdown's windows are partition-local or " +
       "bounded by shuffle.partitions — never data-sized per group") {
     import graft.plans.PlanLint
