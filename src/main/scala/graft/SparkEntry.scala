@@ -16,7 +16,8 @@ object SparkEntry {
       graft.queries.CurationQueries.all ++ graft.queries.Round8Queries.all ++
       graft.queries.IntegrityQueries.all ++
       graft.queries.AssociationQueries.all ++
-      graft.queries.SchemaQueries.all
+      graft.queries.SchemaQueries.all ++
+      graft.queries.AnalyticsQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

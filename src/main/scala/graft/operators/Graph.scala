@@ -391,6 +391,43 @@ object Graph {
     e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
   }
 
+  /** Degree assortativity: the Pearson correlation of endpoint
+    * degrees over the undirected edge list (both orientations, the
+    * standard convention) — do high-degree nodes attach to other
+    * high-degree nodes (r > 0, social graphs) or to leaves (r < 0,
+    * bipartite/hub-and-spoke)? One row (n_endpoints, r) with r
+    * 6dp-rounded (the [[Stats.lagAutocorrelation]] closed form on
+    * exact integer moments — only the final sqrt is floating).
+    *
+    * Scale shape: degree table by combining count, two equi-joins to
+    * attach endpoint degrees, one moments aggregate. Nothing
+    * quadratic — the join fan-out is the edge list itself.
+    */
+  def degreeAssortativity(edges: DataFrame): DataFrame = {
+    val und = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint()
+    val deg = und.groupBy(col("src").as("v"))
+      .agg(count(lit(1)).as("deg"))
+    val pairs = und
+      .join(deg.select(col("v").as("src"), col("deg").as("da")), Seq("src"))
+      .join(deg.select(col("v").as("dst"), col("deg").as("db")), Seq("dst"))
+    val varA = col("n") * col("saa") - col("sa") * col("sa")
+    val varB = col("n") * col("sbb") - col("sb") * col("sb")
+    pairs.agg(count(lit(1)).as("n"), sum(col("da")).as("sa"),
+        sum(col("db")).as("sb"), sum(col("da") * col("db")).as("sab"),
+        sum(col("da") * col("da")).as("saa"),
+        sum(col("db") * col("db")).as("sbb"))
+      .select(col("n").as("n_endpoints"),
+        when(varA > 0 && varB > 0,
+          round((col("n") * col("sab") - col("sa") * col("sb"))
+              .cast("double") /
+            (sqrt(varA.cast("double")) * sqrt(varB.cast("double"))), 6))
+          .as("r"))
+  }
+
   /** HITS hubs-and-authorities in integer fixed point (max-norm
     * variant): per round, authority = Σ hub over in-edges and hub =
     * Σ authority over out-edges, each rescaled to [0, 10⁶] by the

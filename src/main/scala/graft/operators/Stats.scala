@@ -433,6 +433,54 @@ object Stats {
         col("total_w"))
   }
 
+  /** Global rank buckets (quantile scores): every row gets its bucket
+    * 1..k by position in `key` order — the RFM-scoring / decile-
+    * normalization primitive. Deterministic floor-div assignment
+    * bucket = (idx·k) div n + 1 over the two-phase
+    * [[graft.operators.Splits.rangeRanked]] global index (NO
+    * single-partition ROW_NUMBER), with n attached as a lazy one-row
+    * broadcast. Note this is floor-partitioning, not SQL NTILE —
+    * NTILE front-loads the remainder; this spreads it — the oracle
+    * replays the same arithmetic. Pass a TOTAL-ORDER key (tiebreak
+    * by id) for deterministic buckets.
+    */
+  def rankBuckets(df: DataFrame, key: Column, k: Int,
+      bucketName: String): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val ranked = graft.operators.Splits.rangeRanked(df, key)
+    val n = ranked.agg(count(lit(1)).as("__n"))
+    ranked.crossJoin(broadcast(n))
+      .withColumn(bucketName, expr(s"(__idx * $k) div __n + 1"))
+      .drop("__idx", "__n", "__rnd", "__mid")
+  }
+
+  /** Pareto / ABC classification: rows ranked by descending weight,
+    * classed by cumulative share — class 1 while cum·10⁶ ≤ cut₁·total,
+    * class 2 while ≤ cut₂, … , |cuts|+1 for the tail. The "20% of
+    * parts are 80% of revenue" census, exact integer. Two-phase
+    * prefix over the (−w, id) total order, lazy one-row total.
+    * Output: input rows + (cum_w, abc_class).
+    */
+  def paretoClasses(df: DataFrame, id: Column, weight: Column,
+      cutsPpm: Seq[Long]): DataFrame = {
+    require(cutsPpm.nonEmpty && cutsPpm == cutsPpm.sorted &&
+      cutsPpm.forall(c => c > 0 && c < 1000000L),
+      s"cuts must be ascending ppm in (0, 1000000), got $cutsPpm")
+    val cells = df.select(id.as("id"), weight.cast("long").as("w"))
+      .filter(col("w").isNotNull)
+    val cum = rangePrefixSums(cells, struct((-col("w")).as("nw"),
+      col("id")), Seq("w"))
+    val total = cells.agg(coalesce(sum(col("w")), lit(0L)).as("__tot"))
+    val classExpr = cutsPpm.zipWithIndex.foldRight(
+      lit(cutsPpm.length + 1): Column) { case ((cut, i), acc) =>
+        when(col("cum_w") * 1000000L <= lit(cut) * col("__tot"),
+          lit(i + 1)).otherwise(acc)
+      }
+    cum.crossJoin(broadcast(total))
+      .withColumn("abc_class", classExpr.cast("long"))
+      .drop("__tot")
+  }
+
   /** One-sided CUSUM change-point detection per group, exact integer:
     * the classic recursive statistic S_t = max(0, S_{t−1} + (x_t − k))
     * has the closed form S_t = P_t − min(P_0..P_t) with P the plain

@@ -1,0 +1,159 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** Round-8 wave I: customer/revenue analytics — RFM scoring on
+  * two-phase global rank buckets (q201), Pareto/ABC revenue
+  * classification (q202), and graph degree assortativity (q203).
+  */
+object AnalyticsQueries {
+
+  // --------------------------------------------------------------- q201
+  /** RFM scoring: every user bucketed 1..5 on recency (last event),
+    * frequency (event count), and monetary (purchase total) —
+    * [[graft.operators.Stats.rankBuckets]] three times, each a
+    * two-phase global ranking, never a single-partition ROW_NUMBER.
+    * 5 = best on every axis. The oracle replays the floor-div bucket
+    * arithmetic over ROW_NUMBER ranks with the same (metric, user)
+    * total order.
+    */
+  val q201Rfm: QueryDef = QueryDef(
+    "q201_rfm",
+    (s, dir) => {
+      import graft.operators.Stats
+      val m = Tables(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(max(expr("unix_micros(cast(ts as timestamp))")).as("rec"),
+          count(lit(1)).as("freq"),
+          sum(when(col("event_type") === "purchase",
+            floor(col("value")).cast("long")).otherwise(0L)).as("mon"))
+      val withR = Stats.rankBuckets(m,
+        struct(col("rec"), col("user_id")), 5, "r")
+      val withF = Stats.rankBuckets(withR,
+        struct(col("freq"), col("user_id")), 5, "f")
+      val withM = Stats.rankBuckets(withF,
+        struct(col("mon"), col("user_id")), 5, "m")
+      withM.select(col("user_id"), col("r"), col("f"), col("m"),
+          (col("r") * 100 + col("f") * 10 + col("m")).as("rfm_code"))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      WITH m AS (
+        SELECT user_id,
+          MAX(CAST(epoch_ns(ts) // 1000 AS BIGINT)) AS rec,
+          COUNT(*) AS freq,
+          CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+            THEN CAST(floor(value) AS BIGINT) END), 0) AS BIGINT) AS mon
+        FROM events GROUP BY user_id),
+      n AS (SELECT COUNT(*) AS n FROM m),
+      rk AS (
+        SELECT user_id,
+          ROW_NUMBER() OVER (ORDER BY rec, user_id) - 1 AS ri,
+          ROW_NUMBER() OVER (ORDER BY freq, user_id) - 1 AS fi,
+          ROW_NUMBER() OVER (ORDER BY mon, user_id) - 1 AS mi
+        FROM m)
+      SELECT user_id,
+        CAST(ri * 5 // n + 1 AS BIGINT) AS r,
+        CAST(fi * 5 // n + 1 AS BIGINT) AS f,
+        CAST(mi * 5 // n + 1 AS BIGINT) AS m,
+        CAST((ri * 5 // n + 1) * 100 + (fi * 5 // n + 1) * 10
+          + (mi * 5 // n + 1) AS BIGINT) AS rfm_code
+      FROM rk CROSS JOIN n
+      ORDER BY user_id"""),
+  )
+
+  // --------------------------------------------------------------- q202
+  /** ABC revenue classification of parts
+    * ([[graft.operators.Stats.paretoClasses]], cuts 70%/90%): class
+    * census with exact revenue shares — the "how concentrated is the
+    * catalogue" question. Exact integer cumulative-share compare;
+    * the oracle replays the (revenue desc, part) order with a window
+    * running sum.
+    */
+  val q202Abc: QueryDef = QueryDef(
+    "q202_abc",
+    (s, dir) => {
+      val rev = Tables(s, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(sum(floor(col("l_extendedprice")).cast("long")).as("rev"))
+      graft.operators.Stats.paretoClasses(rev, col("l_partkey"),
+          col("rev"), Seq(700000L, 900000L))
+        .groupBy(col("abc_class"))
+        .agg(count(lit(1)).as("n_parts"), sum(col("w")).as("revenue"))
+        .withColumn("share_ppm", expr(
+          "(1000000 * revenue) div (sum(revenue) over ())"))
+        .orderBy(col("abc_class"))
+    },
+    Some("""
+      WITH rev AS (
+        SELECT l_partkey AS id,
+          CAST(SUM(CAST(floor(l_extendedprice) AS BIGINT)) AS BIGINT)
+            AS w
+        FROM lineitem GROUP BY l_partkey),
+      t AS (SELECT CAST(SUM(w) AS BIGINT) AS tot FROM rev),
+      c AS (
+        SELECT id, w, CAST(SUM(w) OVER (ORDER BY w DESC, id
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_w
+        FROM rev),
+      cls AS (
+        SELECT id, w,
+          CASE WHEN cum_w * 1000000 <= 700000 * tot THEN 1
+               WHEN cum_w * 1000000 <= 900000 * tot THEN 2
+               ELSE 3 END AS abc_class
+        FROM c CROSS JOIN t)
+      SELECT CAST(abc_class AS BIGINT) AS abc_class,
+        COUNT(*) AS n_parts, CAST(SUM(w) AS BIGINT) AS revenue,
+        CAST((1000000 * CAST(SUM(w) AS BIGINT))
+          // (SELECT tot FROM t) AS BIGINT) AS share_ppm
+      FROM cls GROUP BY abc_class ORDER BY abc_class"""),
+  )
+
+  // --------------------------------------------------------------- q203
+  /** Degree assortativity of the customer–supplier graph
+    * ([[graft.operators.Graph.degreeAssortativity]]): strongly
+    * negative, as a bipartite hub graph must be — high-degree
+    * customers connect to suppliers of all degrees. Exact integer
+    * moments, one floating sqrt at the end (the q175 parity form).
+    */
+  val q203Assortativity: QueryDef = QueryDef(
+    "q203_assortativity",
+    (s, dir) => {
+      val o = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val l = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val cs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+      graft.operators.Graph.degreeAssortativity(cs)
+    },
+    Some("""
+      WITH cs AS (
+        SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      und AS (SELECT src, dst FROM (
+          SELECT src, dst FROM cs UNION SELECT dst, src FROM cs)
+        WHERE src <> dst),
+      deg AS (SELECT src AS v, COUNT(*) AS deg FROM und GROUP BY src),
+      pairs AS (
+        SELECT a.deg AS da, b.deg AS db
+        FROM und JOIN deg a ON und.src = a.v JOIN deg b ON und.dst = b.v),
+      agg AS (
+        SELECT COUNT(*) AS n, CAST(SUM(da) AS BIGINT) AS sa,
+          CAST(SUM(db) AS BIGINT) AS sb,
+          CAST(SUM(da * db) AS BIGINT) AS sab,
+          CAST(SUM(da * da) AS BIGINT) AS saa,
+          CAST(SUM(db * db) AS BIGINT) AS sbb
+        FROM pairs)
+      SELECT n AS n_endpoints,
+        CASE WHEN n * saa - sa * sa > 0 AND n * sbb - sb * sb > 0
+          THEN ROUND(CAST(n * sab - sa * sb AS DOUBLE)
+            / (sqrt(CAST(n * saa - sa * sa AS DOUBLE))
+               * sqrt(CAST(n * sbb - sb * sb AS DOUBLE))), 6)
+        END AS r
+      FROM agg"""),
+  )
+
+  val all: Seq[QueryDef] = Seq(q201Rfm, q202Abc, q203Assortativity)
+}

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.{Graph, Stats}
+
+  test("rankBuckets: floor-div assignment, deterministic under ties, " +
+      "monotone in the key") {
+    def ref(n: Int, k: Int): Seq[Long] =
+      (0 until n).map(i => (i.toLong * k) / n + 1)
+    for ((n, k) <- Seq((7, 5), (20, 4), (5, 5), (3, 5))) {
+      val rows = (1 to n).map(i => (i.toLong, (i % 4).toLong))
+      val got = Stats.rankBuckets(rows.toDF("id", "v"),
+          struct(col("v"), col("id")), k, "b")
+        .select(col("id"), col("b")).as[(Long, Long)].collect()
+        .sortBy(_._1)
+      // buckets follow the (v, id) order exactly
+      val order = rows.sortBy(r => (r._2, r._1)).map(_._1)
+      val expect = order.zip(ref(n, k)).toMap
+      assert(got.toMap === expect, s"n=$n k=$k")
+      // monotone: a later-ordered row never gets a smaller bucket
+      val byOrder = order.map(got.toMap)
+      assert(byOrder === byOrder.sorted)
+    }
+  }
+
+  test("paretoClasses: cumulative-share classes with exact boundaries") {
+    // weights 50, 30, 15, 5 (desc): cum shares 50%, 80%, 95%, 100%
+    // cuts 70/90 → classes 1, 2, 3, 3
+    val rows = Seq((1L, 50L), (2L, 30L), (3L, 15L), (4L, 5L))
+    val got = Stats.paretoClasses(rows.toDF("id", "w"), col("id"),
+        col("w"), Seq(700000L, 900000L))
+      .select(col("id"), col("cum_w"), col("abc_class"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq((1L, 50L, 1L), (2L, 80L, 2L),
+      (3L, 95L, 3L), (4L, 100L, 3L)))
+    // exact boundary is inclusive: 70% exactly → class 1
+    val b = Stats.paretoClasses(
+        Seq((1L, 7L), (2L, 3L)).toDF("id", "w"), col("id"), col("w"),
+        Seq(700000L, 900000L))
+      .select(col("id"), col("abc_class")).as[(Long, Long)]
+      .collect().toMap
+    assert(b === Map(1L -> 1L, 2L -> 3L))
+  }
+
+  test("degreeAssortativity: a star is maximally disassortative; a " +
+      "clique has zero degree variance (null r)") {
+    val star = (2L to 6L).map(i => (1L, i)).toDF("src", "dst")
+    val r = Graph.degreeAssortativity(star)
+      .select(col("n_endpoints"), col("r"))
+      .as[(Long, Option[Double])].head()
+    assert(r._1 === 10L && r._2.get === -1.0)
+    val clique = (for (a <- 1L to 4L; b <- 1L to 4L if a < b)
+      yield (a, b)).toDF("src", "dst")
+    val rc = Graph.degreeAssortativity(clique)
+      .select(col("r")).as[Option[Double]].head()
+    assert(rc.isEmpty) // zero variance → undefined, surfaced as null
+  }
+
+  test("degreeAssortativity matches a reference Pearson on random " +
+      "graphs") {
+    def ref(edges: Seq[(Long, Long)]): Option[Double] = {
+      val und = edges.flatMap(t => Seq(t, t.swap))
+        .filter(t => t._1 != t._2).distinct
+      val deg = und.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val ps = und.map { case (a, b) => (deg(a), deg(b)) }
+      val n = ps.size.toLong
+      val sa = ps.map(_._1).sum; val sb = ps.map(_._2).sum
+      val sab = ps.map(p => p._1 * p._2).sum
+      val saa = ps.map(p => p._1 * p._1).sum
+      val sbb = ps.map(p => p._2 * p._2).sum
+      val va = n * saa - sa * sa; val vb = n * sbb - sb * sb
+      if (va > 0 && vb > 0)
+        Some(BigDecimal((n * sab - sa * sb).toDouble /
+            (math.sqrt(va.toDouble) * math.sqrt(vb.toDouble)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      else None
+    }
+    val rnd = new scala.util.Random(149)
+    for (trial <- 0 until 3) {
+      val n = 12 + trial * 8
+      val edges = Seq.fill(n * 2)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val got = Graph.degreeAssortativity(edges.toDF("src", "dst"))
+        .select(col("r")).as[Option[Double]].head()
+      assert(got === ref(edges), s"trial $trial")
+    }
+  }
+
+  test("plan lint: rank buckets and pareto classes never plan a " +
+      "single-partition window") {
+    import graft.plans.PlanLint
+    val m = Tables(spark, sfDir, "orders").groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("cnt"))
+    val rb = Stats.rankBuckets(m, struct(col("cnt"), col("o_custkey")),
+      5, "b")
+    assert(!PlanLint.findings(rb)
+      .exists(_._1 == "single_partition_window"),
+      PlanLint.findings(rb).toString)
+    val pc = Stats.paretoClasses(m, col("o_custkey"), col("cnt"),
+      Seq(700000L))
+    assert(!PlanLint.findings(pc)
+      .exists(_._1 == "single_partition_window"),
+      PlanLint.findings(pc).toString)
+  }
+}
