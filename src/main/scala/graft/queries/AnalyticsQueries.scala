@@ -155,5 +155,53 @@ object AnalyticsQueries {
       FROM agg"""),
   )
 
-  val all: Seq[QueryDef] = Seq(q201Rfm, q202Abc, q203Assortativity)
+  // --------------------------------------------------------------- q204
+  /** Nested-JSON round trip: per order, a JSON document with a
+    * sorted quantity ARRAY is built with string ops, then parsed
+    * BACK through `from_json` with a nested schema
+    * (struct<id, qty: array<bigint>>), exploded, and aggregated.
+    * The oracle computes the same aggregate DIRECTLY from lineitem —
+    * fully independent semantics — so any drop, reorder, or type
+    * mangling inside Spark's JSON parser on nested arrays fails the
+    * hash (q25 grades flat get_json_object; this grades the nested
+    * from_json surface).
+    */
+  val q204JsonNested: QueryDef = QueryDef(
+    "q204_json_nested",
+    (s, dir) => {
+      val docs = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          floor(col("l_quantity")).cast("long").as("q"))
+        .groupBy(col("l_orderkey"))
+        .agg(concat(lit("{\"id\":"),
+          col("l_orderkey").cast("string"),
+          lit(",\"qty\":["),
+          concat_ws(",", expr(
+            "transform(sort_array(collect_list(struct(l_linenumber, q)))," +
+              " x -> cast(x.q as string))")),
+          lit("]}")).as("j"))
+      docs.select(from_json(col("j"),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("qty",
+              org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.LongType))))).as("d"))
+        .select(col("d.id").as("id"), explode(col("d.qty")).as("q"))
+        .groupBy(pmod(col("id"), lit(7L)).as("bucket"))
+        .agg(sum(col("q")).as("sum_qty"), count(lit(1)).as("n_items"),
+          countDistinct(col("id")).as("n_orders"))
+        .orderBy(col("bucket"))
+    },
+    Some("""
+      SELECT l_orderkey % 7 AS bucket,
+        CAST(SUM(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT)
+          AS sum_qty,
+        COUNT(*) AS n_items,
+        COUNT(DISTINCT l_orderkey) AS n_orders
+      FROM lineitem GROUP BY 1 ORDER BY bucket"""),
+  )
+
+  val all: Seq[QueryDef] = Seq(q201Rfm, q202Abc, q203Assortativity,
+    q204JsonNested)
 }
