@@ -309,4 +309,44 @@ object Similarity {
           .as("recall_ppm"),
         coalesce(expr("1000000 div nn_rank"), lit(0L)).as("nn_rr_ppm"))
   }
+
+  /** Exact integer covariance matrix of an embedding column — the
+    * feature-preprocessing statistic behind whitening, PCA, and
+    * Mahalanobis scoring, computed distributed: values quantize to
+    * integer units (floor(x·scale), identical IEEE multiply in any
+    * engine), so every entry of the matrix is the exact integer
+    * numerator n·Σxᵢxⱼ − Σxᵢ·Σxⱼ — hash-replayable, no float-sum
+    * reassociation (divide by n² downstream for the sample
+    * covariance).
+    *
+    * Scale shape: the dims² fan-out per row IS the Gram computation
+    * (Σ x xᵀ has dims² terms — no formulation avoids them); it
+    * happens row-locally via a vec-id self-join of the posexploded
+    * (i, xᵢ) relation restricted to i ≤ j (symmetry), and partial
+    * aggregation collapses each partition to ≤ dims²/2 cells before
+    * the one shuffle. Driver traffic: zero; output dims·(dims+1)/2
+    * rows. Long guard: needs n·|Σxᵢxⱼ| < 2⁶³ — lower `scale` for
+    * billion-row corpora.
+    */
+  def covarianceMatrix(df: DataFrame, id: Column, vec: Column,
+      scale: Long): DataFrame = {
+    require(scale >= 1, s"scale must be >= 1, got $scale")
+    val e = df.select(id.as("vid"), posexplode(vec).as(Seq("p", "x")))
+      .select(col("vid"), col("p").cast("long").as("i"),
+        floor(col("x").cast("double") * scale).cast("long").as("xi"))
+      .localCheckpoint() // read twice by the self-join
+    val pairs = e
+      .join(e.select(col("vid"), col("i").as("j"), col("xi").as("xj")),
+        Seq("vid"))
+      .filter(col("i") <= col("j"))
+    val sums = pairs.groupBy(col("i"), col("j"))
+      .agg(sum(col("xi") * col("xj")).as("sxy"))
+    val m = e.groupBy(col("i"))
+      .agg(count(lit(1)).as("n"), sum(col("xi")).as("s"))
+    sums
+      .join(m.select(col("i"), col("n"), col("s").as("si")), Seq("i"))
+      .join(m.select(col("i").as("j"), col("s").as("sj")), Seq("j"))
+      .select(col("i"), col("j"), col("n"),
+        (col("n") * col("sxy") - col("si") * col("sj")).as("cov_num"))
+  }
 }

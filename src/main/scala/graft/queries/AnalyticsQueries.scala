@@ -202,6 +202,40 @@ object AnalyticsQueries {
       FROM lineitem GROUP BY 1 ORDER BY bucket"""),
   )
 
+  // --------------------------------------------------------------- q205
+  /** The exact integer covariance matrix of the embeddings table
+    * ([[graft.operators.Similarity.covarianceMatrix]], scale 1000):
+    * all 2080 upper-triangle entries hash-compared — the
+    * whitening/PCA input statistic proven bit-identical. The oracle
+    * replays the quantization (identical IEEE multiply-then-floor),
+    * the pair products, and the n·Σxy − Σx·Σy numerators.
+    */
+  val q205Covariance: QueryDef = QueryDef(
+    "q205_covariance",
+    (s, dir) =>
+      graft.operators.Similarity.covarianceMatrix(
+        Tables(s, dir, "embeddings"), col("vec_id"), col("embedding"),
+        scale = 1000L)
+        .orderBy(col("i"), col("j")),
+    Some("""
+      WITH e AS (
+        SELECT vec_id, i - 1 AS i,
+          CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT)
+            AS xi
+        FROM embeddings, (SELECT unnest(range(1, 65)) AS i)),
+      sums AS (
+        SELECT a.i, b.i AS j,
+          CAST(SUM(a.xi * b.xi) AS BIGINT) AS sxy
+        FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+        GROUP BY a.i, b.i),
+      m AS (SELECT i, COUNT(*) AS n, CAST(SUM(xi) AS BIGINT) AS s
+        FROM e GROUP BY i)
+      SELECT sums.i AS i, sums.j AS j, ma.n AS n,
+        CAST(ma.n * sums.sxy - ma.s * mb.s AS BIGINT) AS cov_num
+      FROM sums JOIN m ma ON sums.i = ma.i JOIN m mb ON sums.j = mb.i
+      ORDER BY i, j"""),
+  )
+
   val all: Seq[QueryDef] = Seq(q201Rfm, q202Abc, q203Assortativity,
-    q204JsonNested)
+    q204JsonNested, q205Covariance)
 }

@@ -89,6 +89,35 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("covarianceMatrix matches a reference computation; diagonal " +
+      "numerators are non-negative") {
+    import graft.operators.Similarity
+    val rnd = new scala.util.Random(151)
+    val dims = 5
+    val vecs = (1L to 30L).map(id =>
+      (id, Array.fill(dims)(rnd.nextFloat() - 0.5f)))
+    def ref: Map[(Long, Long), Long] = {
+      val q = vecs.map { case (_, v) =>
+        v.map(x => math.floor(x.toDouble * 1000).toLong) }
+      val n = q.size.toLong
+      (for (i <- 0 until dims; j <- i until dims) yield {
+        val sxy = q.map(v => v(i) * v(j)).sum
+        val si = q.map(_(i)).sum
+        val sj = q.map(_(j)).sum
+        ((i.toLong, j.toLong), n * sxy - si * sj)
+      }).toMap
+    }
+    val got = Similarity.covarianceMatrix(
+        vecs.toDF("vec_id", "embedding"), col("vec_id"),
+        col("embedding"), 1000L)
+      .select(col("i"), col("j"), col("cov_num"))
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got === ref)
+    assert((0 until dims).forall(i =>
+      got((i.toLong, i.toLong)) >= 0L)) // n·Σx² ≥ (Σx)² always
+  }
+
   test("plan lint: rank buckets and pareto classes never plan a " +
       "single-partition window") {
     import graft.plans.PlanLint
