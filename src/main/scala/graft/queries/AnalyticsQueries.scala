@@ -236,6 +236,55 @@ object AnalyticsQueries {
       ORDER BY i, j"""),
   )
 
+  // --------------------------------------------------------------- q206
+  /** Radius self-join over hash-derived user coordinates
+    * ([[graft.operators.Spatial.radiusPairs]], grid blocking, r=50
+    * on a 1000×1000 plane): every pair of users within Euclidean
+    * distance 50, exact integer squared distances. Coordinates
+    * derive from the portable hash so the oracle replays them, and
+    * the oracle finds the pairs by BRUTE FORCE — grading the
+    * losslessness of the 3×3 cell blocking the same way q182 grades
+    * the edit-distance prefix filter.
+    */
+  val q206RadiusJoin: QueryDef = QueryDef(
+    "q206_radius_join",
+    (s, dir) => {
+      import graft.functions.PortableHash
+      val pts = Tables(s, dir, "customer")
+        .select(col("c_custkey").as("uid"),
+          pmod(PortableHash.hash32(col("c_custkey")), lit(1000L)).as("x"),
+          pmod(PortableHash.hash32(col("c_custkey") * 31 + 7),
+            lit(1000L)).as("y"))
+      graft.operators.Spatial.radiusPairs(pts, col("uid"), col("x"),
+          col("y"), r = 50L)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some {
+      val hx = graft.functions.PortableHash.hash32SqlSteps("c_custkey")
+      val hy = graft.functions.PortableHash
+        .hash32SqlSteps("c_custkey * 31 + 7")
+      s"""
+      WITH x0 AS (SELECT c_custkey, ${hx(0)} AS h FROM customer),
+      x1 AS (SELECT c_custkey, ${hx(1)} AS h FROM x0),
+      x2 AS (SELECT c_custkey, ${hx(2)} AS h FROM x1),
+      xf AS (SELECT c_custkey, ${hx(3)} AS h FROM x2),
+      y0 AS (SELECT c_custkey, ${hy(0)} AS h FROM customer),
+      y1 AS (SELECT c_custkey, ${hy(1)} AS h FROM y0),
+      y2 AS (SELECT c_custkey, ${hy(2)} AS h FROM y1),
+      yf AS (SELECT c_custkey, ${hy(3)} AS h FROM y2),
+      pts AS (
+        SELECT xf.c_custkey AS uid, xf.h % 1000 AS x, yf.h % 1000 AS y
+        FROM xf JOIN yf ON xf.c_custkey = yf.c_custkey)
+      SELECT a.uid AS id_a, b.uid AS id_b,
+        CAST((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+          AS BIGINT) AS dist2
+      FROM pts a JOIN pts b ON a.uid < b.uid
+      WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+        <= 2500
+      ORDER BY id_a, id_b"""
+    },
+  )
+
   val all: Seq[QueryDef] = Seq(q201Rfm, q202Abc, q203Assortativity,
-    q204JsonNested, q205Covariance)
+    q204JsonNested, q205Covariance, q206RadiusJoin)
 }

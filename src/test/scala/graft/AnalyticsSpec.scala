@@ -118,6 +118,36 @@ class AnalyticsSpec extends SparkSpec {
       got((i.toLong, i.toLong)) >= 0L)) // n·Σx² ≥ (Σx)² always
   }
 
+  test("radiusPairs: lossless blocking vs brute force, negative " +
+      "coords, inclusive boundary, no duplicate pairs") {
+    import graft.operators.Spatial
+    def ref(pts: Seq[(Long, Long, Long)], r: Long) =
+      (for {
+        a <- pts; b <- pts
+        if a._1 < b._1
+        d2 = (a._2 - b._2) * (a._2 - b._2) + (a._3 - b._3) * (a._3 - b._3)
+        if d2 <= r * r
+      } yield (a._1, b._1, d2)).toSet
+    val rnd = new scala.util.Random(157)
+    for (trial <- 0 until 3) {
+      val r = 5L + trial * 7
+      val pts = (1L to 80L).map(i =>
+        (i, rnd.nextInt(120).toLong - 60L, rnd.nextInt(120).toLong - 60L))
+      val got = Spatial.radiusPairs(pts.toDF("id", "x", "y"),
+          col("id"), col("x"), col("y"), r)
+        .as[(Long, Long, Long)].collect()
+      assert(got.length === got.toSet.size, "duplicate pairs")
+      assert(got.toSet === ref(pts, r), s"trial $trial (r=$r)")
+    }
+    // boundary: distance exactly r is IN; r+ε out; cell-diagonal case
+    val b = Spatial.radiusPairs(
+        Seq((1L, 0L, 0L), (2L, 3L, 4L), (3L, 0L, 6L), (4L, -5L, -5L))
+          .toDF("id", "x", "y"),
+        col("id"), col("x"), col("y"), 5L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(b === Set((1L, 2L, 25L), (2L, 3L, 13L)))
+  }
+
   test("plan lint: rank buckets and pareto classes never plan a " +
       "single-partition window") {
     import graft.plans.PlanLint
