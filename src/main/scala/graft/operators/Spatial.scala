@@ -58,4 +58,64 @@ object Spatial {
           .as("dist2"))
       .filter(col("dist2") <= r * r)
   }
+
+  /** DBSCAN density clustering, deterministic form — composed
+    * entirely from graded primitives: ε-neighborhoods from
+    * [[radiusPairs]] (lossless grid blocking), cluster formation
+    * from [[Components.connectedComponents]] (alternating-star) over
+    * the core-core graph. Roles follow the classic definition with
+    * the point counting itself in its own neighborhood:
+    *
+    *  - `core`: |neighborhood| ≥ minPts → cluster = its component
+    *    (labelled by the component's minimum core id);
+    *  - `border`: non-core with ≥ 1 core neighbor → cluster = the
+    *    MINIMUM cluster label among its core neighbors (textbook
+    *    DBSCAN leaves multi-reachable borders order-dependent; the
+    *    min rule makes the assignment a pure function of the point
+    *    set — what lets an oracle replay it at all);
+    *  - `noise`: everything else, cluster null.
+    *
+    * Scale shape: radiusPairs' cell-bounded join, one combining
+    * neighbor count, the CC loop's node-keyed star rounds, one
+    * min-aggregate for borders. Nothing quadratic, nothing ordered.
+    */
+  def dbscan(df: DataFrame, id: Column, x: Column, y: Column,
+      r: Long, minPts: Long): DataFrame = {
+    require(minPts >= 1, s"minPts must be >= 1, got $minPts")
+    val pts = df.select(id.as("pid"), x.cast("long").as("px"),
+      y.cast("long").as("py"))
+    val pairs = radiusPairs(pts, col("pid"), col("px"), col("py"), r)
+      .localCheckpoint() // read three times below
+    val sym = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
+      .unionByName(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
+    val nbCount = sym.groupBy(col("a").as("pid"))
+      .agg(count(lit(1)).as("nb"))
+    val roles = pts.join(nbCount, Seq("pid"), "left")
+      .select(col("pid"),
+        (coalesce(col("nb"), lit(0L)) + 1 >= minPts).as("is_core"))
+      .localCheckpoint()
+    val core = roles.filter(col("is_core")).select(col("pid"))
+    val coreEdges = sym
+      .join(core.select(col("pid").as("a")), Seq("a"), "left_semi")
+      .join(core.select(col("pid").as("b")), Seq("b"), "left_semi")
+      .select(col("a").as("src"), col("b").as("dst"))
+    val clusters = Components.connectedComponents(coreEdges,
+        Some(core.select(col("pid").as("node"))))
+      .select(col("node").as("pid"), col("component").as("cluster"))
+    val borderCluster = sym
+      .join(core.select(col("pid").as("b")), Seq("b"), "left_semi")
+      .join(clusters.select(col("pid").as("b"),
+        col("cluster")), Seq("b"))
+      .groupBy(col("a").as("pid"))
+      .agg(min(col("cluster")).as("b_cluster"))
+    roles
+      .join(clusters, Seq("pid"), "left")
+      .join(borderCluster, Seq("pid"), "left")
+      .select(col("pid"),
+        when(col("is_core"), lit("core"))
+          .when(col("b_cluster").isNotNull, lit("border"))
+          .otherwise(lit("noise")).as("role"),
+        when(col("is_core"), col("cluster"))
+          .otherwise(col("b_cluster")).as("cluster"))
+  }
 }

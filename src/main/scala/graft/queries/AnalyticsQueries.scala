@@ -285,6 +285,85 @@ object AnalyticsQueries {
     },
   )
 
+  // --------------------------------------------------------------- q207
+  /** DBSCAN over the q206 point set (r=25, minPts=5,
+    * [[graft.operators.Spatial.dbscan]]): every point classified
+    * core/border/noise with its deterministic cluster label — the
+    * density-clustering composition of the lossless radius join and
+    * the alternating-star components, per-point graded. The oracle
+    * recomputes neighborhoods by brute force and closes the
+    * core-core graph with recursive minimum-label propagation (the
+    * q68 pattern), borders by the min rule.
+    */
+  val q207Dbscan: QueryDef = QueryDef(
+    "q207_dbscan",
+    (s, dir) => {
+      import graft.functions.PortableHash
+      val pts = Tables(s, dir, "customer")
+        .select(col("c_custkey").as("uid"),
+          pmod(PortableHash.hash32(col("c_custkey")), lit(1000L)).as("x"),
+          pmod(PortableHash.hash32(col("c_custkey") * 31 + 7),
+            lit(1000L)).as("y"))
+      graft.operators.Spatial.dbscan(pts, col("uid"), col("x"),
+          col("y"), r = 25L, minPts = 5L)
+        .orderBy(col("pid"))
+    },
+    Some {
+      val hx = graft.functions.PortableHash.hash32SqlSteps("c_custkey")
+      val hy = graft.functions.PortableHash
+        .hash32SqlSteps("c_custkey * 31 + 7")
+      s"""
+      WITH RECURSIVE
+      x0 AS (SELECT c_custkey, ${hx(0)} AS h FROM customer),
+      x1 AS (SELECT c_custkey, ${hx(1)} AS h FROM x0),
+      x2 AS (SELECT c_custkey, ${hx(2)} AS h FROM x1),
+      xf AS (SELECT c_custkey, ${hx(3)} AS h FROM x2),
+      y0 AS (SELECT c_custkey, ${hy(0)} AS h FROM customer),
+      y1 AS (SELECT c_custkey, ${hy(1)} AS h FROM y0),
+      y2 AS (SELECT c_custkey, ${hy(2)} AS h FROM y1),
+      yf AS (SELECT c_custkey, ${hy(3)} AS h FROM y2),
+      pts AS (
+        SELECT xf.c_custkey AS uid, xf.h % 1000 AS x, yf.h % 1000 AS y
+        FROM xf JOIN yf ON xf.c_custkey = yf.c_custkey),
+      p AS (
+        SELECT a.uid AS ua, b.uid AS ub
+        FROM pts a JOIN pts b ON a.uid < b.uid
+        WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+          <= 625),
+      sym AS (SELECT ua AS a, ub AS b FROM p
+              UNION ALL SELECT ub, ua FROM p),
+      nb AS (SELECT a AS uid, COUNT(*) AS c FROM sym GROUP BY a),
+      roles AS (
+        SELECT pts.uid, COALESCE(nb.c, 0) + 1 >= 5 AS is_core
+        FROM pts LEFT JOIN nb ON pts.uid = nb.uid),
+      core AS (SELECT uid FROM roles WHERE is_core),
+      ce AS (
+        SELECT s.a AS s, s.b AS d FROM sym s
+        JOIN core ca ON s.a = ca.uid JOIN core cb ON s.b = cb.uid),
+      lab(node, label) AS (
+        SELECT uid, uid FROM core
+        UNION
+        SELECT ce.d, l.label FROM lab l JOIN ce ON ce.s = l.node
+        WHERE l.label < ce.d),
+      cc AS (SELECT node, MIN(label) AS cluster FROM lab GROUP BY node),
+      bc AS (
+        SELECT s.a AS uid, MIN(cc.cluster) AS b_cluster
+        FROM sym s JOIN core c ON s.b = c.uid
+        JOIN cc ON cc.node = s.b
+        GROUP BY s.a)
+      SELECT r.uid AS pid,
+        CASE WHEN r.is_core THEN 'core'
+             WHEN bc.b_cluster IS NOT NULL THEN 'border'
+             ELSE 'noise' END AS role,
+        CASE WHEN r.is_core THEN cc.cluster ELSE bc.b_cluster END
+          AS cluster
+      FROM roles r
+      LEFT JOIN cc ON cc.node = r.uid
+      LEFT JOIN bc ON bc.uid = r.uid
+      ORDER BY pid"""
+    },
+  )
+
   val all: Seq[QueryDef] = Seq(q201Rfm, q202Abc, q203Assortativity,
-    q204JsonNested, q205Covariance, q206RadiusJoin)
+    q204JsonNested, q205Covariance, q206RadiusJoin, q207Dbscan)
 }

@@ -148,6 +148,57 @@ class AnalyticsSpec extends SparkSpec {
     assert(b === Set((1L, 2L, 25L), (2L, 3L, 13L)))
   }
 
+  test("dbscan matches a reference implementation (min-rule borders) " +
+      "on seeded random points") {
+    import graft.operators.Spatial
+    def ref(pts: Seq[(Long, Long, Long)], r: Long, minPts: Long)
+        : Map[Long, (String, Option[Long])] = {
+      def d2(a: (Long, Long, Long), b: (Long, Long, Long)) =
+        (a._2 - b._2) * (a._2 - b._2) + (a._3 - b._3) * (a._3 - b._3)
+      val nbr = pts.map(p =>
+        p._1 -> pts.filter(q => q._1 != p._1 && d2(p, q) <= r * r)
+          .map(_._1).toSet).toMap
+      val core = pts.map(_._1).filter(p => nbr(p).size + 1 >= minPts).toSet
+      // union-find over core-core edges
+      val parent = scala.collection.mutable.Map(
+        core.map(c => c -> c).toSeq: _*)
+      def find(x: Long): Long = {
+        var v = x
+        while (parent(v) != v) v = parent(v)
+        v
+      }
+      for (c <- core; n <- nbr(c) if core(n)) {
+        val (ra, rb) = (find(c), find(n))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val label = core.map(c => c -> core.filter(find(_) == find(c)).min)
+        .toMap
+      pts.map { p =>
+        val id = p._1
+        if (core(id)) id -> (("core", Some(label(id))))
+        else {
+          val coreNb = nbr(id).filter(core)
+          if (coreNb.nonEmpty)
+            id -> (("border", Some(coreNb.map(label).min)))
+          else id -> (("noise", None))
+        }
+      }.toMap
+    }
+    val rnd = new scala.util.Random(163)
+    for (trial <- 0 until 3) {
+      val r = 6L + trial * 3
+      val minPts = 3L + trial
+      val pts = (1L to 70L).map(i =>
+        (i, rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      val got = Spatial.dbscan(pts.toDF("id", "x", "y"), col("id"),
+          col("x"), col("y"), r, minPts)
+        .as[(Long, String, Option[Long])].collect()
+        .map(t => t._1 -> ((t._2, t._3))).toMap
+      assert(got === ref(pts, r, minPts),
+        s"trial $trial (r=$r, minPts=$minPts)")
+    }
+  }
+
   test("plan lint: rank buckets and pareto classes never plan a " +
       "single-partition window") {
     import graft.plans.PlanLint
