@@ -364,6 +364,165 @@ object AnalyticsQueries {
     },
   )
 
+  // --------------------------------------------------------------- q208
+  /** Seasonal-naive backtest of daily event volumes per type
+    * ([[graft.ml.Backtest.seasonalNaiveBacktest]], season = 7 days):
+    * predict each day by the same weekday last week, score every day
+    * where both exist — n, exact Σ|err|, MAE in floor micro-units.
+    * The forecasting family's reference baseline, graded before any
+    * fancier model earns trust. Oracle: the same cell self-join.
+    */
+  val q208SeasonalNaive: QueryDef = QueryDef(
+    "q208_seasonal_naive",
+    (s, dir) =>
+      graft.ml.Backtest.seasonalNaiveBacktest(
+        Tables(s, dir, "events"), col("event_type"),
+        expr("unix_micros(cast(ts as timestamp)) div 86400000000"),
+        lit(1L), season = 7L)
+        .orderBy(col("g")),
+    Some("""
+      WITH cells AS (
+        SELECT event_type AS g,
+          CAST(epoch_ns(ts) // 1000 // 86400000000 AS BIGINT) AS t,
+          COUNT(*) AS v
+        FROM events GROUP BY 1, 2),
+      j AS (
+        SELECT a.g, ABS(a.v - b.v) AS ae
+        FROM cells a JOIN cells b ON a.g = b.g AND a.t = b.t + 7)
+      SELECT g, COUNT(*) AS n_predictions,
+        CAST(SUM(ae) AS BIGINT) AS sum_abs_err,
+        CAST((1000000 * CAST(SUM(ae) AS BIGINT)) // COUNT(*) AS BIGINT)
+          AS mae_micro
+      FROM j GROUP BY g ORDER BY g"""),
+  )
+
+  // --------------------------------------------------------------- q209
+  /** Clickstream path analysis: the top 15 session-opening paths —
+    * each session's first three event types joined '>' — with
+    * session boundaries from the 30-minute gap rule (q44's
+    * sessionization semantics restated declaratively). Windows here
+    * are per-USER (bounded activity histories — the Sessionize
+    * contract) and the path assembly is an ordered in-group
+    * collect_list sliced to 3; counting is a combining groupBy. The
+    * oracle replays gap flags, session numbering, and ordered list
+    * aggregation.
+    */
+  val q209SessionPaths: QueryDef = QueryDef(
+    "q209_session_paths",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          expr("unix_micros(cast(ts as timestamp))").as("us"),
+          col("event_id"))
+      val wu = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      val sess = ev
+        .withColumn("gap", coalesce(
+          col("us") - lag(col("us"), 1).over(wu) > 1800L * 1000000L,
+          lit(true)))
+        .withColumn("session", sum(when(col("gap"), 1L).otherwise(0L))
+          .over(wu.rowsBetween(Window.unboundedPreceding, 0)))
+      sess.groupBy(col("user_id"), col("session"))
+        .agg(concat_ws(">", expr(
+          "transform(slice(sort_array(collect_list(" +
+            "struct(us, event_id, event_type))), 1, 3)," +
+            " x -> x.event_type)")).as("path"))
+        .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+        .orderBy(col("n_sessions").desc, col("path"))
+        .limit(15)
+    },
+    Some("""
+      WITH ev AS (
+        SELECT user_id, event_type,
+          CAST(epoch_ns(ts) // 1000 AS BIGINT) AS us, event_id
+        FROM events),
+      g AS (
+        SELECT user_id, event_type, us, event_id,
+          CASE WHEN us - lag(us) OVER (PARTITION BY user_id
+            ORDER BY us, event_id) > 1800000000
+            OR lag(us) OVER (PARTITION BY user_id
+              ORDER BY us, event_id) IS NULL
+          THEN 1 ELSE 0 END AS gap
+        FROM ev),
+      se AS (
+        SELECT user_id, event_type, us, event_id,
+          SUM(gap) OVER (PARTITION BY user_id ORDER BY us, event_id
+            ROWS UNBOUNDED PRECEDING) AS session
+        FROM g),
+      paths AS (
+        SELECT user_id, session,
+          array_to_string(
+            (list(event_type ORDER BY us, event_id))[1:3], '>') AS path
+        FROM se GROUP BY user_id, session)
+      SELECT path, COUNT(*) AS n_sessions
+      FROM paths GROUP BY path
+      ORDER BY n_sessions DESC, path LIMIT 15"""),
+  )
+
+  // --------------------------------------------------------------- q210
+  /** Linear multi-touch attribution: every purchase splits one unit
+    * of credit equally (floor ppm) across ALL click/view touches in
+    * the preceding 7 days — q184's last-touch generalized to
+    * fractional credit. Credit per (conversion, touch) =
+    * 10⁶ div n_touches, summed per touch type; conversions with no
+    * window touches count as 'none' with full credit. The
+    * conversion×touch join is per-user and window-bounded — activity-
+    * sized, never cross-user.
+    */
+  val q210LinearAttribution: QueryDef = QueryDef(
+    "q210_linear_attribution",
+    (s, dir) => {
+      val ev = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          expr("unix_micros(cast(ts as timestamp))").as("us"),
+          col("event_id"))
+      val conv = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("us").as("cus"),
+          col("event_id").as("cid"))
+      val touch = ev.filter(col("event_type").isin("click", "view"))
+        .select(col("user_id").as("t_uid"), col("event_type").as("touch"),
+          col("us").as("tus"))
+      val window = 7L * 86400L * 1000000L
+      // the window predicate must be part of the JOIN condition: a
+      // post-filter would drop conversions whose user has only
+      // out-of-window touches instead of null-extending them
+      val j = conv.join(touch,
+        col("user_id") === col("t_uid") && col("tus") <= col("cus") &&
+          col("tus") > col("cus") - window, "left")
+      val perConv = j.groupBy(col("cid"))
+        .agg(count(col("tus")).as("n_touches"))
+      j.join(perConv, Seq("cid"))
+        .groupBy(coalesce(col("touch"), lit("none")).as("touch"))
+        .agg(countDistinct(col("cid")).as("n_conversions"),
+          sum(when(col("n_touches") === 0, 1000000L)
+            .otherwise(expr("1000000 div n_touches"))).as("credit_ppm"))
+        .orderBy(col("touch"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT user_id, event_type,
+          CAST(epoch_ns(ts) // 1000 AS BIGINT) AS us, event_id
+        FROM events),
+      conv AS (SELECT user_id, us AS cus, event_id AS cid FROM ev
+        WHERE event_type = 'purchase'),
+      touch AS (SELECT user_id, event_type AS touch, us AS tus FROM ev
+        WHERE event_type IN ('click', 'view')),
+      j AS (
+        SELECT c.cid, t.touch, t.tus
+        FROM conv c LEFT JOIN touch t ON c.user_id = t.user_id
+          AND t.tus <= c.cus AND t.tus > c.cus - 604800000000
+        ),
+      pc AS (SELECT cid, COUNT(tus) AS n_touches FROM j GROUP BY cid)
+      SELECT COALESCE(j.touch, 'none') AS touch,
+        COUNT(DISTINCT j.cid) AS n_conversions,
+        CAST(SUM(CASE WHEN pc.n_touches = 0 THEN 1000000
+          ELSE 1000000 // pc.n_touches END) AS BIGINT) AS credit_ppm
+      FROM j JOIN pc ON j.cid = pc.cid
+      GROUP BY 1 ORDER BY touch"""),
+  )
+
   val all: Seq[QueryDef] = Seq(q201Rfm, q202Abc, q203Assortativity,
-    q204JsonNested, q205Covariance, q206RadiusJoin, q207Dbscan)
+    q204JsonNested, q205Covariance, q206RadiusJoin, q207Dbscan,
+    q208SeasonalNaive, q209SessionPaths, q210LinearAttribution)
 }
