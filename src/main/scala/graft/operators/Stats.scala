@@ -433,6 +433,74 @@ object Stats {
         col("total_w"))
   }
 
+  /** Cross-correlation function: exact Pearson between two series at
+    * every lag 1..maxLag — does series A lead series B, and by how
+    * much? ([[lagAutocorrelation]] generalized across series and
+    * lags: same integer moment sums, same one-floating-sqrt closed
+    * form.) Input: two (t, v) cell tables (aggregate first); output
+    * one row per lag with n overlapping points and r (6dp, null when
+    * either side is constant). The lag fan-out is maxLag× the CELL
+    * table — bounded by the series length × lags, never raw rows.
+    */
+  def crossCorrelation(a: DataFrame, b: DataFrame, t: Column, v: Column,
+      maxLag: Int): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val ca = a.select(t.cast("long").as("t"), v.cast("long").as("va"))
+      .groupBy(col("t")).agg(sum(col("va")).as("va"))
+    val cb = b.select(t.cast("long").as("t"), v.cast("long").as("vb"))
+      .groupBy(col("t")).agg(sum(col("vb")).as("vb"))
+    val lags = ca.sparkSession.range(1, maxLag + 1)
+      .select(col("id").as("lag"))
+    // pair A at t with B at t + lag: positive r at lag L means A
+    // leads B by L periods
+    val pairs = ca.crossJoin(broadcast(lags))
+      .select(col("lag"), (col("t") + col("lag")).as("t"), col("va"))
+      .join(cb, Seq("t"))
+    val varA = col("n") * col("saa") - col("sa") * col("sa")
+    val varB = col("n") * col("sbb") - col("sb") * col("sb")
+    pairs.groupBy(col("lag"))
+      .agg(count(lit(1)).as("n"), sum(col("va")).as("sa"),
+        sum(col("vb")).as("sb"), sum(col("va") * col("vb")).as("sab"),
+        sum(col("va") * col("va")).as("saa"),
+        sum(col("vb") * col("vb")).as("sbb"))
+      .select(col("lag"), col("n"),
+        when(varA > 0 && varB > 0,
+          round((col("n") * col("sab") - col("sa") * col("sb"))
+              .cast("double") /
+            (sqrt(varA.cast("double")) * sqrt(varB.cast("double"))), 6))
+          .as("r"))
+  }
+
+  /** Per-group OLS trend line in exact ppm: slope and intercept of
+    * v ~ t by the closed form over integer moment sums —
+    * slope_ppm = (10⁶·(nΣtv − ΣtΣv)) div (nΣtt − (Σt)²) and
+    * intercept_ppm = (10⁶·Σv − slope_ppm·Σt) div n (the means
+    * identity cleared of fractions; trunc-div, mirrored by the
+    * oracle). Zero time-variance groups report nulls. One combining
+    * moments aggregate over (group, t, v) cells.
+    */
+  def trendLines(df: DataFrame, group: Column, t: Column,
+      v: Column): DataFrame = {
+    val cells = df.select(group.as("grp"), t.cast("long").as("t"),
+        v.cast("long").as("v"))
+      .groupBy(col("grp"), col("t")).agg(sum(col("v")).as("v"))
+    val den = col("n") * col("stt") - col("st") * col("st")
+    cells.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("t")).as("st"),
+        sum(col("v")).as("sv"), sum(col("t") * col("v")).as("stv"),
+        sum(col("t") * col("t")).as("stt"))
+      .select(col("grp"), col("n"),
+        when(den > 0, expr(
+          "(1000000 * (n * stv - st * sv)) div (n * stt - st * st)"))
+          .as("slope_ppm"))
+      .join(cells.groupBy(col("grp"))
+        .agg(sum(col("t")).as("st2"), sum(col("v")).as("sv2")),
+        Seq("grp"))
+      .select(col("grp"), col("n"), col("slope_ppm"),
+        when(col("slope_ppm").isNotNull, expr(
+          "(1000000 * sv2 - slope_ppm * st2) div n")).as("intercept_ppm"))
+  }
+
   /** Global rank buckets (quantile scores): every row gets its bucket
     * 1..k by position in `key` order — the RFM-scoring / decile-
     * normalization primitive. Deterministic floor-div assignment

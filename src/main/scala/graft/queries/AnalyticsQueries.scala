@@ -522,7 +522,103 @@ object AnalyticsQueries {
       GROUP BY 1 ORDER BY touch"""),
   )
 
+  // --------------------------------------------------------------- q211
+  /** Cross-correlation of daily click volume vs daily purchase VALUE
+    * at lags 1..7 ([[graft.operators.Stats.crossCorrelation]]) — "do
+    * clicks lead purchases, and by how many days". Exact integer
+    * moments per lag, the q175 correlation form; the oracle replays
+    * the lag join and the closed form.
+    */
+  val q211CrossCorrelation: QueryDef = QueryDef(
+    "q211_cross_correlation",
+    (s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val day = expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(day.as("t"), lit(1L).as("v"))
+      val purchases = ev.filter(col("event_type") === "purchase" &&
+          col("value").isNotNull)
+        .select(day.as("t"), floor(col("value")).cast("long").as("v"))
+      graft.operators.Stats.crossCorrelation(clicks, purchases,
+          col("t"), col("v"), maxLag = 7)
+        .orderBy(col("lag"))
+    },
+    Some("""
+      WITH ca AS (
+        SELECT CAST(epoch_ns(ts) // 1000 // 86400000000 AS BIGINT) AS t,
+          COUNT(*) AS va
+        FROM events WHERE event_type = 'click' GROUP BY 1),
+      cb AS (
+        SELECT CAST(epoch_ns(ts) // 1000 // 86400000000 AS BIGINT) AS t,
+          CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT) AS vb
+        FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+        GROUP BY 1),
+      lags AS (SELECT unnest(range(1, 8)) AS lag),
+      pairs AS (
+        SELECT lags.lag, ca.va, cb.vb
+        FROM ca CROSS JOIN lags JOIN cb ON cb.t = ca.t + lags.lag),
+      agg AS (
+        SELECT lag, COUNT(*) AS n, CAST(SUM(va) AS BIGINT) AS sa,
+          CAST(SUM(vb) AS BIGINT) AS sb,
+          CAST(SUM(va * vb) AS BIGINT) AS sab,
+          CAST(SUM(va * va) AS BIGINT) AS saa,
+          CAST(SUM(vb * vb) AS BIGINT) AS sbb
+        FROM pairs GROUP BY lag)
+      SELECT CAST(lag AS BIGINT) AS lag, n,
+        CASE WHEN n * saa - sa * sa > 0 AND n * sbb - sb * sb > 0
+          THEN ROUND(CAST(n * sab - sa * sb AS DOUBLE)
+            / (sqrt(CAST(n * saa - sa * sa AS DOUBLE))
+               * sqrt(CAST(n * sbb - sb * sb AS DOUBLE))), 6)
+        END AS r
+      FROM agg ORDER BY lag"""),
+  )
+
+  // --------------------------------------------------------------- q212
+  /** Volume trend lines per event type: exact-ppm OLS slope and
+    * intercept of daily counts over the day index
+    * ([[graft.operators.Stats.trendLines]]) — the "is this metric
+    * growing" primitive with hash-exact coefficients (trunc-div,
+    * replayed explicitly since DuckDB floors).
+    */
+  val q212TrendLines: QueryDef = QueryDef(
+    "q212_trend_lines",
+    (s, dir) =>
+      graft.operators.Stats.trendLines(
+        Tables(s, dir, "events"), col("event_type"),
+        expr("unix_micros(cast(ts as timestamp)) div 86400000000"),
+        lit(1L))
+        .orderBy(col("grp")),
+    Some {
+      def tdiv(a: String, b: String): String =
+        s"(CASE WHEN ($a) >= 0 THEN ($a) // ($b) ELSE -((-($a)) // ($b)) END)"
+      s"""
+      WITH cells AS (
+        SELECT event_type AS grp,
+          CAST(epoch_ns(ts) // 1000 // 86400000000 AS BIGINT) AS t,
+          COUNT(*) AS v
+        FROM events GROUP BY 1, 2),
+      agg AS (
+        SELECT grp, COUNT(*) AS n, CAST(SUM(t) AS BIGINT) AS st,
+          CAST(SUM(v) AS BIGINT) AS sv,
+          CAST(SUM(t * v) AS BIGINT) AS stv,
+          CAST(SUM(t * t) AS BIGINT) AS stt
+        FROM cells GROUP BY grp),
+      sl AS (
+        SELECT grp, n, st, sv,
+          CASE WHEN n * stt - st * st > 0
+            THEN ${tdiv("1000000 * (n * stv - st * sv)",
+              "n * stt - st * st")} END AS slope_ppm
+        FROM agg)
+      SELECT grp, n, slope_ppm,
+        CASE WHEN slope_ppm IS NOT NULL
+          THEN ${tdiv("1000000 * sv - slope_ppm * st", "n")} END
+          AS intercept_ppm
+      FROM sl ORDER BY grp"""
+    },
+  )
+
   val all: Seq[QueryDef] = Seq(q201Rfm, q202Abc, q203Assortativity,
     q204JsonNested, q205Covariance, q206RadiusJoin, q207Dbscan,
-    q208SeasonalNaive, q209SessionPaths, q210LinearAttribution)
+    q208SeasonalNaive, q209SessionPaths, q210LinearAttribution,
+    q211CrossCorrelation, q212TrendLines)
 }

@@ -199,6 +199,37 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("crossCorrelation: a shifted copy peaks at its lag with r = 1") {
+    import graft.operators.Stats
+    val rnd = new scala.util.Random(167)
+    val base = (1L to 40L).map(t => (t, rnd.nextInt(50).toLong + 1))
+    val a = base
+    val b = base.map { case (t, v) => (t + 3, v) } // B = A delayed by 3
+    val got = Stats.crossCorrelation(a.toDF("t", "v"), b.toDF("t", "v"),
+        col("t"), col("v"), 5)
+      .select(col("lag"), col("r")).as[(Long, Option[Double])]
+      .collect().toMap
+    assert(got(3L) === Some(1.0))
+    assert(got.filter(_._1 != 3L).values.flatten.forall(_ < 1.0))
+  }
+
+  test("trendLines: exact coefficients on a perfect line; constant " +
+      "time gives nulls") {
+    import graft.operators.Stats
+    // v = 7t + 20 exactly
+    val rows = (0L to 19L).map(t => ("g", t, 7 * t + 20))
+    val got = Stats.trendLines(rows.toDF("g", "t", "v"), col("g"),
+        col("t"), col("v"))
+      .select(col("n"), col("slope_ppm"), col("intercept_ppm"))
+      .as[(Long, Option[Long], Option[Long])].head()
+    assert(got === ((20L, Some(7000000L), Some(20000000L))))
+    val const = Stats.trendLines(
+        Seq(("g", 5L, 1L), ("g", 5L, 2L)).toDF("g", "t", "v"),
+        col("g"), col("t"), col("v"))
+      .select(col("slope_ppm")).as[Option[Long]].head()
+    assert(const.isEmpty)
+  }
+
   test("plan lint: rank buckets and pareto classes never plan a " +
       "single-partition window") {
     import graft.plans.PlanLint
