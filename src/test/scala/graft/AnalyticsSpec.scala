@@ -230,6 +230,53 @@ class AnalyticsSpec extends SparkSpec {
     assert(const.isEmpty)
   }
 
+  test("plan lint: the session's remaining additions carry no " +
+      "cartesians and no single-partition windows") {
+    import graft.plans.PlanLint
+    def noHazards(df: org.apache.spark.sql.DataFrame, label: String) = {
+      val f = PlanLint.findings(df)
+        .filterNot(_._1 == "nested_loop_join") // scalar-attach exemption
+      assert(f.isEmpty, s"$label: $f")
+    }
+    val ev = Tables(spark, sfDir, "events")
+    val li = Tables(spark, sfDir, "lineitem")
+    noHazards(graft.operators.Merge3.threeWayMerge(
+      li.select(col("l_orderkey").as("k"), col("l_partkey").as("h")),
+      li.select(col("l_orderkey").as("k"), col("l_partkey").as("h")),
+      li.select(col("l_orderkey").as("k"), col("l_partkey").as("h"))),
+      "merge3")
+    noHazards(graft.operators.Stats.cumulativeDistinct(ev,
+      col("user_id"), expr("unix_micros(cast(ts as timestamp))")),
+      "cumulativeDistinct")
+    noHazards(graft.operators.Similarity.covarianceMatrix(
+      Tables(spark, sfDir, "embeddings"), col("vec_id"),
+      col("embedding"), 1000L), "covariance")
+    noHazards(graft.operators.Spatial.radiusPairs(
+      Tables(spark, sfDir, "customer").select(col("c_custkey").as("id"),
+        pmod(col("c_custkey") * 37, lit(100L)).as("x"),
+        pmod(col("c_custkey") * 17, lit(100L)).as("y")),
+      col("id"), col("x"), col("y"), 10L), "radiusPairs")
+    noHazards(graft.ml.Backtest.seasonalNaiveBacktest(ev,
+      col("event_type"),
+      expr("unix_micros(cast(ts as timestamp)) div 86400000000"),
+      lit(1L), 7L), "backtest")
+    noHazards(graft.operators.Stats.trendLines(ev, col("event_type"),
+      expr("unix_micros(cast(ts as timestamp)) div 86400000000"),
+      lit(1L)), "trendLines")
+    // crossCorrelation's lag table attaches by an explicit broadcast
+    // cross join (a maxLag-row constant) — the scalar-attach shape
+    val ccf = graft.operators.Stats.crossCorrelation(
+      ev.select(expr("unix_micros(cast(ts as timestamp))").as("t"),
+        lit(1L).as("v")),
+      ev.select(expr("unix_micros(cast(ts as timestamp))").as("t"),
+        lit(1L).as("v")),
+      col("t"), col("v"), 3)
+    assert(!PlanLint.findings(ccf)
+      .exists(f => f._1 == "cartesian_product" ||
+        f._1 == "single_partition_window"),
+      PlanLint.findings(ccf).toString)
+  }
+
   test("plan lint: rank buckets and pareto classes never plan a " +
       "single-partition window") {
     import graft.plans.PlanLint
