@@ -275,6 +275,20 @@ class AnalyticsSpec extends SparkSpec {
       .exists(f => f._1 == "cartesian_product" ||
         f._1 == "single_partition_window"),
       PlanLint.findings(ccf).toString)
+    // q210's windowed LEFT join must plan as an EQUI join on user_id
+    // with the range predicate as a join filter — never a nested loop
+    // (the one reported finding is the root orderBy of the 3-row
+    // census, the legitimate ordered-output shape)
+    val q210 = graft.queries.AnalyticsQueries.q210LinearAttribution
+      .fn(spark, sfDir)
+    assert(PlanLint.findings(q210).forall(_._1 == "global_sort"),
+      PlanLint.findings(q210).toString)
+    // q209's windows are per-user; no global ones
+    val q209 = graft.queries.AnalyticsQueries.q209SessionPaths
+      .fn(spark, sfDir)
+    assert(!PlanLint.findings(q209)
+      .exists(_._1 == "single_partition_window"),
+      PlanLint.findings(q209).toString)
   }
 
   test("plan lint: rank buckets and pareto classes never plan a " +
