@@ -617,8 +617,61 @@ object AnalyticsQueries {
     },
   )
 
+  // --------------------------------------------------------------- q213
+  /** Time-to-convert distribution: for every user who clicked and
+    * then purchased, the click→purchase delay in seconds, binned by
+    * the equi-width histogram — [[graft.operators.Funnel.firstTouch]]
+    * composed with [[graft.operators.Binning.equiWidthHistogram]]
+    * (two graded operators, zero new code — the q172 composition
+    * argument). The oracle replays the anchored-funnel mins (first
+    * purchase strictly AFTER the first click) and q53's double bin
+    * arithmetic.
+    */
+  val q213TimeToConvert: QueryDef = QueryDef(
+    "q213_time_to_convert",
+    (s, dir) => {
+      val ft = graft.operators.Funnel.firstTouch(
+        Tables(s, dir, "events"), col("user_id"), col("event_type"),
+        col("ts").cast("timestamp"), Seq("click", "purchase"))
+      val gaps = ft.filter(col("t2").isNotNull)
+        .select(expr("(t2 - t1) div 1000000").as("gap_s"))
+      graft.operators.Binning.equiWidthHistogram(gaps, col("gap_s"),
+          nBins = 12)
+        .withColumn("bin_lo", round(col("bin_lo"), 6))
+        .withColumn("bin_hi", round(col("bin_hi"), 6))
+        .orderBy(col("bin"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT user_id, event_type,
+          CAST(epoch_ns(ts) // 1000 AS BIGINT) AS us
+        FROM events),
+      c1 AS (SELECT user_id, MIN(us) AS t1 FROM ev
+        WHERE event_type = 'click' GROUP BY user_id),
+      c2 AS (
+        SELECT ev.user_id, MIN(ev.us) AS t2
+        FROM ev JOIN c1 ON ev.user_id = c1.user_id
+        WHERE ev.event_type = 'purchase' AND ev.us > c1.t1
+        GROUP BY ev.user_id),
+      gaps AS (
+        SELECT (c2.t2 - c1.t1) // 1000000 AS gap_s
+        FROM c1 JOIN c2 ON c1.user_id = c2.user_id),
+      b AS (SELECT MIN(CAST(gap_s AS DOUBLE)) AS lo,
+          MAX(CAST(gap_s AS DOUBLE)) AS hi FROM gaps),
+      binned AS (
+        SELECT CAST(LEAST(GREATEST(
+            FLOOR((CAST(gap_s AS DOUBLE) - b.lo) / ((b.hi - b.lo) / 12)),
+            0.0), 11.0) AS BIGINT) AS bin, b.lo, b.hi
+        FROM gaps, b)
+      SELECT bin,
+        ROUND(lo + bin * ((hi - lo) / 12), 6) AS bin_lo,
+        ROUND(lo + (bin + 1) * ((hi - lo) / 12), 6) AS bin_hi,
+        COUNT(*) AS n
+      FROM binned GROUP BY bin, lo, hi ORDER BY bin"""),
+  )
+
   val all: Seq[QueryDef] = Seq(q201Rfm, q202Abc, q203Assortativity,
     q204JsonNested, q205Covariance, q206RadiusJoin, q207Dbscan,
     q208SeasonalNaive, q209SessionPaths, q210LinearAttribution,
-    q211CrossCorrelation, q212TrendLines)
+    q211CrossCorrelation, q212TrendLines, q213TimeToConvert)
 }
