@@ -229,6 +229,43 @@ class AssociationSpec extends SparkSpec {
     assert(topSwap < rboId && tailSwap < rboId && topSwap < tailSwap)
   }
 
+  test("kCore with generous peel budget reaches a true fixpoint: " +
+      "every surviving node has degree >= k") {
+    val rnd = new scala.util.Random(173)
+    for (trial <- 0 until 3) {
+      val n = 20 + trial * 15
+      val edges = Seq.fill(3 * n)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val k = 2 + rnd.nextInt(3)
+      val core = graft.operators.Graph.kCore(
+          edges.toDF("src", "dst"), k, maxPeels = n)
+        .as[(Long, Long)].collect()
+      assert(core.forall(_._2 >= k), s"trial $trial (k=$k)")
+    }
+  }
+
+  test("rboOverlap stays within [0, Σw] and is monotone in prefix " +
+      "agreement") {
+    import graft.operators.Search
+    def rl(ids: Seq[Long]) = ids.zipWithIndex
+      .map { case (id, i) => (id, (i + 1).toLong) }.toDF("doc_id", "rank")
+    val k = 8
+    val w = new Array[Long](k + 1)
+    w(1) = (1000000000L * 100000L) / 1000000L
+    for (d <- 2 to k) w(d) = w(d - 1) * 900000L / 1000000L
+    val wSum = w.slice(1, k + 1).sum
+    val a = rl(1L to 8L)
+    // progressively longer agreeing prefixes → non-decreasing rbo
+    val rbos = (0 to 8).map { agree =>
+      val ids = (1L to agree.toLong) ++ (100L + agree to 107L)
+      Search.rboOverlap(a, rl(ids.take(8)), k, 900000L)
+        .select(col("rbo_ppb")).as[Long].head()
+    }
+    assert(rbos.forall(r => r >= 0L && r <= wSum))
+    assert(rbos === rbos.sorted)
+    assert(rbos.head === 0L && rbos.last === wSum)
+  }
+
   test("plan lint: wave-B operators carry no scale hazards") {
     import graft.plans.PlanLint
     val pairs = graft.operators.Association.frequentItemPairs(

@@ -48,6 +48,19 @@ class IntegritySpec extends SparkSpec {
     assert(h(a) !== h(b))
   }
 
+  test("drill-down reports BOTH sides: rows only in a as side a, " +
+      "rows only in b as side b, in one pass") {
+    val base = (1L to 120L).map(i => (i, s"p$i"))
+    val a = base.filterNot(_._1 == 30L) // b-only: 30
+    val b = base.filterNot(_._1 == 77L) :+ ((200L, "new")) // a-only: 77, 200
+    val bad = Integrity.diffBuckets(fp(a), fp(b))
+      .select(col("bucket")).as[Long].collect().toSeq
+    val rows = Integrity.diffRows(a.toDF("id", "v"), b.toDF("id", "v"),
+        Integrity.rowHash(Seq(col("id"), col("v"))), 8, bad)
+      .select(col("side"), col("id")).as[(String, Long)].collect().toSet
+    assert(rows === Set(("a", 77L), ("b", 30L), ("b", 200L)))
+  }
+
   test("shard fingerprints union-merge to the whole-table fingerprint") {
     val rows = (1L to 300L).map(i => (i, s"r$i"))
     val (s1, s2) = rows.partition(_._1 % 3 == 0)
