@@ -670,8 +670,53 @@ object AnalyticsQueries {
       FROM binned GROUP BY bin, lo, hi ORDER BY bin"""),
   )
 
+  // --------------------------------------------------------------- q214
+  /** The unsupervised pipeline end to end, CROSS-modal: k-means over
+    * the EMBEDDINGS (q106's fixed-point Lloyd, k=8, 3 iters) → join
+    * each cluster back to its document TEXT (vec_id ≡ doc_id) → name
+    * every cluster by its top-3 distinctive terms (q180's integer
+    * c-TF-IDF). "Cluster the vectors, explain the clusters with
+    * words" — the standard corpus-exploration loop as ONE graded row
+    * set. The oracle chains the full unrolled k-means replay into
+    * the cells → cluster-df → linear-idf → per-cluster rank SQL, so
+    * a drift in EITHER stage (or the id pairing between modalities)
+    * fails the hash.
+    */
+  val q214ClusterLabels: QueryDef = QueryDef(
+    "q214_cluster_labels",
+    (s, dir) => {
+      val assign = graft.ml.KMeans.fit(Tables(s, dir, "embeddings"),
+          col("vec_id"), col("embedding"), k = 8, iters = 3)
+        .select(col("vec_id"), col("cluster"))
+      val docs = Tables(s, dir, "documents")
+        .join(assign, col("doc_id") === col("vec_id"))
+      graft.operators.CorpusStats.distinctiveTerms(docs,
+          col("cluster"), col("text"), topK = 3)
+        .orderBy(col("cluster"), col("rank"))
+    },
+    Some(s"""
+      WITH km AS (${CurationQueries.kmeansSql(8, 3)}),
+      cells AS (
+        SELECT cluster, term, COUNT(*) AS tf FROM (
+          SELECT km.cluster, unnest(string_split(d.text, ' ')) AS term
+          FROM documents d JOIN km ON km.vec_id = d.doc_id)
+        WHERE term <> '' GROUP BY 1, 2),
+      cdf AS (SELECT term, COUNT(*) AS cdf FROM cells GROUP BY term),
+      c AS (SELECT COUNT(DISTINCT cluster) AS n_clusters FROM cells),
+      scored AS (
+        SELECT cluster, term, tf, cdf.cdf,
+          tf * (c.n_clusters - cdf.cdf) AS score,
+          ROW_NUMBER() OVER (PARTITION BY cluster
+            ORDER BY tf * (c.n_clusters - cdf.cdf) DESC, term) AS rank
+        FROM cells JOIN cdf USING (term) CROSS JOIN c)
+      SELECT cluster, rank, term, tf, cdf, score
+      FROM scored WHERE rank <= 3
+      ORDER BY cluster, rank"""),
+  )
+
   val all: Seq[QueryDef] = Seq(q201Rfm, q202Abc, q203Assortativity,
     q204JsonNested, q205Covariance, q206RadiusJoin, q207Dbscan,
     q208SeasonalNaive, q209SessionPaths, q210LinearAttribution,
-    q211CrossCorrelation, q212TrendLines, q213TimeToConvert)
+    q211CrossCorrelation, q212TrendLines, q213TimeToConvert,
+    q214ClusterLabels)
 }
