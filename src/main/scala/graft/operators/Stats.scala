@@ -489,16 +489,13 @@ object Stats {
       .agg(count(lit(1)).as("n"), sum(col("t")).as("st"),
         sum(col("v")).as("sv"), sum(col("t") * col("v")).as("stv"),
         sum(col("t") * col("t")).as("stt"))
-      .select(col("grp"), col("n"),
+      .select(col("grp"), col("n"), col("st"), col("sv"),
         when(den > 0, expr(
           "(1000000 * (n * stv - st * sv)) div (n * stt - st * st)"))
           .as("slope_ppm"))
-      .join(cells.groupBy(col("grp"))
-        .agg(sum(col("t")).as("st2"), sum(col("v")).as("sv2")),
-        Seq("grp"))
       .select(col("grp"), col("n"), col("slope_ppm"),
         when(col("slope_ppm").isNotNull, expr(
-          "(1000000 * sv2 - slope_ppm * st2) div n")).as("intercept_ppm"))
+          "(1000000 * sv - slope_ppm * st) div n")).as("intercept_ppm"))
   }
 
   /** Global rank buckets (quantile scores): every row gets its bucket
