@@ -721,7 +721,7 @@ $union
   /** 1 + leading zeros of the 26-bit HLL payload, as the CASE chain
     * both engines evaluate identically.
     */
-  private val HllRankCase = (1 to 26).map(r =>
+  private[queries] val HllRankCase = (1 to 26).map(r =>
     s"WHEN w >= ${1L << (26 - r)} THEN $r").mkString(
     "CASE ", " ", " ELSE 27 END")
 
@@ -734,7 +734,7 @@ $union
   private val HllSumSql = "(s_hit + (64 - n_hit) * 134217728)"
 
   /** Half-up integer α·m²/Σ2^−M over [[HllSumSql]]. */
-  private val HllEstimateSql =
+  private[queries] val HllEstimateSql =
     s"(2 * $HllNum + 1000 * $HllSumSql) // (2000 * $HllSumSql)"
 
   /** Global (ungrouped) HLL estimate CTE chain ending in
