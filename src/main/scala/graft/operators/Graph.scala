@@ -391,6 +391,53 @@ object Graph {
     e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
   }
 
+  /** Newman modularity of a node labelling, exact integer — the
+    * standard "is this clustering better than chance" score for any
+    * community assignment (label propagation, components, DBSCAN
+    * labels): Q = Σ_c (e_c/m − (d_c/2m)²) over the undirected graph,
+    * reported as the cleared-fraction numerator
+    * Q_num = Σ_c (4·m·e_c − d_c²) with Q = Q_num/(4m²), plus
+    * q_micro = (10⁶·Q_num) div (4m²) (trunc — Q can be negative).
+    * Communities with no internal edges still contribute their −d_c²
+    * penalty (the full-outer merge below keeps them).
+    *
+    * Scale shape: symmetrize-distinct, one degree count, two
+    * label joins keyed on the node, two combining per-community
+    * aggregates, one one-row fold. Labels input: (node, label).
+    */
+  def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val und = edges.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint()
+    val deg = und.select(col("a").as("v"))
+      .union(und.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val lab = labels.select(col("node"), col("label"))
+    val withLabels = und
+      .join(lab.select(col("node").as("a"), col("label").as("la")),
+        Seq("a"))
+      .join(lab.select(col("node").as("b"), col("label").as("lb")),
+        Seq("b"))
+    val ec = withLabels.filter(col("la") === col("lb"))
+      .groupBy(col("la").as("label")).agg(count(lit(1)).as("e_c"))
+    val dc = deg.join(lab.select(col("node").as("v"), col("label")),
+        Seq("v"))
+      .groupBy(col("label")).agg(sum(col("deg")).as("d_c"))
+    val m = und.agg(count(lit(1)).as("m"))
+    dc.join(ec, Seq("label"), "full_outer")
+      .select(col("label"), coalesce(col("e_c"), lit(0L)).as("e_c"),
+        coalesce(col("d_c"), lit(0L)).as("d_c"))
+      .crossJoin(broadcast(m))
+      .agg(count(lit(1)).as("n_communities"), max(col("m")).as("m"),
+        sum(lit(4L) * col("m") * col("e_c") - col("d_c") * col("d_c"))
+          .as("q_num"))
+      .withColumn("q_micro",
+        expr("(1000000 * q_num) div (4 * m * m)")) // div truncates;
+        // the oracle replays trunc explicitly (DuckDB // floors)
+  }
+
   /** Degree assortativity: the Pearson correlation of endpoint
     * degrees over the undirected edge list (both orientations, the
     * standard convention) — do high-degree nodes attach to other

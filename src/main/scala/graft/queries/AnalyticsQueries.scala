@@ -779,9 +779,87 @@ object AnalyticsQueries {
     },
   )
 
+  // --------------------------------------------------------------- q216
+  /** Modularity of the q145 label-propagation communities
+    * ([[graft.operators.Graph.modularity]]): the clustering-quality
+    * score in exact integers — cleared-fraction numerator
+    * Σ_c (4m·e_c − d_c²) plus the trunc-div micro value — so the
+    * question "was that clustering better than chance" is itself a
+    * hash-graded row. The oracle replays the two label-prop rounds
+    * (q145's unrolled chain) and the modularity sums; communities
+    * with no internal edges keep their −d_c² penalty through the
+    * full-outer merge.
+    */
+  val q216Modularity: QueryDef = QueryDef(
+    "q216_modularity",
+    (s, dir) => {
+      val o = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val l = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val cs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+      val edges = cs.union(
+        cs.select(col("dst").as("src"), col("src").as("dst")))
+      val labels = graft.operators.Graph
+        .labelPropagation(edges, iters = 2)
+      graft.operators.Graph.modularity(edges, labels)
+    },
+    Some {
+      def round(prev: String, v: String, out: String) = s"""
+      $v AS (SELECT e.dst AS node, l.label, COUNT(*) AS cnt
+        FROM e JOIN $prev l ON e.src = l.node GROUP BY 1, 2),
+      ${out}w AS (SELECT node, label, ROW_NUMBER() OVER (
+          PARTITION BY node ORDER BY cnt DESC, label) AS rn FROM $v),
+      $out AS (SELECT n.node, COALESCE(w.label, n.node) AS label
+        FROM nodes n LEFT JOIN (SELECT node, label FROM ${out}w
+          WHERE rn = 1) w USING (node))"""
+      s"""
+      WITH cs AS (
+        SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      e AS (SELECT src, dst FROM cs
+            UNION SELECT dst AS src, src AS dst FROM cs),
+      nodes AS (SELECT DISTINCT node FROM (
+        SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+      l0 AS (SELECT node, node AS label FROM nodes),
+      ${round("l0", "v1", "l1").trim},
+      ${round("l1", "v2", "l2").trim},
+      und AS (
+        SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM e WHERE src <> dst GROUP BY 1, 2),
+      deg AS (SELECT v, COUNT(*) AS deg FROM (
+          SELECT a AS v FROM und UNION ALL SELECT b FROM und)
+        GROUP BY v),
+      wl AS (
+        SELECT und.a, und.b, la.label AS la, lb.label AS lb
+        FROM und JOIN l2 la ON und.a = la.node
+        JOIN l2 lb ON und.b = lb.node),
+      ec AS (SELECT la AS label, COUNT(*) AS e_c FROM wl
+        WHERE la = lb GROUP BY la),
+      dc AS (SELECT l2.label, CAST(SUM(deg.deg) AS BIGINT) AS d_c
+        FROM deg JOIN l2 ON deg.v = l2.node GROUP BY l2.label),
+      mm AS (SELECT COUNT(*) AS m FROM und),
+      terms AS (
+        SELECT COALESCE(dc.label, ec.label) AS label,
+          COALESCE(ec.e_c, 0) AS e_c, COALESCE(dc.d_c, 0) AS d_c
+        FROM dc FULL OUTER JOIN ec ON dc.label = ec.label)
+      SELECT COUNT(*) AS n_communities, mm.m,
+        CAST(SUM(4 * mm.m * e_c - d_c * d_c) AS BIGINT) AS q_num,
+        CAST((CASE WHEN SUM(4 * mm.m * e_c - d_c * d_c) >= 0
+          THEN (1000000 * CAST(SUM(4 * mm.m * e_c - d_c * d_c)
+            AS BIGINT)) // (4 * mm.m * mm.m)
+          ELSE -((-1000000 * CAST(SUM(4 * mm.m * e_c - d_c * d_c)
+            AS BIGINT)) // (4 * mm.m * mm.m)) END) AS BIGINT)
+          AS q_micro
+      FROM terms CROSS JOIN mm GROUP BY mm.m"""
+    },
+  )
+
   val all: Seq[QueryDef] = Seq(q201Rfm, q202Abc, q203Assortativity,
     q204JsonNested, q205Covariance, q206RadiusJoin, q207Dbscan,
     q208SeasonalNaive, q209SessionPaths, q210LinearAttribution,
     q211CrossCorrelation, q212TrendLines, q213TimeToConvert,
-    q214ClusterLabels, q215TrailingDistinct)
+    q214ClusterLabels, q215TrailingDistinct, q216Modularity)
 }

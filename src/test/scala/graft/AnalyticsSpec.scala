@@ -230,6 +230,54 @@ class AnalyticsSpec extends SparkSpec {
     assert(const.isEmpty)
   }
 
+  test("modularity: one community scores exactly 0, two cliques " +
+      "score high, and a reference computation agrees on random " +
+      "labellings") {
+    import graft.operators.Graph
+    def lab(pairs: Seq[(Long, Long)]) = pairs.toDF("node", "label")
+    val twoCliques = (for (a <- 1L to 4L; b <- 1L to 4L if a < b)
+      yield (a, b)) ++ (for (a <- 5L to 8L; b <- 5L to 8L if a < b)
+      yield (a, b))
+    val edges = twoCliques.toDF("src", "dst")
+    val allNodes = (1L to 8L)
+    val one = Graph.modularity(edges, lab(allNodes.map(n => (n, 1L))))
+      .select(col("q_num"), col("q_micro")).as[(Long, Long)].head()
+    assert(one === ((0L, 0L)))
+    val split = Graph.modularity(edges,
+        lab(allNodes.map(n => (n, if (n <= 4) 1L else 2L))))
+      .select(col("m"), col("q_num"), col("q_micro"))
+      .as[(Long, Long, Long)].head()
+    // m=12, each community: e_c=6, d_c=12 → q_num = 2·(288−144) = 288
+    assert(split === ((12L, 288L, 500000L))) // Q = 1/2 exactly
+    def ref(und: Seq[(Long, Long)], labels: Map[Long, Long]): Long = {
+      val m = und.size.toLong
+      val deg = und.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+        .view.mapValues(_.size.toLong).toMap
+      labels.values.toSet.toSeq.map { (c: Long) =>
+        val ec = und.count(e =>
+          labels(e._1) == c && labels(e._2) == c).toLong
+        val dc: Long = deg.collect {
+          case (v, d) if labels.getOrElse(v, -1L) == c => d }.sum
+        4L * m * ec - dc * dc
+      }.sum[Long]
+    }
+    val rnd = new scala.util.Random(179)
+    for (trial <- 0 until 3) {
+      val n = 12 + trial * 6
+      val und = Seq.fill(2 * n)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+        .map(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+        .distinct
+      val nodes = und.flatMap(e => Seq(e._1, e._2)).distinct
+      val labels = nodes.map(v => v -> (rnd.nextInt(3) + 1).toLong).toMap
+      val got = Graph.modularity(und.toDF("src", "dst"),
+          lab(labels.toSeq))
+        .select(col("q_num")).as[Long].head()
+      assert(got === ref(und, labels), s"trial $trial")
+    }
+  }
+
   test("plan lint: the session's remaining additions carry no " +
       "cartesians and no single-partition windows") {
     import graft.plans.PlanLint
