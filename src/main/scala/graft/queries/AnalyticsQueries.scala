@@ -857,9 +857,57 @@ object AnalyticsQueries {
     },
   )
 
+  // --------------------------------------------------------------- q217
+  /** Gapped sequential patterns: "A then B within the next 3 events
+    * of the same user" — what Markov transitions (q163, adjacent
+    * only) cannot see. Events get per-user sequence positions (the
+    * bounded per-user window contract), ordered pairs come from a
+    * user-keyed self-join with 0 < Δpos ≤ 3 — per-user work is
+    * gap-bounded (≤ 3 pairs per event), never quadratic — and the
+    * top 15 patterns are a combining count + TakeOrdered. Oracle
+    * replays positions, the banded self-join, and the ranking.
+    */
+  val q217GappedPairs: QueryDef = QueryDef(
+    "q217_gapped_pairs",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          expr("unix_micros(cast(ts as timestamp))").as("us"),
+          col("event_id"))
+      val wu = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      val pos = ev.withColumn("pos", row_number().over(wu).cast("long"))
+        .select(col("user_id"), col("event_type"), col("pos"))
+      pos.select(col("user_id"), col("event_type").as("a"),
+          col("pos").as("pa"))
+        .join(pos.select(col("user_id"), col("event_type").as("b"),
+          col("pos").as("pb")), Seq("user_id"))
+        .filter(col("pb") > col("pa") && col("pb") - col("pa") <= 3)
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("a"), col("b"))
+        .limit(15)
+    },
+    Some("""
+      WITH ev AS (
+        SELECT user_id, event_type,
+          CAST(epoch_ns(ts) // 1000 AS BIGINT) AS us, event_id
+        FROM events),
+      pos AS (
+        SELECT user_id, event_type,
+          CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+            ORDER BY us, event_id) AS BIGINT) AS pos
+        FROM ev)
+      SELECT a.event_type AS a, b.event_type AS b, COUNT(*) AS n
+      FROM pos a JOIN pos b ON a.user_id = b.user_id
+        AND b.pos > a.pos AND b.pos - a.pos <= 3
+      GROUP BY 1, 2 ORDER BY n DESC, a, b LIMIT 15"""),
+  )
+
   val all: Seq[QueryDef] = Seq(q201Rfm, q202Abc, q203Assortativity,
     q204JsonNested, q205Covariance, q206RadiusJoin, q207Dbscan,
     q208SeasonalNaive, q209SessionPaths, q210LinearAttribution,
     q211CrossCorrelation, q212TrendLines, q213TimeToConvert,
-    q214ClusterLabels, q215TrailingDistinct, q216Modularity)
+    q214ClusterLabels, q215TrailingDistinct, q216Modularity,
+    q217GappedPairs)
 }
