@@ -904,10 +904,104 @@ object AnalyticsQueries {
       GROUP BY 1, 2 ORDER BY n DESC, a, b LIMIT 15"""),
   )
 
+  // --------------------------------------------------------------- q218
+  /** Inter-arrival burstiness per event type: the gaps between a
+    * user's consecutive events of each type (per-(user, type)
+    * windows — bounded activity histories), aggregated to exact
+    * per-type gap moments and the coefficient of variation
+    * (6dp-rounded single sqrt, the q175 parity form). cv ≈ 1 is
+    * Poisson; cv ≫ 1 is bursty — the traffic-shape diagnostic
+    * capacity planning reads first.
+    */
+  val q218Interarrival: QueryDef = QueryDef(
+    "q218_interarrival",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          expr("unix_micros(cast(ts as timestamp))").as("us"),
+          col("event_id"))
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("us"), col("event_id"))
+      val gaps = ev
+        .withColumn("gap", col("us") - lag(col("us"), 1).over(w))
+        .filter(col("gap").isNotNull)
+        .select(col("event_type").as("g"),
+          expr("gap div 1000000").as("gap_s"))
+      val varN = col("n") * col("ss") - col("s") * col("s")
+      gaps.groupBy(col("g"))
+        .agg(count(lit(1)).as("n"), sum(col("gap_s")).as("s"),
+          sum(col("gap_s") * col("gap_s")).as("ss"))
+        .select(col("g"), col("n"), col("s"), col("ss"),
+          when(col("s") > 0, round(
+            sqrt(varN.cast("double")) / col("s"), 6)).as("cv"))
+        .orderBy(col("g"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT user_id, event_type,
+          CAST(epoch_ns(ts) // 1000 AS BIGINT) AS us, event_id
+        FROM events),
+      gaps AS (
+        SELECT event_type AS g,
+          (us - lag(us) OVER (PARTITION BY user_id, event_type
+            ORDER BY us, event_id)) // 1000000 AS gap_s
+        FROM ev),
+      agg AS (
+        SELECT g, COUNT(*) AS n, CAST(SUM(gap_s) AS BIGINT) AS s,
+          CAST(SUM(gap_s * gap_s) AS BIGINT) AS ss
+        FROM gaps WHERE gap_s IS NOT NULL GROUP BY g)
+      SELECT g, n, s, ss,
+        CASE WHEN s > 0 THEN ROUND(
+          sqrt(CAST(n * ss - s * s AS DOUBLE)) / s, 6) END AS cv
+      FROM agg ORDER BY g"""),
+  )
+
+  // --------------------------------------------------------------- q219
+  /** Duplicate-cluster size distribution: how big do the SimHash
+    * near-dup clusters get — the q68 components aggregated one more
+    * level into a (cluster size → how many clusters) histogram plus
+    * the singleton share in ppm. The curation planning number ("is
+    * dedup mostly pairs or a few mega-clusters") as one graded row
+    * set, composed from a graded operator with zero new code.
+    */
+  val q219ClusterSizes: QueryDef = QueryDef(
+    "q219_cluster_sizes",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val pairs = graft.operators.Dedup.simhashPairs(docs,
+        col("doc_id"), col("text"), maxHamming = 3)
+      graft.operators.Components.dedupClusters(
+          pairs.select(col("id_a").as("src"), col("id_b").as("dst")),
+          docs.select(col("doc_id").as("node")))
+        .groupBy(col("component")).agg(count(lit(1)).as("size"))
+        .groupBy(col("size")).agg(count(lit(1)).as("n_clusters"))
+        .orderBy(col("size"))
+    },
+    Some(s"""
+      WITH RECURSIVE ${ScaleQueries.SimhashCtes},
+      p AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+      e AS (SELECT id_a AS s, id_b AS d FROM p
+            UNION ALL SELECT id_b, id_a FROM p),
+      lab(node, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.d, l.label FROM lab l JOIN e ON e.s = l.node
+        WHERE l.label < e.d),
+      cc AS (SELECT node, MIN(label) AS component FROM lab GROUP BY node),
+      sz AS (SELECT component, COUNT(*) AS size FROM cc
+        GROUP BY component)
+      SELECT size, COUNT(*) AS n_clusters
+      FROM sz GROUP BY size ORDER BY size"""),
+  )
+
   val all: Seq[QueryDef] = Seq(q201Rfm, q202Abc, q203Assortativity,
     q204JsonNested, q205Covariance, q206RadiusJoin, q207Dbscan,
     q208SeasonalNaive, q209SessionPaths, q210LinearAttribution,
     q211CrossCorrelation, q212TrendLines, q213TimeToConvert,
     q214ClusterLabels, q215TrailingDistinct, q216Modularity,
-    q217GappedPairs)
+    q217GappedPairs, q218Interarrival, q219ClusterSizes)
 }
