@@ -998,10 +998,84 @@ object AnalyticsQueries {
       FROM sz GROUP BY size ORDER BY size"""),
   )
 
+  // --------------------------------------------------------------- q220
+  /** The unrolled-BFS CTE chain (q158's shape) as a reusable
+    * fragment: frontier/visited rounds f0..f<h>/v0..v<h> under
+    * `prefix`, seeded from CTE `seedsCte(node)`.
+    */
+  private def bfsCtes(p: String, seedsCte: String, hops: Int): String = {
+    val rounds = (1 to hops).map { i =>
+      s"""      ${p}f$i AS (SELECT DISTINCT e.dst AS node
+        FROM ${p}f${i - 1} f JOIN e ON f.node = e.src
+        WHERE e.dst NOT IN (SELECT node FROM ${p}v${i - 1})),
+      ${p}v$i AS (SELECT * FROM ${p}v${i - 1}
+        UNION ALL SELECT node, $i FROM ${p}f$i)"""
+    }.mkString(",\n")
+    s"""      ${p}f0 AS (SELECT node FROM $seedsCte
+        WHERE node IN (SELECT node FROM nodes)),
+      ${p}v0 AS (SELECT node, 0 AS hop FROM ${p}f0),
+$rounds"""
+  }
+
+  /** Graph eccentricity by the classic double BFS sweep, entirely
+    * in-plan: BFS from the minimum node, pick the farthest vertex
+    * (max hop, lexically-smallest tie) as a ONE-ROW dataframe — no
+    * driver collect — and BFS again from it; the second sweep's
+    * maximum hop is the eccentricity of a peripheral vertex and the
+    * standard diameter lower bound. Hops capped at 4 (the graded
+    * contract; this dense bipartite graph's reachable eccentricities
+    * sit inside it). The oracle unrolls BOTH sweeps plus the seed
+    * picks — two chained q158 replays.
+    */
+  val q220Eccentricity: QueryDef = QueryDef(
+    "q220_eccentricity",
+    (s, dir) => {
+      val o = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val l = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val cs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+      val edges = cs.union(
+        cs.select(col("dst").as("src"), col("src").as("dst")))
+      val nodes = edges.select(col("src").as("node"))
+        .union(edges.select(col("dst").as("node"))).distinct()
+      val seed1 = nodes.agg(min(col("node")).as("node"))
+      val bfs1 = graft.operators.Graph.bfsHops(edges, seed1, maxHops = 4)
+      val seed2 = bfs1.orderBy(col("hop").desc, col("node")).limit(1)
+        .select(col("node"))
+      val bfs2 = graft.operators.Graph.bfsHops(edges, seed2, maxHops = 4)
+      seed1.select(col("node").as("sweep1_seed"))
+        .crossJoin(seed2.select(col("node").as("peripheral")))
+        .crossJoin(bfs2.agg(max(col("hop")).as("ecc_lb"),
+          count(lit(1)).as("n_reached")))
+    },
+    Some(s"""
+      WITH cs AS MATERIALIZED (
+        SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      e AS MATERIALIZED (SELECT src, dst FROM cs
+            UNION SELECT dst AS src, src AS dst FROM cs),
+      nodes AS MATERIALIZED (SELECT DISTINCT node FROM (
+        SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+      s1 AS (SELECT MIN(node) AS node FROM nodes),
+${bfsCtes("a", "s1", 4)},
+      s2 AS (SELECT node FROM av4
+        ORDER BY hop DESC, node LIMIT 1),
+${bfsCtes("b", "s2", 4)}
+      SELECT (SELECT node FROM s1) AS sweep1_seed,
+        (SELECT node FROM s2) AS peripheral,
+        CAST(MAX(hop) AS BIGINT) AS ecc_lb,
+        COUNT(*) AS n_reached
+      FROM bv4"""),
+  )
+
   val all: Seq[QueryDef] = Seq(q201Rfm, q202Abc, q203Assortativity,
     q204JsonNested, q205Covariance, q206RadiusJoin, q207Dbscan,
     q208SeasonalNaive, q209SessionPaths, q210LinearAttribution,
     q211CrossCorrelation, q212TrendLines, q213TimeToConvert,
     q214ClusterLabels, q215TrailingDistinct, q216Modularity,
-    q217GappedPairs, q218Interarrival, q219ClusterSizes)
+    q217GappedPairs, q218Interarrival, q219ClusterSizes,
+    q220Eccentricity)
 }
