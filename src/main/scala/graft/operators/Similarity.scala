@@ -310,6 +310,51 @@ object Similarity {
         coalesce(expr("1000000 div nn_rank"), lit(0L)).as("nn_rr_ppm"))
   }
 
+  /** Embedding-space drift: the cosine between CONSECUTIVE buckets'
+    * centroid directions — "did yesterday's embedding distribution
+    * point the same way as today's", the cheap first-line monitor for
+    * encoder or corpus drift. The trick that keeps it exact: cosine
+    * is scale-invariant, so the centroid (mean) can be replaced by
+    * the component SUM of quantized integers — no division anywhere;
+    * dot products and squared norms of the per-bucket sum-vectors
+    * are exact longs, and the only floating arithmetic is the final
+    * r = dot/(√na·√nb), 6dp-rounded (the q175 single-sqrt parity
+    * form, twice).
+    *
+    * Scale shape: one combining (bucket, dim) sum over the exploded
+    * vectors, one dim-keyed self-join of consecutive buckets
+    * (buckets×dims cells), two norm aggregates, one row per
+    * consecutive pair. Long guard: per-(bucket, dim) sums must keep
+    * |Σq| ≤ ~3·10⁹ per dim for the ×dims dot to stay under 2⁶³ —
+    * lower `scale` for billion-vector buckets.
+    */
+  def centroidDrift(df: DataFrame, bucket: Column, vec: Column,
+      scale: Long): DataFrame = {
+    require(scale >= 1, s"scale must be >= 1, got $scale")
+    val e = df.select(bucket.cast("long").as("b"),
+        posexplode(vec).as(Seq("p", "x")))
+      .select(col("b"), col("p").cast("long").as("i"),
+        floor(col("x").cast("double") * scale).cast("long").as("q"))
+      .groupBy(col("b"), col("i")).agg(sum(col("q")).as("s"))
+      .localCheckpoint() // read three times (dot + both norms)
+    val norms = e.groupBy(col("b"))
+      .agg(sum(col("s") * col("s")).as("nrm"))
+    val dots = e.select(col("b"), col("i"), col("s").as("sa"))
+      .join(e.select((col("b") - 1).as("b"), col("i"),
+        col("s").as("sb")), Seq("b", "i"))
+      .groupBy(col("b")).agg(sum(col("sa") * col("sb")).as("dot"))
+    dots
+      .join(norms.select(col("b"), col("nrm").as("na")), Seq("b"))
+      .join(norms.select((col("b") - 1).as("b"),
+        col("nrm").as("nb")), Seq("b"))
+      .select(col("b").as("bucket"), (col("b") + 1).as("next_bucket"),
+        col("dot"), col("na"), col("nb"),
+        when(col("na") > 0 && col("nb") > 0,
+          round(col("dot").cast("double") /
+            (sqrt(col("na").cast("double")) *
+              sqrt(col("nb").cast("double"))), 6)).as("cos"))
+  }
+
   /** Exact integer covariance matrix of an embedding column — the
     * feature-preprocessing statistic behind whitening, PCA, and
     * Mahalanobis scoring, computed distributed: values quantize to

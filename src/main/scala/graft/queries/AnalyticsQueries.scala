@@ -1071,11 +1071,53 @@ ${bfsCtes("b", "s2", 4)}
       FROM bv4"""),
   )
 
+  // --------------------------------------------------------------- q221
+  /** Embedding drift across pseudo-days (vec_id mod 30 as the
+    * arrival bucket): consecutive buckets' centroid-direction
+    * cosines ([[graft.operators.Similarity.centroidDrift]], scale
+    * 10⁶). Cosine's scale invariance lets the centroid be the exact
+    * integer SUM vector, so dot and norms are exact longs and only
+    * the final two sqrts float — the oracle replays quantization,
+    * sums, the consecutive-bucket join, and the rounded ratio.
+    */
+  val q221EmbeddingDrift: QueryDef = QueryDef(
+    "q221_embedding_drift",
+    (s, dir) =>
+      graft.operators.Similarity.centroidDrift(
+        Tables(s, dir, "embeddings"), pmod(col("vec_id"), lit(30L)),
+        col("embedding"), scale = 1000000L)
+        .orderBy(col("bucket")),
+    Some("""
+      WITH e AS (
+        SELECT ((vec_id % 30) + 30) % 30 AS b, i - 1 AS i,
+          CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
+            AS q
+        FROM embeddings, (SELECT unnest(range(1, 65)) AS i)),
+      sums AS (SELECT b, i, CAST(SUM(q) AS BIGINT) AS s
+        FROM e GROUP BY b, i),
+      norms AS (SELECT b, CAST(SUM(s * s) AS BIGINT) AS nrm
+        FROM sums GROUP BY b),
+      dots AS (
+        SELECT a.b, CAST(SUM(a.s * c.s) AS BIGINT) AS dot
+        FROM sums a JOIN sums c ON c.b = a.b + 1 AND c.i = a.i
+        GROUP BY a.b)
+      SELECT d.b AS bucket, d.b + 1 AS next_bucket, d.dot,
+        na.nrm AS na, nb.nrm AS nb,
+        CASE WHEN na.nrm > 0 AND nb.nrm > 0 THEN
+          ROUND(CAST(d.dot AS DOUBLE) /
+            (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE))),
+            6) END AS cos
+      FROM dots d
+      JOIN norms na ON na.b = d.b
+      JOIN norms nb ON nb.b = d.b + 1
+      ORDER BY bucket"""),
+  )
+
   val all: Seq[QueryDef] = Seq(q201Rfm, q202Abc, q203Assortativity,
     q204JsonNested, q205Covariance, q206RadiusJoin, q207Dbscan,
     q208SeasonalNaive, q209SessionPaths, q210LinearAttribution,
     q211CrossCorrelation, q212TrendLines, q213TimeToConvert,
     q214ClusterLabels, q215TrailingDistinct, q216Modularity,
     q217GappedPairs, q218Interarrival, q219ClusterSizes,
-    q220Eccentricity)
+    q220Eccentricity, q221EmbeddingDrift)
 }
