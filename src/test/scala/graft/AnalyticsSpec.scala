@@ -278,6 +278,48 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("centroidDrift: identical buckets give cos = 1, opposite give " +
+      "-1, orthogonal give 0; matches a reference computation") {
+    import graft.operators.Similarity
+    def vecs(rows: Seq[(Long, Array[Float])]) = rows.toDF("b", "v")
+    val base = Array(1.0f, 0.0f, 2.0f)
+    val got = Similarity.centroidDrift(vecs(Seq(
+        (0L, base), (1L, base.map(_ * 2)),   // same direction
+        (2L, base.map(-_)),                   // reversed
+        (3L, Array(0.0f, 5.0f, 0.0f)))),      // orthogonal to bucket 2?
+        col("b"), col("v"), 1000L)
+      .select(col("bucket"), col("cos"))
+      .as[(Long, Option[Double])].collect().toMap
+    assert(got(0L) === Some(1.0))
+    assert(got(1L) === Some(-1.0))
+    // bucket2 (-base) vs bucket3 (y-axis): dot = 0 → cos 0
+    assert(got(2L) === Some(0.0))
+    // reference on random buckets
+    val rnd = new scala.util.Random(191)
+    val rows = (0L to 5L).flatMap(b => Seq.fill(7)(
+      (b, Array.fill(4)(rnd.nextFloat() - 0.5f))))
+    def ref: Map[Long, Double] = {
+      val sums = rows.groupBy(_._1).view.mapValues { vs =>
+        (0 until 4).map(i => vs.map(v =>
+          math.floor(v._2(i).toDouble * 1000).toLong).sum).toArray
+      }.toMap
+      (0L to 4L).map { b =>
+        val (a, c) = (sums(b), sums(b + 1))
+        val dot = (0 until 4).map(i => a(i) * c(i)).sum
+        val na = a.map(x => x * x).sum; val nb = c.map(x => x * x).sum
+        b -> BigDecimal(dot.toDouble /
+            (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }.toMap
+    }
+    val got2 = Similarity.centroidDrift(vecs(rows), col("b"), col("v"),
+        1000L)
+      .select(col("bucket"), col("cos"))
+      .as[(Long, Option[Double])].collect()
+      .map(r => r._1 -> r._2.get).toMap
+    assert(got2 === ref)
+  }
+
   test("plan lint: the session's remaining additions carry no " +
       "cartesians and no single-partition windows") {
     import graft.plans.PlanLint
