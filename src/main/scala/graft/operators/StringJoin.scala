@@ -78,4 +78,52 @@ object StringJoin {
         levenshtein(col("s_a"), col("s_b"), maxDist).cast("long").as("dist"))
       .filter(col("dist") >= 0)
   }
+
+  /** Sorted-neighborhood matching (SNM) — the third blocking family
+    * beside LSH banding and prefix filtering: sort the corpus by a
+    * discriminating key, compare each record only with its `window`
+    * nearest neighbors in that order, verify exactly. The classic
+    * record-linkage method for data whose near-duplicates CLUSTER
+    * under a sort key (names, addresses, normalized titles); unlike
+    * [[editDistancePairs]] it is deliberately approximate — recall
+    * is whatever the sort key delivers — which is why the graded
+    * query reports candidates AND verified matches, making the
+    * method's recall itself a graded number.
+    *
+    * Scale shape: one two-phase global rank
+    * ([[graft.operators.Splits.rangeRanked]] — no single-partition
+    * window), then a banded self-join on the rank with fan-out ≤
+    * `window` per row (the q217 gap-join shape), then the bounded
+    * Levenshtein verify. Returns (id_a, id_b, dist) for verified
+    * pairs with dist ≤ maxDist, each pair once.
+    */
+  def sortedNeighborhoodPairs(df: DataFrame, id: Column, str: Column,
+      sortKey: Column, window: Int, maxDist: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    val s = df.select(id.as("id"), str.as("s"), sortKey.as("k"))
+      .filter(col("s").isNotNull)
+    val ranked = graft.operators.Splits
+      .rangeRanked(s, struct(col("k"), col("id")))
+      .select(col("id"), col("s"), col("__idx").as("idx"))
+      .withColumn("blk", expr(s"idx div $window"))
+    // block the rank axis so the window join is EQUI-keyed: a pair
+    // within `window` ranks lives in the same or the next block
+    // (pigeonhole), so the left side probes both — never a nested loop
+    val probes = ranked.select(col("id").as("id_a"),
+        col("s").as("s_a"), col("idx").as("ia"),
+        explode(array(col("blk"), col("blk") + 1)).as("blk"))
+    val cand = probes
+      .join(ranked.select(col("id").as("id_b"), col("s").as("s_b"),
+        col("idx").as("ib"), col("blk")), Seq("blk"))
+      .filter(col("ib") > col("ia") && col("ib") - col("ia") <= window)
+    cand.select(
+        when(col("id_a") < col("id_b"), col("id_a"))
+          .otherwise(col("id_b")).as("id_a"),
+        when(col("id_a") < col("id_b"), col("id_b"))
+          .otherwise(col("id_a")).as("id_b"),
+        levenshtein(col("s_a"), col("s_b"), maxDist).cast("long")
+          .as("dist"))
+      .filter(col("dist") >= 0)
+  }
 }

@@ -1113,11 +1113,47 @@ ${bfsCtes("b", "s2", 4)}
       ORDER BY bucket"""),
   )
 
+  // --------------------------------------------------------------- q222
+  /** Sorted-neighborhood dedup over the q182 prefixes
+    * ([[graft.operators.StringJoin.sortedNeighborhoodPairs]], window
+    * 10, sort key = the prefix itself): the third blocking family
+    * (after LSH banding and rarity-prefix filtering), deliberately
+    * approximate — exact-duplicate prefixes sort adjacent and are
+    * found; typo pairs whose first characters differ sort apart and
+    * are missed, and because q182 grades the EXACT answer on the
+    * same input, the recall of the method is itself visible across
+    * the two graded rows. The oracle replays the (key, id) ranking,
+    * the rank-window candidate rule, and the bounded verify.
+    */
+  val q222SortedNeighborhood: QueryDef = QueryDef(
+    "q222_sorted_neighborhood",
+    (s, dir) =>
+      graft.operators.StringJoin.sortedNeighborhoodPairs(
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), substring(col("text"), 1, 24).as("s")),
+        col("doc_id"), col("s"), col("s"), window = 10, maxDist = 2)
+        .orderBy(col("id_a"), col("id_b")),
+    Some("""
+      WITH p AS (SELECT doc_id, substr(text, 1, 24) AS s
+        FROM documents),
+      rk AS (SELECT doc_id, s,
+          ROW_NUMBER() OVER (ORDER BY s, doc_id) - 1 AS idx
+        FROM p),
+      cand AS (
+        SELECT a.doc_id AS ida, a.s AS sa, b.doc_id AS idb, b.s AS sb
+        FROM rk a JOIN rk b
+          ON b.idx > a.idx AND b.idx - a.idx <= 10)
+      SELECT LEAST(ida, idb) AS id_a, GREATEST(ida, idb) AS id_b,
+        CAST(levenshtein(sa, sb) AS BIGINT) AS dist
+      FROM cand WHERE levenshtein(sa, sb) <= 2
+      ORDER BY id_a, id_b"""),
+  )
+
   val all: Seq[QueryDef] = Seq(q201Rfm, q202Abc, q203Assortativity,
     q204JsonNested, q205Covariance, q206RadiusJoin, q207Dbscan,
     q208SeasonalNaive, q209SessionPaths, q210LinearAttribution,
     q211CrossCorrelation, q212TrendLines, q213TimeToConvert,
     q214ClusterLabels, q215TrailingDistinct, q216Modularity,
     q217GappedPairs, q218Interarrival, q219ClusterSizes,
-    q220Eccentricity, q221EmbeddingDrift)
+    q220Eccentricity, q221EmbeddingDrift, q222SortedNeighborhood)
 }

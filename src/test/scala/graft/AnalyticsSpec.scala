@@ -320,6 +320,36 @@ class AnalyticsSpec extends SparkSpec {
     assert(got2 === ref)
   }
 
+  test("sortedNeighborhoodPairs: finds sort-adjacent near-dups, " +
+      "misses sort-distant ones (the documented recall trade), " +
+      "equi-blocked plan") {
+    import graft.operators.StringJoin
+    val strs = Seq(
+      (1L, "apple pie recipe"), (2L, "apple pie recipes"), // adjacent
+      (3L, "zzz apple pie recipe"),  // 1 edit-ish? no — far edit dist
+      (4L, "banana bread"), (5L, "banana breads"),
+      (6L, "xpple pie recipe")) // 1 sub from id 1 but sorts far away
+    val got = StringJoin.sortedNeighborhoodPairs(
+        strs.toDF("id", "s"), col("id"), col("s"), col("s"),
+        window = 1, maxDist = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    // window 1: only sort-adjacent pairs compared; (1,2) and (4,5)
+    // verify; (1,6) is a true near-dup but sorts 4 ranks apart → missed
+    assert(got === Set((1L, 2L, 1L), (4L, 5L, 1L)))
+    // window large enough recovers it
+    val wide = StringJoin.sortedNeighborhoodPairs(
+        strs.toDF("id", "s"), col("id"), col("s"), col("s"),
+        window = 5, maxDist = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(wide.contains((1L, 6L, 1L)))
+    import graft.plans.PlanLint
+    val plan = StringJoin.sortedNeighborhoodPairs(
+      Tables(spark, sfDir, "documents")
+        .select(col("doc_id"), substring(col("text"), 1, 24).as("s")),
+      col("doc_id"), col("s"), col("s"), 10, 2)
+    assert(PlanLint.clean(plan), PlanLint.findings(plan).toString)
+  }
+
   test("plan lint: the session's remaining additions carry no " +
       "cartesians and no single-partition windows") {
     import graft.plans.PlanLint
