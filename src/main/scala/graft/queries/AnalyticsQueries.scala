@@ -1149,11 +1149,97 @@ ${bfsCtes("b", "s2", 4)}
       ORDER BY id_a, id_b"""),
   )
 
+  private val q223SplitsPath =
+    s"/tmp/graft_q223_splits_${ProcessHandle.current().pid()}.parquet"
+
+  // --------------------------------------------------------------- q223
+  /** Split-conformal prediction intervals on the q66 evaluation
+    * frame: the per-category-mean model trains on TRAIN, the
+    * calibration radius is the exact ⌈(n+1)·0.9⌉-th smallest
+    * absolute VAL residual (the distribution-free 90% guarantee),
+    * and TEST coverage at that radius is reported in ppm — the
+    * finite-sample theorem made a graded row (coverage ≥ 900000 up
+    * to discreteness). The k-th order statistic runs on the
+    * residual-histogram prefix (no global sort); the splits frame is
+    * materialized once and read by BOTH engines (the q66 pattern, so
+    * the oracle shares inputs, not arithmetic).
+    */
+  val q223Conformal: QueryDef = QueryDef(
+    "q223_conformal",
+    (s, dir) => {
+      val base = Tables(s, dir, "orders").select(
+        col("o_orderkey").as("id"),
+        (col("o_totalprice") * 100).cast("long").as("y_cents"),
+        when(col("o_orderkey") % 97 === 0, lit(null).cast("string"))
+          .otherwise(col("o_orderpriority")).as("feat"))
+      val splits = graft.operators.Splits.threeWay(base, 0.1875, 0.25, 123L)
+      splits.toSeq
+        .map { case (name, df) => df.withColumn("split", lit(name)) }
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(q223SplitsPath)
+      val frame = s.read.parquet(q223SplitsPath)
+      val model = frame
+        .filter(col("split") === "train" && col("feat").isNotNull)
+        .groupBy("feat")
+        .agg(sum("y_cents").as("ms"), count(lit(1)).as("mc"))
+      val scored = frame.join(broadcast(model), Seq("feat"), "left")
+        .withColumn("pred_cents", expr("ms DIV mc"))
+        .filter(col("pred_cents").isNotNull)
+        .withColumn("r", abs(col("y_cents") - col("pred_cents")))
+      val cal = scored.filter(col("split") === "val")
+      val kRow = cal.agg(count(lit(1)).as("n_cal"))
+        .withColumn("k", expr("((n_cal + 1) * 9 + 9) div 10"))
+      val cells = cal.groupBy(col("r")).agg(count(lit(1)).as("cnt"))
+      val cum = graft.operators.Stats
+        .rangePrefixSums(cells, col("r"), Seq("cnt"))
+      val radius = cum.crossJoin(broadcast(kRow))
+        .filter(col("cum_cnt") >= col("k"))
+        .groupBy(col("n_cal"), col("k"))
+        .agg(min(col("r")).as("radius_cents"))
+      scored.filter(col("split") === "test")
+        .crossJoin(broadcast(radius))
+        .groupBy(col("n_cal"), col("k"), col("radius_cents"))
+        .agg(count(lit(1)).as("n_test"),
+          sum(when(col("r") <= col("radius_cents"), 1L).otherwise(0L))
+            .as("n_covered"))
+        .withColumn("coverage_ppm",
+          expr("(1000000 * n_covered) div n_test"))
+    },
+    Some(s"""
+      WITH frame AS (
+        SELECT * FROM read_parquet('$q223SplitsPath/*.parquet')),
+      model AS (
+        SELECT feat, sum(y_cents) AS ms, count(*) AS mc
+        FROM frame WHERE split = 'train' AND feat IS NOT NULL
+        GROUP BY feat),
+      scored AS (
+        SELECT f.split, abs(f.y_cents - (m.ms // m.mc)) AS r
+        FROM frame f JOIN model m ON f.feat = m.feat),
+      cal AS (SELECT r FROM scored WHERE split = 'val'),
+      kk AS (SELECT COUNT(*) AS n_cal,
+          ((COUNT(*) + 1) * 9 + 9) // 10 AS k FROM cal),
+      rk AS (SELECT r, ROW_NUMBER() OVER (ORDER BY r) AS rn FROM cal),
+      rad AS (SELECT kk.n_cal, kk.k,
+          CAST(MIN(rk.r) AS BIGINT) AS radius_cents
+        FROM rk CROSS JOIN kk WHERE rk.rn >= kk.k
+        GROUP BY kk.n_cal, kk.k),
+      test AS (SELECT r FROM scored WHERE split = 'test')
+      SELECT rad.n_cal, rad.k, rad.radius_cents,
+        COUNT(*) AS n_test,
+        CAST(COUNT(*) FILTER (test.r <= rad.radius_cents) AS BIGINT)
+          AS n_covered,
+        CAST((1000000 * COUNT(*) FILTER (test.r <= rad.radius_cents))
+          // COUNT(*) AS BIGINT) AS coverage_ppm
+      FROM test CROSS JOIN rad
+      GROUP BY rad.n_cal, rad.k, rad.radius_cents"""),
+  )
+
   val all: Seq[QueryDef] = Seq(q201Rfm, q202Abc, q203Assortativity,
     q204JsonNested, q205Covariance, q206RadiusJoin, q207Dbscan,
     q208SeasonalNaive, q209SessionPaths, q210LinearAttribution,
     q211CrossCorrelation, q212TrendLines, q213TimeToConvert,
     q214ClusterLabels, q215TrailingDistinct, q216Modularity,
     q217GappedPairs, q218Interarrival, q219ClusterSizes,
-    q220Eccentricity, q221EmbeddingDrift, q222SortedNeighborhood)
+    q220Eccentricity, q221EmbeddingDrift, q222SortedNeighborhood,
+    q223Conformal)
 }
