@@ -1234,6 +1234,72 @@ ${bfsCtes("b", "s2", 4)}
       GROUP BY rad.n_cal, rad.k, rad.radius_cents"""),
   )
 
+  // --------------------------------------------------------------- q224
+  /** Cohort LTV curves: users cohorted by first-active epoch-week
+    * (q78's integer week arithmetic), purchase revenue accumulated
+    * per (cohort, weeks-since-joining) cell, and the RUNNING
+    * cumulative per cohort — the lifetime-value curve every growth
+    * model consumes — via [[graft.operators.Stats
+    * .groupedPrefixSums]] (no per-cohort window). Weeks with no
+    * revenue are densified from each cohort's observed span so the
+    * curve has no holes; everything integer.
+    */
+  val q224LtvCurve: QueryDef = QueryDef(
+    "q224_ltv_curve",
+    (s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val week = expr(
+        "unix_micros(cast(ts as timestamp)) div 86400000000 div 7")
+      val firstWeek = ev.groupBy(col("user_id"))
+        .agg(min(week).as("cohort"))
+      val rev = ev.filter(col("event_type") === "purchase" &&
+          col("value").isNotNull)
+        .select(col("user_id"), week.as("w"),
+          floor(col("value")).cast("long").as("rev"))
+        .join(firstWeek, Seq("user_id"))
+        .groupBy(col("cohort"), (col("w") - col("cohort")).as("age"))
+        .agg(sum(col("rev")).as("rev"))
+      // densify: every cohort carries ages 0..max observed age
+      val span = rev.groupBy(col("cohort")).agg(max(col("age")).as("mx"))
+      val dense = span
+        .select(col("cohort"), explode(sequence(lit(0L), col("mx")))
+          .as("age"))
+        .join(rev, Seq("cohort", "age"), "left")
+        .select(col("cohort"), col("age"),
+          coalesce(col("rev"), lit(0L)).as("rev"))
+      graft.operators.Stats
+        .groupedPrefixSums(dense, "cohort", "age", Seq("rev"))
+        .select(col("cohort"), col("age"), col("rev"),
+          col("gcum_rev").as("ltv"))
+        .orderBy(col("cohort"), col("age"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT user_id, event_type,
+          CAST(epoch_ns(ts) // 1000 // 86400000000 // 7 AS BIGINT)
+            AS w,
+          CAST(floor(value) AS BIGINT) AS rev, value
+        FROM events),
+      fw AS (SELECT user_id, MIN(w) AS cohort FROM ev GROUP BY user_id),
+      rev AS (
+        SELECT fw.cohort, ev.w - fw.cohort AS age,
+          CAST(SUM(ev.rev) AS BIGINT) AS rev
+        FROM ev JOIN fw ON ev.user_id = fw.user_id
+        WHERE ev.event_type = 'purchase' AND ev.value IS NOT NULL
+        GROUP BY 1, 2),
+      span AS (SELECT cohort, MAX(age) AS mx FROM rev GROUP BY cohort),
+      ages AS (
+        SELECT cohort, unnest(range(0, mx + 1)) AS age FROM span),
+      dense AS (
+        SELECT ages.cohort, ages.age, COALESCE(rev.rev, 0) AS rev
+        FROM ages LEFT JOIN rev
+          ON rev.cohort = ages.cohort AND rev.age = ages.age)
+      SELECT cohort, age, CAST(rev AS BIGINT) AS rev,
+        CAST(SUM(rev) OVER (PARTITION BY cohort ORDER BY age
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ltv
+      FROM dense ORDER BY cohort, age"""),
+  )
+
   val all: Seq[QueryDef] = Seq(q201Rfm, q202Abc, q203Assortativity,
     q204JsonNested, q205Covariance, q206RadiusJoin, q207Dbscan,
     q208SeasonalNaive, q209SessionPaths, q210LinearAttribution,
@@ -1241,5 +1307,5 @@ ${bfsCtes("b", "s2", 4)}
     q214ClusterLabels, q215TrailingDistinct, q216Modularity,
     q217GappedPairs, q218Interarrival, q219ClusterSizes,
     q220Eccentricity, q221EmbeddingDrift, q222SortedNeighborhood,
-    q223Conformal)
+    q223Conformal, q224LtvCurve)
 }
