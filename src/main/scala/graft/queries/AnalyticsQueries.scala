@@ -1300,6 +1300,50 @@ ${bfsCtes("b", "s2", 4)}
       FROM dense ORDER BY cohort, age"""),
   )
 
+  // --------------------------------------------------------------- q225
+  /** New vs returning daily actives — the dashboard primitive on top
+    * of first-occurrence collapse: per day, distinct actives split
+    * into first-ever-seen and returning, with the new share in ppm.
+    * Two combining aggregates (per-user first day; per-day
+    * distincts) and one join — never a distinct-over-window.
+    */
+  val q225NewVsReturning: QueryDef = QueryDef(
+    "q225_new_vs_returning",
+    (s, dir) => {
+      val ev = Tables(s, dir, "events")
+        .filter(col("user_id").isNotNull)
+        .select(col("user_id"),
+          expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+            .as("day"))
+      val first = ev.groupBy(col("user_id")).agg(min(col("day")).as("fd"))
+      ev.distinct()
+        .join(first, Seq("user_id"))
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("actives"),
+          sum(when(col("day") === col("fd"), 1L).otherwise(0L))
+            .as("new_users"))
+        .select(col("day"), col("actives"), col("new_users"),
+          (col("actives") - col("new_users")).as("returning"),
+          expr("(1000000 * new_users) div actives").as("new_share_ppm"))
+        .orderBy(col("day"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT DISTINCT user_id,
+          CAST(epoch_ns(ts) // 1000 // 86400000000 AS BIGINT) AS day
+        FROM events WHERE user_id IS NOT NULL),
+      first AS (SELECT user_id, MIN(day) AS fd FROM ev GROUP BY user_id)
+      SELECT ev.day, COUNT(*) AS actives,
+        CAST(COUNT(*) FILTER (ev.day = first.fd) AS BIGINT)
+          AS new_users,
+        CAST(COUNT(*) - COUNT(*) FILTER (ev.day = first.fd) AS BIGINT)
+          AS returning,
+        CAST((1000000 * COUNT(*) FILTER (ev.day = first.fd))
+          // COUNT(*) AS BIGINT) AS new_share_ppm
+      FROM ev JOIN first ON ev.user_id = first.user_id
+      GROUP BY ev.day ORDER BY ev.day"""),
+  )
+
   val all: Seq[QueryDef] = Seq(q201Rfm, q202Abc, q203Assortativity,
     q204JsonNested, q205Covariance, q206RadiusJoin, q207Dbscan,
     q208SeasonalNaive, q209SessionPaths, q210LinearAttribution,
@@ -1307,5 +1351,5 @@ ${bfsCtes("b", "s2", 4)}
     q214ClusterLabels, q215TrailingDistinct, q216Modularity,
     q217GappedPairs, q218Interarrival, q219ClusterSizes,
     q220Eccentricity, q221EmbeddingDrift, q222SortedNeighborhood,
-    q223Conformal, q224LtvCurve)
+    q223Conformal, q224LtvCurve, q225NewVsReturning)
 }
