@@ -926,12 +926,15 @@ object AnalyticsQueries {
       val gaps = ev
         .withColumn("gap", col("us") - lag(col("us"), 1).over(w))
         .filter(col("gap").isNotNull)
+        // minutes, not seconds: cv is unit-invariant and the squared
+        // sum must stay under 2^63 at 10x+ scales (caught by the
+        // sf0.1 re-grade: second-granularity gaps overflowed)
         .select(col("event_type").as("g"),
-          expr("gap div 1000000").as("gap_s"))
+          expr("gap div 60000000").as("gap_min"))
       val varN = col("n") * col("ss") - col("s") * col("s")
       gaps.groupBy(col("g"))
-        .agg(count(lit(1)).as("n"), sum(col("gap_s")).as("s"),
-          sum(col("gap_s") * col("gap_s")).as("ss"))
+        .agg(count(lit(1)).as("n"), sum(col("gap_min")).as("s"),
+          sum(col("gap_min") * col("gap_min")).as("ss"))
         .select(col("g"), col("n"), col("s"), col("ss"),
           when(col("s") > 0, round(
             sqrt(varN.cast("double")) / col("s"), 6)).as("cv"))
@@ -945,12 +948,12 @@ object AnalyticsQueries {
       gaps AS (
         SELECT event_type AS g,
           (us - lag(us) OVER (PARTITION BY user_id, event_type
-            ORDER BY us, event_id)) // 1000000 AS gap_s
+            ORDER BY us, event_id)) // 60000000 AS gap_min
         FROM ev),
       agg AS (
-        SELECT g, COUNT(*) AS n, CAST(SUM(gap_s) AS BIGINT) AS s,
-          CAST(SUM(gap_s * gap_s) AS BIGINT) AS ss
-        FROM gaps WHERE gap_s IS NOT NULL GROUP BY g)
+        SELECT g, COUNT(*) AS n, CAST(SUM(gap_min) AS BIGINT) AS s,
+          CAST(SUM(gap_min * gap_min) AS BIGINT) AS ss
+        FROM gaps WHERE gap_min IS NOT NULL GROUP BY g)
       SELECT g, n, s, ss,
         CASE WHEN s > 0 THEN ROUND(
           sqrt(CAST(n * ss - s * s AS DOUBLE)) / s, 6) END AS cv
