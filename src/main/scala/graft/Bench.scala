@@ -153,24 +153,42 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    val targets = SparkEntry.headline
     // warm-up pass over EVERY query: JIT + codegen + parquet footer
     // caches, and one-time fixture materialization (q24's synthetic
-    // pages) all land outside the timed region
-    targets.foreach(runOnce)
+    // pages) all land outside the timed region.
     // min of 3 runs — strips one-off JIT/compile noise and reduces the
-    // ±20% machine-load variance a single sample carries
-    val results = targets.map { d =>
-      val runs = Seq.fill(3)(runOnce(d))
-      d.name -> (if (runs.exists(_ < 0)) -1.0 else runs.min)
+    // ±20% machine-load variance a single sample carries.
+    def timeSection(targets: Seq[QueryDef]): Seq[(String, Double)] = {
+      targets.foreach(runOnce)
+      targets.map { d =>
+        val runs = Seq.fill(3)(runOnce(d))
+        d.name -> (if (runs.exists(_ < 0)) -1.0 else runs.min)
+      }
     }
-    val qs = results
+    def toJsonObj(results: Seq[(String, Double)]): String = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+
+    val results = timeSection(SparkEntry.headline)
+    val qs = toJsonObj(results)
     val total = results.map(_._2).filter(_ >= 0).sum
+    // second section (round 9): the 100 TB scale families — APSS,
+    // stored-index near-dedup, BPE training, PageRank, DBSCAN, HLL —
+    // previously invisible to the per-round artifact
+    val scaleResults = timeSection(SparkEntry.scaleBench)
+    val scaleQs = toJsonObj(scaleResults)
+    val scaleTotal = scaleResults.map(_._2).filter(_ >= 0).sum
+    // calib-normalized value: seconds this run WOULD have taken on the
+    // round-8 reference host (cpu_calib_ms = 284 on the r8 recorded
+    // artifact). Cross-round comparison becomes a field read instead of
+    // reader arithmetic: compare value_per_calib to value_per_calib.
+    val refCalibMs = 284.0
+    val calibRatio = calibMs.toDouble / refCalibMs
+    val valuePerCalib = total / calibRatio
+    val scalePerCalib = scaleTotal / calibRatio
     val compileExceptions = counter.count.get()
     val json =
-      f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","valid":$valid,"queries":$qs,"sf":"$sfDir","loadavg_before":"$loadBefore","loadavg_after":"${loadavg()}","cpu_calib_ms":$calibMs,"compile_exceptions":$compileExceptions}"""
+      f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","valid":$valid,"queries":$qs,"scale_total":$scaleTotal%.3f,"scale_queries":$scaleQs,"value_per_calib":$valuePerCalib%.3f,"scale_total_per_calib":$scalePerCalib%.3f,"ref_calib_ms":284,"sf":"$sfDir","loadavg_before":"$loadBefore","loadavg_after":"${loadavg()}","cpu_calib_ms":$calibMs,"compile_exceptions":$compileExceptions}"""
     println(json)
     // the printed line is the source of truth; an unwritable out path
     // must not turn a successful run into a nonzero exit

@@ -35,4 +35,26 @@ object SparkEntry {
 
   /** Queries Bench times at sf0.1. */
   def headline: Seq[QueryDef] = defs.filter(_.headline)
+
+  /** Representatives of the 100 TB scale families, timed by Bench as a
+    * second `scale_total` section (round 9): sparse all-pairs cosine,
+    * stored-index incremental near-dedup, BPE vocabulary training,
+    * PageRank, grid-blocked DBSCAN, HLL sketch build+merge. The headline
+    * section alone only covered two of the scale-surface operators; a
+    * regression in any of these families was previously invisible to the
+    * per-round bench artifact.
+    */
+  private val scaleBenchNames: Seq[String] = Seq(
+    "q95_sparse_cosine",
+    "q122_indexed_near_dedup",
+    "q125_bpe_merges",
+    "q93_pagerank",
+    "q207_dbscan",
+    "q141_hll_replay",
+  )
+
+  def scaleBench: Seq[QueryDef] = {
+    val byName = defs.map(d => d.name -> d).toMap
+    scaleBenchNames.map(byName)
+  }
 }

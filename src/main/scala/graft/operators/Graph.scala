@@ -56,6 +56,9 @@ object Graph {
       .union(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint()
     val n = nodes.count()
+    require(n > 0, "pageRank: empty edge list (no nodes)")
+    require(scale >= n,
+      s"pageRank: scale=$scale < n=$n would floor init to 0 (all-zero ranks)")
     // exact integer constants, identical to the oracle's arithmetic
     val init = scale / n
     val teleport = (init * (dampDen - dampNum)) / dampDen
@@ -160,6 +163,8 @@ object Graph {
       .localCheckpoint()
     val nSeeds = seeded.filter(col("is_seed")).count()
     require(nSeeds > 0, "no seed is present in the graph")
+    require(scale >= nSeeds,
+      s"personalizedPageRank: scale=$scale < nSeeds=$nSeeds floors init to 0")
     val init = scale / nSeeds
     val teleport = (init * (dampDen - dampNum)) / dampDen
     var ranks = seeded.select(col("node"), col("is_seed"),

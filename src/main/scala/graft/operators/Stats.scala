@@ -406,8 +406,11 @@ object Stats {
     * aggregate, the grouped two-phase prefix, per-group totals as the
     * cells' max inclusive cum (a combining agg, not a second scan),
     * and a qs-sized broadcast cross join — no per-group window, no
-    * sort materialization. Weight guard: cum·10⁶ needs
-    * total ≤ ~9·10¹² per group.
+    * sort materialization. The threshold comparison cum·10⁶ ≥
+    * q_ppm·total runs in decimal(38,0) — long·10⁶ silently wraps once
+    * a group's total weight passes ~9.2·10¹², and a wrong quantile is
+    * worse than a slower compare; the cast rides only the comparison,
+    * outputs stay long.
     */
   def weightedQuantiles(df: DataFrame, group: Column, value: Column,
       weight: Column, qsPpm: Seq[Long]): DataFrame = {
@@ -424,7 +427,8 @@ object Stats {
     val qs = qsPpm.toDF("q_ppm")
     cum.join(tot, Seq("grp"))
       .crossJoin(broadcast(qs))
-      .filter(col("gcum_w") * 1000000L >= col("q_ppm") * col("total_w"))
+      .filter(col("gcum_w").cast("decimal(38,0)") * 1000000L >=
+        col("q_ppm").cast("decimal(38,0)") * col("total_w"))
       .groupBy(col("grp"), col("q_ppm"), col("total_w"))
       .agg(min(col("v")).as("value"))
       .join(cum.select(col("grp"), col("v").as("value"),

@@ -33,6 +33,13 @@ import org.apache.spark.sql.functions._
   * (their prefix bound degenerates — at that length the pigeonhole
   * admits zero-overlap true pairs, so no gram join is lossless;
   * route genuinely short strings to an exact per-length-band pass).
+  *
+  * Runtime floor: the bounded-verify step uses the 3-argument
+  * `levenshtein(l, r, threshold)` overload, added in Spark 3.5
+  * (SPARK-44505). On older runtimes this fails at compile/analysis
+  * time — intentionally loud; do not silently substitute the
+  * unbounded 2-arg form, which turns verify back into O(len²) per
+  * candidate and changes the `-1` past-the-bound contract.
   */
 object StringJoin {
 

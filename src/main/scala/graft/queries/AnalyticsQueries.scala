@@ -1007,16 +1007,23 @@ object AnalyticsQueries {
     * `prefix`, seeded from CTE `seedsCte(node)`.
     */
   private def bfsCtes(p: String, seedsCte: String, hops: Int): String = {
+    // every round MATERIALIZED: f_i and v_i are each referenced twice
+    // downstream (the next frontier's anti-filter AND the next visited
+    // union), so an inlining replanner re-evaluates the whole prefix
+    // chain per reference — exponential in hops, and with two chained
+    // sweeps it exhausted DuckDB's temp spill at sf0.1. Materialization
+    // pins each frontier to ONE evaluation; replay cost then scales
+    // with frontier size, matching the engine's iteration cost.
     val rounds = (1 to hops).map { i =>
-      s"""      ${p}f$i AS (SELECT DISTINCT e.dst AS node
+      s"""      ${p}f$i AS MATERIALIZED (SELECT DISTINCT e.dst AS node
         FROM ${p}f${i - 1} f JOIN e ON f.node = e.src
         WHERE e.dst NOT IN (SELECT node FROM ${p}v${i - 1})),
-      ${p}v$i AS (SELECT * FROM ${p}v${i - 1}
+      ${p}v$i AS MATERIALIZED (SELECT * FROM ${p}v${i - 1}
         UNION ALL SELECT node, $i FROM ${p}f$i)"""
     }.mkString(",\n")
-    s"""      ${p}f0 AS (SELECT node FROM $seedsCte
+    s"""      ${p}f0 AS MATERIALIZED (SELECT node FROM $seedsCte
         WHERE node IN (SELECT node FROM nodes)),
-      ${p}v0 AS (SELECT node, 0 AS hop FROM ${p}f0),
+      ${p}v0 AS MATERIALIZED (SELECT node, 0 AS hop FROM ${p}f0),
 $rounds"""
   }
 

@@ -263,9 +263,27 @@ object DomainQueries {
   )
 
   // ---------------------------------------------------------------- q23
-  /** M1-M5: the ML lifecycle — split, train GBT (absolute loss), score
-    * with re-join, evaluate MAE per split. Not SQL-expressible (no GBT in
-    * DuckDB) → rows-only check; invariants live in MlSpec.
+  // committed freeze of q23's expected predictions (the q67 pattern
+  // applied to training): generated once by running the query itself,
+  // committed, and never rewritten — a drift anywhere in the chain
+  // (parsers, cleaning, split membership, MLlib split-stat or scoring
+  // arithmetic, model format) breaks the hash. Absolute path resolved
+  // from the sbt working dir, like MlSpec's fixture load.
+  private val q23ExpectedPath =
+    new java.io.File("src/test/resources/gbt_expected_predictions")
+      .getAbsolutePath
+
+  /** M1-M5: the ML lifecycle as a HARD hash signal — scrape → clean →
+    * seeded split → GBT training (absolute loss) → batch score, frozen
+    * against a committed expected-predictions parquet. DuckDB cannot
+    * train a GBT, so the oracle is the freeze: training runs on the
+    * CANONICAL layout (train split sorted on the id, one partition —
+    * float split-stat accumulation order is the single
+    * layout-dependent degree of freedom, proven bit-deterministic
+    * across JVMs by MlSpec's pinned digest), and predictions are
+    * milli-quantized so the compare is integer-exact. The early-stop
+    * variant (validation set, maxIter=20) stays spec'd in MlSpec M1;
+    * per-split MAE accounting is hash-graded by q66.
     */
   val q23MlScore: QueryDef = QueryDef(
     "q23_ml_score",
@@ -276,20 +294,33 @@ object DomainQueries {
         fetchedAt = Some(1.6254e9))
       val dim = Geocode.readLocationReference(s, csv.toString)
       val cleaned = Clean.cleanDf(Clean.addTargetVariable(
-        Geocode.addAddressCoords(props, dim))).cache()
+        Geocode.addAddressCoords(props, dim)))
+        // provenance columns vary per run (temp dir path, file mtime)
+        // and threeWay content-hashes every column — with them in,
+        // split MEMBERSHIP itself would drift (MlSpec's freeze
+        // documents the same trap)
+        .drop("source_file", "html_file_last_modified_at")
+        .cache()
       try {
-        val splits = graft.operators.Splits.threeWay(cleaned, 0.1875, 0.25, 123L)
-        val model = graft.ml.Scoring.trainGbt(splits("train"),
-          Some(splits("val")), maxIter = 20)
-        val rows = Seq("train", "val", "test").map { name =>
-          val scored = graft.ml.Scoring.predict(model, splits(name))
-          (name, scored.count(), graft.ml.Scoring.mae(scored))
-        }
-        import s.implicits._
-        rows.toDF("split", "n", "mae").orderBy(col("split"))
+        val splits =
+          graft.operators.Splits.threeWay(cleaned, 0.1875, 0.25, 123L)
+        val canonical = splits("train").orderBy(col("jnc_id")).coalesce(1)
+        val model = graft.ml.Scoring.trainGbt(canonical, maxIter = 10)
+        graft.ml.Scoring.predict(model, splits("test"))
+          .na.drop(Seq("y_pred"))
+          .select(col("jnc_id"),
+            (signum(col("y")) * floor(abs(col("y")) * 1000 + lit(0.5)))
+              .cast("long").as("y_milli"),
+            (signum(col("y_pred")) *
+              floor(abs(col("y_pred")) * 1000 + lit(0.5)))
+              .cast("long").as("pred_milli"))
+          .orderBy(col("jnc_id"))
       } finally cleaned.unpersist() // don't pin blocks for later queries
     },
-    oracle = None,
+    oracle = Some(s"""
+      SELECT jnc_id, y_milli, pred_milli
+      FROM read_parquet('$q23ExpectedPath/*.parquet')
+      ORDER BY jnc_id"""),
   )
 
   // ---------------------------------------------------------------- q24

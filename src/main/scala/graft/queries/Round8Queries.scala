@@ -1539,26 +1539,33 @@ $union
         .orderBy(col("hop"))
     },
     Some("""
-      WITH cs AS (
+      WITH cs AS MATERIALIZED (
         SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
         FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-      e AS (SELECT src, dst FROM cs
+      e AS MATERIALIZED (SELECT src, dst FROM cs
             UNION SELECT dst AS src, src AS dst FROM cs),
-      nodes AS (SELECT DISTINCT node FROM (
+      nodes AS MATERIALIZED (SELECT DISTINCT node FROM (
         SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
-      f0 AS (SELECT DISTINCT 'c' || c_custkey AS node FROM customer
+      f0 AS MATERIALIZED (
+        SELECT DISTINCT 'c' || c_custkey AS node FROM customer
         WHERE c_custkey % 100 = 0
           AND 'c' || c_custkey IN (SELECT node FROM nodes)),
-      v0 AS (SELECT node, 0 AS hop FROM f0),
-      f1 AS (SELECT DISTINCT e.dst AS node FROM f0 JOIN e ON f0.node = e.src
+      v0 AS MATERIALIZED (SELECT node, 0 AS hop FROM f0),
+      f1 AS MATERIALIZED (
+        SELECT DISTINCT e.dst AS node FROM f0 JOIN e ON f0.node = e.src
         WHERE e.dst NOT IN (SELECT node FROM v0)),
-      v1 AS (SELECT * FROM v0 UNION ALL SELECT node, 1 FROM f1),
-      f2 AS (SELECT DISTINCT e.dst AS node FROM f1 JOIN e ON f1.node = e.src
+      v1 AS MATERIALIZED (
+        SELECT * FROM v0 UNION ALL SELECT node, 1 FROM f1),
+      f2 AS MATERIALIZED (
+        SELECT DISTINCT e.dst AS node FROM f1 JOIN e ON f1.node = e.src
         WHERE e.dst NOT IN (SELECT node FROM v1)),
-      v2 AS (SELECT * FROM v1 UNION ALL SELECT node, 2 FROM f2),
-      f3 AS (SELECT DISTINCT e.dst AS node FROM f2 JOIN e ON f2.node = e.src
+      v2 AS MATERIALIZED (
+        SELECT * FROM v1 UNION ALL SELECT node, 2 FROM f2),
+      f3 AS MATERIALIZED (
+        SELECT DISTINCT e.dst AS node FROM f2 JOIN e ON f2.node = e.src
         WHERE e.dst NOT IN (SELECT node FROM v2)),
-      v3 AS (SELECT * FROM v2 UNION ALL SELECT node, 3 FROM f3)
+      v3 AS MATERIALIZED (
+        SELECT * FROM v2 UNION ALL SELECT node, 3 FROM f3)
       SELECT CAST(hop AS BIGINT) AS hop, COUNT(*) AS n,
         MIN(node) AS first_node, MAX(node) AS last_node
       FROM v3 GROUP BY hop ORDER BY hop"""),

@@ -202,7 +202,13 @@ object SchemaQueries {
     },
     Some(s"""
       WITH ${scd2Ctes("a", "event_type").trim.stripPrefix("")}
-      , ${scd2Ctes("b", "CAST(floor(value) AS BIGINT) // 100").trim}
+      , ${scd2Ctes("b",
+        // trunc division (Spark `div`), not DuckDB floor `//`: the two
+        // agree only for non-negative dividends, and a generator change
+        // introducing negative values would otherwise silently diverge
+        "(CASE WHEN floor(value) >= 0" +
+          " THEN CAST(floor(value) AS BIGINT) // 100" +
+          " ELSE -((-CAST(floor(value) AS BIGINT)) // 100) END)").trim}
       , ja AS (SELECT k, attr AS attr_a, valid_from_us AS fa,
           COALESCE(valid_to_us, 9223372036854775807) AS ta FROM af)
       , jb AS (SELECT k, attr AS attr_b, valid_from_us AS fb,
