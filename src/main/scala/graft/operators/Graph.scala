@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Link-graph signals for corpus curation. Web-scale training-data
@@ -466,15 +466,20 @@ object Graph {
     val pairs = und
       .join(deg.select(col("v").as("src"), col("deg").as("da")), Seq("src"))
       .join(deg.select(col("v").as("dst"), col("deg").as("db")), Seq("dst"))
-    val varA = col("n") * col("saa") - col("sa") * col("sa")
-    val varB = col("n") * col("sbb") - col("sb") * col("sb")
+    // closed form in decimal(38,0): n·saa already reaches 2.4e17 at
+    // sf0.1 and grows ∝ sf² (n = edge endpoints, degrees ~flat), so
+    // the long form wraps silently near sf0.6 — the one-row final
+    // aggregate pays the decimal cost, the edge-sized sums stay long
+    def d38(c: Column): Column = c.cast("decimal(38,0)")
+    val varA = d38(col("n")) * col("saa") - d38(col("sa")) * col("sa")
+    val varB = d38(col("n")) * col("sbb") - d38(col("sb")) * col("sb")
     pairs.agg(count(lit(1)).as("n"), sum(col("da")).as("sa"),
         sum(col("db")).as("sb"), sum(col("da") * col("db")).as("sab"),
         sum(col("da") * col("da")).as("saa"),
         sum(col("db") * col("db")).as("sbb"))
       .select(col("n").as("n_endpoints"),
         when(varA > 0 && varB > 0,
-          round((col("n") * col("sab") - col("sa") * col("sb"))
+          round((d38(col("n")) * col("sab") - d38(col("sa")) * col("sb"))
               .cast("double") /
             (sqrt(varA.cast("double")) * sqrt(varB.cast("double"))), 6))
           .as("r"))

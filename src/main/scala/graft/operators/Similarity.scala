@@ -337,12 +337,27 @@ object Similarity {
         floor(col("x").cast("double") * scale).cast("long").as("q"))
       .groupBy(col("b"), col("i")).agg(sum(col("q")).as("s"))
       .localCheckpoint() // read three times (dot + both norms)
+    // centroid-component squares/products in decimal(38,0): |s| grows
+    // with the bucket size (worst case scale·|x|max·N per component),
+    // and Σᵢ s² wraps long near N ≈ 650 same-sign vectors at scale
+    // 10⁶ — under sf10 of the graded table. The decimal cost lands on
+    // the CELL table only (buckets × dims rows). Outputs stay long:
+    // the guarded cast fails loudly if a result genuinely exceeds
+    // 2⁶³ (raise_error, not a wrapped value).
+    def asLong(c: Column, what: String): Column =
+      when(abs(c) <= lit(Long.MaxValue), c.cast("long"))
+        .otherwise(raise_error(format_string(
+          s"centroidDrift: $what overflows long (%s); lower `scale`",
+          c.cast("string"))).cast("long"))
     val norms = e.groupBy(col("b"))
-      .agg(sum(col("s") * col("s")).as("nrm"))
+      .agg(sum(col("s").cast("decimal(38,0)") * col("s")).as("nrm_d"))
+      .select(col("b"), asLong(col("nrm_d"), "norm").as("nrm"))
     val dots = e.select(col("b"), col("i"), col("s").as("sa"))
       .join(e.select((col("b") - 1).as("b"), col("i"),
         col("s").as("sb")), Seq("b", "i"))
-      .groupBy(col("b")).agg(sum(col("sa") * col("sb")).as("dot"))
+      .groupBy(col("b"))
+      .agg(sum(col("sa").cast("decimal(38,0)") * col("sb")).as("dot_d"))
+      .select(col("b"), asLong(col("dot_d"), "dot").as("dot"))
     dots
       .join(norms.select(col("b"), col("nrm").as("na")), Seq("b"))
       .join(norms.select((col("b") - 1).as("b"),

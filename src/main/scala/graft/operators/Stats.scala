@@ -84,9 +84,13 @@ object Stats {
     *
     * Scale shape: one map-side-combining groupBy for the per-group
     * moments (group-cardinality output), one equi-join back to the
-    * rows. Long-range audit: Σx²·n and (Σx)² cap at ~10¹⁸ for
-    * |cents| ≤ 6·10⁴ over ~2·10⁴-row groups (the graded scale); a
-    * 100 TB run moves the two products to decimal(38), same shape.
+    * rows. Long-range audit (round 9): Σx²·n and (Σx)² pass 2⁶³ at
+    * ~4·10⁵ rows per group for |cents| ≤ 6·10⁴ — that is only ~sf2 of
+    * the graded events table, so the radicand products run in
+    * decimal(38,0) (the per-row sums stay long; only the two
+    * group-cardinality products pay the decimal cost, and z is a
+    * double either way). Silent long wrap here produced wrong
+    * outliers, not errors — exactly the q218 bug class.
     */
   def zScores(df: DataFrame, group: Column, id: Column, value: Column,
       scale: Long = 100L, flagAt: Double = 3.0): DataFrame = {
@@ -95,13 +99,16 @@ object Stats {
     val m = rows.groupBy(col("grp"))
       .agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
         sum(col("x") * col("x")).as("ss"))
+    // radicand in decimal(38,0): ss·n wraps long at ~4e5 rows/group
+    // (|cents| ≤ 6e4); the numerator x·n − s stays far inside long
+    val rad = col("ss").cast("decimal(38,0)") * col("n") -
+      col("s").cast("decimal(38,0)") * col("s")
     rows.join(m, Seq("grp"))
       .withColumn("z",
-        when(col("ss") * col("n") - col("s") * col("s") === 0, lit(0.0))
+        when(rad === 0, lit(0.0))
           .otherwise(round(
             (col("x") * col("n") - col("s")).cast("double") /
-              sqrt((col("ss") * col("n") - col("s") * col("s"))
-                .cast("double")), 6)))
+              sqrt(rad.cast("double")), 6)))
       .select(col("grp"), col("id"), col("x"), col("z"),
         (abs(col("z")) >= flagAt).as("is_outlier"))
   }

@@ -199,6 +199,56 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("zScores: radicand past 2^63 computes exactly via the decimal " +
+      "path (the q218 overflow class, round-9 headroom audit)") {
+    import graft.operators.Stats
+    // x ≈ 1.2e9 over 3 rows: Σx² ≈ 4.3e18 still fits long, but both
+    // radicand products (Σx²·n ≈ 1.3e19 and (Σx)² ≈ 1.3e19) pass 2⁶³
+    // — the long form wrapped to garbage (negative radicand → NaN or
+    // a wrong z); the decimal(38) radicand must match a BigInt
+    // reference exactly.
+    val xs = Seq(1200000000L, 1210000000L, 1190000000L)
+    val rows = xs.zipWithIndex
+      .map { case (x, i) => ("g", s"id$i", x.toDouble / 100.0) }
+    val got = Stats.zScores(rows.toDF("g", "id", "v"),
+        col("g"), col("id"), col("v"))
+      .select(col("id"), col("z")).as[(String, Double)].collect().toMap
+    val n = BigInt(xs.length)
+    val s = xs.map(BigInt(_)).sum
+    val ss = xs.map(x => BigInt(x) * BigInt(x)).sum
+    // the radicand itself is small — it is the PRODUCTS that pass 2⁶³,
+    // so the long form wraps each side before subtracting and the
+    // small true difference comes out corrupted
+    val rad = (ss * n - s * s).toDouble
+    assert(ss * n > BigInt(Long.MaxValue) && s * s > BigInt(Long.MaxValue),
+      "test setup must actually exceed 2^63 in the products")
+    xs.zipWithIndex.foreach { case (x, i) =>
+      val expect = BigDecimal((BigInt(x) * n - s).toDouble / math.sqrt(rad))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got(s"id$i") === expect, s"id$i")
+    }
+  }
+
+  test("centroidDrift: a true norm past 2^63 fails loudly " +
+      "(raise_error guard), not with a wrapped value") {
+    import graft.operators.Similarity
+    // one vector per bucket, components 4.0 at scale 1e9 → per-
+    // component s = 4e9, s² = 1.6e19 > Long.MaxValue: the pre-audit
+    // long product wrapped silently; the decimal path computes the
+    // true norm and the guarded cast must refuse to emit it as long
+    val vecs = Seq((0L, Array(4.0f, 4.0f)), (1L, Array(4.0f, 4.0f)))
+      .toDF("b", "v")
+    val e = intercept[Exception] {
+      Similarity.centroidDrift(vecs, col("b"), col("v"), 1000000000L)
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("centroidDrift")),
+      s"expected the centroidDrift guard, got: ${messages(e).mkString(" | ")}")
+  }
+
   test("crossCorrelation: a shifted copy peaks at its lag with r = 1") {
     import graft.operators.Stats
     val rnd = new scala.util.Random(167)
