@@ -95,43 +95,69 @@ object Sinks {
     erased
   }
 
+  /** Resolve the live snapshot of an upsert store for reading. A
+    * versioned store (round 9 layout: `_snapshots/` + `_manifest/`
+    * pointer files, [[SnapshotIO.publishVersion]]) resolves through
+    * its newest manifest; a legacy flat store — or any plain parquet
+    * directory, e.g. fresh [[compactParquet]] output — reads as
+    * itself. Readers NEVER observe a missing path: a manifest always
+    * points at a complete immutable snapshot dir that outlives it by
+    * `keep` generations.
+    */
+  def readSnapshot(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val resolved = SnapshotIO.resolveSnapshot(fs, root)
+      .map(_.toString).getOrElse(path)
+    spark.read.parquet(resolved)
+  }
+
   /** Keep-latest upsert into a plain-parquet snapshot — MERGE semantics
     * without a table format: union the current snapshot with the batch,
     * keep the best row per key (greatest `orderCol`; the incoming batch
     * wins ties, so re-delivering a batch is idempotent), publish via
-    * [[SnapshotIO.swap]] — a complete snapshot always survives, though
-    * a reader racing the two-rename swap can briefly see the path
-    * absent (retry; only a table format's metadata log removes that
-    * window). One shuffle on the key — the compaction a log-structured
-    * table (Delta/Iceberg) eventually pays anyway, without the
-    * dependency. Single-writer by contract; concurrent writers need a
-    * real table format's log. The batch must carry at most ONE
-    * candidate row per key: the fresh-table fast path writes it
-    * verbatim, so a multi-row-per-key batch would survive unmerged —
-    * collapse first (as StreamJoin.upsertSink does per micro-batch).
+    * [[SnapshotIO.publishVersion]]. Since round 9 the store is
+    * VERSIONED — each upsert writes an immutable numbered snapshot dir
+    * and atomically adds a new manifest pointer file, so a concurrent
+    * reader ([[readSnapshot]]) never sees a missing or partial store;
+    * the pre-round-9 two-rename swap had a documented absence window.
+    * One shuffle on the key — the compaction a log-structured table
+    * (Delta/Iceberg) eventually pays anyway, without the dependency.
+    * Single-writer by contract; concurrent writers need a real table
+    * format's log. The batch must carry at most ONE candidate row per
+    * key: the fresh-table fast path writes it verbatim, so a
+    * multi-row-per-key batch would survive unmerged — collapse first
+    * (as StreamJoin.upsertSink does per micro-batch). Legacy flat
+    * stores are read as generation 0 and upgraded in place.
     */
   def upsertParquet(batch: DataFrame, path: String, keyCols: Seq[String],
       orderCol: String): Unit = {
     import org.apache.hadoop.fs.Path
     val spark = batch.sparkSession
-    val dest = new Path(path)
-    val fs = dest.getFileSystem(spark.sessionState.newHadoopConf())
-    val merged =
-      if (!fs.exists(new Path(dest, "_SUCCESS"))) batch
-      else {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val current = SnapshotIO.resolveSnapshot(fs, root)
+      .map(_.toString)
+      .orElse(if (fs.exists(new Path(root, "_SUCCESS"))) Some(path)
+        else None)
+    val merged = current match {
+      case None => batch
+      case Some(cur) =>
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(keyCols.map(col): _*)
           .orderBy(col(orderCol).desc, col("__src").desc)
-        spark.read.parquet(path).withColumn("__src", lit(0))
+        spark.read.parquet(cur).withColumn("__src", lit(0))
           .unionByName(batch.withColumn("__src", lit(1)))
           .withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1)
           .drop("__rn", "__src")
-      }
-    val staging = new Path(dest.getParent,
-      s".${dest.getName}__staging_${java.util.UUID.randomUUID()}")
+    }
+    val staging = new Path(root,
+      s".staging_${java.util.UUID.randomUUID()}")
     merged.write.mode("overwrite").parquet(staging.toString)
-    SnapshotIO.swap(fs, staging, dest)
+    SnapshotIO.publishVersion(fs, root, staging)
   }
 
   /** K1: CSV sink; array columns serialized as JSON strings. */
@@ -190,13 +216,16 @@ object Sinks {
       targetBytes: Long = 128L << 20): Int = {
     require(targetBytes > 0)
     val hconf = spark.sparkContext.hadoopConfiguration
-    val p = new org.apache.hadoop.fs.Path(inPath)
+    val root = new org.apache.hadoop.fs.Path(inPath)
+    val rootFs = root.getFileSystem(hconf)
+    // a versioned upsert store compacts its LIVE snapshot
+    val p = SnapshotIO.resolveSnapshot(rootFs, root).getOrElse(root)
     val fs = p.getFileSystem(hconf)
     val total = fs.listStatus(p)
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
       .map(_.getLen).sum
     val nFiles = math.max(1, ((total + targetBytes - 1) / targetBytes).toInt)
-    spark.read.parquet(inPath).coalesce(nFiles)
+    spark.read.parquet(p.toString).coalesce(nFiles)
       .write.mode("overwrite").parquet(outPath)
     nFiles
   }

@@ -1,6 +1,7 @@
 package graft.sources
 
 import java.io.IOException
+import java.nio.charset.StandardCharsets
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 
@@ -58,5 +59,115 @@ object SnapshotIO {
       throw new IOException(s"concurrent writer detected on $dest")
     }
     if (hadOld) fs.delete(trash, true)
+  }
+
+  // ------------------------------------------------------------------
+  // Versioned store (round 9): manifest-pointer publication.
+  //
+  // swap() above replaces the live directory with two renames, which
+  // leaves a documented window where a concurrent reader sees no
+  // directory at all. This store removes the window the way table
+  // formats do, with none of the dependency: snapshots are IMMUTABLE
+  // numbered directories and the "current" pointer is a new FILE per
+  // generation —
+  //
+  //   root/_snapshots/s<seq12>_<uuid>/   parquet snapshot (never mutated)
+  //   root/_manifest/m<seq12>            content = snapshot dir name
+  //
+  // A publish renames the staged snapshot into _snapshots, then stages
+  // and renames a pointer file to the NEW name m<seq+1> — rename to a
+  // fresh name is atomic on HDFS and POSIX alike, and nothing existing
+  // is deleted or replaced, so every reader resolves either the old
+  // generation or the new one, both complete. Old generations are
+  // pruned only once `keep` newer ones exist; a reader must lag `keep`
+  // whole upserts mid-scan to ever see a vanished file (the same
+  // bounded-retention contract a table format's snapshot expiry has).
+  //
+  // A legacy flat store (parquet files directly under root, the
+  // pre-round-9 layout) reads as generation 0 and is upgraded by the
+  // first versioned publish; its root-level files are removed by the
+  // same pruning rule.
+  // ------------------------------------------------------------------
+
+  private val SnapshotsDir = "_snapshots"
+  private val ManifestDir = "_manifest"
+
+  private def seqOf(name: String): Option[Long] = {
+    val core = name.stripPrefix("m").stripPrefix("s")
+    val digits = core.takeWhile(_.isDigit)
+    if (digits.length == 12) Some(digits.toLong) else None
+  }
+
+  private def manifests(fs: FileSystem, root: Path): Seq[(Long, Path)] = {
+    val dir = new Path(root, ManifestDir)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq
+      .flatMap(st => seqOf(st.getPath.getName).map(_ -> st.getPath))
+      .sortBy(_._1)
+  }
+
+  /** The live snapshot directory of a versioned store, or None when no
+    * generation has been published (callers then fall back to the
+    * legacy flat layout).
+    */
+  def resolveSnapshot(fs: FileSystem, root: Path): Option[Path] =
+    manifests(fs, root).lastOption.map { case (_, mpath) =>
+      val in = fs.open(mpath)
+      val name = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .mkString.trim finally in.close()
+      new Path(new Path(root, SnapshotsDir), name)
+    }
+
+  /** Publish `staging` as the next generation of the versioned store at
+    * `root`. Single-writer by contract (generation numbers are taken
+    * as max+1, not reserved). `keep` ≥ 1 bounds retained generations.
+    */
+  def publishVersion(fs: FileSystem, root: Path, staging: Path,
+      keep: Int = 4): Unit = {
+    require(keep >= 1, s"keep must be >= 1, got $keep")
+    val snaps = new Path(root, SnapshotsDir)
+    val mans = new Path(root, ManifestDir)
+    fs.mkdirs(snaps)
+    fs.mkdirs(mans)
+    val prev = manifests(fs, root)
+    val seq = prev.lastOption.map(_._1 + 1).getOrElse(1L)
+    val snapName = f"s$seq%012d_${java.util.UUID.randomUUID()}"
+    val snapDest = new Path(snaps, snapName)
+    if (!fs.rename(staging, snapDest)) {
+      fs.delete(staging, true)
+      throw new IOException(s"cannot stage snapshot generation $seq at $snapDest")
+    }
+    // pointer file: stage under a unique temp name, rename to the NEW
+    // final name — atomic, replaces nothing
+    val tmp = new Path(mans, s".m_tmp_${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, false)
+    try out.write(snapName.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    val mDest = new Path(mans, f"m$seq%012d")
+    if (!fs.rename(tmp, mDest)) {
+      fs.delete(tmp, true)
+      fs.delete(snapDest, true)
+      throw new IOException(
+        s"manifest $mDest already exists — concurrent writer on $root")
+    }
+    // prune: generations ≤ seq − keep (manifest first, then dirs; an
+    // orphaned snapshot from a crashed publish is caught by the same
+    // seq rule once enough generations pass)
+    val cutoff = seq - keep
+    manifests(fs, root).filter(_._1 <= cutoff)
+      .foreach { case (_, p) => fs.delete(p, false) }
+    if (fs.exists(snaps)) fs.listStatus(snaps).toSeq
+      .filter(st => seqOf(st.getPath.getName).exists(_ <= cutoff))
+      .foreach(st => fs.delete(st.getPath, true))
+    // legacy flat files (generation 0) age out under the same rule
+    if (cutoff >= 0 && fs.exists(new Path(root, "_SUCCESS"))) {
+      fs.listStatus(root).toSeq
+        .filter(_.isFile)
+        .filter { st =>
+          val n = st.getPath.getName
+          n == "_SUCCESS" || n.endsWith(".parquet")
+        }
+        .foreach(st => fs.delete(st.getPath, false))
+    }
   }
 }

@@ -58,16 +58,67 @@ class AppSinksSpec extends SparkSpec {
     val b2 = Seq(("b", 2L, "v2"), ("c", 1L, "v1-redelivered"), ("d", 5L, "v5"))
       .toDF("k", "ver", "v")
     graft.sources.Sinks.upsertParquet(b2, dir, Seq("k"), "ver")
-    val got = spark.read.parquet(dir).as[(String, Long, String)]
-      .collect().toSet
+    val got = graft.sources.Sinks.readSnapshot(spark, dir)
+      .as[(String, Long, String)].collect().toSet
     assert(got === Set(("a", 1L, "v1"), ("b", 2L, "v2"),
       ("c", 1L, "v1-redelivered"), ("d", 5L, "v5")))
     // a stale batch never regresses a newer snapshot row
     graft.sources.Sinks.upsertParquet(
       Seq(("b", 1L, "stale")).toDF("k", "ver", "v"), dir, Seq("k"), "ver")
-    val after = spark.read.parquet(dir).filter($"k" === "b")
+    val after = graft.sources.Sinks.readSnapshot(spark, dir)
+      .filter($"k" === "b")
       .select("v").as[String].collect().toSeq
     assert(after === Seq("v2"))
+  }
+
+  test("versioned upsert store: a concurrent reader loop sees zero " +
+      "failures across 50 upserts, and retention stays bounded") {
+    // The round-8 verdict's reader race: the old two-rename swap had a
+    // window where the store path did not exist. The manifest-pointer
+    // store removes it — every resolve lands on a complete immutable
+    // snapshot dir that outlives its manifest by `keep` generations.
+    // A reader thread hammers resolve+count for the WHOLE run; any
+    // missing-path/partial-read throw counts as a failure.
+    val dir = Files.createTempDirectory("graft_upsert_race")
+      .resolve("store").toString
+    def batch(k: Long, ver: Long) =
+      Seq((k, ver, s"v$ver")).toDF("k", "ver", "v")
+    graft.sources.Sinks.upsertParquet(batch(0L, 0L), dir, Seq("k"), "ver")
+    @volatile var stop = false
+    val failures = new java.util.concurrent.atomic.AtomicLong
+    val reads = new java.util.concurrent.atomic.AtomicLong
+    val reader = new Thread(() => {
+      while (!stop) {
+        try {
+          val n = graft.sources.Sinks.readSnapshot(spark, dir).count()
+          if (n < 1) failures.incrementAndGet()
+          reads.incrementAndGet()
+        } catch { case _: Throwable => failures.incrementAndGet() }
+      }
+    })
+    reader.start()
+    try (1 to 50).foreach { i =>
+      graft.sources.Sinks.upsertParquet(
+        batch(i % 7L, i.toLong), dir, Seq("k"), "ver")
+    } finally { stop = true; reader.join() }
+    assert(failures.get() === 0,
+      s"concurrent reader failed ${failures.get()} of ${reads.get()} reads")
+    assert(reads.get() > 0, "the reader loop must have actually run")
+    // final state: latest version per key survived all 51 generations
+    val fin = graft.sources.Sinks.readSnapshot(spark, dir)
+      .as[(Long, Long, String)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    (0L to 6L).foreach { k =>
+      val expect = (1 to 50).filter(_ % 7 == k).map(_.toLong)
+        .maxOption.getOrElse(0L)
+      assert(fin(k) === ((expect, s"v$expect")), s"key $k")
+    }
+    // retention: pruned to the keep bound, not 51 dirs of garbage
+    val snaps = new java.io.File(s"$dir/_snapshots").list()
+    val mans = new java.io.File(s"$dir/_manifest").list()
+      .filter(_.startsWith("m"))
+    assert(mans.length <= 4, s"manifests not pruned: ${mans.length}")
+    assert(snaps.length <= 5, s"snapshots not pruned: ${snaps.length}")
   }
 
   test("K1: CSV sink JSON-encodes array columns") {
@@ -159,18 +210,16 @@ class AppSinksSpec extends SparkSpec {
 
     Sinks.upsertParquet(d1, store, Seq("k"), "ver")
     // snapshot day-1 via localCheckpoint, NOT cache(): a cached
-    // parquet-scan plan aliases by path, so every later
-    // read.parquet(store) — including upsert's own merge read and the
-    // compaction — would silently hit the stale day-1 cache instead of
-    // the reswapped files
-    val day1State = spark.read.parquet(store).localCheckpoint()
+    // parquet-scan plan aliases by path, and pinning blocks for the
+    // whole loop is not what this test measures
+    val day1State = Sinks.readSnapshot(spark, store).localCheckpoint()
     Sinks.upsertParquet(d2, store, Seq("k"), "ver")
     // maintenance: compact into a new store and continue on it (the
     // swap is the caller's transaction, as the compaction doc says)
     val store2 = root.resolve("store_compacted").toString
     Sinks.compactParquet(spark, store, store2)
     Sinks.upsertParquet(d3, store2, Seq("k"), "ver")
-    val finalState = spark.read.parquet(store2)
+    val finalState = Sinks.readSnapshot(spark, store2)
 
     // logical truth: latest ver per key across all three days
     val w = org.apache.spark.sql.expressions.Window

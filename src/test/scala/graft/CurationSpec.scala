@@ -384,7 +384,7 @@ class CurationSpec extends SparkSpec {
     val ckpt = java.nio.file.Files.createTempDirectory("graft_upckpt_")
     graft.streaming.StreamJoin.upsertSink(spark, sfDir,
       out.toString, ckpt.toString)
-    val got = spark.read.parquet(out.toString)
+    val got = graft.sources.Sinks.readSnapshot(spark, out.toString)
     val want = Tables(spark, sfDir, "events")
       .select(col("user_id"), col("event_id"), col("event_type"),
         unix_micros(col("ts")).as("us"))
