@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Spark-only 100× smoke of the dedup/similarity scale families —
+  * the part of the scale story the DuckDB oracle cannot follow (its
+  * replays already dominate the sweep at sf0.1). Runs each named
+  * query TWICE on the given directory under deliberately different
+  * parallelism (8 shuffle partitions / 128 MB splits, then 64 / 4 MB)
+  * and compares a partition-order-independent content hash: a
+  * blocked/banded/capped candidate generator that silently depends on
+  * physical partitioning (lost candidates, per-partition RNG, first-
+  * wins races) diverges here even with no oracle watching.
+  *
+  * Also probes the observed LSH candidate volume against its bound
+  * from the q122 banded index's own stored band table: Σ_bucket C(n,2)
+  * candidate pairs vs the all-pairs C(N,2) it replaces — the measured
+  * blocking payoff, recorded in the artifact.
+  *
+  * Usage: ScaleSmoke <dataDir> <outJson> [query,query,...]
+  */
+object ScaleSmoke {
+
+  /** Partition-order-independent content hash: sum (wrapping) of
+    * per-row xxhash64 over every column rendered to string through a
+    * canonical cast — identical row multisets hash identically under
+    * any partitioning or row order.
+    */
+  private def contentHash(df: DataFrame): String = {
+    val cols = df.columns.sorted.map(c =>
+      coalesce(col(c).cast("string"), lit("<null>")))
+    // decimal(38) sum: a long sum of 64-bit hashes overflows, which
+    // ANSI mode (Spark 4 default) turns into a hard error
+    val r = df.select(xxhash64(cols: _*).cast("decimal(38,0)").as("h"))
+      .agg(sum(col("h")).as("s"), count(lit(1)).as("n")).head()
+    s"${r.get(0)}/${r.getLong(1)}"
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dataDir = args.headOption.getOrElse("/tmp/graft_sf1")
+    val outPath = if (args.length > 1) args(1) else "SCALE_SMOKE.json"
+    val names: Seq[String] =
+      if (args.length > 2) args(2).split(",").toSeq
+      else Seq("q33_dedup_exact", "q35_minhash_lsh", "q95_sparse_cosine",
+        "q122_indexed_near_dedup", "q207_dbscan")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .appName("graft-scale-smoke")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val byName = SparkEntry.defs.map(d => d.name -> d).toMap
+
+    val results = names.map { name =>
+      val d = byName(name)
+      def runWith(parts: Int, splitBytes: Long): (String, Long, Double) = {
+        spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+        spark.conf.set("spark.sql.files.maxPartitionBytes",
+          splitBytes.toString)
+        val t0 = System.nanoTime()
+        val out = d.fn(spark, dataDir)
+        val rows = out.count()
+        val h = contentHash(out)
+        (h, rows, (System.nanoTime() - t0) / 1e9)
+      }
+      val (h8, n8, s8) = runWith(8, 128L << 20)
+      val (h64, n64, s64) = runWith(64, 4L << 20)
+      val ok = h8 == h64 && n8 == n64
+      System.err.println(
+        f"[smoke] $name rows=$n8 match=$ok t8=$s8%.1fs t64=$s64%.1fs")
+      (name, n8, ok, s8, s64)
+    }
+
+    // LSH candidate volume vs bound, from q122's stored band index
+    // (the run above persisted it): candidates = Σ_bucket C(n,2);
+    // the blocking payoff is that number against all-pairs C(N,2).
+    val candProbe = spark.catalog.listTables().collect()
+      .map(_.name).find(_.startsWith("graft_q122_band_")).map { t =>
+      val bands = spark.table(t) // (id, bkey): one row per doc × band
+      val agg = bands.groupBy(col("bkey"))
+        .agg(count(lit(1)).as("n"))
+        .agg(coalesce(sum(expr("n * (n - 1) div 2")), lit(0L)).as("cand"))
+        .head()
+      val nDocs = bands.select(col("id")).distinct().count()
+      (agg.getLong(0), nDocs, nDocs * (nDocs - 1) / 2)
+    }
+
+    val qJson = results.map { case (name, n, ok, s8, s64) =>
+      f""""$name":{"rows":$n,"partition_invariant":$ok,"sec_p8":$s8%.2f,"sec_p64":$s64%.2f}"""
+    }.mkString("{", ",", "}")
+    val candJson = candProbe.map { case (cand, nDocs, allPairs) =>
+      s""","lsh_candidates":$cand,"lsh_docs":$nDocs,"all_pairs":$allPairs"""
+    }.getOrElse("")
+    val allOk = results.forall(_._3)
+    val json =
+      s"""{"metric":"scale_smoke","data_dir":"$dataDir","all_partition_invariant":$allOk,"queries":$qJson$candJson}"""
+    println(json)
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable =>
+      System.err.println(s"[smoke] WARN: cannot write $outPath: $e") }
+    spark.stop()
+    if (!allOk) sys.exit(1)
+  }
+}
