@@ -1354,6 +1354,66 @@ ${bfsCtes("b", "s2", 4)}
       GROUP BY ev.day ORDER BY ev.day"""),
   )
 
+  // --------------------------------------------------------------- q226
+  private val q226StorePath =
+    s"/tmp/graft_q226_store_${ProcessHandle.current().pid()}"
+
+  /** The versioned upsert store ([[graft.sources.Sinks.upsertParquet]]
+    * + manifest-pointer publication, round 9) in the graded loop:
+    * the events feed applied as three deterministic keep-latest
+    * batches (event_id mod 3, each collapsed to one candidate per
+    * user first, per the upsert contract), final snapshot resolved
+    * through [[graft.sources.Sinks.readSnapshot]]'s manifest chain.
+    * The oracle recomputes latest-per-user from the RAW feed in one
+    * ROW_NUMBER pass — a green row proves merge semantics AND the
+    * versioned publish/resolve path end to end, independent of the
+    * engine that wrote it. The order key is a zero-padded (us,
+    * event_id) string so ties cannot exist and batch application
+    * order is immaterial; re-running the query re-applies the same
+    * batches idempotently (three more generations, same state).
+    *
+    * Scale shape: each batch is one keyed shuffle (the collapse) plus
+    * the merge's shuffle; publication is one rename + a 50-byte
+    * pointer file per generation — no data copy beyond the merge
+    * itself, and readers never block or fail during it.
+    */
+  val q226UpsertSnapshot: QueryDef = QueryDef(
+    "q226_upsert_snapshot",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables(s, dir, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("ord",
+          format_string("%020d|%012d", col("us"), col("event_id")))
+      (0L to 2L).foreach { i =>
+        val b = ev.filter(pmod(col("event_id"), lit(3L)) === i)
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ord").desc)
+        val latest = b.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+        graft.sources.Sinks.upsertParquet(latest, q226StorePath,
+          Seq("user_id"), "ord")
+      }
+      graft.sources.Sinks.readSnapshot(s, q226StorePath)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("us"))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_id, event_type,
+          CAST(epoch_ns(ts) // 1000 AS BIGINT) AS us
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      r AS (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY user_id ORDER BY us DESC, event_id DESC) AS rn
+        FROM e)
+      SELECT user_id, event_id, event_type, us
+      FROM r WHERE rn = 1 ORDER BY user_id"""),
+  )
+
   val all: Seq[QueryDef] = Seq(q201Rfm, q202Abc, q203Assortativity,
     q204JsonNested, q205Covariance, q206RadiusJoin, q207Dbscan,
     q208SeasonalNaive, q209SessionPaths, q210LinearAttribution,
@@ -1361,5 +1421,6 @@ ${bfsCtes("b", "s2", 4)}
     q214ClusterLabels, q215TrailingDistinct, q216Modularity,
     q217GappedPairs, q218Interarrival, q219ClusterSizes,
     q220Eccentricity, q221EmbeddingDrift, q222SortedNeighborhood,
-    q223Conformal, q224LtvCurve, q225NewVsReturning)
+    q223Conformal, q224LtvCurve, q225NewVsReturning,
+    q226UpsertSnapshot)
 }
