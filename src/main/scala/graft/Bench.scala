@@ -29,50 +29,6 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  /** Counts log events that carry a Janino CompileException — the
-    * signature of a codegen'd stage falling back to interpreted
-    * execution. Attached to the log4j2 root logger so it sees Spark's
-    * CodeGenerator error logs regardless of level filtering.
-    */
-  private final class CompileExceptionCounter
-      extends org.apache.logging.log4j.core.appender.AbstractAppender(
-        "graft-compile-exception-counter", null,
-        org.apache.logging.log4j.core.layout.PatternLayout
-          .createDefaultLayout(),
-        false,
-        org.apache.logging.log4j.core.config.Property.EMPTY_ARRAY) {
-    val count = new java.util.concurrent.atomic.AtomicLong(0L)
-    override def append(
-        event: org.apache.logging.log4j.core.LogEvent): Unit = {
-      // Message-substring match is scoped to Spark's codegen loggers:
-      // an unrelated log line merely quoting the class name must not
-      // fail the bench. The thrown-exception chain is checked on every
-      // logger — an actual CompileException is the real signal.
-      val logger = event.getLoggerName
-      var hit = logger != null &&
-        (logger.contains("CodeGenerator") || logger.contains("codegen")) &&
-        event.getMessage.getFormattedMessage.contains("CompileException")
-      var t = event.getThrown
-      while (!hit && t != null) {
-        hit = t.getClass.getName.contains("CompileException")
-        t = t.getCause
-      }
-      if (hit) count.incrementAndGet()
-    }
-  }
-
-  private def installCounter(): CompileExceptionCounter = {
-    val ctx = org.apache.logging.log4j.LogManager.getContext(false)
-      .asInstanceOf[org.apache.logging.log4j.core.LoggerContext]
-    val counter = new CompileExceptionCounter
-    counter.start()
-    val config = ctx.getConfiguration
-    config.getRootLogger.addAppender(
-      counter, org.apache.logging.log4j.Level.ALL, null)
-    ctx.updateLoggers()
-    counter
-  }
-
   /** Deterministic single-thread spin (xorshift64, 2²⁷ rounds, min of
     * 3 after a JIT warm-up), in milliseconds — a host-speed yardstick
     * stamped into the artifact. loadavg exposes CONTENTION but not a
@@ -111,7 +67,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
-    val counter = installCounter()
+    val counter = graft.plans.CodegenWatch.install()
     // load gate: a bench started on a busy machine measures the load,
     // not the code. Wait for idle; declare the artifact invalid if the
     // machine never clears.

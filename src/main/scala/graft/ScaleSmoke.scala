@@ -43,7 +43,8 @@ object ScaleSmoke {
     val names: Seq[String] =
       if (args.length > 2) args(2).split(",").toSeq
       else Seq("q33_dedup_exact", "q35_minhash_lsh", "q95_sparse_cosine",
-        "q122_indexed_near_dedup", "q207_dbscan")
+        "q122_indexed_near_dedup", "q207_dbscan", "q93_pagerank",
+        "q125_bpe_merges", "q141_hll_replay")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .appName("graft-scale-smoke")

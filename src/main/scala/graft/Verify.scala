@@ -10,6 +10,12 @@ object Verify {
     // queries whose name contains any of the comma-separated substrings
     val nameFilter = args.lift(2).map(_.split(",").toSeq)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // count codegen compile fallbacks across the WHOLE registry (Bench
+    // gates only the queries it times); reported at the end, strict
+    // via SPARK_GRAFT_CODEGEN_STRICT=1 — not a default hard failure,
+    // because a fallback is a perf bug, not a correctness one, and
+    // this main IS the correctness gate
+    val codegenWatch = graft.plans.CodegenWatch.install()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -45,6 +51,11 @@ object Verify {
       .filter { case (k, _) => nameFilter.forall(_.exists(k.contains)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val ce = codegenWatch.count.get()
+    if (ce > 0) System.err.println(
+      s"[verify] WARN: $ce codegen CompileException(s) — some stage fell back to interpreted execution")
     spark.stop()
+    if (ce > 0 && sys.env.get("SPARK_GRAFT_CODEGEN_STRICT").contains("1"))
+      sys.exit(2)
   }
 }

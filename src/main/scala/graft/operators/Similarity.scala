@@ -64,32 +64,65 @@ object Similarity {
     * bit-identical doubles. Completely narrow: a per-row transform +
     * posexplode, no shuffle.
     */
+  /** The (planes × dims) coefficient matrix as ONE array literal —
+    * the same trick as KMeans' argmin: a fold over a literal keeps
+    * the generated code FIXED-SIZE in planes and dims. The previous
+    * unrolled form (planes × dims explicit element_at·lit add chains)
+    * generated >64 KB methods at 16 planes × 64 dims, tripping
+    * Janino's limit and silently dropping the whole stage out of
+    * whole-stage codegen (found round 9: 7 CodeGenerator errors per
+    * Verify run, invisible to Bench's gate because the LSH queries
+    * are not headline).
+    */
+  private def planeLits(nPlanes: Int, dims: Int): Column =
+    typedLit((0 until nPlanes).map(p =>
+      (0 until dims).map(d => planeComponent(p, d))))
+
+  /** Left-fold dot of `v` against plane `p` (0-based) of the literal
+    * matrix: zip_with preserves index order and aggregate folds left,
+    * so the double-accumulation order (((x₁c₁) + x₂c₂) + …) matches
+    * the unrolled form and the oracles' list_reduce bit-for-bit (the
+    * leading 0.0 + x₁c₁ is IEEE-exact for every non-negative-zero
+    * first term).
+    */
+  private def planeDot(vec: Column, planes: Column, p: Column): Column =
+    aggregate(
+      zip_with(vec, element_at(planes, p + 1),
+        (x, c) => x.cast("double") * c),
+      lit(0.0), (s, t) => s + t)
+
   def projectDims(emb: DataFrame, id: Column, vec: Column,
-      outDims: Int, dims: Int): DataFrame =
+      outDims: Int, dims: Int): DataFrame = {
+    val planes = planeLits(outDims, dims)
     emb.select(id.as("id"), vec.as("v"))
       .select(col("id"),
-        posexplode(array((0 until outDims).map { d =>
-          round((0 until dims).map(i =>
-            element_at(col("v"), i + 1).cast("double") *
-              lit(planeComponent(d, i))).reduce(_ + _), 6)
-        }: _*)))
+        posexplode(transform(sequence(lit(0), lit(outDims - 1)),
+          d => round(planeDot(col("v"), planes, d), 6))))
       .select(col("id"), col("pos").cast("long").as("dim"),
         col("col").as("proj"))
+  }
 
   /** Random-hyperplane LSH bucket signature (nPlanes sign bits).
     * Guards the dims contract: `element_at` past the end of a shorter
     * vector returns null, the null dot would fall into the 0 branch,
     * and bucket assignment would be silently wrong — an opaque parity
-    * failure downstream instead of an error here.
+    * failure downstream instead of an error here. Bit p carries
+    * weight 2^p via a doubling accumulator (shiftleft takes no column
+    * shift amount), iterated ascending — identical to the old
+    * unrolled Σ when(dotₚ ≥ 0, 1L << p).
     */
   def lshBucket(vec: Column, nPlanes: Int, dims: Int): Column = {
-    val bits = (0 until nPlanes).map { p =>
-      val dot = (0 until dims).map { d =>
-        element_at(vec, d + 1).cast("double") * lit(planeComponent(p, d))
-      }.reduce(_ + _)
-      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    when(size(vec) === dims, bits.reduce(_ + _))
+    val planes = planeLits(nPlanes, dims)
+    val sig = aggregate(
+      sequence(lit(0), lit(nPlanes - 1)),
+      struct(lit(0L).as("sig"), lit(1L).as("bit")),
+      (acc, p) => struct(
+        (acc.getField("sig") +
+          when(planeDot(vec, planes, p) >= 0, acc.getField("bit"))
+            .otherwise(lit(0L))).as("sig"),
+        (acc.getField("bit") * 2L).as("bit")),
+      acc => acc.getField("sig"))
+    when(size(vec) === dims, sig)
       .otherwise(raise_error(concat(
         lit(s"lshBucket: expected $dims-dim vectors, got "),
         size(vec).cast("string"))))

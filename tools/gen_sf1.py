@@ -38,7 +38,29 @@ con.sql(f"""COPY (
   FROM read_parquet('{src}/customer.parquet') c,
        (SELECT unnest(range(10)) AS i) r
 ) TO '{out}/customer.parquet' (FORMAT PARQUET)""")
-for t in ["documents", "embeddings", "customer"]:
+con.sql(f"""COPY (
+  SELECT o.o_orderkey + 10000000*r.i AS o_orderkey,
+         o.o_custkey + 15000*r.i AS o_custkey,
+         o.* EXCLUDE (o_orderkey, o_custkey)
+  FROM read_parquet('{src}/orders.parquet') o,
+       (SELECT unnest(range(10)) AS i) r
+) TO '{out}/orders.parquet' (FORMAT PARQUET)""")
+con.sql(f"""COPY (
+  SELECT l.l_orderkey + 10000000*r.i AS l_orderkey,
+         l.l_suppkey + 1000*r.i AS l_suppkey,
+         l.* EXCLUDE (l_orderkey, l_suppkey)
+  FROM read_parquet('{src}/lineitem.parquet') l,
+       (SELECT unnest(range(10)) AS i) r
+) TO '{out}/lineitem.parquet' (FORMAT PARQUET)""")
+con.sql(f"""COPY (
+  SELECT e.event_id + 10000000*r.i AS event_id,
+         e.user_id + 100000*r.i AS user_id,
+         e.* EXCLUDE (event_id, user_id)
+  FROM read_parquet('{src}/events.parquet') e,
+       (SELECT unnest(range(10)) AS i) r
+) TO '{out}/events.parquet' (FORMAT PARQUET)""")
+for t in ["documents", "embeddings", "customer", "orders", "lineitem",
+          "events"]:
     n = duckdb.sql(
         f"SELECT COUNT(*) FROM read_parquet('{out}/{t}.parquet')"
     ).fetchone()[0]
