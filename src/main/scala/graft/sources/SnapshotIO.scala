@@ -31,42 +31,11 @@ object SnapshotIO {
     if (fs.exists(nested)) { fs.delete(nested, true); false } else true
   }
 
-  /** Replace `dest` with `staging` (the upsert shape), rotating the old
-    * snapshot through a trash dir and restoring it on any failure, so a
-    * complete snapshot always survives. Two renames cannot be one
-    * atomic operation on a filesystem without a metadata log, so a
-    * concurrent reader can observe a brief window with no `dest`; it
-    * never observes a partial or mixed one. Single-writer by contract.
-    */
-  def swap(fs: FileSystem, staging: Path, dest: Path): Unit = {
-    val trash = new Path(dest.getParent,
-      s".${dest.getName}__old_${java.util.UUID.randomUUID()}")
-    val hadOld = fs.exists(dest)
-    if (hadOld && !fs.rename(dest, trash)) {
-      fs.delete(staging, true)
-      throw new IOException(s"cannot rotate the current snapshot at $dest")
-    }
-    if (!fs.rename(staging, dest)) {
-      if (hadOld) fs.rename(trash, dest) // restore; never lose the store
-      fs.delete(staging, true)
-      throw new IOException(s"snapshot swap failed for $dest")
-    }
-    val nested = new Path(dest, staging.getName)
-    if (fs.exists(nested)) {
-      // a concurrent writer violated the single-writer contract and we
-      // renamed INTO its dest: undo and surface the conflict
-      fs.delete(nested, true)
-      throw new IOException(s"concurrent writer detected on $dest")
-    }
-    if (hadOld) fs.delete(trash, true)
-  }
-
   // ------------------------------------------------------------------
   // Versioned store (round 9): manifest-pointer publication.
   //
-  // swap() above replaces the live directory with two renames, which
-  // leaves a documented window where a concurrent reader sees no
-  // directory at all. This store removes the window the way table
+  // The pre-round-9 two-rename swap left a window where a concurrent
+  // reader saw no directory at all. This store removes it the way table
   // formats do, with none of the dependency: snapshots are IMMUTABLE
   // numbered directories and the "current" pointer is a new FILE per
   // generation —
