@@ -1414,6 +1414,35 @@ ${bfsCtes("b", "s2", 4)}
       FROM r WHERE rn = 1 ORDER BY user_id"""),
   )
 
+  // --------------------------------------------------------------- q227
+  private val q227Pid = ProcessHandle.current().pid()
+
+  /** q226's STREAMING twin — the versioned store maintained by the
+    * foreachBatch upsert sink ([[graft.streaming.StreamJoin
+    * .upsertSink]]): the same events feed arrives as micro-batches,
+    * each collapsed and merged through the same manifest-pointer
+    * publication, and the final resolved snapshot must equal the
+    * batch answer — so the pair (q226, q227) pins that the store's
+    * state is independent of HOW the data arrived (three planned
+    * batches vs arbitrary micro-batch slicing), the
+    * streaming-equals-batch law applied to storage. Shares q226's
+    * independent ROW_NUMBER oracle over the raw feed.
+    */
+  val q227StreamUpsertSnapshot: QueryDef = QueryDef(
+    "q227_stream_upsert_snapshot",
+    (s, dir) => {
+      val tag = s"${q227Pid}_" + Integer.toHexString(dir.hashCode)
+      val out = s"/tmp/graft_q227_store_$tag"
+      val ckpt = s"/tmp/graft_q227_ckpt_$tag"
+      graft.streaming.StreamJoin.upsertSink(s, dir, out, ckpt)
+      graft.sources.Sinks.readSnapshot(s, out)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("us"))
+        .orderBy(col("user_id"))
+    },
+    q226UpsertSnapshot.oracle,
+  )
+
   val all: Seq[QueryDef] = Seq(q201Rfm, q202Abc, q203Assortativity,
     q204JsonNested, q205Covariance, q206RadiusJoin, q207Dbscan,
     q208SeasonalNaive, q209SessionPaths, q210LinearAttribution,
@@ -1422,5 +1451,5 @@ ${bfsCtes("b", "s2", 4)}
     q217GappedPairs, q218Interarrival, q219ClusterSizes,
     q220Eccentricity, q221EmbeddingDrift, q222SortedNeighborhood,
     q223Conformal, q224LtvCurve, q225NewVsReturning,
-    q226UpsertSnapshot)
+    q226UpsertSnapshot, q227StreamUpsertSnapshot)
 }

@@ -76,8 +76,15 @@ object StreamJoin {
   def upsertSink(spark: SparkSession, sfDir: String, outDir: String,
       checkpointDir: String): Unit = {
     val latestPerUser = EventsStream.eventsStream(spark, sfDir)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
       .select(col("user_id"), col("event_id"), col("event_type"),
         unix_micros(col("ts")).as("us"))
+      // composite order key (q226's idiom): zero-padded (us, event_id)
+      // so ties cannot exist and the final state is independent of
+      // micro-batch boundaries — two events sharing (user, us) would
+      // otherwise resolve batch-wins, i.e. by arrival slicing
+      .withColumn("ord",
+        format_string("%020d|%012d", col("us"), col("event_id")))
     val q = latestPerUser.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
@@ -87,11 +94,11 @@ object StreamJoin {
         // call, and the collapse also shrinks the merge input
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("user_id"))
-          .orderBy(col("us").desc, col("event_id").desc)
+          .orderBy(col("ord").desc)
         val latest = batch.withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn")
         graft.sources.Sinks.upsertParquet(latest, outDir,
-          keyCols = Seq("user_id"), orderCol = "us")
+          keyCols = Seq("user_id"), orderCol = "ord")
       }
       .start()
     try q.processAllAvailable()
