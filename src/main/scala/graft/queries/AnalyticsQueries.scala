@@ -1443,6 +1443,62 @@ ${bfsCtes("b", "s2", 4)}
     q226UpsertSnapshot.oracle,
   )
 
+  // --------------------------------------------------------------- q228
+  /** Time travel on the versioned store
+    * ([[graft.sources.Sinks.readSnapshotAt]]): build q226's store
+    * fresh (the dir is deleted first so generation numbering is
+    * deterministic on every invocation), then read GENERATION 2 —
+    * the state as of the first two batches — while generation 3 is
+    * live. The oracle independently recomputes latest-per-key over
+    * ONLY the first two batches' rows (event_id mod 3 ∈ {0, 1}), so
+    * a green row proves retained generations are immutable,
+    * addressable, and exactly the states their publishes claimed —
+    * the as-of read a table format sells, graded cross-engine.
+    */
+  val q228StoreTimeTravel: QueryDef = QueryDef(
+    "q228_store_time_travel",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val store = s"/tmp/graft_q228_store_${ProcessHandle.current().pid()}_" +
+        Integer.toHexString(dir.hashCode)
+      val root = new org.apache.hadoop.fs.Path(store)
+      val fs = root.getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(root, true)
+      val ev = Tables(s, dir, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("ord",
+          format_string("%020d|%012d", col("us"), col("event_id")))
+      (0L to 2L).foreach { i =>
+        val b = ev.filter(pmod(col("event_id"), lit(3L)) === i)
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ord").desc)
+        val latest = b.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+        graft.sources.Sinks.upsertParquet(latest, store,
+          Seq("user_id"), "ord")
+      }
+      graft.sources.Sinks.readSnapshotAt(s, store, 2L)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("us"))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_id, event_type,
+          CAST(epoch_ns(ts) // 1000 AS BIGINT) AS us
+        FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          AND event_id % 3 IN (0, 1)),
+      r AS (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY user_id ORDER BY us DESC, event_id DESC) AS rn
+        FROM e)
+      SELECT user_id, event_id, event_type, us
+      FROM r WHERE rn = 1 ORDER BY user_id"""),
+  )
+
   val all: Seq[QueryDef] = Seq(q201Rfm, q202Abc, q203Assortativity,
     q204JsonNested, q205Covariance, q206RadiusJoin, q207Dbscan,
     q208SeasonalNaive, q209SessionPaths, q210LinearAttribution,
@@ -1451,5 +1507,5 @@ ${bfsCtes("b", "s2", 4)}
     q217GappedPairs, q218Interarrival, q219ClusterSizes,
     q220Eccentricity, q221EmbeddingDrift, q222SortedNeighborhood,
     q223Conformal, q224LtvCurve, q225NewVsReturning,
-    q226UpsertSnapshot, q227StreamUpsertSnapshot)
+    q226UpsertSnapshot, q227StreamUpsertSnapshot, q228StoreTimeTravel)
 }

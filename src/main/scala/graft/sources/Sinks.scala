@@ -114,6 +114,26 @@ object Sinks {
     spark.read.parquet(resolved)
   }
 
+  /** Time travel on a versioned upsert store: read generation `seq`
+    * exactly as it was published. Retention-bounded — a pruned
+    * generation throws with the retained range rather than silently
+    * reading something else.
+    */
+  def readSnapshotAt(spark: org.apache.spark.sql.SparkSession,
+      path: String, seq: Long): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    SnapshotIO.resolveSnapshotAt(fs, root, seq) match {
+      case Some(p) => spark.read.parquet(p.toString)
+      case None =>
+        val kept = SnapshotIO.generations(fs, root).map(_._1)
+        throw new java.io.IOException(
+          s"generation $seq of $path is not retained " +
+            s"(kept: ${kept.mkString("[", ",", "]")})")
+    }
+  }
+
   /** Keep-latest upsert into a plain-parquet snapshot — MERGE semantics
     * without a table format: union the current snapshot with the batch,
     * keep the best row per key (greatest `orderCol`; the incoming batch

@@ -75,17 +75,40 @@ object SnapshotIO {
       .sortBy(_._1)
   }
 
+  private def readPointer(fs: FileSystem, root: Path,
+      mpath: Path): Path = {
+    val in = fs.open(mpath)
+    val name = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .mkString.trim finally in.close()
+    new Path(new Path(root, SnapshotsDir), name)
+  }
+
   /** The live snapshot directory of a versioned store, or None when no
     * generation has been published (callers then fall back to the
     * legacy flat layout).
     */
   def resolveSnapshot(fs: FileSystem, root: Path): Option[Path] =
     manifests(fs, root).lastOption.map { case (_, mpath) =>
-      val in = fs.open(mpath)
-      val name = try scala.io.Source.fromInputStream(in, "UTF-8")
-        .mkString.trim finally in.close()
-      new Path(new Path(root, SnapshotsDir), name)
+      readPointer(fs, root, mpath)
     }
+
+  /** Every RETAINED generation of the store, ascending (seq, snapshot
+    * dir) — the time-travel surface. Bounded by the publish `keep`,
+    * so this lists at most `keep` entries.
+    */
+  def generations(fs: FileSystem, root: Path): Seq[(Long, Path)] =
+    manifests(fs, root).map { case (seq, mpath) =>
+      seq -> readPointer(fs, root, mpath)
+    }
+
+  /** Snapshot dir of generation `seq`, or None if never published or
+    * already pruned past the retention bound — pruned is absence, not
+    * an error, mirroring a table format's expired snapshots.
+    */
+  def resolveSnapshotAt(fs: FileSystem, root: Path,
+      seq: Long): Option[Path] =
+    manifests(fs, root).find(_._1 == seq)
+      .map { case (_, mpath) => readPointer(fs, root, mpath) }
 
   /** Publish `staging` as the next generation of the versioned store at
     * `root`. Single-writer by contract (generation numbers are taken

@@ -121,6 +121,42 @@ class AppSinksSpec extends SparkSpec {
     assert(snaps.length <= 5, s"snapshots not pruned: ${snaps.length}")
   }
 
+  test("versioned store time travel: generations are addressable, " +
+      "immutable, and pruned ones fail loudly with the kept range") {
+    val dir = Files.createTempDirectory("graft_ttravel")
+      .resolve("store").toString
+    def batch(rows: (String, Long, String)*) = rows.toSeq.toDF("k", "ver", "v")
+    graft.sources.Sinks.upsertParquet(
+      batch(("a", 1L, "a1"), ("b", 1L, "b1")), dir, Seq("k"), "ver")
+    graft.sources.Sinks.upsertParquet(
+      batch(("b", 2L, "b2")), dir, Seq("k"), "ver")
+    graft.sources.Sinks.upsertParquet(
+      batch(("c", 3L, "c3")), dir, Seq("k"), "ver")
+    def stateAt(g: Long) = graft.sources.Sinks
+      .readSnapshotAt(spark, dir, g)
+      .as[(String, Long, String)].collect().toSet
+    assert(stateAt(1L) === Set(("a", 1L, "a1"), ("b", 1L, "b1")))
+    assert(stateAt(2L) === Set(("a", 1L, "a1"), ("b", 2L, "b2")))
+    assert(stateAt(3L) ===
+      Set(("a", 1L, "a1"), ("b", 2L, "b2"), ("c", 3L, "c3")))
+    // advance past the retention bound (keep = 4): generations 1-2
+    // prune once 5 and 6 exist; addressing them must fail loudly,
+    // naming the retained range — never silently read something else
+    graft.sources.Sinks.upsertParquet(
+      batch(("d", 4L, "d4")), dir, Seq("k"), "ver")
+    graft.sources.Sinks.upsertParquet(
+      batch(("e", 5L, "e5")), dir, Seq("k"), "ver")
+    graft.sources.Sinks.upsertParquet(
+      batch(("f", 6L, "f6")), dir, Seq("k"), "ver")
+    val e = intercept[java.io.IOException](stateAt(1L))
+    assert(e.getMessage.contains("not retained") &&
+      e.getMessage.contains("3,4,5,6"), e.getMessage)
+    // the retained generation 3 still reads as its ORIGINAL state —
+    // immutability across four later publishes
+    assert(stateAt(3L) ===
+      Set(("a", 1L, "a1"), ("b", 2L, "b2"), ("c", 3L, "c3")))
+  }
+
   test("K1: CSV sink JSON-encodes array columns") {
     val df = Seq(("a", Seq("x", "y"))).toDF("id", "arr")
     val dir = Files.createTempDirectory("graft_csv").resolve("out").toString
