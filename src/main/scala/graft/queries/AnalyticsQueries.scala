@@ -1499,6 +1499,53 @@ ${bfsCtes("b", "s2", 4)}
       FROM r WHERE rn = 1 ORDER BY user_id"""),
   )
 
+  // --------------------------------------------------------------- q229
+  /** Compaction of the versioned store
+    * ([[graft.sources.Sinks.compactParquet]] resolving the LIVE
+    * generation): q226's store is built fresh, compacted into a new
+    * path, and the compacted output must hash-match the same
+    * independent latest-per-key oracle — small-file maintenance
+    * never changes the answer, graded cross-engine. Closes the store
+    * lifecycle quartet: upsert (q226), streamed maintenance (q227),
+    * time travel (q228), compaction (q229).
+    */
+  val q229CompactedStore: QueryDef = QueryDef(
+    "q229_compacted_store",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val tag = s"${ProcessHandle.current().pid()}_" +
+        Integer.toHexString(dir.hashCode)
+      val store = s"/tmp/graft_q229_store_$tag"
+      val out = s"/tmp/graft_q229_compact_$tag"
+      val conf = s.sessionState.newHadoopConf()
+      Seq(store, out).foreach { p =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(conf).delete(hp, true)
+      }
+      val ev = Tables(s, dir, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("ord",
+          format_string("%020d|%012d", col("us"), col("event_id")))
+      (0L to 2L).foreach { i =>
+        val b = ev.filter(pmod(col("event_id"), lit(3L)) === i)
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ord").desc)
+        val latest = b.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+        graft.sources.Sinks.upsertParquet(latest, store,
+          Seq("user_id"), "ord")
+      }
+      graft.sources.Sinks.compactParquet(s, store, out)
+      s.read.parquet(out)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("us"))
+        .orderBy(col("user_id"))
+    },
+    q226UpsertSnapshot.oracle,
+  )
+
   val all: Seq[QueryDef] = Seq(q201Rfm, q202Abc, q203Assortativity,
     q204JsonNested, q205Covariance, q206RadiusJoin, q207Dbscan,
     q208SeasonalNaive, q209SessionPaths, q210LinearAttribution,
@@ -1507,5 +1554,6 @@ ${bfsCtes("b", "s2", 4)}
     q217GappedPairs, q218Interarrival, q219ClusterSizes,
     q220Eccentricity, q221EmbeddingDrift, q222SortedNeighborhood,
     q223Conformal, q224LtvCurve, q225NewVsReturning,
-    q226UpsertSnapshot, q227StreamUpsertSnapshot, q228StoreTimeTravel)
+    q226UpsertSnapshot, q227StreamUpsertSnapshot, q228StoreTimeTravel,
+    q229CompactedStore)
 }
