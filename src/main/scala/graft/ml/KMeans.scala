@@ -2,6 +2,7 @@ package graft.ml
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.operators.Checkpoints.TruncateOps
 
 /** Fixed-point Lloyd k-means — the iterative "trained component"
   * sibling of the one-shot q65 centroids, designed so the whole fit is
@@ -80,7 +81,7 @@ object KMeans {
       .withColumn("q", when(size(col("q")) === dims, col("q"))
         .otherwise(raise_error(concat(lit(s"kmeans: expected $dims dims, got "),
           size(col("q")).cast("string")))))
-      .localCheckpoint()
+      .truncated
 
     var centroids: Array[Array[Long]] =
       initRows.sortBy(_.getLong(0)).map(_.getSeq[Long](1).toArray)

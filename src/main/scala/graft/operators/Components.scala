@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Observation}
 import org.apache.spark.sql.functions._
 
 /** Distributed connected components over an edge list — the step that
@@ -22,11 +22,20 @@ import org.apache.spark.sql.functions._
   * subsequent emit is a join keyed on the node, both of which AQE can
   * skew-split.
   *
-  * Lineage is truncated with an eager localCheckpoint per round (a
-  * cluster deployment would use reliable checkpointing); convergence
-  * is detected EXACTLY — round output equals round input as an edge
-  * set via count + except — never by a hashed signature that could
-  * collide and stop early on a wrong answer.
+  * Lineage is truncated per round via [[Checkpoints.truncate]]
+  * (executor-local by default; reliable when
+  * `spark.graft.checkpoint.reliable` is set — see Checkpoints.scala).
+  * Convergence is detected EXACTLY — round output equals round input
+  * as an edge set — never by a hashed signature that could collide
+  * and stop early on a wrong answer. The check is folded into the
+  * round's ONE materializing action: a left join against the previous
+  * edge set flags edges not already present, and `Dataset.observe`
+  * collects (edge count, new-edge count) during the checkpoint job
+  * itself. |next| == |cur| with zero new edges implies set equality
+  * (both sides are distinct sets). One action per round instead of
+  * three (checkpoint + count + except-isEmpty) matters because on a
+  * large cluster iterative wall-time is round-trip-latency-bound:
+  * each extra action is a full job barrier per round.
   */
 object Components {
 
@@ -47,17 +56,28 @@ object Components {
         least(col("src"), col("dst")).as("dst"))
       .distinct()
 
-    var cur = normalize(edges.select(col("src"), col("dst"))).localCheckpoint()
-    var curCount = cur.count()
-    var converged = false
+    val obs0 = Observation()
+    var cur = Checkpoints.truncate(
+      normalize(edges.select(col("src"), col("dst")))
+        .observe(obs0, count(lit(1)).as("edges")))
+    var curCount = obs0.get("edges").asInstanceOf[Long]
+    var converged = curCount == 0L // no edges: already a star forest
     var iter = 0
     while (!converged && iter < maxIter) {
-      val next = smallStar(largeStar(cur)).localCheckpoint()
-      val nextCount = next.count()
+      val obs = Observation()
+      val next = Checkpoints.truncate(
+        smallStar(largeStar(cur))
+          .join(cur.select(col("src"), col("dst"), lit(1).as("in_cur")),
+            Seq("src", "dst"), "left")
+          .observe(obs, count(lit(1)).as("edges"),
+            count(when(col("in_cur").isNull, 1)).as("new_edges"))
+          .select(col("src"), col("dst")))
+      val m = obs.get
+      val nextCount = m("edges").asInstanceOf[Long]
       // exact set equality: same cardinality and no edge of next
       // outside cur (both are distinct sets, so that implies equality)
       converged = nextCount == curCount &&
-        next.except(cur).limit(1).isEmpty
+        m("new_edges").asInstanceOf[Long] == 0L
       cur = next
       curCount = nextCount
       iter += 1

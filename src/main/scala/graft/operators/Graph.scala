@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.operators.Checkpoints.TruncateOps
 
 /** Link-graph signals for corpus curation. Web-scale training-data
   * pipelines rank crawl hosts by link structure (the Common Crawl
@@ -31,7 +32,8 @@ object Graph {
     * and edges both key on the node id, so pre-partitioning both on
     * that key makes every iteration's big join exchange-free on the
     * edge side. The edge and node tables are materialized ONCE with
-    * an eager localCheckpoint (the repo's multi-branch pattern) and
+    * an eager lineage truncation (Checkpoints.truncate — reliable when
+    * configured; the repo's multi-branch pattern) and
     * the rank table is checkpointed per iteration — without that,
     * each rank reference re-derives the whole prior lineage and the
     * plan fans out 2^iters. Iterative operators compute at call time
@@ -47,14 +49,14 @@ object Graph {
       dampDen: Long = 100): DataFrame = {
     require(iters >= 1 && dampNum >= 0 && dampNum <= dampDen)
     val e = edges.select(col("src"), col("dst")).distinct()
-      .localCheckpoint()
+      .truncated
     val eOut = e
       .join(e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")),
         Seq("src"))
-      .localCheckpoint()
+      .truncated
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-      .localCheckpoint()
+      .truncated
     val n = nodes.count()
     require(n > 0, "pageRank: empty edge list (no nodes)")
     require(scale >= n,
@@ -75,7 +77,7 @@ object Graph {
           (lit(teleport) +
             expr(s"(coalesce(in_mass, 0L) * $dampNum) div $dampDen"))
             .as("rank"))
-        .localCheckpoint()
+        .truncated
     }
     ranks
   }
@@ -97,17 +99,17 @@ object Graph {
     * list, one map-side-combining (node, label) count, one argmax by
     * min(struct(-cnt, label)) (an aggregate, never a data-sized
     * window), one left join back to the node table. Labels and edges
-    * both key on the node id; localCheckpoint per round caps lineage
+    * both key on the node id; Checkpoints.truncate per round caps lineage
     * exactly as in pageRank. Pass a symmetrized edge list for
     * undirected semantics (votes flow src → dst).
     */
   def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1)
     val e = edges.select(col("src"), col("dst")).distinct()
-      .localCheckpoint()
+      .truncated
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-      .localCheckpoint()
+      .truncated
     var labels = nodes.select(col("node"), col("node").as("label"))
     for (_ <- 1 to iters) {
       val votes = e
@@ -121,7 +123,7 @@ object Graph {
       labels = nodes.join(winner, Seq("node"), "left")
         .select(col("node"),
           coalesce(col("new_label"), col("node")).as("label"))
-        .localCheckpoint()
+        .truncated
     }
     labels
   }
@@ -149,18 +151,18 @@ object Graph {
       dampDen: Long = 100): DataFrame = {
     require(iters >= 1 && dampNum >= 0 && dampNum <= dampDen)
     val e = edges.select(col("src"), col("dst")).distinct()
-      .localCheckpoint()
+      .truncated
     val eOut = e
       .join(e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")),
         Seq("src"))
-      .localCheckpoint()
+      .truncated
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
     val seeded = nodes.join(
         seeds.select(col("node")).distinct().withColumn("__s", lit(true)),
         Seq("node"), "left")
       .select(col("node"), coalesce(col("__s"), lit(false)).as("is_seed"))
-      .localCheckpoint()
+      .truncated
     val nSeeds = seeded.filter(col("is_seed")).count()
     require(nSeeds > 0, "no seed is present in the graph")
     require(scale >= nSeeds,
@@ -180,7 +182,7 @@ object Graph {
           (when(col("is_seed"), teleport).otherwise(0L) +
             expr(s"(coalesce(in_mass, 0L) * $dampNum) div $dampDen"))
             .as("rank"))
-        .localCheckpoint()
+        .truncated
     }
     ranks.select(col("node"), col("rank"))
   }
@@ -213,14 +215,14 @@ object Graph {
   def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
     require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
     val e = edges.select(col("src"), col("dst")).distinct()
-      .localCheckpoint()
+      .truncated
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
     var frontier = seeds.select(col("node")).distinct()
       .join(nodes, Seq("node"), "left_semi")
-      .localCheckpoint()
+      .truncated
     var visited = frontier.select(col("node"), lit(0L).as("hop"))
-      .localCheckpoint()
+      .truncated
     var hop = 0
     while (hop < maxHops && !frontier.isEmpty) {
       hop += 1
@@ -228,10 +230,10 @@ object Graph {
         .join(e, col("node") === col("src"))
         .select(col("dst").as("node")).distinct()
         .join(visited.select(col("node")), Seq("node"), "left_anti")
-        .localCheckpoint()
+        .truncated
       visited = visited
         .union(frontier.select(col("node"), lit(hop.toLong).as("hop")))
-        .localCheckpoint()
+        .truncated
     }
     visited
   }
@@ -265,11 +267,11 @@ object Graph {
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
-      .localCheckpoint()
+      .truncated
     val deg = und.select(col("a").as("v"))
       .union(und.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint()
+      .truncated
     val low = col("da") < col("db") ||
       (col("da") === col("db") && col("a") < col("b"))
     val oriented = und
@@ -324,10 +326,10 @@ object Graph {
       .select(col("src"), col("dst"), col("w").cast("long").as("w"))
       .filter(col("w").isNotNull && col("w") >= 0)
       .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
-      .localCheckpoint()
+      .truncated
     var dist = seeds.select(col("node")).distinct()
       .select(col("node"), lit(0L).as("dist"))
-      .localCheckpoint()
+      .truncated
     var frontier = dist
     var it = 0
     while (it < maxIters && !frontier.isEmpty) {
@@ -341,7 +343,7 @@ object Graph {
             coalesce(col("nd"), col("dist"))).as("d2"),
           (col("dist").isNull ||
             (col("nd").isNotNull && col("nd") < col("dist"))).as("imp"))
-        .localCheckpoint()
+        .truncated
       frontier = merged.filter(col("imp"))
         .select(col("node"), col("d2").as("dist"))
       dist = merged.select(col("node"), col("d2").as("dist"))
@@ -377,7 +379,7 @@ object Graph {
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") =!= col("dst"))
       .distinct()
-      .localCheckpoint()
+      .truncated
     var peel = 0
     var done = false
     while (peel < maxPeels && !done) {
@@ -385,13 +387,13 @@ object Graph {
       val deg = e.groupBy(col("src").as("node"))
         .agg(count(lit(1)).as("deg"))
       val victims = deg.filter(col("deg") < k).select(col("node"))
-        .localCheckpoint()
+        .truncated
       if (victims.isEmpty) done = true
       else e = e
         .join(victims.select(col("node").as("src")), Seq("src"), "left_anti")
         .join(victims.select(col("node").as("dst")), Seq("dst"), "left_anti")
         .select(col("src"), col("dst"))
-        .localCheckpoint()
+        .truncated
     }
     e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
   }
@@ -415,7 +417,7 @@ object Graph {
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
-      .localCheckpoint()
+      .truncated
     val deg = und.select(col("a").as("v"))
       .union(und.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("deg"))
@@ -460,7 +462,7 @@ object Graph {
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") =!= col("dst"))
       .distinct()
-      .localCheckpoint()
+      .truncated
     val deg = und.groupBy(col("src").as("v"))
       .agg(count(lit(1)).as("deg"))
     val pairs = und
@@ -511,10 +513,10 @@ object Graph {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val scale = 1000000L
     val e = edges.select(col("src"), col("dst")).distinct()
-      .localCheckpoint()
+      .truncated
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-      .localCheckpoint()
+      .truncated
     var h = nodes.select(col("node"), lit(scale).as("score"))
     var a = nodes.select(col("node"), lit(0L).as("score"))
     def pass(from: DataFrame, inKey: String, outKey: String): DataFrame = {
@@ -527,7 +529,7 @@ object Graph {
         .select(col("node"),
           when(col("m") === 0, lit(0L))
             .otherwise(expr(s"($scale * raw) div m")).as("score"))
-        .localCheckpoint()
+        .truncated
     }
     for (_ <- 1 to iters) {
       a = pass(h, "src", "dst")

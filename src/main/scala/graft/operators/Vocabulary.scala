@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.operators.Checkpoints.TruncateOps
 
 /** Vocabulary-coverage quality signals: how much of a document is made
   * of the corpus's own top-V terms. A high out-of-vocabulary rate flags
@@ -81,7 +82,7 @@ object Vocabulary {
     var sym = words
       .select(regexp_replace(col("word"), "(.)", "·$1·").as("sym"),
         col("cnt"))
-      .localCheckpoint()
+      .truncated
     val out = Seq.newBuilder[(Long, String, String, Long)]
     for (step <- 1 to merges) {
       val best = sym
@@ -106,7 +107,7 @@ object Vocabulary {
       sym = sym.select(
         call_function("replace", col("sym"),
           lit(s"·${l}··${r}·"), lit(s"·${l}${r}·")).as("sym"),
-        col("cnt")).localCheckpoint()
+        col("cnt")).truncated
     }
     spark.createDataFrame(out.result()).toDF("step", "lhs", "rhs", "freq")
   }
