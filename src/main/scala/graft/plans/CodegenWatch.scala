@@ -9,7 +9,13 @@ package graft.plans
   */
 final class CodegenWatch
     extends org.apache.logging.log4j.core.appender.AbstractAppender(
-      "graft-compile-exception-counter", null,
+      // unique per instance: log4j2's LoggerConfig.addAppender silently
+      // ignores a duplicate name, so a second install() in the same JVM
+      // (Bench then Verify, repeated test runs) would otherwise return
+      // a counter that never receives events and reports 0 — the
+      // codegen-strict gate passing falsely
+      "graft-compile-exception-counter-" +
+        CodegenWatch.seq.incrementAndGet(), null,
       org.apache.logging.log4j.core.layout.PatternLayout
         .createDefaultLayout(),
       false,
@@ -35,6 +41,8 @@ final class CodegenWatch
 }
 
 object CodegenWatch {
+  private val seq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Attach a fresh counter to the log4j2 root logger. */
   def install(): CodegenWatch = {
     val ctx = org.apache.logging.log4j.LogManager.getContext(false)

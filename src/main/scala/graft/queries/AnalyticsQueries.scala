@@ -1355,8 +1355,12 @@ ${bfsCtes("b", "s2", 4)}
   )
 
   // --------------------------------------------------------------- q226
-  private val q226StorePath =
-    s"/tmp/graft_q226_store_${ProcessHandle.current().pid()}"
+  // keyed by pid AND data dir: one JVM evaluating two dirs must not
+  // let the first dataset's rows leak into the second's merge (the
+  // oracle recomputes from the current dir only)
+  private def q226StorePath(dir: String) =
+    s"/tmp/graft_q226_store_${ProcessHandle.current().pid()}_" +
+      Integer.toHexString(dir.hashCode)
 
   /** The versioned upsert store ([[graft.sources.Sinks.upsertParquet]]
     * + manifest-pointer publication, round 9) in the graded loop:
@@ -1381,8 +1385,10 @@ ${bfsCtes("b", "s2", 4)}
     "q226_upsert_snapshot",
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
+      val store = q226StorePath(dir)
       val ev = Tables(s, dir, "events")
-        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .filter(col("user_id").isNotNull && col("ts").isNotNull
+          && col("event_id").isNotNull)
         .select(col("user_id"), col("event_id"), col("event_type"),
           unix_micros(col("ts")).as("us"))
         .withColumn("ord",
@@ -1393,10 +1399,10 @@ ${bfsCtes("b", "s2", 4)}
           .orderBy(col("ord").desc)
         val latest = b.withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn")
-        graft.sources.Sinks.upsertParquet(latest, q226StorePath,
+        graft.sources.Sinks.upsertParquet(latest, store,
           Seq("user_id"), "ord")
       }
-      graft.sources.Sinks.readSnapshot(s, q226StorePath)
+      graft.sources.Sinks.readSnapshot(s, store)
         .select(col("user_id"), col("event_id"), col("event_type"),
           col("us"))
         .orderBy(col("user_id"))
@@ -1405,7 +1411,9 @@ ${bfsCtes("b", "s2", 4)}
       WITH e AS (
         SELECT user_id, event_id, event_type,
           CAST(epoch_ns(ts) // 1000 AS BIGINT) AS us
-        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          AND event_id IS NOT NULL),
       r AS (
         SELECT *, ROW_NUMBER() OVER (
           PARTITION BY user_id ORDER BY us DESC, event_id DESC) AS rn
@@ -1465,7 +1473,8 @@ ${bfsCtes("b", "s2", 4)}
       val fs = root.getFileSystem(s.sessionState.newHadoopConf())
       fs.delete(root, true)
       val ev = Tables(s, dir, "events")
-        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .filter(col("user_id").isNotNull && col("ts").isNotNull
+          && col("event_id").isNotNull)
         .select(col("user_id"), col("event_id"), col("event_type"),
           unix_micros(col("ts")).as("us"))
         .withColumn("ord",
@@ -1490,7 +1499,7 @@ ${bfsCtes("b", "s2", 4)}
           CAST(epoch_ns(ts) // 1000 AS BIGINT) AS us
         FROM events
         WHERE user_id IS NOT NULL AND ts IS NOT NULL
-          AND event_id % 3 IN (0, 1)),
+          AND event_id IS NOT NULL AND event_id % 3 IN (0, 1)),
       r AS (
         SELECT *, ROW_NUMBER() OVER (
           PARTITION BY user_id ORDER BY us DESC, event_id DESC) AS rn
@@ -1523,7 +1532,8 @@ ${bfsCtes("b", "s2", 4)}
         hp.getFileSystem(conf).delete(hp, true)
       }
       val ev = Tables(s, dir, "events")
-        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .filter(col("user_id").isNotNull && col("ts").isNotNull
+          && col("event_id").isNotNull)
         .select(col("user_id"), col("event_id"), col("event_type"),
           unix_micros(col("ts")).as("us"))
         .withColumn("ord",

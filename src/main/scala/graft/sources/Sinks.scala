@@ -100,9 +100,12 @@ object Sinks {
     * pointer files, [[SnapshotIO.publishVersion]]) resolves through
     * its newest manifest; a legacy flat store — or any plain parquet
     * directory, e.g. fresh [[compactParquet]] output — reads as
-    * itself. Readers NEVER observe a missing path: a manifest always
-    * points at a complete immutable snapshot dir that outlives it by
-    * `keep` generations.
+    * itself. Retention contract (matches SnapshotIO's module doc): a
+    * resolved snapshot dir is complete and immutable, and survives
+    * until `keep` FURTHER publishes land — so a reader is safe as long
+    * as fewer than `keep` publishes happen between its resolve and the
+    * end of its scan (the manifest and its snapshot dir are pruned at
+    * the same cutoff, not staggered).
     */
   def readSnapshot(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame = {

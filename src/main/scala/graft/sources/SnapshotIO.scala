@@ -75,30 +75,42 @@ object SnapshotIO {
       .sortBy(_._1)
   }
 
+  /** Pointer contents of `mpath`, or None when the manifest vanished
+    * between a directory listing and this open — a concurrent prune
+    * expiring an old generation. Absence, not an error: the listing
+    * path must tolerate it the same way resolveSnapshotAt treats an
+    * already-pruned seq.
+    */
   private def readPointer(fs: FileSystem, root: Path,
-      mpath: Path): Path = {
-    val in = fs.open(mpath)
-    val name = try scala.io.Source.fromInputStream(in, "UTF-8")
-      .mkString.trim finally in.close()
-    new Path(new Path(root, SnapshotsDir), name)
-  }
+      mpath: Path): Option[Path] =
+    try {
+      val in = fs.open(mpath)
+      val name = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .mkString.trim finally in.close()
+      Some(new Path(new Path(root, SnapshotsDir), name))
+    } catch {
+      case _: java.io.FileNotFoundException => None
+    }
 
   /** The live snapshot directory of a versioned store, or None when no
     * generation has been published (callers then fall back to the
-    * legacy flat layout).
+    * legacy flat layout). If the newest manifest vanished mid-read
+    * (it can only have been pruned because newer publishes landed),
+    * the next-newest survivor is returned.
     */
   def resolveSnapshot(fs: FileSystem, root: Path): Option[Path] =
-    manifests(fs, root).lastOption.map { case (_, mpath) =>
-      readPointer(fs, root, mpath)
-    }
+    manifests(fs, root).reverseIterator
+      .flatMap { case (_, mpath) => readPointer(fs, root, mpath) }
+      .nextOption()
 
   /** Every RETAINED generation of the store, ascending (seq, snapshot
     * dir) — the time-travel surface. Bounded by the publish `keep`,
-    * so this lists at most `keep` entries.
+    * so this lists at most `keep` entries; a generation pruned between
+    * the listing and the pointer read is simply omitted.
     */
   def generations(fs: FileSystem, root: Path): Seq[(Long, Path)] =
-    manifests(fs, root).map { case (seq, mpath) =>
-      seq -> readPointer(fs, root, mpath)
+    manifests(fs, root).flatMap { case (seq, mpath) =>
+      readPointer(fs, root, mpath).map(seq -> _)
     }
 
   /** Snapshot dir of generation `seq`, or None if never published or
@@ -108,7 +120,7 @@ object SnapshotIO {
   def resolveSnapshotAt(fs: FileSystem, root: Path,
       seq: Long): Option[Path] =
     manifests(fs, root).find(_._1 == seq)
-      .map { case (_, mpath) => readPointer(fs, root, mpath) }
+      .flatMap { case (_, mpath) => readPointer(fs, root, mpath) }
 
   /** Publish `staging` as the next generation of the versioned store at
     * `root`. Single-writer by contract (generation numbers are taken
@@ -148,6 +160,13 @@ object SnapshotIO {
     val cutoff = seq - keep
     manifests(fs, root).filter(_._1 <= cutoff)
       .foreach { case (_, p) => fs.delete(p, false) }
+    // stale pointer temps: a publish that crashed between create(tmp)
+    // and rename leaves .m_tmp_* behind, and the seq-based prune never
+    // matches them — sweep them here (single-writer contract: any
+    // .m_tmp_ still present at this point is not ours and not live)
+    fs.listStatus(mans).toSeq
+      .filter(_.getPath.getName.startsWith(".m_tmp_"))
+      .foreach(st => fs.delete(st.getPath, false))
     if (fs.exists(snaps)) fs.listStatus(snaps).toSeq
       .filter(st => seqOf(st.getPath.getName).exists(_ <= cutoff))
       .foreach(st => fs.delete(st.getPath, true))

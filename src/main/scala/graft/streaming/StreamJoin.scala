@@ -76,13 +76,20 @@ object StreamJoin {
   def upsertSink(spark: SparkSession, sfDir: String, outDir: String,
       checkpointDir: String): Unit = {
     val latestPerUser = EventsStream.eventsStream(spark, sfDir)
-      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull
+        && col("event_id").isNotNull)
       .select(col("user_id"), col("event_id"), col("event_type"),
         unix_micros(col("ts")).as("us"))
       // composite order key (q226's idiom): zero-padded (us, event_id)
       // so ties cannot exist and the final state is independent of
       // micro-batch boundaries — two events sharing (user, us) would
-      // otherwise resolve batch-wins, i.e. by arrival slicing
+      // otherwise resolve batch-wins, i.e. by arrival slicing.
+      // A null event_id would format as the string "null" and rank
+      // wrongly, hence the filter above. The fixed-width key is only
+      // lexicographically order-preserving for 0 <= us and
+      // 0 <= event_id < 10^12 (a '-' sign breaks zero-padding): us is
+      // epoch micros of a real timestamp and event_ids are generated
+      // sequence numbers, both inside that range by contract.
       .withColumn("ord",
         format_string("%020d|%012d", col("us"), col("event_id")))
     val q = latestPerUser.writeStream
