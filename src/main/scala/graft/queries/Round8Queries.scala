@@ -1733,6 +1733,11 @@ $union
       GROUP BY b.event_type ORDER BY b.event_type"""
   }
 
+  /** Exponentially time-decayed event counts (Decay.decayedCounts):
+    * integer-exact micro-unit weights ((9/10)^age, age capped at 30
+    * days) so the decayed sum replays exactly cross-engine; one
+    * groupBy, map-side combinable.
+    */
   val q162DecayedCounts: QueryDef = QueryDef(
     "q162_decayed_counts",
     (s, dir) => graft.operators.Decay.decayedCounts(

@@ -39,6 +39,11 @@ object ScaleQueries {
         FROM bits GROUP BY doc_id)"""
 
   // ---------------------------------------------------------------- q30
+  /** Per-document quality metrics — token/char counts, punctuation and
+    * stopword ratios, composite quality score — one narrow projection
+    * of codegen'd expressions; embarrassingly parallel, no shuffle
+    * beyond the final presentation sort.
+    */
   val q30TextStats: QueryDef = QueryDef(
     "q30_text_stats",
     (s, dir) =>
@@ -76,6 +81,11 @@ object ScaleQueries {
   )
 
   // ---------------------------------------------------------------- q31
+  /** Language identification by stopword-hit counting over five
+    * languages with a deterministic tie order (en>de>es>fr>zh) — the
+    * per-row n-gram heuristic a 100 TB curation pass can afford; scales
+    * as a pure map.
+    */
   val q31LangId: QueryDef = QueryDef(
     "q31_lang_id",
     (s, dir) =>
@@ -108,6 +118,10 @@ object ScaleQueries {
   )
 
   // ---------------------------------------------------------------- q32
+  /** Document fingerprinting: the codegen'd RollingHash expression
+    * (31-base polynomial mod 1e9+7) plus a 32-bit token SimHash per
+    * document — integer-exact, engine-replayable, map-only.
+    */
   val q32Fingerprint: QueryDef = QueryDef(
     "q32_fingerprint",
     (s, dir) =>
@@ -138,6 +152,11 @@ object ScaleQueries {
   )
 
   // ---------------------------------------------------------------- q33
+  /** Exact dedup keyed on a content prefix (Dedup.exactByKey):
+    * min-id representative + group size from one map-side-combinable
+    * groupBy on the key — the cheapest dedup pass and the first stage
+    * of any 100 TB dedup cascade.
+    */
   val q33DedupExact: QueryDef = QueryDef(
     "q33_dedup_exact",
     (s, dir) =>
@@ -169,6 +188,11 @@ object ScaleQueries {
       ORDER BY id_a, id_b"""
 
   // ---------------------------------------------------------------- q34
+  /** 3-gram Jaccard near-duplicate pairs at j ≥ 0.8
+    * (Dedup.ngramJaccardPairs): shingle inverted index → candidate
+    * count-join with the adaptive count-join/prefix-filter chosen from
+    * corpus df stats, then exact verify — lossless, never all-pairs.
+    */
   val q34NgramJaccard: QueryDef = QueryDef(
     "q34_ngram_jaccard",
     (s, dir) =>
@@ -193,6 +217,11 @@ object ScaleQueries {
   )
 
   // ---------------------------------------------------------------- q36
+  /** SimHash near-dup pairs at Hamming ≤ 3 (Dedup.simhashPairs):
+    * pigeonhole banding — 4 bands of 8 bits, any qualifying pair
+    * collides on ≥ 1 whole band, so the band equi-join is a LOSSLESS
+    * candidate blocker; exact bit_count verify after.
+    */
   val q36SimhashPairs: QueryDef = QueryDef(
     "q36_simhash_pairs",
     (s, dir) =>
@@ -216,6 +245,11 @@ object ScaleQueries {
         FROM embeddings)"""
 
   // ---------------------------------------------------------------- q37
+  /** Exact cosine-similarity pairs at cos ≥ 0.5 (Dedup.cosinePairs):
+    * triangular grid-tile self-join — tile ids bound per-task pair
+    * work and keep the plan an equi-join, never CartesianProduct;
+    * strict left-fold double sums replay bit-for-bit in the oracle.
+    */
   val q37CosinePairs: QueryDef = QueryDef(
     "q37_cosine_pairs",
     (s, dir) =>
@@ -235,6 +269,11 @@ object ScaleQueries {
   )
 
   // ---------------------------------------------------------------- q38
+  /** Brute-force cosine top-k (Similarity.bruteForceTopK) — the ANN
+    * recall baseline: the bounded query set broadcasts against the
+    * full vector table, per-query k kept by aggregation, one scan of
+    * the corpus regardless of query count.
+    */
   val q38AnnTopK: QueryDef = QueryDef(
     "q38_ann_topk",
     (s, dir) => {
@@ -298,6 +337,11 @@ object ScaleQueries {
   )
 
   // ---------------------------------------------------------------- q40
+  /** Structured Streaming 3-hour tumbling-window event counts drained
+    * to completion (EventsStream.windowedCounts) — watermarked state,
+    * batch-equivalent by construction, so the batch GROUP BY oracle
+    * grades the streaming plan exactly.
+    */
   val q40StreamWindow: QueryDef = QueryDef(
     "q40_stream_window",
     (s, dir) => graft.streaming.EventsStream.windowedCounts(s, dir),
@@ -328,6 +372,12 @@ object ScaleQueries {
   )
 
   // ---------------------------------------------------------------- q42
+  /** Multimodal column plumbing: binary payloads with typed metadata,
+    * batched partition-local decode (mapInPandas-shaped), byte/frame
+    * accounting — schema and batching are real; the codec arithmetic
+    * for audio/video is the documented deterministic stub
+    * (image decode is real — see q230).
+    */
   val q42Multimodal: QueryDef = QueryDef(
     "q42_multimodal",
     (s, dir) =>
@@ -931,6 +981,46 @@ object ScaleQueries {
       ORDER BY label, dim"""),
   )
 
+  // --------------------------------------------------------------- q230
+  /** REAL image decode, graded cross-engine WITHOUT the oracle needing
+    * a codec: Spark encodes one actual PNG per document id from a
+    * deterministic integer test raster ([[Multimodal.pngFromIds]],
+    * javax.imageio on the executors), decodes it back
+    * ([[Multimodal.decodeImages]]), and hashes the decoded ARGB
+    * raster; DuckDB replays the same raster by pure arithmetic. A
+    * green row proves the PNG encode→decode round-trip is lossless
+    * and the decoder reads real pixels — the codec itself is under
+    * test, not stubbed. Encoded byte size is deliberately NOT graded
+    * (PNG encoder output is JDK-version-dependent; the raster is not).
+    */
+  val q230ImageDecode: QueryDef = QueryDef(
+    "q230_image_decode",
+    (s, dir) =>
+      Multimodal.decodeImages(
+          Multimodal.pngFromIds(
+            Tables(s, dir, "documents").select(col("doc_id"))))
+        .select(col("media_id"), col("width"), col("height"),
+          col("pixel_checksum"))
+        .orderBy(col("media_id")),
+    Some("""
+      WITH d AS (
+        SELECT doc_id, CAST(4 + doc_id % 13 AS BIGINT) AS w,
+          CAST(3 + doc_id % 7 AS BIGINT) AS h
+        FROM documents),
+      px AS (
+        SELECT doc_id, w, h,
+          [4278190080
+             + ((doc_id + 3 * (i % w) + 5 * (i // w)) % 256) * 65536
+             + ((2 * doc_id + 7 * (i % w) + (i // w)) % 256) * 256
+             + ((5 * doc_id + (i % w) + 11 * (i // w)) % 256)
+           for i in range(0, w * h)] AS pxs
+        FROM d)
+      SELECT doc_id AS media_id, w AS width, h AS height,
+        list_reduce([0::BIGINT] || pxs,
+          (a, v) -> (a * 31 + v) % 1000000007) AS pixel_checksum
+      FROM px ORDER BY media_id"""),
+  )
+
   val all: Seq[QueryDef] = Seq(
     q30TextStats, q31LangId, q32Fingerprint, q33DedupExact,
     q34NgramJaccard, q35MinhashLsh, q36SimhashPairs, q37CosinePairs,
@@ -938,5 +1028,6 @@ object ScaleQueries {
     q43SessionizeState, q44SessionizeBatch, q45AnnIvf, q46DistinctSketch,
     q49Vocab, q50AsofJoin, q52TokenCost, q55Keywords, q59HeavyHitters,
     q60ResampleFfill, q61Repetition, q62Decontaminate, q63CorpusFilter,
-    q64MixtureSample, q65LabelCentroids, q100FrameSample, q101Resize)
+    q64MixtureSample, q65LabelCentroids, q100FrameSample, q101Resize,
+    q230ImageDecode)
 }

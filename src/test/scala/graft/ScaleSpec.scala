@@ -641,6 +641,40 @@ class ScaleSpec extends SparkSpec {
     assert(out(1).getAs[Long]("n_frames") === 1L)
   }
 
+  test("image codec: real PNG encode/decode round-trip + checksum") {
+    val ids = Seq(0L, 1L, 5L, 12L, 90L).toDF("doc_id")
+    val media = Multimodal.pngFromIds(ids)
+    // payloads are REAL PNGs: magic bytes, decodable by ImageIO
+    val p = media.orderBy("media_id").collect()
+    assert(p.forall { r =>
+      val b = r.getAs[Array[Byte]]("payload")
+      (b(0) & 0xFF) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G'
+    })
+    val out = Multimodal.decodeImages(media).orderBy("media_id").collect()
+    // dims + checksum match the in-JVM reference raster computation
+    out.foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      val (w, h) = Multimodal.patternDims(id)
+      assert(r.getAs[Long]("width") === w.toLong)
+      assert(r.getAs[Long]("height") === h.toLong)
+      var acc = 0L
+      for (y <- 0 until h; x <- 0 until w)
+        acc = (acc * 31L + Multimodal.patternArgb(id, x, y)) % 1000000007L
+      assert(r.getAs[Long]("pixel_checksum") === acc)
+      assert(r.getAs[Long]("n_bytes") > 8L)
+    }
+  }
+
+  test("image codec: undecodable payload is an audit row, not a failure") {
+    val junk = Seq((7L, "image", "not a png at all".getBytes("UTF-8")))
+      .toDF("media_id", "kind", "payload")
+    val out = Multimodal.decodeImages(junk).head
+    assert(out.getAs[Long]("width") === -1L)
+    assert(out.getAs[Long]("height") === -1L)
+    assert(out.getAs[Long]("n_bytes") === 16L)
+    assert(out.getAs[Long]("pixel_checksum") === -1L)
+  }
+
   test("frame sampling: offsets, tail width, every-Nth selection") {
     // 10-char payload, 4-char frames -> frames at 0,4,8 (3 frames:
     // 10 div 4 + 1), sampled every 2nd -> offsets 0 and 8

@@ -36,13 +36,16 @@ def first_sentence(doc: str) -> str:
     text = re.sub(r"\s+", " ", text).strip()
     # first sentence, but never cut inside (...) and keep it short-ish
     depth, out = 0, []
-    for ch in text:
+    for i, ch in enumerate(text):
         out.append(ch)
         if ch == "(":
             depth += 1
         elif ch == ")":
             depth -= 1
         elif ch in ".!?" and depth == 0 and len(out) > 30:
+            # a period inside a number ("j >= 0.8") is not a sentence end
+            if ch == "." and i + 1 < len(text) and text[i + 1].isdigit():
+                continue
             break
     s = "".join(out).strip()
     return (s[:220] + "…") if len(s) > 221 else s
@@ -83,10 +86,19 @@ def main():
             if name in TWINS:
                 oracle = f"rows-only (twin: {TWINS[name]})"
             headline = bool(re.search(r"headline\s*=\s*true", scope))
-            # scaladoc: walk back to the nearest /** ... */ block
+            # scaladoc: the doc block must be ADJACENT to this QueryDef —
+            # between `*/` and the `"qNN_name",` line only the `val ...`
+            # line, blank lines, and `// ...` separators may appear.
+            # Walking back past code would attribute the previous val's
+            # doc to an undocumented query (the r9 q30-q34 bug).
             doc = ""
             j = i - 1
             while j >= 0 and "*/" not in lines[j]:
+                t = lines[j].strip()
+                if t and not t.startswith("//") \
+                        and not re.match(r"(private\S* )?val q\d", t):
+                    j = -1  # non-trivial code in between: no doc
+                    break
                 j -= 1
             if j >= 0:
                 k = j
