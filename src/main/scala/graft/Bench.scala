@@ -29,66 +29,17 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  /** Deterministic single-thread spin (xorshift64, 2²⁷ rounds, min of
-    * 3 after a JIT warm-up), in milliseconds — a host-speed yardstick
-    * stamped into the artifact. loadavg exposes CONTENTION but not a
-    * slower host: two idle machines can differ 30%+ in single-core
-    * speed, which would read as a code regression across rounds. With
-    * the calibration in the artifact, cross-round per-query seconds
-    * can be normalized by the hosts' calibration ratio before anyone
-    * concludes a plan got worse.
-    */
-  private def cpuCalibMs(): Long = {
-    def spin(): Long = {
-      var h = 0x9E3779B97F4A7C15L
-      var i = 0
-      val t0 = System.nanoTime()
-      while (i < (1 << 27)) {
-        h ^= h << 13; h ^= h >>> 7; h ^= h << 17
-        i += 1
-      }
-      // publish h so the loop cannot be dead-code-eliminated
-      if (h == 42L) System.err.print("")
-      (System.nanoTime() - t0) / 1000000L
-    }
-    spin() // JIT warm-up
-    Seq.fill(3)(spin()).min
-  }
-
-  private def loadavg(): String =
-    try {
-      val s = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get("/proc/loadavg")),
-        java.nio.charset.StandardCharsets.UTF_8)
-      s.split("\\s+").take(3).mkString(" ")
-    } catch { case _: Throwable => "unavailable" }
-
   def main(args: Array[String]): Unit = {
+    import BenchGates._
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
     val counter = graft.plans.CodegenWatch.install()
-    // load gate: a bench started on a busy machine measures the load,
-    // not the code. Wait for idle; declare the artifact invalid if the
-    // machine never clears.
-    def load1(): Double = loadavg().split(" ").headOption
-      .flatMap(s => scala.util.Try(s.toDouble).toOption).getOrElse(0.0)
-    val loadMax = sys.env.getOrElse("SPARK_GRAFT_LOAD_MAX", "2.0").toDouble
-    var waits = 0
-    while (load1() > loadMax && waits < 10) {
-      waits += 1
-      System.err.println(
-        f"[bench] 1-min load ${load1()}%.2f > $loadMax%.2f — " +
-          s"sleeping 30 s (retry $waits/10)")
-      Thread.sleep(30000L)
-    }
-    val valid = load1() <= loadMax
-    if (!valid) System.err.println(
-      f"[bench] WARN: load ${load1()}%.2f never cleared $loadMax%.2f — " +
-        "artifact will carry \"valid\":false")
+    val valid = waitForIdle()
     val loadBefore = loadavg()
     val calibMs = cpuCalibMs()
     val spark = SparkSession.builder()
+      .withExtensions(new graft.plans.GraftExtensions)
       .master(s"local[$cpus]")
       .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -157,6 +108,140 @@ object Bench {
     spark.stop()
     if (compileExceptions > 0) {
       System.err.println(s"[bench] FAILING: $compileExceptions CompileException(s) logged — a codegen'd stage fell back to interpreted execution")
+      sys.exit(1)
+    }
+  }
+}
+
+/** The trust gates every bench artifact shares (Bench, BenchSf1):
+  * idle gate, loadavg stamps, and the deterministic CPU calibration.
+  */
+object BenchGates {
+
+  /** Deterministic single-thread spin (xorshift64, 2²⁷ rounds, min of
+    * 3 after a JIT warm-up), in milliseconds — a host-speed yardstick
+    * stamped into the artifact. loadavg exposes CONTENTION but not a
+    * slower host: two idle machines can differ 30%+ in single-core
+    * speed, which would read as a code regression across rounds. With
+    * the calibration in the artifact, cross-round per-query seconds
+    * can be normalized by the hosts' calibration ratio before anyone
+    * concludes a plan got worse.
+    */
+  def cpuCalibMs(): Long = {
+    def spin(): Long = {
+      var h = 0x9E3779B97F4A7C15L
+      var i = 0
+      val t0 = System.nanoTime()
+      while (i < (1 << 27)) {
+        h ^= h << 13; h ^= h >>> 7; h ^= h << 17
+        i += 1
+      }
+      // publish h so the loop cannot be dead-code-eliminated
+      if (h == 42L) System.err.print("")
+      (System.nanoTime() - t0) / 1000000L
+    }
+    spin() // JIT warm-up
+    Seq.fill(3)(spin()).min
+  }
+
+  def loadavg(): String =
+    try {
+      val s = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")),
+        java.nio.charset.StandardCharsets.UTF_8)
+      s.split("\\s+").take(3).mkString(" ")
+    } catch { case _: Throwable => "unavailable" }
+
+  /** Load gate: a bench started on a busy machine measures the load,
+    * not the code. Waits for idle (up to 10×30 s); returns false — the
+    * artifact must then carry `"valid":false` — if the machine never
+    * clears.
+    */
+  def waitForIdle(): Boolean = {
+    def load1(): Double = loadavg().split(" ").headOption
+      .flatMap(s => scala.util.Try(s.toDouble).toOption).getOrElse(0.0)
+    val loadMax = sys.env.getOrElse("SPARK_GRAFT_LOAD_MAX", "2.0").toDouble
+    var waits = 0
+    while (load1() > loadMax && waits < 10) {
+      waits += 1
+      System.err.println(
+        f"[bench] 1-min load ${load1()}%.2f > $loadMax%.2f — " +
+          s"sleeping 30 s (retry $waits/10)")
+      Thread.sleep(30000L)
+    }
+    val valid = load1() <= loadMax
+    if (!valid) System.err.println(
+      f"[bench] WARN: load ${load1()}%.2f never cleared $loadMax%.2f — " +
+        "artifact will carry \"valid\":false")
+    valid
+  }
+}
+
+/** sf1 (100× grading scale) timed bench of the scale families, with the
+  * SAME trust gates as [[Bench]] — idle gate, warm-up + min-of-3, CPU
+  * calibration, codegen-fallback hard failure. The round-9 "scale
+  * smoke" proved partition-invariance at sf1 but was single-run and
+  * ungated, so a scaling REGRESSION at 100× stayed half-invisible; this
+  * main makes sf1 latency a first-class per-round artifact
+  * (bench/BENCH_SF1_r{N}.json).
+  *
+  * Input: SPARK_GRAFT_SF1_DIR (default /tmp/graft_sf1), generated by
+  * `python3 tools/gen_sf1.py` from sf0.1. Output JSON:
+  * `{"metric":"sf1_total", ...}` with the Bench field set.
+  */
+object BenchSf1 {
+
+  def main(args: Array[String]): Unit = {
+    import BenchGates._
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft_sf1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_SF1.json")
+    require(new java.io.File(sfDir).isDirectory,
+      s"$sfDir missing — run: python3 tools/gen_sf1.py /root/testdata/sf0.1 $sfDir")
+    val counter = graft.plans.CodegenWatch.install()
+    val valid = waitForIdle()
+    val loadBefore = loadavg()
+    val calibMs = cpuCalibMs()
+    val spark = SparkSession.builder()
+      .withExtensions(new graft.plans.GraftExtensions)
+      .master(s"local[$cpus]")
+      .appName("graft-bench-sf1")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.files.maxPartitionBytes", s"${4 * 1024 * 1024}")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def runOnce(d: QueryDef): Double = {
+      val t0 = System.nanoTime()
+      try d.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench-sf1] ${d.name} failed: $e"); return -1.0 }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val targets = SparkEntry.scaleBench
+    targets.foreach(runOnce) // warm-up
+    val results = targets.map { d =>
+      val runs = Seq.fill(3)(runOnce(d))
+      d.name -> (if (runs.exists(_ < 0)) -1.0 else runs.min)
+    }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val refCalibMs = 284.0
+    val valuePerCalib = total / (calibMs.toDouble / refCalibMs)
+    val compileExceptions = counter.count.get()
+    val json =
+      f"""{"metric":"sf1_total","value":$total%.3f,"unit":"sec","valid":$valid,"queries":$qs,"value_per_calib":$valuePerCalib%.3f,"ref_calib_ms":284,"sf":"$sfDir","loadavg_before":"$loadBefore","loadavg_after":"${loadavg()}","cpu_calib_ms":$calibMs,"compile_exceptions":$compileExceptions}"""
+    println(json)
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench-sf1] WARN: could not write $outPath: $e") }
+    spark.stop()
+    if (compileExceptions > 0) {
+      System.err.println(s"[bench-sf1] FAILING: $compileExceptions CompileException(s) logged")
       sys.exit(1)
     }
   }

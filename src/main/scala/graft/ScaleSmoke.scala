@@ -46,6 +46,7 @@ object ScaleSmoke {
         "q122_indexed_near_dedup", "q207_dbscan", "q93_pagerank",
         "q125_bpe_merges", "q141_hll_replay")
     val spark = SparkSession.builder()
+      .withExtensions(new graft.plans.GraftExtensions)
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .appName("graft-scale-smoke")
       .config("spark.sql.shuffle.partitions", "32")

@@ -17,6 +17,7 @@ object Verify {
     // this main IS the correctness gate
     val codegenWatch = graft.plans.CodegenWatch.install()
     val spark = SparkSession.builder()
+      .withExtensions(new graft.plans.GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       // small scan splits: HTML pages fan out without a repartition

@@ -6,7 +6,10 @@ import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
 /** SparkSessionExtensions entry point: registers the graft-native SQL
-  * functions so `spark.sql("SELECT rolling_hash(text) ...")` works.
+  * functions so `spark.sql("SELECT rolling_hash(text) ...")` works,
+  * and the [[PushAggBelowJoin]] optimizer rule (eager aggregation
+  * below fact-fact joins) so naive SQL/DataFrame formulations get the
+  * narrow-shuffle plan automatically.
   *
   * Wire up via
   * `SparkSession.builder.withExtensions(new GraftExtensions)` or
@@ -14,8 +17,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.descriptors.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => PushAggBelowJoin)
+  }
 }
 
 object GraftExtensions {
@@ -108,5 +113,8 @@ object GraftExtensions {
     descriptors.foreach { case (ident, info, builder) =>
       registry.registerFunction(ident, info, builder)
     }
+    if (!spark.experimental.extraOptimizations.contains(PushAggBelowJoin))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ PushAggBelowJoin
   }
 }

@@ -1,0 +1,180 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types._
+
+/** Eager aggregation (Yan & Larson, VLDB'95): push a decomposable
+  * aggregation BELOW a fact-fact inner equi-join, collapsing the big
+  * side to one row per join key before the join's shuffle moves it.
+  * This is the q03 rewrite (queries/CoreQueries.scala) — previously
+  * hand-written there because Catalyst does not perform it — promoted
+  * to an optimizer rule, so SQL-text callers (the q99 surface) and any
+  * naive DataFrame formulation get the narrow-shuffle plan for free.
+  *
+  * Soundness does NOT require the probe side's key to be unique: after
+  * the pushdown each probe row re-contributes the whole per-key
+  * pre-sum, which is exactly what the per-row matches contributed
+  * before —
+  *   Σ_{(l,r) matching} f(l) = Σ_r Σ_{l: l.k = r.k} f(l).
+  * The guarded scope keeps every case bit-identical to the unpushed
+  * plan:
+  *   - INNER join, conjunctive pure equi-condition, both key sides
+  *     plain attributes (a residual non-equi predicate could reference
+  *     pushed-away left columns);
+  *   - grouping expressions reference only the right side;
+  *   - every aggregate is a non-distinct, unfiltered SUM / COUNT /
+  *     MIN / MAX over left-side-only inputs, and SUM inputs are
+  *     integral or floating (a decimal SUM-of-SUM widens precision
+  *     twice and would change the output type);
+  *   - the left child is not itself an Aggregate (also the fixed-point
+  *     guard: the rewritten plan matches the pattern again and must
+  *     not re-fire).
+  * COUNT re-aggregates as SUM of per-key counts, coalesced to 0 so a
+  * global aggregate over an empty join still returns COUNT's 0, not
+  * SUM's null; MIN/MAX of per-key MIN/MAX are the originals verbatim.
+  *
+  * At 100 TB the payoff is the same as q03's measured one: the join
+  * shuffle moves one narrow row per KEY instead of one wide row per
+  * fact-table row, and the pre-aggregation's exchange doubles as the
+  * join's left exchange (same key), so no extra shuffle is paid.
+  *
+  * Register via `GraftExtensions` (injectOptimizerRule) or
+  * imperatively through `spark.experimental.extraOptimizations`.
+  */
+object PushAggBelowJoin extends Rule[LogicalPlan] with PredicateHelper {
+
+  private def supportedSumType(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType |
+         FloatType | DoubleType => true
+    case _ => false
+  }
+
+  private def pushable(ae: AggregateExpression,
+      left: LogicalPlan): Boolean =
+    !ae.isDistinct && ae.filter.isEmpty && (ae.aggregateFunction match {
+      case Sum(e, _) =>
+        e.references.subsetOf(left.outputSet) && supportedSumType(e.dataType)
+      case Count(children) =>
+        children.forall(_.references.subsetOf(left.outputSet))
+      case Min(e) => e.references.subsetOf(left.outputSet)
+      case Max(e) => e.references.subsetOf(left.outputSet)
+      case _ => false
+    })
+
+  /** Fixed-point guard: after this rule fires the pattern matches
+    * again with an Aggregate (possibly wrapped in Projects by column
+    * pruning within the same optimizer batch) as the left child —
+    * re-firing there would stack useless pre-agg layers and ping-pong
+    * against ColumnPruning until the iteration cap.
+    */
+  @annotation.tailrec
+  private def alreadyAggregated(p: LogicalPlan): Boolean = p match {
+    case org.apache.spark.sql.catalyst.plans.logical.Project(_, c) =>
+      alreadyAggregated(c)
+    case _: Aggregate => true
+    case _ => false
+  }
+
+  /** ColumnPruning (same fixed-point batch) interposes a pure-pruning
+    * Project between the Aggregate and the Join; look through it —
+    * attribute-only project lists change nothing the rewrite relies
+    * on, and the rewritten Aggregate reads the join output directly
+    * (pruning re-runs on the new plan anyway).
+    */
+  private object ProjectedJoin {
+    def unapply(p: LogicalPlan): Option[Join] = p match {
+      case j: Join => Some(j)
+      case org.apache.spark.sql.catalyst.plans.logical.Project(pl, j: Join)
+          if pl.forall(_.isInstanceOf[AttributeReference]) => Some(j)
+      case _ => None
+    }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case agg @ Aggregate(groups, aggExprs, ProjectedJoin(
+        join @ Join(left, right, Inner, Some(cond), hint)), aggHint)
+        if !agg.isStreaming &&
+          !alreadyAggregated(left) &&
+          eligible(groups, aggExprs, left, right, cond) =>
+      val leftKeys = splitConjunctivePredicates(cond).collect {
+        case EqualTo(a: AttributeReference, _)
+            if left.outputSet.contains(a) => a
+        case EqualTo(_, a: AttributeReference)
+            if left.outputSet.contains(a) => a
+      }.distinct
+      val pre = scala.collection.mutable.ArrayBuffer.empty[NamedExpression]
+      def preAgg(fn: AggregateFunction, name: String): Attribute = {
+        val al = Alias(fn.toAggregateExpression(), name)()
+        pre += al
+        al.toAttribute
+      }
+      // transformUp: the Count case's replacement embeds a NEW
+      // AggregateExpression (Sum over the pushed count); a top-down
+      // transform would descend into the replacement and rewrite it
+      // again. Bottom-up never revisits a replacement.
+      val newAggExprs = aggExprs.map(_.transformUp {
+        case ae: AggregateExpression => ae.aggregateFunction match {
+          case s: Sum =>
+            Sum(preAgg(s, "_pushed_sum")).toAggregateExpression()
+          case c: Count =>
+            Coalesce(Seq(
+              Sum(preAgg(c, "_pushed_cnt")).toAggregateExpression(),
+              Literal(0L)))
+          case m: Min =>
+            Min(preAgg(m, "_pushed_min")).toAggregateExpression()
+          case m: Max =>
+            Max(preAgg(m, "_pushed_max")).toAggregateExpression()
+          case other => // unreachable under eligible()
+            throw new IllegalStateException(s"unexpected $other")
+        }
+      }.asInstanceOf[NamedExpression])
+      val pushed = Aggregate(
+        leftKeys, (leftKeys: Seq[NamedExpression]) ++ pre.toSeq, left, None)
+      Aggregate(groups, newAggExprs,
+        Join(pushed, right, Inner, Some(cond), hint), aggHint)
+  }
+
+  private def eligible(groups: Seq[Expression],
+      aggExprs: Seq[NamedExpression], left: LogicalPlan,
+      right: LogicalPlan, cond: Expression): Boolean = {
+    // pure conjunctive equi-join on plain attributes, one side each
+    val conjuncts = splitConjunctivePredicates(cond)
+    val equiOk = conjuncts.nonEmpty && conjuncts.forall {
+      case EqualTo(a: AttributeReference, b: AttributeReference) =>
+        (left.outputSet.contains(a) && right.outputSet.contains(b)) ||
+          (left.outputSet.contains(b) && right.outputSet.contains(a))
+      case _ => false
+    }
+    // grouping purely on the probe side
+    val groupOk = groups.forall(_.references.subsetOf(right.outputSet))
+    // every aggregate pushable; non-aggregate refs only on the right
+    val aggsOk = aggExprs.forall { ne =>
+      var ok = true
+      var sawAgg = false
+      ne.foreach {
+        case ae: AggregateExpression =>
+          sawAgg = true
+          ok &&= pushable(ae, left)
+        case _ => ()
+      }
+      val bareRefs = ne.collect {
+        case a: AttributeReference => a
+      }.filterNot { a =>
+        // attributes inside aggregate functions are accounted above
+        ne.exists {
+          case ae: AggregateExpression => ae.references.contains(a)
+          case _ => false
+        }
+      }
+      ok && (sawAgg || bareRefs.forall(right.outputSet.contains))
+    }
+    // at least one real aggregate to push, else nothing to gain
+    val anyAgg = aggExprs.exists(_.exists(
+      _.isInstanceOf[AggregateExpression]))
+    equiOk && groupOk && aggsOk && anyAgg
+  }
+}

@@ -1,0 +1,134 @@
+package graft
+
+import graft.plans.PushAggBelowJoin
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+import org.apache.spark.sql.functions._
+
+/** The eager-aggregation optimizer rule: the naive groupBy-above-join
+  * form must be rewritten to the hand-pushed q03 plan shape (an
+  * Aggregate BELOW the join), with bit-identical results — including
+  * the duplicate-probe-key multiplicity case the rewrite's soundness
+  * argument rests on — and ineligible shapes must be left alone.
+  * SparkSpec's session carries GraftExtensions, so the rule is live
+  * for every suite; these tests pin its behavior directly.
+  */
+class PushAggSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def aggsBelowJoin(df: DataFrame): Int = {
+    val plan = df.queryExecution.optimizedPlan
+    plan.collect { case j: Join =>
+      j.left.collect { case a: Aggregate => a }.size +
+        j.right.collect { case a: Aggregate => a }.size
+    }.sum
+  }
+
+  private val facts = Seq(
+    (1L, 10L, 1.5), (1L, 20L, 2.5), (2L, 30L, 3.0),
+    (2L, 40L, 1.0), (3L, 50L, 4.0)).toDF("k", "v", "d")
+
+  test("naive agg-above-join is rewritten to the pushed plan, same result") {
+    val dim = Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("k", "g")
+    val naive = facts.join(dim, Seq("k"))
+      .groupBy(col("g"))
+      .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"),
+        min(col("d")).as("mn"), max(col("d")).as("mx"))
+      .orderBy(col("g"))
+    assert(aggsBelowJoin(naive) >= 1, "expected a pre-aggregate below the join:\n" +
+      naive.queryExecution.optimizedPlan.toString)
+    val got = naive.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4))).toSeq
+    // reference computed in plain Scala, no Spark plan involved
+    val rows = Seq((1L, 10L, 1.5, "a"), (1L, 20L, 2.5, "a"),
+      (2L, 30L, 3.0, "b"), (2L, 40L, 1.0, "b"), (3L, 50L, 4.0, "a"))
+    val want = rows.groupBy(_._4).toSeq.sortBy(_._1).map { case (g, rs) =>
+      (g, rs.map(_._2).sum, rs.size.toLong, rs.map(_._3).min,
+        rs.map(_._3).max)
+    }
+    assert(got === want)
+  }
+
+  test("duplicate probe-side keys: multiplicity handled exactly") {
+    // dim key 1 appears twice -> every key-1 fact pair-counts twice
+    val dim = Seq((1L, "a"), (1L, "a"), (2L, "b")).toDF("k", "g")
+    val naive = facts.join(dim, Seq("k"))
+      .groupBy(col("g"))
+      .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+      .orderBy(col("g"))
+    assert(aggsBelowJoin(naive) >= 1)
+    val got = naive.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // key 1 facts (10+20) joined to two dim rows: sum 60, count 4
+    assert(got === Seq(("a", 60L, 4L), ("b", 70L, 2L)))
+  }
+
+  test("global count over an empty join returns 0, not null") {
+    val dim = Seq((99L, "z")).toDF("k", "g")
+    val naive = facts.join(dim, Seq("k"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+    val r = naive.head()
+    assert(r.getLong(0) === 0L)
+    assert(r.isNullAt(1))
+  }
+
+  test("ineligible shapes are left alone") {
+    val dim = Seq((1L, "a"), (2L, "b")).toDF("k", "g")
+    // distinct aggregate: not decomposable this way
+    val distinctAgg = facts.join(dim, Seq("k"))
+      .groupBy(col("g")).agg(countDistinct(col("v")).as("nd"))
+    assert(aggsBelowJoin(distinctAgg) === 0)
+    // grouping on a fact-side column: probe-side-only grouping required
+    val leftGroup = facts.join(dim, Seq("k"))
+      .groupBy(col("v")).agg(count(lit(1)).as("n"))
+    assert(aggsBelowJoin(leftGroup) === 0)
+    // decimal SUM would widen precision twice
+    val dec = facts.withColumn("dec", col("v").cast("decimal(10,2)"))
+      .join(dim, Seq("k"))
+      .groupBy(col("g")).agg(sum(col("dec")).as("s"))
+    assert(aggsBelowJoin(dec) === 0)
+    // outer join: pushdown argument only holds for inner
+    val outer = facts.join(dim, Seq("k"), "left")
+      .groupBy(col("g")).agg(sum(col("v")).as("s"))
+    assert(aggsBelowJoin(outer) === 0)
+  }
+
+  test("q03 naive form gets the hand-pushed plan shape and identical result") {
+    import graft.Tables
+    val dir = sfDir
+    val li = Tables(spark, dir, "lineitem")
+    val o = Tables(spark, dir, "orders")
+    val c = Tables(spark, dir, "customer")
+    val n = Tables(spark, dir, "nation")
+    // the NAIVE formulation of q03's revenue aggregate: group after the
+    // full 4-way join — exactly what a SQL-text user writes
+    val naive = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * 10000.0, 0).cast("long")).as("rev_i"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("n_name"))
+    // the rule must reproduce the hand-pushed shape: an aggregate on
+    // the lineitem side BELOW the first fact-fact join
+    assert(aggsBelowJoin(naive) >= 1,
+      "expected the q03 eager-aggregation shape:\n" +
+        naive.queryExecution.optimizedPlan.toString)
+    val hand = SparkEntry.queries("q03_join_revenue")(spark, dir)
+      .select(col("n_name"), col("n_items"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val got = naive.select(col("n_name"), col("n_items"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === hand)
+  }
+
+  test("rule is a no-op when re-applied to its own output (fixed point)") {
+    val dim = Seq((1L, "a"), (2L, "b")).toDF("k", "g")
+    val naive = facts.join(dim, Seq("k"))
+      .groupBy(col("g")).agg(sum(col("v")).as("sv"))
+    val once = naive.queryExecution.optimizedPlan
+    assert(PushAggBelowJoin(once).fastEquals(once))
+  }
+}
