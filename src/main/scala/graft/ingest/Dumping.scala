@@ -175,12 +175,19 @@ object Dumping {
 
   // ---- S7: sequential pagination driver (dumping.py:170-207) -------------
 
+  /** Out-of-the-box fetch: [[HttpFetch.default]] wrapped in the
+    * reference's retry/backoff loop. This is what the pagination
+    * drivers use when no fetch is injected.
+    */
+  def defaultFetch(): String => String = retryingFetch(HttpFetch.default())
+
   /** The reference's `_get_page` retry loop (dumping.py:194-207): up to
     * `maxAttempts` tries, sleeping `backoffMillis` after EVERY failure
     * (including the last, as the reference does), then RuntimeException.
     * `sleep` is injectable so specs don't wait wall-clock.
     */
-  def retryingFetch(fetch: String => String, maxAttempts: Int = 3,
+  def retryingFetch(fetch: String => String = HttpFetch.default(),
+      maxAttempts: Int = 3,
       backoffMillis: Long = 10000L,
       sleep: Long => Unit = Thread.sleep): String => String = url => {
     var attempt = 0
@@ -204,7 +211,8 @@ object Dumping {
     * to [[parallelFetchPages]] when the target allows it.
     */
   def iterSearchResults(searchUrl: String,
-      fetch: String => String, politenessMillis: Long = 0L,
+      fetch: String => String = defaultFetch(),
+      politenessMillis: Long = 0L,
       sleep: Long => Unit = Thread.sleep): Iterator[(Int, String)] =
     new Iterator[(Int, String)] {
       private var page = 1
@@ -228,7 +236,7 @@ object Dumping {
     */
   def parallelFetchPages(spark: SparkSession, searchUrl: String,
       nPages: Int, parallelism: Int,
-      fetch: String => String): Dataset[(Int, String)] = {
+      fetch: String => String = defaultFetch()): Dataset[(Int, String)] = {
     import spark.implicits._
     spark.range(1, nPages + 1L)
       .repartition(parallelism)

@@ -139,4 +139,80 @@ class DumpingSpec extends SparkSpec {
       .collect().toMap
     assert(out.keySet === (1 to 20).toSet)
   }
+
+  /** Local JDK HttpServer on an ephemeral port — the specs for the
+    * DEFAULT fetch stay network-free while exercising the real
+    * java.net.http client end to end.
+    */
+  private def withServer[A](
+      handler: com.sun.net.httpserver.HttpExchange => (Int, String))(
+      body: String => A): A = {
+    val srv = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    srv.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val (code, payload) = handler(ex)
+      val bytes = payload.getBytes("UTF-8")
+      ex.getResponseHeaders.add("Content-Type", "text/html; charset=utf-8")
+      ex.sendResponseHeaders(code, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    })
+    srv.start()
+    try body(s"http://127.0.0.1:${srv.getAddress.getPort}")
+    finally srv.stop(0)
+  }
+
+  test("HTTP default fetch: 2xx body, non-2xx raises for the retry loop") {
+    withServer { ex =>
+      if (ex.getRequestURI.getPath == "/ok") (200, "hello ページ")
+      else (404, "nope")
+    } { base =>
+      val fetch = graft.ingest.HttpFetch.default(timeoutMillis = 5000L)
+      assert(fetch(s"$base/ok") === "hello ページ")
+      val err = intercept[java.io.IOException](fetch(s"$base/missing"))
+      assert(err.getMessage.contains("404"))
+    }
+  }
+
+  test("HTTP default fetch: retryingFetch turns 5xx into retries") {
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    withServer { _ =>
+      if (hits.incrementAndGet() < 3) (500, "down") else (200, "up")
+    } { base =>
+      val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val f = Dumping.retryingFetch(
+        graft.ingest.HttpFetch.default(timeoutMillis = 5000L),
+        maxAttempts = 5, backoffMillis = 1L, sleep = sleeps += _)
+      assert(f(s"$base/flaky") === "up")
+      assert(hits.get() === 3)
+      assert(sleeps.size === 2)
+    }
+  }
+
+  test("S7: iterSearchResults is callable with NO user-supplied fetch") {
+    withServer { ex =>
+      val q = Option(ex.getRequestURI.getQuery).getOrElse("")
+      val p = "page=(\\d+)".r.findFirstMatchIn(q).map(_.group(1).toInt)
+        .getOrElse(1)
+      (200, pageWithPagination(3, p))
+    } { base =>
+      val out = Dumping.iterSearchResults(s"$base/search?pc=50").toVector
+      assert(out.map(_._1) === Vector(1, 2, 3))
+      assert(out.forall(_._2.contains("pagination-parts")))
+    }
+  }
+
+  test("S8: default fetch serializes to Spark tasks (parallel fan-out)") {
+    withServer { ex =>
+      val q = Option(ex.getRequestURI.getQuery).getOrElse("")
+      (200, s"<html>$q</html>")
+    } { base =>
+      val out = Dumping.parallelFetchPages(spark, s"$base/s?pc=50",
+          nPages = 8, parallelism = 4,
+          graft.ingest.HttpFetch.default(timeoutMillis = 5000L))
+        .collect().toMap
+      assert(out.keySet === (1 to 8).toSet)
+      assert((1 to 8).forall(p => out(p).contains(s"page=$p")))
+    }
+  }
 }
