@@ -245,9 +245,13 @@ object Search {
   private def densePairs(weighted: DataFrame, threshold: Double)
       : DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // vocab is <= the dense-path cap (4096 terms): the single
+    // partition is bounded by construction; lit(0) declares it so
+    // WindowExec does not warn in every bench artifact
     val vocabIdx = weighted.select(col("tk")).distinct()
       .withColumn("idx",
-        (row_number().over(Window.orderBy(col("tk"))) - 1).cast("int"))
+        (row_number().over(Window.partitionBy(lit(0))
+          .orderBy(col("tk"))) - 1).cast("int"))
     val vmax = vocabIdx.agg(max(col("idx")).as("vmax"))
     val vecs = weighted.join(broadcast(vocabIdx), Seq("tk"))
       .groupBy(col("doc_id"))
