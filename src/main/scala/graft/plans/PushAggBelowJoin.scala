@@ -24,15 +24,17 @@ import org.apache.spark.sql.types._
   * plan:
   *   - INNER join, conjunctive pure equi-condition, both key sides
   *     plain attributes (a residual non-equi predicate could reference
-  *     pushed-away left columns);
-  *   - grouping expressions reference only the right side;
+  *     pushed-away fact columns);
+  *   - grouping expressions reference only the probe side;
   *   - every aggregate is a non-distinct, unfiltered SUM / COUNT /
-  *     MIN / MAX over left-side-only inputs, and SUM inputs are
+  *     MIN / MAX over fact-side-only inputs, and SUM inputs are
   *     integral or floating (a decimal SUM-of-SUM widens precision
   *     twice and would change the output type);
-  *   - the left child is not itself an Aggregate (also the fixed-point
+  *   - the fact child is not itself an Aggregate (also the fixed-point
   *     guard: the rewritten plan matches the pattern again and must
   *     not re-fire).
+  * The fact side may be EITHER join input — `fact JOIN dim` and
+  * `dim JOIN fact` both rewrite (left tried first).
   * COUNT re-aggregates as SUM of per-key counts, coalesced to 0 so a
   * global aggregate over an empty join still returns COUNT's 0, not
   * SUM's null; MIN/MAX of per-key MIN/MAX are the originals verbatim.
@@ -54,14 +56,14 @@ object PushAggBelowJoin extends Rule[LogicalPlan] with PredicateHelper {
   }
 
   private def pushable(ae: AggregateExpression,
-      left: LogicalPlan): Boolean =
+      fact: LogicalPlan): Boolean =
     !ae.isDistinct && ae.filter.isEmpty && (ae.aggregateFunction match {
       case Sum(e, _) =>
-        e.references.subsetOf(left.outputSet) && supportedSumType(e.dataType)
+        e.references.subsetOf(fact.outputSet) && supportedSumType(e.dataType)
       case Count(children) =>
-        children.forall(_.references.subsetOf(left.outputSet))
-      case Min(e) => e.references.subsetOf(left.outputSet)
-      case Max(e) => e.references.subsetOf(left.outputSet)
+        children.forall(_.references.subsetOf(fact.outputSet))
+      case Min(e) => e.references.subsetOf(fact.outputSet)
+      case Max(e) => e.references.subsetOf(fact.outputSet)
       case _ => false
     })
 
@@ -96,69 +98,86 @@ object PushAggBelowJoin extends Rule[LogicalPlan] with PredicateHelper {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case agg @ Aggregate(groups, aggExprs, ProjectedJoin(
-        join @ Join(left, right, Inner, Some(cond), hint)), aggHint)
-        if !agg.isStreaming &&
-          !alreadyAggregated(left) &&
-          eligible(groups, aggExprs, left, right, cond) =>
-      val leftKeys = splitConjunctivePredicates(cond).collect {
-        case EqualTo(a: AttributeReference, _)
-            if left.outputSet.contains(a) => a
-        case EqualTo(_, a: AttributeReference)
-            if left.outputSet.contains(a) => a
-      }.distinct
-      val pre = scala.collection.mutable.ArrayBuffer.empty[NamedExpression]
-      def preAgg(fn: AggregateFunction, name: String): Attribute = {
-        val al = Alias(fn.toAggregateExpression(), name)()
-        pre += al
-        al.toAttribute
-      }
-      // transformUp: the Count case's replacement embeds a NEW
-      // AggregateExpression (Sum over the pushed count); a top-down
-      // transform would descend into the replacement and rewrite it
-      // again. Bottom-up never revisits a replacement.
-      val newAggExprs = aggExprs.map(_.transformUp {
-        case ae: AggregateExpression => ae.aggregateFunction match {
-          case s: Sum =>
-            Sum(preAgg(s, "_pushed_sum")).toAggregateExpression()
-          case c: Count =>
-            Coalesce(Seq(
-              Sum(preAgg(c, "_pushed_cnt")).toAggregateExpression(),
-              Literal(0L)))
-          case m: Min =>
-            Min(preAgg(m, "_pushed_min")).toAggregateExpression()
-          case m: Max =>
-            Max(preAgg(m, "_pushed_max")).toAggregateExpression()
-          case other => // unreachable under eligible()
-            throw new IllegalStateException(s"unexpected $other")
-        }
-      }.asInstanceOf[NamedExpression])
-      val pushed = Aggregate(
-        leftKeys, (leftKeys: Seq[NamedExpression]) ++ pre.toSeq, left, None)
-      Aggregate(groups, newAggExprs,
-        Join(pushed, right, Inner, Some(cond), hint), aggHint)
+        join @ Join(left, right, Inner, Some(cond), _)), aggHint)
+        if !agg.isStreaming =>
+      // the fact (aggregated) side may be either join input — a SQL
+      // author writing `dim JOIN fact` puts it on the right
+      if (!alreadyAggregated(left) &&
+          eligible(groups, aggExprs, left, right, cond))
+        rewrite(groups, aggExprs, join, aggHint, factIsLeft = true)
+      else if (!alreadyAggregated(right) &&
+          eligible(groups, aggExprs, right, left, cond))
+        rewrite(groups, aggExprs, join, aggHint, factIsLeft = false)
+      else agg
   }
 
+  private def rewrite(groups: Seq[Expression],
+      aggExprs: Seq[NamedExpression], join: Join,
+      aggHint: Option[org.apache.spark.sql.catalyst.plans.logical
+        .AggregateHint], factIsLeft: Boolean): Aggregate = {
+    val fact = if (factIsLeft) join.left else join.right
+    val cond = join.condition.get
+    val factKeys = splitConjunctivePredicates(cond).collect {
+      case EqualTo(a: AttributeReference, _)
+          if fact.outputSet.contains(a) => a
+      case EqualTo(_, a: AttributeReference)
+          if fact.outputSet.contains(a) => a
+    }.distinct
+    val pre = scala.collection.mutable.ArrayBuffer.empty[NamedExpression]
+    def preAgg(fn: AggregateFunction, name: String): Attribute = {
+      val al = Alias(fn.toAggregateExpression(), name)()
+      pre += al
+      al.toAttribute
+    }
+    // transformUp: the Count case's replacement embeds a NEW
+    // AggregateExpression (Sum over the pushed count); a top-down
+    // transform would descend into the replacement and rewrite it
+    // again. Bottom-up never revisits a replacement.
+    val newAggExprs = aggExprs.map(_.transformUp {
+      case ae: AggregateExpression => ae.aggregateFunction match {
+        case s: Sum =>
+          Sum(preAgg(s, "_pushed_sum")).toAggregateExpression()
+        case c: Count =>
+          Coalesce(Seq(
+            Sum(preAgg(c, "_pushed_cnt")).toAggregateExpression(),
+            Literal(0L)))
+        case m: Min =>
+          Min(preAgg(m, "_pushed_min")).toAggregateExpression()
+        case m: Max =>
+          Max(preAgg(m, "_pushed_max")).toAggregateExpression()
+        case other => // unreachable under eligible()
+          throw new IllegalStateException(s"unexpected $other")
+      }
+    }.asInstanceOf[NamedExpression])
+    val pushed = Aggregate(
+      factKeys, (factKeys: Seq[NamedExpression]) ++ pre.toSeq, fact, None)
+    val newJoin =
+      if (factIsLeft) join.copy(left = pushed) else join.copy(right = pushed)
+    Aggregate(groups, newAggExprs, newJoin, aggHint)
+  }
+
+  /** Can the aggregation push into `fact`, with `probe` untouched? */
   private def eligible(groups: Seq[Expression],
-      aggExprs: Seq[NamedExpression], left: LogicalPlan,
-      right: LogicalPlan, cond: Expression): Boolean = {
+      aggExprs: Seq[NamedExpression], fact: LogicalPlan,
+      probe: LogicalPlan, cond: Expression): Boolean = {
     // pure conjunctive equi-join on plain attributes, one side each
     val conjuncts = splitConjunctivePredicates(cond)
     val equiOk = conjuncts.nonEmpty && conjuncts.forall {
       case EqualTo(a: AttributeReference, b: AttributeReference) =>
-        (left.outputSet.contains(a) && right.outputSet.contains(b)) ||
-          (left.outputSet.contains(b) && right.outputSet.contains(a))
+        (fact.outputSet.contains(a) && probe.outputSet.contains(b)) ||
+          (fact.outputSet.contains(b) && probe.outputSet.contains(a))
       case _ => false
     }
     // grouping purely on the probe side
-    val groupOk = groups.forall(_.references.subsetOf(right.outputSet))
-    // every aggregate pushable; non-aggregate refs only on the right
+    val groupOk = groups.forall(_.references.subsetOf(probe.outputSet))
+    // every aggregate pushable; non-aggregate refs only on the probe
     val aggsOk = aggExprs.forall { ne =>
       var ok = true
       var sawAgg = false
       ne.foreach {
         case ae: AggregateExpression =>
           sawAgg = true
-          ok &&= pushable(ae, left)
+          ok &&= pushable(ae, fact)
         case _ => ()
       }
       val bareRefs = ne.collect {
@@ -170,7 +189,7 @@ object PushAggBelowJoin extends Rule[LogicalPlan] with PredicateHelper {
           case _ => false
         }
       }
-      ok && (sawAgg || bareRefs.forall(right.outputSet.contains))
+      ok && (sawAgg || bareRefs.forall(probe.outputSet.contains))
     }
     // at least one real aggregate to push, else nothing to gain
     val anyAgg = aggExprs.exists(_.exists(

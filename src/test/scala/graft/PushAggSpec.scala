@@ -64,6 +64,19 @@ class PushAggSpec extends SparkSpec {
     assert(got === Seq(("a", 60L, 4L), ("b", 70L, 2L)))
   }
 
+  test("dim JOIN fact (fact on the right) is pushed symmetrically") {
+    val dim = Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("k", "g")
+    val naive = dim.join(facts, Seq("k"))
+      .groupBy(col("g"))
+      .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+      .orderBy(col("g"))
+    assert(aggsBelowJoin(naive) >= 1,
+      naive.queryExecution.optimizedPlan.toString)
+    val got = naive.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq(("a", 80L, 3L), ("b", 70L, 2L)))
+  }
+
   test("global count over an empty join returns 0, not null") {
     val dim = Seq((99L, "z")).toDF("k", "g")
     val naive = facts.join(dim, Seq("k"))
@@ -79,10 +92,18 @@ class PushAggSpec extends SparkSpec {
     val distinctAgg = facts.join(dim, Seq("k"))
       .groupBy(col("g")).agg(countDistinct(col("v")).as("nd"))
     assert(aggsBelowJoin(distinctAgg) === 0)
-    // grouping on a fact-side column: probe-side-only grouping required
+    // grouping spanning BOTH sides: no side is a pure probe
+    val bothGroup = facts.join(dim, Seq("k"))
+      .groupBy(col("v"), col("g")).agg(count(lit(1)).as("n"))
+    assert(aggsBelowJoin(bothGroup) === 0)
+    // grouping on a fact-side column now pushes via the MIRROR (the
+    // count aggregates the dim side) — values must stay exact
     val leftGroup = facts.join(dim, Seq("k"))
-      .groupBy(col("v")).agg(count(lit(1)).as("n"))
-    assert(aggsBelowJoin(leftGroup) === 0)
+      .groupBy(col("v")).agg(count(lit(1)).as("n")).orderBy(col("v"))
+    assert(aggsBelowJoin(leftGroup) >= 1)
+    // k=3 facts (v=50) have no dim match and drop out of the inner join
+    assert(leftGroup.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      === Seq((10L, 1L), (20L, 1L), (30L, 1L), (40L, 1L)))
     // decimal SUM would widen precision twice
     val dec = facts.withColumn("dec", col("v").cast("decimal(10,2)"))
       .join(dim, Seq("k"))
