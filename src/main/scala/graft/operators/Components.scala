@@ -65,8 +65,15 @@ object Components {
     var iter = 0
     while (!converged && iter < maxIter) {
       val obs = Observation()
+      // TWO star rounds per checkpoint: halves the job-barrier count —
+      // the true latency floor of the loop on a cluster — at the cost
+      // of at most one redundant (cheap, already-converged) double
+      // round before detection. Exactness is unchanged: the round
+      // function is idempotent at the fixed point, so a double round
+      // that changes nothing certifies convergence the same way a
+      // single one did.
       val next = Checkpoints.truncate(
-        smallStar(largeStar(cur))
+        smallStar(largeStar(smallStar(largeStar(cur))))
           .join(cur.select(col("src"), col("dst"), lit(1).as("in_cur")),
             Seq("src", "dst"), "left")
           .observe(obs, count(lit(1)).as("edges"),

@@ -28,6 +28,11 @@ import org.apache.spark.sql.functions._
   */
 object Spatial {
 
+  /** Pair volume above which [[dbscan]] contracts its CC input (see
+    * the adaptive note in the method body).
+    */
+  private[operators] val ContractionThreshold = 2000000L
+
   def radiusPairs(df: DataFrame, id: Column, x: Column, y: Column,
       r: Long): DataFrame =
     radiusPairsFull(df, id, x, y, r)
@@ -109,8 +114,13 @@ object Spatial {
     require(minPts >= 1, s"minPts must be >= 1, got $minPts")
     val pts = df.select(id.as("pid"), x.cast("long").as("px"),
       y.cast("long").as("py"))
+    // pair count observed during the checkpoint's own job (no extra
+    // action) — it picks the CC-input strategy below
+    val pairsObs = org.apache.spark.sql.Observation()
     val pairsC = radiusPairsFull(pts, col("pid"), col("px"), col("py"), r)
+      .observe(pairsObs, count(lit(1)).as("n"))
       .localCheckpoint() // read three times below
+    val nPairs = pairsObs.get("n").asInstanceOf[Long]
     val pairs = pairsC.select(col("id_a"), col("id_b"))
     val sym = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
       .unionByName(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
@@ -139,28 +149,43 @@ object Spatial {
     // (stars connect same-cell cores, which are within r by the s2
     // bound), so this is a spanning-subgraph selection, not an
     // approximation.
-    val s2 = { var s = 1L; while (2L * s * s <= r * r) s += 1; s }
-    def cellCol(c: Column) = ((c - pmod(c, lit(s2))) / s2).cast("long")
-    val corePairs = pairsC
-      .join(core.select(col("pid").as("id_a")), Seq("id_a"), "left_semi")
-      .join(core.select(col("pid").as("id_b")), Seq("id_b"), "left_semi")
-      .select(col("id_a"), col("id_b"),
-        cellCol(col("xa")).as("qxa"), cellCol(col("ya")).as("qya"),
-        cellCol(col("xb")).as("qxb"), cellCol(col("yb")).as("qyb"))
-    val cross = corePairs
-      .filter(col("qxa") =!= col("qxb") || col("qya") =!= col("qyb"))
-      .groupBy(col("qxa"), col("qya"), col("qxb"), col("qyb"))
-      .agg(min(struct(col("id_a"), col("id_b"))).as("e"))
-      .select(col("e.id_a").as("src"), col("e.id_b").as("dst"))
-    val coreCells = pts.join(core, Seq("pid"), "left_semi")
-      .select(col("pid"), cellCol(col("px")).as("qx"),
-        cellCol(col("py")).as("qy"))
-    val stars = coreCells
-      .join(coreCells.groupBy(col("qx"), col("qy"))
-        .agg(min(col("pid")).as("rep")), Seq("qx", "qy"))
-      .filter(col("pid") =!= col("rep"))
-      .select(col("pid").as("src"), col("rep").as("dst"))
-    val coreEdges = stars.unionByName(cross)
+    //
+    // ADAPTIVE: below ContractionThreshold pairs the contraction's
+    // fixed stages (two semi-joins, two group-bys) cost more than they
+    // save — measured +0.9 s at sf0.1's 0.2 M pairs vs −62 s at sf1's
+    // 21.6 M — so the small-volume path feeds the verified pairs to CC
+    // directly. The pair count is free (observed during the pairs
+    // checkpoint), making this the same shape as an AQE decision:
+    // plan from observed runtime statistics, identical results either
+    // way.
+    val coreEdges = if (nPairs < ContractionThreshold) {
+      sym.join(core.select(col("pid").as("a")), Seq("a"), "left_semi")
+        .join(core.select(col("pid").as("b")), Seq("b"), "left_semi")
+        .select(col("a").as("src"), col("b").as("dst"))
+    } else {
+      val s2 = { var s = 1L; while (2L * s * s <= r * r) s += 1; s }
+      def cellCol(c: Column) = ((c - pmod(c, lit(s2))) / s2).cast("long")
+      val corePairs = pairsC
+        .join(core.select(col("pid").as("id_a")), Seq("id_a"), "left_semi")
+        .join(core.select(col("pid").as("id_b")), Seq("id_b"), "left_semi")
+        .select(col("id_a"), col("id_b"),
+          cellCol(col("xa")).as("qxa"), cellCol(col("ya")).as("qya"),
+          cellCol(col("xb")).as("qxb"), cellCol(col("yb")).as("qyb"))
+      val cross = corePairs
+        .filter(col("qxa") =!= col("qxb") || col("qya") =!= col("qyb"))
+        .groupBy(col("qxa"), col("qya"), col("qxb"), col("qyb"))
+        .agg(min(struct(col("id_a"), col("id_b"))).as("e"))
+        .select(col("e.id_a").as("src"), col("e.id_b").as("dst"))
+      val coreCells = pts.join(core, Seq("pid"), "left_semi")
+        .select(col("pid"), cellCol(col("px")).as("qx"),
+          cellCol(col("py")).as("qy"))
+      val stars = coreCells
+        .join(coreCells.groupBy(col("qx"), col("qy"))
+          .agg(min(col("pid")).as("rep")), Seq("qx", "qy"))
+        .filter(col("pid") =!= col("rep"))
+        .select(col("pid").as("src"), col("rep").as("dst"))
+      stars.unionByName(cross)
+    }
     val clusters = Components.connectedComponents(coreEdges,
         Some(core.select(col("pid").as("node"))))
       .select(col("node").as("pid"), col("component").as("cluster"))
