@@ -8,11 +8,12 @@ import org.apache.spark.sql.functions._
   * loops (the Scala analog of mapInPandas — batch shape, schema, and
   * partitioning are real). The IMAGE path is a real codec —
   * [[pngFromIds]]/[[decodeImages]] encode and decode actual PNGs with
-  * `javax.imageio` (JDK-only, headless-safe). Audio/video remain the
+  * `javax.imageio` (JDK-only, headless-safe) — and so is the AUDIO
+  * path: [[wavFromIds]]/[[decodeAudio]] write and parse actual PCM-16
+  * WAV files with `javax.sound.sampled`. Only VIDEO remains the
   * documented deterministic STUB ([[decodeStub]], [[sampleFrames]],
-  * [[resizeStub]]) since no audio/video libraries ship in this
-  * environment; swapping the stub for a real codec changes no
-  * plumbing.
+  * [[resizeStub]]) since no video codec ships in the JDK; swapping
+  * the stub for a real codec changes no plumbing.
   */
 object Multimodal {
 
@@ -156,6 +157,89 @@ object Multimodal {
           }
         })
       }
+      .toDF()
+  }
+
+  final case class AudioFeatures(media_id: Long, sample_rate: Long,
+      channels: Long, n_frames: Long, pcm_checksum: Long)
+
+  /** PCM sample (unsigned 16-bit) of the deterministic test signal at
+    * frame `i` for clip `id` — pure integer arithmetic, replayable by
+    * any engine without an audio decoder.
+    */
+  def patternSample(id: Long, i: Int): Long = (id * 31L + i * 7L) % 65536L
+
+  /** Frame count of test clip `id`: 64..192 samples. */
+  def patternFrames(id: Long): Int = (64L + id % 129L).toInt
+
+  /** REAL audio table: one actual PCM-16 mono WAV per id, written on
+    * the executors with `javax.sound.sampled` (JDK-only) from the
+    * [[patternSample]] signal at 8 kHz.
+    */
+  def wavFromIds(ids: DataFrame): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val n = patternFrames(id)
+          val pcm = new Array[Byte](n * 2)
+          var i = 0
+          while (i < n) {
+            val u = patternSample(id, i).toInt
+            pcm(2 * i) = (u & 0xFF).toByte // little-endian PCM16
+            pcm(2 * i + 1) = ((u >> 8) & 0xFF).toByte
+            i += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(
+            8000f, 16, 1, true, false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          MediaRecord(id, "audio", bos.toByteArray)
+        }
+      }
+      .toDF()
+      .select(col("media_id"), col("kind"), col("payload"))
+  }
+
+  /** REAL audio decode — `javax.sound.sampled.AudioSystem` parses the
+    * WAV container and yields the PCM stream: sample rate, channel
+    * count, frame length, and a 31-base polynomial hash (mod 1e9+7)
+    * over the unsigned little-endian 16-bit samples. PCM WAV is
+    * lossless, so the checksum replays from the generator arithmetic
+    * in any engine. Undecodable payloads become audit rows
+    * (-1 features), not task failures.
+    */
+  def decodeAudio(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord]
+      .mapPartitions(_.grouped(batchSize).flatMap(_.map { m =>
+        try {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(m.payload))
+          val fmt = ais.getFormat
+          val nFrames = ais.getFrameLength
+          val bytes = ais.readAllBytes()
+          var acc = 0L
+          var i = 0
+          // unsigned 16-bit little-endian mono samples
+          while (i + 1 < bytes.length) {
+            val u = (bytes(i) & 0xFF) | ((bytes(i + 1) & 0xFF) << 8)
+            acc = (acc * 31L + u) % 1000000007L
+            i += 2
+          }
+          AudioFeatures(m.media_id, fmt.getSampleRate.toLong,
+            fmt.getChannels.toLong, nFrames, acc)
+        } catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException |
+               _: java.io.IOException =>
+            AudioFeatures(m.media_id, -1L, -1L, -1L, -1L)
+        }
+      }))
       .toDF()
   }
 

@@ -1021,6 +1021,40 @@ object ScaleQueries {
       FROM px ORDER BY media_id"""),
   )
 
+  // --------------------------------------------------------------- q231
+  /** REAL audio decode, the q230 pattern for sound: Spark writes one
+    * actual PCM-16 mono WAV per document id from a deterministic
+    * integer signal ([[Multimodal.wavFromIds]], javax.sound.sampled),
+    * parses it back ([[Multimodal.decodeAudio]] — container header,
+    * sample rate, channels, frame length) and hashes the decoded
+    * unsigned 16-bit samples; DuckDB replays the signal by pure
+    * arithmetic. PCM WAV is lossless, so a green row proves the
+    * writer, the container parser, and the PCM read are all real.
+    * Only video's codec remains stubbed (no JDK video codec exists).
+    */
+  val q231AudioDecode: QueryDef = QueryDef(
+    "q231_audio_decode",
+    (s, dir) =>
+      Multimodal.decodeAudio(
+          Multimodal.wavFromIds(
+            Tables(s, dir, "documents").select(col("doc_id"))))
+        .select(col("media_id"), col("sample_rate"), col("channels"),
+          col("n_frames"), col("pcm_checksum"))
+        .orderBy(col("media_id")),
+    Some("""
+      WITH d AS (
+        SELECT doc_id, CAST(64 + doc_id % 129 AS BIGINT) AS n
+        FROM documents)
+      SELECT doc_id AS media_id,
+        CAST(8000 AS BIGINT) AS sample_rate,
+        CAST(1 AS BIGINT) AS channels,
+        n AS n_frames,
+        list_reduce([0::BIGINT] ||
+            [(doc_id * 31 + i * 7) % 65536 for i in range(0, n)],
+          (a, v) -> (a * 31 + v) % 1000000007) AS pcm_checksum
+      FROM d ORDER BY media_id"""),
+  )
+
   val all: Seq[QueryDef] = Seq(
     q30TextStats, q31LangId, q32Fingerprint, q33DedupExact,
     q34NgramJaccard, q35MinhashLsh, q36SimhashPairs, q37CosinePairs,
@@ -1029,5 +1063,5 @@ object ScaleQueries {
     q49Vocab, q50AsofJoin, q52TokenCost, q55Keywords, q59HeavyHitters,
     q60ResampleFfill, q61Repetition, q62Decontaminate, q63CorpusFilter,
     q64MixtureSample, q65LabelCentroids, q100FrameSample, q101Resize,
-    q230ImageDecode)
+    q230ImageDecode, q231AudioDecode)
 }

@@ -141,6 +141,43 @@ class ScaleDesignSpec extends SparkSpec {
       s"sample must not shuffle the corpus:\n$plan")
   }
 
+  test("radius join pins its exchanges against AQE coalescing") {
+    // the grid join is EXPLOSIVE (tiny shuffled bytes, post-join work);
+    // AQE would coalesce it to ~1 task unless both sides carry a
+    // user-numbered repartition, which is AQE-exempt. Pin that the
+    // physical plan keeps the full partition count on the join's
+    // exchanges — losing this silently re-serializes the distance
+    // verify at exactly the scale where it matters (42 s of q207's
+    // 85 s at sf1 before the fix).
+    val pts = Tables(spark, sfDir, "customer")
+      .select(col("c_custkey").as("uid"),
+        pmod(col("c_custkey") * 7919, lit(1000L)).as("x"),
+        pmod(col("c_custkey") * 104729, lit(1000L)).as("y"))
+    val pairs = graft.operators.Spatial.radiusPairs(
+      pts, col("uid"), col("x"), col("y"), 25L)
+    val n = spark.sessionState.conf.numShufflePartitions
+    val reparts = pairs.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.catalyst.plans.logical
+          .RepartitionByExpression if r.optNumPartitions.contains(n) => r
+    }
+    assert(reparts.size >= 2, "expected both grid-join inputs to carry " +
+      "AQE-exempt numbered repartitions:\n" +
+      pairs.queryExecution.optimizedPlan.toString)
+    // and the pairs themselves stay correct (spot parity vs brute force
+    // on a bounded slice)
+    val slice = pts.filter(col("uid") <= 200)
+    val got = graft.operators.Spatial.radiusPairs(
+        slice, col("uid"), col("x"), col("y"), 25L)
+      .orderBy("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val rows = slice.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val brute = (for {
+      a <- rows; b <- rows if a._1 < b._1
+      d2 = (a._2 - b._2) * (a._2 - b._2) + (a._3 - b._3) * (a._3 - b._3)
+      if d2 <= 625L
+    } yield (a._1, b._1)).sortBy(identity)
+    assert(got.toSeq === brute.toSeq)
+  }
+
   test("connected-components rounds plan no cartesian or BNLJ") {
     import graft.operators.Components
     val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("src", "dst")

@@ -665,6 +665,38 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("audio codec: real WAV write/parse round-trip + PCM checksum") {
+    val ids = Seq(0L, 3L, 128L, 500L).toDF("doc_id")
+    val media = Multimodal.wavFromIds(ids)
+    val p = media.orderBy("media_id").collect()
+    // payloads are REAL WAVs: RIFF....WAVE container magic
+    assert(p.forall { r =>
+      val b = r.getAs[Array[Byte]]("payload")
+      new String(b.slice(0, 4), "US-ASCII") == "RIFF" &&
+        new String(b.slice(8, 12), "US-ASCII") == "WAVE"
+    })
+    val out = Multimodal.decodeAudio(media).orderBy("media_id").collect()
+    out.foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      val n = Multimodal.patternFrames(id)
+      assert(r.getAs[Long]("sample_rate") === 8000L)
+      assert(r.getAs[Long]("channels") === 1L)
+      assert(r.getAs[Long]("n_frames") === n.toLong)
+      var acc = 0L
+      for (i <- 0 until n)
+        acc = (acc * 31L + Multimodal.patternSample(id, i)) % 1000000007L
+      assert(r.getAs[Long]("pcm_checksum") === acc)
+    }
+  }
+
+  test("audio codec: undecodable payload is an audit row") {
+    val junk = Seq((9L, "audio", "definitely not wav".getBytes("UTF-8")))
+      .toDF("media_id", "kind", "payload")
+    val out = Multimodal.decodeAudio(junk).head
+    assert(out.getAs[Long]("sample_rate") === -1L)
+    assert(out.getAs[Long]("pcm_checksum") === -1L)
+  }
+
   test("image codec: undecodable payload is an audit row, not a failure") {
     val junk = Seq((7L, "image", "not a png at all".getBytes("UTF-8")))
       .toDF("media_id", "kind", "payload")
