@@ -1055,6 +1055,35 @@ object ScaleQueries {
       FROM d ORDER BY media_id"""),
   )
 
+  // --------------------------------------------------------------- q232
+  /** REAL video-container parse: Spark builds one valid ISO-BMFF (MP4)
+    * box tree per document id ([[Multimodal.mp4FromIds]] — ftyp,
+    * moov(mvhd, trak(tkhd)×n), mdat, byte-exact to ISO 14496-12) and
+    * walks it back with the generic size/type box parser
+    * ([[Multimodal.parseMp4]]): mvhd timescale/duration, track count,
+    * mdat payload bytes, boxes walked. DuckDB replays the container
+    * parameters by arithmetic. This is the video path a 100 TB
+    * pipeline actually runs at scan time — parse moov, never decode
+    * samples; only the frame CODEC remains stubbed (no JDK video
+    * codec exists).
+    */
+  val q232VideoContainer: QueryDef = QueryDef(
+    "q232_video_container",
+    (s, dir) =>
+      Multimodal.parseMp4(
+          Multimodal.mp4FromIds(
+            Tables(s, dir, "documents").select(col("doc_id"))))
+        .orderBy(col("media_id")),
+    Some("""
+      SELECT doc_id AS media_id,
+        CAST(600 AS BIGINT) AS timescale,
+        CAST(1000 + doc_id % 9000 AS BIGINT) AS duration,
+        CAST(1 + doc_id % 3 AS BIGINT) AS n_tracks,
+        CAST(100 + doc_id % 400 AS BIGINT) AS mdat_bytes,
+        CAST(4 + 2 * (1 + doc_id % 3) AS BIGINT) AS box_count
+      FROM documents ORDER BY media_id"""),
+  )
+
   val all: Seq[QueryDef] = Seq(
     q30TextStats, q31LangId, q32Fingerprint, q33DedupExact,
     q34NgramJaccard, q35MinhashLsh, q36SimhashPairs, q37CosinePairs,
@@ -1063,5 +1092,5 @@ object ScaleQueries {
     q49Vocab, q50AsofJoin, q52TokenCost, q55Keywords, q59HeavyHitters,
     q60ResampleFfill, q61Repetition, q62Decontaminate, q63CorpusFilter,
     q64MixtureSample, q65LabelCentroids, q100FrameSample, q101Resize,
-    q230ImageDecode, q231AudioDecode)
+    q230ImageDecode, q231AudioDecode, q232VideoContainer)
 }

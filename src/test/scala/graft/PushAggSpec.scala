@@ -145,6 +145,19 @@ class PushAggSpec extends SparkSpec {
     assert(got === hand)
   }
 
+  test("SQL-text callers get the rewrite for free") {
+    val dim = Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("k", "g")
+    facts.createOrReplaceTempView("pa_facts")
+    dim.createOrReplaceTempView("pa_dim")
+    val q = spark.sql("""
+      SELECT g, SUM(v) AS sv, COUNT(*) AS n
+      FROM pa_facts JOIN pa_dim USING (k)
+      GROUP BY g ORDER BY g""")
+    assert(aggsBelowJoin(q) >= 1, q.queryExecution.optimizedPlan.toString)
+    assert(q.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq === Seq(("a", 80L, 3L), ("b", 70L, 2L)))
+  }
+
   test("rule is a no-op when re-applied to its own output (fixed point)") {
     val dim = Seq((1L, "a"), (2L, "b")).toDF("k", "g")
     val naive = facts.join(dim, Seq("k"))

@@ -697,6 +697,24 @@ class ScaleSpec extends SparkSpec {
     assert(out.getAs[Long]("pcm_checksum") === -1L)
   }
 
+  test("video container: MP4 box tree round-trip + malformed audit row") {
+    val ids = Seq(0L, 2L, 7L, 499L).toDF("doc_id")
+    val out = Multimodal.parseMp4(Multimodal.mp4FromIds(ids))
+      .orderBy("media_id").collect()
+    out.foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      assert(r.getAs[Long]("timescale") === 600L)
+      assert(r.getAs[Long]("duration") === Multimodal.mp4Duration(id))
+      assert(r.getAs[Long]("n_tracks") === Multimodal.mp4Tracks(id).toLong)
+      assert(r.getAs[Long]("mdat_bytes") === Multimodal.mp4MdatBytes(id).toLong)
+      assert(r.getAs[Long]("box_count") === 4L + 2L * Multimodal.mp4Tracks(id))
+    }
+    val junk = Seq((5L, "video", Array[Byte](0, 0, 0, 3, 'x', 'y')))
+      .toDF("media_id", "kind", "payload")
+    val bad = Multimodal.parseMp4(junk).head
+    assert(bad.getAs[Long]("box_count") === -1L)
+  }
+
   test("image codec: undecodable payload is an audit row, not a failure") {
     val junk = Seq((7L, "image", "not a png at all".getBytes("UTF-8")))
       .toDF("media_id", "kind", "payload")
