@@ -375,8 +375,9 @@ object ScaleQueries {
   /** Multimodal column plumbing: binary payloads with typed metadata,
     * batched partition-local decode (mapInPandas-shaped), byte/frame
     * accounting — schema and batching are real; the codec arithmetic
-    * for audio/video is the documented deterministic stub
-    * (image decode is real — see q230).
+    * is the documented deterministic stub where exercised on text
+    * payloads; the REAL codecs are graded separately (image q230,
+    * audio q231, video container q232).
     */
   val q42Multimodal: QueryDef = QueryDef(
     "q42_multimodal",
