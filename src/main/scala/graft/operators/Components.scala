@@ -65,15 +65,16 @@ object Components {
     var iter = 0
     while (!converged && iter < maxIter) {
       val obs = Observation()
-      // TWO star rounds per checkpoint: halves the job-barrier count —
-      // the true latency floor of the loop on a cluster — at the cost
-      // of at most one redundant (cheap, already-converged) double
-      // round before detection. Exactness is unchanged: the round
-      // function is idempotent at the fixed point, so a double round
-      // that changes nothing certifies convergence the same way a
-      // single one did.
+      // ONE star round per checkpoint — deliberately. Fusing two
+      // rounds into one action was tried (round 10) and REGRESSED
+      // ~35%: each star references its input several times (adj
+      // union, the min aggregate, the emit join), which is free when
+      // that input is a materialized checkpoint but multiplies the
+      // whole previous round's recomputation when it is an
+      // unmaterialized subplan. The barrier count is already halved
+      // the honest way: convergence detection rides this same action.
       val next = Checkpoints.truncate(
-        smallStar(largeStar(smallStar(largeStar(cur))))
+        smallStar(largeStar(cur))
           .join(cur.select(col("src"), col("dst"), lit(1).as("in_cur")),
             Seq("src", "dst"), "left")
           .observe(obs, count(lit(1)).as("edges"),
