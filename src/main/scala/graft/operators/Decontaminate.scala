@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.plans.{BloomAnyContain, ShingleHashes}
+import graft.operators.Checkpoints.TruncateOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -46,7 +47,7 @@ object Decontaminate {
   def contaminated(corpus: DataFrame, id: Column, text: Column,
       benchGrams: DataFrame, n: Int, fpp: Double = 0.01): DataFrame = {
     require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1), got $fpp")
-    val grams = benchGrams.select(col("gram")).localCheckpoint()
+    val grams = benchGrams.select(col("gram")).truncated
     val sh = corpus.select(id.as("doc_id"),
       ShingleHashes.shingle_hashes(text, n).as("sh"))
     val nGrams = grams.count()
@@ -82,7 +83,7 @@ object Decontaminate {
       benchGrams: DataFrame, n: Int, minPpm: Long,
       fpp: Double = 0.01): DataFrame = {
     require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1), got $fpp")
-    val grams = benchGrams.select(col("gram")).localCheckpoint()
+    val grams = benchGrams.select(col("gram")).truncated
     val sh = corpus.select(id.as("doc_id"),
         ShingleHashes.shingle_hashes(text, n).as("sh"))
       .filter(size(col("sh")) > 0)

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.functions.TextFunctions
+import graft.operators.Checkpoints.TruncateOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -66,7 +67,7 @@ object Dedup {
     val shQuery = docs.select(id.as("id"),
         graft.plans.ShingleHashes.shingle_hashes(text, n).as("sh"))
       .filter(size(col("sh")) > 0)
-    val sh = shQuery.localCheckpoint()
+    val sh = shQuery.truncated
     val usePrefix = prefixFilter.getOrElse {
       AdaptiveStrategy.cached("ngram-prefix",
           shQuery.queryExecution.analyzed.semanticHash()) {
@@ -206,7 +207,7 @@ object Dedup {
     val sh = docs.select(id.as("id"),
         graft.plans.ShingleHashes.shingle_hashes(text, n).as("sh"))
       .filter(size(col("sh")) > 0)
-      .localCheckpoint()
+      .truncated
     val sig = sh.withColumn("sig",
       graft.plans.MinhashSignature.minhash_signature(col("sh"), k))
     val banded = sig.select(col("id"),
@@ -252,7 +253,7 @@ object Dedup {
     val chunkBits = nBits / chunks
     val sig = docs.select(id.as("id"),
         TextFunctions.simhash(text, nBits).as("sig"))
-      .localCheckpoint()
+      .truncated
     val blocked = sig.select(col("id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(chunks - 1)), ch =>
         graft.functions.TextFunctions.shiftRight(col("sig"),
@@ -343,7 +344,7 @@ object Dedup {
       .withColumn("norm", sqrt(dot_product(col("v"), col("v"))))
       .withColumn("sig",
         graft.plans.SrpSignature.srp_signature(col("v"), nPlanes, seed))
-      .localCheckpoint()
+      .truncated
     val banded = e.select(col("id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           bd => slice(col("sig"), bd * rowsPerBand + 1, lit(rowsPerBand)))))
@@ -606,7 +607,7 @@ object Dedup {
     // checkpoint the history shingles: read twice below (band index +
     // verify); the stored-index path reads them from parquet instead
     val hSh = DedupIndex.shingleStore(history, id, text, n)
-      .localCheckpoint()
+      .truncated
     DedupIndex.incrementalNearDedupIndexed(
       DedupIndex.minhashBandIndex(hSh, bands, rowsPerBand),
       hSh, incoming, id, text, n, threshold, bands, rowsPerBand)

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Checkpoints.TruncateOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -141,7 +142,7 @@ object DedupIndex {
   def incrementalNearDedupIndexed(bandIndex: DataFrame,
       shingles: DataFrame, incoming: DataFrame, id: Column, text: Column,
       n: Int, threshold: Double, bands: Int, rowsPerBand: Int): DataFrame = {
-    val iSh = shingleStore(incoming, id, text, n).localCheckpoint()
+    val iSh = shingleStore(incoming, id, text, n).truncated
     val cand = minhashBandIndex(iSh, bands, rowsPerBand)
       .select(col("id").as("doc_id"), col("bkey"))
       .join(bandIndex.select(col("id").as("hid"), col("bkey")), Seq("bkey"))

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.functions.PortableHash
+import graft.operators.Checkpoints.TruncateOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -65,7 +66,7 @@ object RuntimeFilter {
   def bloomJoinStats(fact: DataFrame, factKey: Column, dim: DataFrame,
       dimKey: Column, mBits: Int = 1 << 17): DataFrame = {
     val passed = bloomFilterFact(fact, factKey, dim, dimKey, mBits)
-      .localCheckpoint()
+      .truncated
     val matched = passed.join(
       broadcast(dim.select(dimKey.as("__k")).distinct()),
       factKey === col("__k"), "left_semi")

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Checkpoints.TruncateOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -262,7 +263,7 @@ object Scale {
       .repartitionByRange(col("h"), col("id"))
       .sortWithinPartitions(col("h"), col("id"))
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
+      .truncated
     val totals = keyed.groupBy(col("__pid")).agg(sum(col("n_tokens")).as("t"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     val offsets = totals.map(_._1)

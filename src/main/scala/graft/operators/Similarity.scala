@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Checkpoints.TruncateOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -143,7 +144,7 @@ object Similarity {
 
     val c = withNorm(corpus, id, vec)
       .withColumn("fv", array_to_vector(col("v").cast("array<double>")))
-      .localCheckpoint()
+      .truncated
     val km = new KMeans().setK(nCentroids).setSeed(42L)
       .setFeaturesCol("fv").setPredictionCol("cell")
     val model = km.fit(c)
@@ -369,7 +370,7 @@ object Similarity {
       .select(col("b"), col("p").cast("long").as("i"),
         floor(col("x").cast("double") * scale).cast("long").as("q"))
       .groupBy(col("b"), col("i")).agg(sum(col("q")).as("s"))
-      .localCheckpoint() // read three times (dot + both norms)
+      .truncated // read three times (dot + both norms)
     // centroid-component squares/products in decimal(38,0): |s| grows
     // with the bucket size (worst case scale·|x|max·N per component),
     // and Σᵢ s² wraps long near N ≈ 650 same-sign vectors at scale
@@ -427,7 +428,7 @@ object Similarity {
     val e = df.select(id.as("vid"), posexplode(vec).as(Seq("p", "x")))
       .select(col("vid"), col("p").cast("long").as("i"),
         floor(col("x").cast("double") * scale).cast("long").as("xi"))
-      .localCheckpoint() // read twice by the self-join
+      .truncated // read twice by the self-join
     val pairs = e
       .join(e.select(col("vid"), col("i").as("j"), col("xi").as("xj")),
         Seq("vid"))

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Checkpoints.TruncateOps
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -44,7 +45,7 @@ object Skyline {
     val keyed = cells.repartitionByRange(col("x"))
       .sortWithinPartitions(col("x"))
       .withColumn("__pid", spark_partition_id().cast("long"))
-      .localCheckpoint()
+      .truncated
     val totals = keyed.groupBy(col("__pid")).agg(min(col("y")).as("m"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     val offsets = totals.map(_._1)

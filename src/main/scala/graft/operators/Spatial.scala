@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Checkpoints.TruncateOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -119,7 +120,7 @@ object Spatial {
     val pairsObs = org.apache.spark.sql.Observation()
     val pairsC = radiusPairsFull(pts, col("pid"), col("px"), col("py"), r)
       .observe(pairsObs, count(lit(1)).as("n"))
-      .localCheckpoint() // read three times below
+      .truncated // read three times below
     val nPairs = pairsObs.get("n").asInstanceOf[Long]
     val pairs = pairsC.select(col("id_a"), col("id_b"))
     val sym = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
@@ -129,7 +130,7 @@ object Spatial {
     val roles = pts.join(nbCount, Seq("pid"), "left")
       .select(col("pid"),
         (coalesce(col("nb"), lit(0L)) + 1 >= minPts).as("is_core"))
-      .localCheckpoint()
+      .truncated
     val core = roles.filter(col("is_core")).select(col("pid"))
 
     // -- CC edge CONTRACTION (lossless) -------------------------------

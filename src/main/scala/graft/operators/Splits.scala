@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Checkpoints.TruncateOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -31,7 +32,7 @@ object Splits {
     */
   private[graft] def rangeRanked(df: DataFrame, key: Column): DataFrame = {
     val spark = df.sparkSession
-    val keyed = rangeKeyed(df, key).localCheckpoint()
+    val keyed = rangeKeyed(df, key).truncated
     val counts = keyed.groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     val offsets = counts.map(_._1)

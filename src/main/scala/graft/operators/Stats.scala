@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Checkpoints.TruncateOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -260,7 +261,7 @@ object Stats {
       .repartitionByRange(col("__key"))
       .sortWithinPartitions(col("__key"))
       .withColumn("__pid", spark_partition_id().cast("long"))
-      .localCheckpoint()
+      .truncated
     val aggs = sumCols.map(c => coalesce(sum(col(c)), lit(0L)).as(c))
     val totals = keyed.groupBy(col("__pid"))
       .agg(aggs.head, aggs.tail: _*)
@@ -344,7 +345,7 @@ object Stats {
       .repartitionByRange(struct(col(group), col(key)))
       .sortWithinPartitions(struct(col(group), col(key)))
       .withColumn("__pid", spark_partition_id().cast("long"))
-      .localCheckpoint()
+      .truncated
     val wLocal = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__pid"), col(group)).orderBy(col(key))
       .rowsBetween(org.apache.spark.sql.expressions.Window

@@ -3,6 +3,7 @@ package graft.sources
 import java.nio.file.{Files, Path}
 import java.util.zip.{ZipEntry, ZipOutputStream}
 
+import graft.operators.Checkpoints.TruncateOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -80,7 +81,7 @@ object Sinks {
     // localCheckpoint: the remainder must be MATERIALIZED before the
     // write — its lineage reads the very path the overwrite mutates,
     // and survivors must be known before the store changes
-    val remaining = scoped.join(k, Seq(keyCol), "anti").localCheckpoint()
+    val remaining = scoped.join(k, Seq(keyCol), "anti").truncated
     val survivors = remaining.select(col(partCol)).distinct().collect()
       .map(_.get(0)).toSet
     // partitions with survivors: rewrite in place (dynamic overwrite)
