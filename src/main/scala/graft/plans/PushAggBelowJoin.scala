@@ -20,8 +20,12 @@ import org.apache.spark.sql.types._
   * pre-sum, which is exactly what the per-row matches contributed
   * before —
   *   Σ_{(l,r) matching} f(l) = Σ_r Σ_{l: l.k = r.k} f(l).
-  * The guarded scope keeps every case bit-identical to the unpushed
-  * plan:
+  * The guarded scope keeps integral SUM / COUNT / MIN / MAX
+  * bit-identical to the unpushed plan; a floating SUM is re-ordered
+  * (float addition is non-associative), which stays inside the
+  * nondeterminism envelope Spark's own partial aggregation and
+  * shuffle ordering already impose — exact-sum callers use the
+  * repo's integer-scaled pattern regardless. The guards:
   *   - INNER join, conjunctive pure equi-condition, both key sides
   *     plain attributes (a residual non-equi predicate could reference
   *     pushed-away fact columns);
