@@ -27,6 +27,29 @@ import org.apache.spark.sql.DataFrame
   * this one action. Results are strategy-independent — the spec pins
   * identical output either way (the strategy changes only where the
   * materialized blocks live).
+  *
+  * RELIABLE-MODE CAVEATS (Spark's documented `checkpoint()` costs, not
+  * ours to fix):
+  *
+  *   - `checkpoint()` runs the plan TWICE — once for the eager action,
+  *     once more when the RDD re-executes to write the checkpoint
+  *     files — so each round pays ~2× compute, and any
+  *     `Dataset.observe` metric riding the action may count each row
+  *     twice. Every observation this repo folds into a truncation
+  *     (Components' edges/new_edges, dbscan's nPairs) is used only in
+  *     scale-invariant ways — 0 stays 0, cur/next scale together, and
+  *     nPairs merely picks a strategy with a wide tolerance band — so
+  *     correctness holds, but DO NOT read such observed values as
+  *     absolute counts under the reliable knob. (Persisting before the
+  *     checkpoint would dodge the re-compute but caches every round of
+  *     an iterative loop — eviction churn at exactly the scale the
+  *     reliable knob targets — so the double-compute is the documented
+  *     trade instead.)
+  *   - checkpoint files accumulate one directory per round; Spark
+  *     cleans them only with
+  *     `spark.cleaner.referenceTracking.cleanCheckpoints=true` (set it
+  *     alongside the knob) or an external sweep of the checkpoint dir.
+  *     The measured DFS cost at scale is recorded in SCALING.md.
   */
 object Checkpoints {
 

@@ -30,9 +30,18 @@ import org.apache.spark.sql.functions._
 object Spatial {
 
   /** Pair volume above which [[dbscan]] contracts its CC input (see
-    * the adaptive note in the method body).
+    * the adaptive note in the method body). Overridable per session via
+    * [[ContractionThresholdKey]] — primarily so a spec can force the
+    * contraction path on tiny data and pin both paths identical.
     */
   private[operators] val ContractionThreshold = 2000000L
+
+  private[graft] val ContractionThresholdKey =
+    "spark.graft.dbscan.contractionThreshold"
+
+  private def contractionThreshold(df: DataFrame): Long =
+    df.sparkSession.conf
+      .get(ContractionThresholdKey, ContractionThreshold.toString).toLong
 
   def radiusPairs(df: DataFrame, id: Column, x: Column, y: Column,
       r: Long): DataFrame =
@@ -159,7 +168,7 @@ object Spatial {
     // checkpoint), making this the same shape as an AQE decision:
     // plan from observed runtime statistics, identical results either
     // way.
-    val coreEdges = if (nPairs < ContractionThreshold) {
+    val coreEdges = if (nPairs < contractionThreshold(df)) {
       sym.join(core.select(col("pid").as("a")), Seq("a"), "left_semi")
         .join(core.select(col("pid").as("b")), Seq("b"), "left_semi")
         .select(col("a").as("src"), col("b").as("dst"))
@@ -177,7 +186,15 @@ object Spatial {
         .groupBy(col("qxa"), col("qya"), col("qxb"), col("qyb"))
         .agg(min(struct(col("id_a"), col("id_b"))).as("e"))
         .select(col("e.id_a").as("src"), col("e.id_b").as("dst"))
-      val coreCells = pts.join(core, Seq("pid"), "left_semi")
+      // null-coordinate points can still be core under minPts == 1
+      // (nb coalesces to 0, 0+1 >= 1) but never join any pair —
+      // radiusPairsFull filters them. Mirror that filter here or they
+      // all land in the null s2-cell and the star fuses them into one
+      // bogus cluster; excluded, they stay isolated CC nodes →
+      // singleton clusters, exactly what the small-pairs path yields.
+      val coreCells = pts
+        .filter(col("px").isNotNull && col("py").isNotNull)
+        .join(core, Seq("pid"), "left_semi")
         .select(col("pid"), cellCol(col("px")).as("qx"),
           cellCol(col("py")).as("qy"))
       val stars = coreCells

@@ -59,11 +59,20 @@ object PushAggBelowJoin extends Rule[LogicalPlan] with PredicateHelper {
     case _ => false
   }
 
+  /** Pushing changes how many times each aggregate input evaluates
+    * (once per fact row instead of once per join row) and TRY-mode
+    * SUM's overflow-null would be silently skipped as a null input by
+    * the outer re-sum — so require deterministic inputs and exclude
+    * `try_sum`. ANSI/LEGACY eval modes are preserved verbatim on both
+    * the pushed and the rebuilt outer Sum (see [[rewrite]]).
+    */
   private def pushable(ae: AggregateExpression,
       fact: LogicalPlan): Boolean =
-    !ae.isDistinct && ae.filter.isEmpty && (ae.aggregateFunction match {
-      case Sum(e, _) =>
-        e.references.subsetOf(fact.outputSet) && supportedSumType(e.dataType)
+    !ae.isDistinct && ae.filter.isEmpty && ae.deterministic &&
+      (ae.aggregateFunction match {
+      case Sum(e, ctx) =>
+        ctx.evalMode != EvalMode.TRY &&
+          e.references.subsetOf(fact.outputSet) && supportedSumType(e.dataType)
       case Count(children) =>
         children.forall(_.references.subsetOf(fact.outputSet))
       case Min(e) => e.references.subsetOf(fact.outputSet)
@@ -139,8 +148,8 @@ object PushAggBelowJoin extends Rule[LogicalPlan] with PredicateHelper {
     // again. Bottom-up never revisits a replacement.
     val newAggExprs = aggExprs.map(_.transformUp {
       case ae: AggregateExpression => ae.aggregateFunction match {
-        case s: Sum =>
-          Sum(preAgg(s, "_pushed_sum")).toAggregateExpression()
+        case s: Sum => // keep the original's eval context on the re-sum
+          Sum(preAgg(s, "_pushed_sum"), s.evalContext).toAggregateExpression()
         case c: Count =>
           Coalesce(Seq(
             Sum(preAgg(c, "_pushed_cnt")).toAggregateExpression(),
@@ -172,8 +181,14 @@ object PushAggBelowJoin extends Rule[LogicalPlan] with PredicateHelper {
           (fact.outputSet.contains(b) && probe.outputSet.contains(a))
       case _ => false
     }
-    // grouping purely on the probe side
-    val groupOk = groups.forall(_.references.subsetOf(probe.outputSet))
+    // grouping purely on the probe side, and deterministic: pushing
+    // changes evaluation cardinality, so a nondeterministic grouping
+    // or join-key expression must block the rewrite (Catalyst rule
+    // convention). Join keys are plain attributes under equiOk, but
+    // gate cond anyway in case the pattern widens.
+    val groupOk = groups.forall(g =>
+      g.deterministic && g.references.subsetOf(probe.outputSet)) &&
+      cond.deterministic
     // every aggregate pushable; non-aggregate refs only on the probe
     val aggsOk = aggExprs.forall { ne =>
       var ok = true

@@ -94,14 +94,29 @@ object SnapshotIO {
 
   /** The live snapshot directory of a versioned store, or None when no
     * generation has been published (callers then fall back to the
-    * legacy flat layout). If the newest manifest vanished mid-read
-    * (it can only have been pruned because newer publishes landed),
-    * the next-newest survivor is returned.
+    * legacy flat layout). If the newest manifest vanished mid-read, it
+    * can only have been pruned because newer publishes landed — so
+    * rather than silently settling for an older survivor of the stale
+    * listing, the directory is re-listed ONCE and the fresh newest
+    * generation returned; the stale survivor remains the last-resort
+    * fallback (consistent, merely older).
     */
-  def resolveSnapshot(fs: FileSystem, root: Path): Option[Path] =
-    manifests(fs, root).reverseIterator
-      .flatMap { case (_, mpath) => readPointer(fs, root, mpath) }
-      .nextOption()
+  def resolveSnapshot(fs: FileSystem, root: Path): Option[Path] = {
+    def attempt(): (Boolean, Option[Path]) = {
+      var sawVanished = false
+      val hit = manifests(fs, root).reverseIterator
+        .flatMap { case (_, mpath) =>
+          val p = readPointer(fs, root, mpath)
+          if (p.isEmpty) sawVanished = true
+          p
+        }
+        .nextOption()
+      (sawVanished, hit)
+    }
+    val (stale, first) = attempt()
+    if (!stale) first
+    else attempt()._2.orElse(first)
+  }
 
   /** Every RETAINED generation of the store, ascending (seq, snapshot
     * dir) — the time-travel surface. Bounded by the publish `keep`,

@@ -199,6 +199,35 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("dbscan: null-coordinate points stay singleton core clusters " +
+      "under minPts=1 on BOTH adaptive paths") {
+    import graft.operators.Spatial
+    // Degenerate but reachable: minPts=1 makes every point core, and
+    // null coordinates never join a pair, so such points must come out
+    // as singleton clusters (cluster = own id). The contraction path
+    // used to fuse them all into one null-cell cluster.
+    val rows = Seq[(Long, Option[Long], Option[Long])](
+      (1L, Some(0L), Some(0L)), (2L, Some(1L), Some(1L)),
+      (3L, None, None), (4L, None, Some(5L)), (5L, Some(50L), Some(50L)))
+    val df = rows.toDF("id", "x", "y")
+    def run(threshold: String) = {
+      spark.conf.set(graft.operators.Spatial.ContractionThresholdKey,
+        threshold)
+      try Spatial.dbscan(df, col("id"), col("x"), col("y"), 3L, 1L)
+        .as[(Long, String, Option[Long])].collect().toSet
+      finally spark.conf
+        .unset(graft.operators.Spatial.ContractionThresholdKey)
+    }
+    val small = run(Long.MaxValue.toString) // direct-pairs path
+    val contracted = run("0")               // forced contraction path
+    val want = Set(
+      (1L, "core", Some(1L)), (2L, "core", Some(1L)),
+      (3L, "core", Some(3L)), (4L, "core", Some(4L)),
+      (5L, "core", Some(5L)))
+    assert(small === want, "small-pairs path")
+    assert(contracted === want, "contraction path")
+  }
+
   test("zScores: radicand past 2^63 computes exactly via the decimal " +
       "path (the q218 overflow class, round-9 headroom audit)") {
     import graft.operators.Stats

@@ -157,6 +157,46 @@ class AppSinksSpec extends SparkSpec {
       Set(("a", 1L, "a1"), ("b", 2L, "b2"), ("c", 3L, "c3")))
   }
 
+  test("versioned store resolve: a stale listing whose pointers were " +
+      "all pruned re-lists once and lands on the fresh newest " +
+      "generation, not the legacy fallback") {
+    import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
+    val dirF = Files.createTempDirectory("graft_stale_list")
+    val root = new Path(dirF.resolve("store").toString)
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val raw = FileSystem.getLocal(conf)
+    def stage(tag: String): Path = {
+      val p = new Path(dirF.resolve(s"staging_$tag").toString)
+      raw.mkdirs(p)
+      val out = raw.create(new Path(p, "part-0.parquet"), true)
+      try out.write(tag.getBytes("UTF-8")) finally out.close()
+      p
+    }
+    (1 to 3).foreach(i =>
+      graft.sources.SnapshotIO.publishVersion(raw, root, stage(s"g$i"),
+        keep = 3))
+    // a reader's listing taken NOW — m1..m3
+    val mans = new Path(root, "_manifest")
+    val stale: Array[FileStatus] = raw.listStatus(mans)
+    assert(stale.map(_.getPath.getName).count(_.startsWith("m")) === 3)
+    // ...then two more publishes land with keep=2, pruning m1..m3
+    (4 to 5).foreach(i =>
+      graft.sources.SnapshotIO.publishVersion(raw, root, stage(s"g$i"),
+        keep = 2))
+    // an fs whose FIRST manifest listing replays the stale capture —
+    // the prune racing a reader between its listing and pointer reads
+    var served = false
+    val fsStale = new org.apache.hadoop.fs.FilterFileSystem(raw) {
+      override def listStatus(p: Path): Array[FileStatus] =
+        if (!served && p.getName == "_manifest") { served = true; stale }
+        else super.listStatus(p)
+    }
+    val got = graft.sources.SnapshotIO.resolveSnapshot(fsStale, root)
+    assert(served, "the stale listing must actually have been served")
+    assert(got.exists(_.getName.startsWith("s000000000005")),
+      s"expected the re-listed generation 5, got $got")
+  }
+
   test("K1: CSV sink JSON-encodes array columns") {
     val df = Seq(("a", Seq("x", "y"))).toDF("id", "arr")
     val dir = Files.createTempDirectory("graft_csv").resolve("out").toString

@@ -113,6 +113,59 @@ class PushAggSpec extends SparkSpec {
     val outer = facts.join(dim, Seq("k"), "left")
       .groupBy(col("g")).agg(sum(col("v")).as("s"))
     assert(aggsBelowJoin(outer) === 0)
+    // try_sum: a per-key overflow nulls the inner sum, and the outer
+    // re-sum would skip the null — silently wrong, so never pushed
+    val trySum = facts.join(dim, Seq("k"))
+      .groupBy(col("g")).agg(expr("try_sum(v)").as("s"))
+    assert(aggsBelowJoin(trySum) === 0)
+  }
+
+  test("rule-level determinism gates: nondeterministic sum input or " +
+      "grouping blocks the rewrite (analyzer-unreachable shapes, " +
+      "guarded by Catalyst rule convention)") {
+    // sum(rand()) never survives the analyzer from the public API, but
+    // optimizer rules also run on plans built by other rules and
+    // extensions — so the rule itself must refuse. Exercise it on
+    // hand-built logical plans.
+    import org.apache.spark.sql.catalyst.expressions.{Alias,
+      AttributeReference, EqualTo, Literal, Multiply, Cast, Rand,
+      NumericEvalContext, EvalMode}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.Sum
+    import org.apache.spark.sql.catalyst.plans.Inner
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate => LAgg,
+      Join => LJoin, JoinHint, LocalRelation, LogicalPlan}
+    import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
+    val k = AttributeReference("k", LongType)()
+    val v = AttributeReference("v", LongType)()
+    val k2 = AttributeReference("k2", LongType)()
+    val g = AttributeReference("g", StringType)()
+    val join = LJoin(LocalRelation(k, v), LocalRelation(k2, g),
+      Inner, Some(EqualTo(k, k2)), JoinHint.NONE)
+    def aggsBelow(p: LogicalPlan): Int = p.collect { case j: LJoin =>
+      j.left.collect { case a: LAgg => a }.size +
+        j.right.collect { case a: LAgg => a }.size
+    }.sum
+    def sumOf(e: org.apache.spark.sql.catalyst.expressions.Expression,
+        ctx: NumericEvalContext = NumericEvalContext(EvalMode.LEGACY)) =
+      Alias(Sum(e, ctx).toAggregateExpression(), "s")()
+    // positive control: this shape IS eligible with a deterministic sum
+    val control = LAgg(Seq(g), Seq(g, sumOf(Cast(v, DoubleType))), join, None)
+    assert(aggsBelow(PushAggBelowJoin(control)) === 1,
+      "control plan must push, else the no-op asserts are vacuous")
+    // nondeterministic sum input: evaluation cardinality would change
+    val nd = LAgg(Seq(g),
+      Seq(g, sumOf(Multiply(Cast(v, DoubleType), Rand(Literal(7L))))),
+      join, None)
+    assert(aggsBelow(PushAggBelowJoin(nd)) === 0)
+    // nondeterministic grouping expression
+    val ndGroup = LAgg(Seq(Rand(Literal(7L))),
+      Seq(sumOf(Cast(v, DoubleType))), join, None)
+    assert(aggsBelow(PushAggBelowJoin(ndGroup)) === 0)
+    // TRY eval mode at the rule level too
+    val tryAgg = LAgg(Seq(g),
+      Seq(g, sumOf(Cast(v, DoubleType), NumericEvalContext(EvalMode.TRY))),
+      join, None)
+    assert(aggsBelow(PushAggBelowJoin(tryAgg)) === 0)
   }
 
   test("q03 naive form gets the hand-pushed plan shape and identical result") {
