@@ -37,4 +37,23 @@ private[graft] object AdaptiveStrategy {
       if (prior != null) prior.booleanValue() else decision
     }
   }
+
+  private val longCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]
+
+  /** Long-valued variant of [[cached]] — input-size statistics (doc
+    * counts, posting counts) that several gates over the same plan
+    * derive thresholds from. Same race tolerance: a duplicate stats
+    * pass is harmless.
+    */
+  def cachedLong(namespace: String, planHash: Int)(compute: => Long): Long = {
+    val key = s"$namespace:$planHash"
+    val hit = longCache.get(key)
+    if (hit != null) hit.longValue()
+    else {
+      val v = compute
+      val prior = longCache.putIfAbsent(key, java.lang.Long.valueOf(v))
+      if (prior != null) prior.longValue() else v
+    }
+  }
 }

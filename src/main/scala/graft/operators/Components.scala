@@ -39,6 +39,18 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
+  /** Edge count at or below which the remaining star rounds collapse
+    * into ONE single-task union-find stage (see the small-tail note in
+    * [[connectedComponents]]). Session-overridable — primarily a spec
+    * and tuning knob.
+    */
+  private[graft] val SmallTailKey = "spark.graft.cc.smallTailEdges"
+  private[graft] val DefaultSmallTailEdges = 1000000L
+
+  private def smallTailEdges(df: DataFrame): Long =
+    df.sparkSession.conf
+      .get(SmallTailKey, DefaultSmallTailEdges.toString).toLong
+
   /** Connected components of the undirected graph given by `edges`
     * (columns `src`, `dst`, any numeric/orderable type). Returns
     * (`node`, `component`) where `component` is the minimum node id
@@ -63,7 +75,8 @@ object Components {
     var curCount = obs0.get("edges").asInstanceOf[Long]
     var converged = curCount == 0L // no edges: already a star forest
     var iter = 0
-    while (!converged && iter < maxIter) {
+    val tail = smallTailEdges(edges)
+    def starRound(): Unit = {
       val obs = Observation()
       // ONE star round per checkpoint — deliberately. Fusing two
       // rounds into one action was tried (round 10) and REGRESSED
@@ -90,6 +103,28 @@ object Components {
       curCount = nextCount
       iter += 1
     }
+    while (!converged && iter < maxIter) {
+      // SMALL-TAIL FINISH (round 11): on a real graph the edge set
+      // shrinks fast, and the last rounds iterate over a tiny
+      // remainder — q207's sf1 profile showed ~6 sequential star
+      // rounds (two aggregations + two joins + a checkpoint barrier
+      // EACH) over ~0.2 M edges, pure scheduling floor. Once the
+      // OBSERVED edge count (free — it rode the previous round's
+      // checkpoint action) fits one task, collapse every remaining
+      // round into a single coalesce(1) + union-find stage computing
+      // the exact fixed point in memory. Bound: `tail` edges ≈ tens
+      // of MB in one task, documented at the conf key. Falls through
+      // to star rounds for node types without a total order mapping
+      // (never the case for the library's own callers).
+      if (curCount <= tail) {
+        smallTailFinish(cur) match {
+          case Some(fin) =>
+            cur = Checkpoints.truncate(fin)
+            converged = true
+          case None => starRound()
+        }
+      } else starRound()
+    }
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
     // converged state is a star forest: every edge is (member, root)
     val labeled = cur.select(col("src").as("node"), col("dst").as("component"))
@@ -98,6 +133,75 @@ object Components {
         .union(cur.select(col("dst").as("node"))).distinct())
     nodes.join(labeled, Seq("node"), "left")
       .select(col("node"), coalesce(col("component"), col("node")).as("component"))
+  }
+
+  /** A total order on EXTERNAL row values of `dt`, for the small-tail
+    * union-find's min-root rule — defined for the orderable key types
+    * the library's graphs actually use. None ⇒ the caller must stay on
+    * the (type-generic) star rounds.
+    */
+  private def externalOrdering(
+      dt: org.apache.spark.sql.types.DataType): Option[Ordering[Any]] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType => Some(Ordering.Byte.on[Any](_.asInstanceOf[Byte]))
+      case ShortType => Some(Ordering.Short.on[Any](_.asInstanceOf[Short]))
+      case IntegerType => Some(Ordering.Int.on[Any](_.asInstanceOf[Int]))
+      case LongType => Some(Ordering.Long.on[Any](_.asInstanceOf[Long]))
+      case StringType =>
+        Some(Ordering.String.on[Any](_.asInstanceOf[String]))
+      case _ => None
+    }
+  }
+
+  /** The exact star-round fixed point of `cur`, computed in ONE
+    * single-task stage: coalesce the (tiny, ≤ smallTailEdges) edge set
+    * into one partition and run a path-compressing union-find with the
+    * min-ordered root rule. Emits the converged star forest — a (node,
+    * min-reachable-root) edge per non-root node — i.e. byte-identical
+    * to what continuing the alternating-star rounds to convergence
+    * would leave in `cur`, because both compute the components OF the
+    * current edge set with min-id labels. None when the node type has
+    * no [[externalOrdering]].
+    */
+  private def smallTailFinish(cur: DataFrame): Option[DataFrame] = {
+    val dt = cur.schema("src").dataType
+    externalOrdering(dt).map { ord =>
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("src", dt),
+        org.apache.spark.sql.types.StructField("dst", dt)))
+      implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+        org.apache.spark.sql.Encoders.row(schema)
+      cur.select(col("src"), col("dst")).coalesce(1).mapPartitions { it =>
+        val parent = new java.util.HashMap[Any, Any]()
+        def find(x: Any): Any = {
+          if (parent.get(x) == null) parent.put(x, x)
+          var r = x
+          while (parent.get(r) != r) r = parent.get(r)
+          var c = x // path compression
+          while (parent.get(c) != r) {
+            val nxt = parent.get(c); parent.put(c, r); c = nxt
+          }
+          r
+        }
+        it.foreach { row =>
+          val ra = find(row.get(0))
+          val rb = find(row.get(1))
+          if (ra != rb) {
+            if (ord.lt(ra, rb)) parent.put(rb, ra)
+            else parent.put(ra, rb)
+          }
+        }
+        val out = Vector.newBuilder[org.apache.spark.sql.Row]
+        val keys = parent.keySet.toArray
+        keys.foreach { node =>
+          val root = find(node)
+          if (node != root)
+            out += org.apache.spark.sql.Row(node, root)
+        }
+        out.result().iterator
+      }
+    }
   }
 
   /** Large-star: every node u links each STRICTLY LARGER neighbor to

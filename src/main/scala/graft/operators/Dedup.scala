@@ -64,18 +64,30 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, id: Column, text: Column,
       n: Int, threshold: Double, prefixFilter: Option[Boolean] = None): DataFrame = {
-    val shQuery = docs.select(id.as("id"),
-        graft.plans.ShingleHashes.shingle_hashes(text, n).as("sh"))
+    // shingling is ms-per-doc CPU: lift it to session parallelism when
+    // the scan is split-starved (no-op on a many-split cluster scan)
+    val shQuery = Explosive.ensureMapParallelism(
+        docs.select(id.as("id"), text.as("__text")), col("id"))
+      .select(col("id"),
+        graft.plans.ShingleHashes.shingle_hashes(col("__text"), n).as("sh"))
       .filter(size(col("sh")) > 0)
     val sh = shQuery.truncated
+    val planHash = shQuery.queryExecution.analyzed.semanticHash()
     val usePrefix = prefixFilter.getOrElse {
-      AdaptiveStrategy.cached("ngram-prefix",
-          shQuery.queryExecution.analyzed.semanticHash()) {
+      AdaptiveStrategy.cached("ngram-prefix", planHash) {
         chooseNgramStrategy(sh)
       }
     }
-    if (usePrefix) prefixFilterPairs(sh, threshold)
-    else countJoinPairs(sh, threshold)
+    // the posting self-join is explosive (post-join candidate volume,
+    // tiny shuffled bytes): pin its exchanges past the blocker gate —
+    // unpinned+AQE-starved it ground 1.4e8 sf1 candidates through ~2
+    // reducers (~100 s); pinned it spreads them over every core
+    val pin = AdaptiveStrategy.cachedLong("ngram-postings", planHash) {
+      sh.agg(coalesce(sum(size(col("sh")).cast("long")), lit(0L)))
+        .head().getLong(0)
+    } > Explosive.pinRows(docs)
+    if (usePrefix) prefixFilterPairs(sh, threshold, pin)
+    else countJoinPairs(sh, threshold, pin)
   }
 
   private def chooseNgramStrategy(sh: DataFrame): Boolean = {
@@ -94,11 +106,16 @@ object Dedup {
     candidates > 64.0 * postings
   }
 
-  private def countJoinPairs(sh: DataFrame, threshold: Double): DataFrame = {
+  private def countJoinPairs(sh: DataFrame, threshold: Double,
+      pin: Boolean): DataFrame = {
     val inv = sh.select(col("id"), size(col("sh")).cast("long").as("n"),
       explode(col("sh")).as("g"))
-    val a = inv.select(col("id").as("id_a"), col("n").as("n_a"), col("g"))
-    val b = inv.select(col("id").as("id_b"), col("n").as("n_b"), col("g"))
+    val a = Explosive.maybePin(
+      inv.select(col("id").as("id_a"), col("n").as("n_a"), col("g")),
+      pin, col("g"))
+    val b = Explosive.maybePin(
+      inv.select(col("id").as("id_b"), col("n").as("n_b"), col("g")),
+      pin, col("g"))
     a.join(b, Seq("g"))
       .filter(col("id_a") < col("id_b") &&
         col("n_a") >= ceil(col("n_b") * threshold) &&
@@ -111,7 +128,8 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  private def prefixFilterPairs(sh: DataFrame, threshold: Double): DataFrame = {
+  private def prefixFilterPairs(sh: DataFrame, threshold: Double,
+      pin: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val inv = sh.select(col("id"), size(col("sh")).as("n_sh"),
       explode(col("sh")).as("g"))
@@ -127,8 +145,10 @@ object Dedup {
       .withColumn("rk", row_number().over(byRarity))
       .filter(col("rk") <= col("n_sh") - ceil(col("n_sh") * threshold).cast("int") + 1)
       .select(col("id"), col("g"))
-    val cand = prefixInv.select(col("id").as("p_id"), col("g"))
-      .join(inv.select(col("id").as("f_id"), col("g")), Seq("g"))
+    val cand = Explosive.maybePin(
+        prefixInv.select(col("id").as("p_id"), col("g")), pin, col("g"))
+      .join(Explosive.maybePin(
+        inv.select(col("id").as("f_id"), col("g")), pin, col("g")), Seq("g"))
       .filter(col("p_id") =!= col("f_id"))
       .select(least(col("p_id"), col("f_id")).as("id_a"),
         greatest(col("p_id"), col("f_id")).as("id_b"))
@@ -171,19 +191,30 @@ object Dedup {
     */
   def containmentPairs(docs: DataFrame, id: Column, text: Column,
       n: Int, minPpm: Long, dfCap: Option[Long] = None): DataFrame = {
-    val sh = docs.select(id.as("id"),
-        graft.plans.ShingleHashes.shingle_hashes(text, n).as("sh"))
+    val shQuery = Explosive.ensureMapParallelism(
+        docs.select(id.as("id"), text.as("__text")), col("id"))
+      .select(col("id"),
+        graft.plans.ShingleHashes.shingle_hashes(col("__text"), n).as("sh"))
       .filter(size(col("sh")) > 0)
+    // checkpointed like its siblings: the frame feeds the df-cap
+    // branch and both join roles, and re-deriving shingles dominates
+    val sh = shQuery.truncated
     val inv = sh.select(col("id"), size(col("sh")).cast("long").as("nsh"),
       explode(col("sh")).as("g"))
+    val pin = AdaptiveStrategy.cachedLong("ngram-postings",
+        shQuery.queryExecution.analyzed.semanticHash()) {
+      sh.agg(coalesce(sum(size(col("sh")).cast("long")), lit(0L)))
+        .head().getLong(0)
+    } > Explosive.pinRows(docs)
     val capped = dfCap.fold(inv) { c =>
       val rare = inv.groupBy(col("g")).agg(count(lit(1)).as("df"))
         .filter(col("df") <= c).select(col("g"))
       inv.join(rare, Seq("g"))
     }
-    val a = capped.select(col("id").as("id_a"), col("nsh").as("n_a"),
-      col("g"))
-    val b = capped.select(col("id").as("id_b"), col("g"))
+    val a = Explosive.maybePin(capped.select(col("id").as("id_a"),
+      col("nsh").as("n_a"), col("g")), pin, col("g"))
+    val b = Explosive.maybePin(
+      capped.select(col("id").as("id_b"), col("g")), pin, col("g"))
     a.join(b, Seq("g"))
       .filter(col("id_a") =!= col("id_b"))
       .groupBy(col("id_a"), col("id_b"), col("n_a"))
@@ -204,10 +235,15 @@ object Dedup {
       threshold: Double, bands: Int = 32, rowsPerBand: Int = 4,
       maxBucketSize: Long = 10000L): DataFrame = {
     val k = bands * rowsPerBand
-    val sh = docs.select(id.as("id"),
-        graft.plans.ShingleHashes.shingle_hashes(text, n).as("sh"))
+    // shingle + k-way minhash is the CPU-dominant map work (q35's sf1
+    // profile: wall time tracked scan splits, not shuffle partitions)
+    // — lift it to session parallelism on split-starved inputs
+    val shQuery = Explosive.ensureMapParallelism(
+        docs.select(id.as("id"), text.as("__text")), col("id"))
+      .select(col("id"),
+        graft.plans.ShingleHashes.shingle_hashes(col("__text"), n).as("sh"))
       .filter(size(col("sh")) > 0)
-      .truncated
+    val sh = shQuery.truncated
     val sig = sh.withColumn("sig",
       graft.plans.MinhashSignature.minhash_signature(col("sh"), k))
     val banded = sig.select(col("id"),
@@ -224,8 +260,18 @@ object Dedup {
     val bounded = banded.join(bucketSizes, Seq("band", "band_sig"))
       .filter(col("__bs") <= maxBucketSize)
       .drop("__bs")
-    val ca = bounded.select(col("id").as("id_a"), col("band"), col("band_sig"))
-    val cb = bounded.select(col("id").as("id_b"), col("band"), col("band_sig"))
+    // band self-join is the explosive blocker: pin its exchanges past
+    // the blocker gate (banded rows = docs × bands) so Σ_bucket n²
+    // candidate emission isn't AQE-coalesced; below the gate leave it
+    // broadcastable
+    val pin = AdaptiveStrategy.cachedLong("lsh-docs",
+        shQuery.queryExecution.analyzed.semanticHash()) {
+      sh.count()
+    } * bands > Explosive.pinRows(docs)
+    val ca = Explosive.maybePin(bounded.select(col("id").as("id_a"),
+      col("band"), col("band_sig")), pin, col("band"), col("band_sig"))
+    val cb = Explosive.maybePin(bounded.select(col("id").as("id_b"),
+      col("band"), col("band_sig")), pin, col("band"), col("band_sig"))
     val candidates = ca.join(cb, Seq("band", "band_sig"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
@@ -251,9 +297,11 @@ object Dedup {
       maxHamming: Int = 3, nBits: Int = 32): DataFrame = {
     val chunks = maxHamming + 1
     val chunkBits = nBits / chunks
-    val sig = docs.select(id.as("id"),
-        TextFunctions.simhash(text, nBits).as("sig"))
-      .truncated
+    val sigQuery = Explosive.ensureMapParallelism(
+        docs.select(id.as("id"), text.as("__text")), col("id"))
+      .select(col("id"),
+        TextFunctions.simhash(col("__text"), nBits).as("sig"))
+    val sig = sigQuery.truncated
     val blocked = sig.select(col("id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(chunks - 1)), ch =>
         graft.functions.TextFunctions.shiftRight(col("sig"),
@@ -261,10 +309,17 @@ object Dedup {
           .bitwiseAND((1L << chunkBits) - 1))))
       .withColumnRenamed("pos", "chunk")
       .withColumnRenamed("col", "chunk_val")
-    val ba = blocked.select(col("id").as("id_a"), col("sig").as("sig_a"),
-      col("chunk"), col("chunk_val"))
-    val bb = blocked.select(col("id").as("id_b"), col("sig").as("sig_b"),
-      col("chunk"), col("chunk_val"))
+    // chunk self-join: same explosive-blocker shape, same gated pin
+    val pin = AdaptiveStrategy.cachedLong("simhash-docs",
+        sigQuery.queryExecution.analyzed.semanticHash()) {
+      sig.count()
+    } * chunks > Explosive.pinRows(docs)
+    val ba = Explosive.maybePin(blocked.select(col("id").as("id_a"),
+      col("sig").as("sig_a"), col("chunk"), col("chunk_val")),
+      pin, col("chunk"), col("chunk_val"))
+    val bb = Explosive.maybePin(blocked.select(col("id").as("id_b"),
+      col("sig").as("sig_b"), col("chunk"), col("chunk_val")),
+      pin, col("chunk"), col("chunk_val"))
     ba.join(bb, Seq("chunk", "chunk_val"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b", "sig_a", "sig_b").distinct()
@@ -340,11 +395,12 @@ object Dedup {
       seed: Long = 42L, maxBucketSize: Long = 10000L): DataFrame = {
     import graft.plans.DotProduct.dot_product
     val nPlanes = bands * rowsPerBand
-    val e = emb.select(id.as("id"), vec.as("v"))
+    val eQuery = Explosive.ensureMapParallelism(
+        emb.select(id.as("id"), vec.as("v")), col("id"))
       .withColumn("norm", sqrt(dot_product(col("v"), col("v"))))
       .withColumn("sig",
         graft.plans.SrpSignature.srp_signature(col("v"), nPlanes, seed))
-      .truncated
+    val e = eQuery.truncated
     val banded = e.select(col("id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           bd => slice(col("sig"), bd * rowsPerBand + 1, lit(rowsPerBand)))))
@@ -355,8 +411,14 @@ object Dedup {
     val bounded = banded.join(bucketSizes, Seq("band", "band_sig"))
       .filter(col("__bs") <= maxBucketSize)
       .drop("__bs")
-    val ca = bounded.select(col("id").as("id_a"), col("band"), col("band_sig"))
-    val cb = bounded.select(col("id").as("id_b"), col("band"), col("band_sig"))
+    val pin = AdaptiveStrategy.cachedLong("srp-vecs",
+        eQuery.queryExecution.analyzed.semanticHash()) {
+      e.count()
+    } * bands > Explosive.pinRows(emb)
+    val ca = Explosive.maybePin(bounded.select(col("id").as("id_a"),
+      col("band"), col("band_sig")), pin, col("band"), col("band_sig"))
+    val cb = Explosive.maybePin(bounded.select(col("id").as("id_b"),
+      col("band"), col("band_sig")), pin, col("band"), col("band_sig"))
     val candidates = ca.join(cb, Seq("band", "band_sig"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()

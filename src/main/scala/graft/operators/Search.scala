@@ -176,9 +176,13 @@ object Search {
     // APSS question.)
     require(threshold > 0, "threshold must be positive")
     val nRel = docs.agg(count(lit(1)).as("n_total"))
-    val tf = docs
-      .select(id.as("doc_id"),
-        explode(graft.functions.TextFunctions.tokens(text)).as("tk"))
+    // tokenize+explode+partial-agg is the CPU-heavy map work: lift it
+    // to session parallelism when the scan is split-starved (no-op on
+    // a many-split cluster scan)
+    val tf = Explosive.ensureMapParallelism(
+        docs.select(id.as("doc_id"), text.as("__text")), col("doc_id"))
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.tokens(col("__text"))).as("tk"))
       .filter(col("tk") =!= "")
       .groupBy(col("doc_id"), col("tk")).agg(count(lit(1)).as("tf"))
     val dfRel = tf.groupBy(col("tk")).agg(count(lit(1)).as("df"))
@@ -195,7 +199,15 @@ object Search {
       }
     }
     if (useDense) densePairs(weighted, threshold)
-    else invertedPairs(weighted, threshold, dfCap)
+    else {
+      // posting self-join is explosive: pin its exchanges past the
+      // blocker gate (total postings), same shape as q34's count join
+      val pin = AdaptiveStrategy.cachedLong("apss-postings",
+          tf.queryExecution.analyzed.semanticHash()) {
+        dfRel.agg(coalesce(sum(col("df")), lit(0L))).head().getLong(0)
+      } > Explosive.pinRows(docs)
+      invertedPairs(weighted, threshold, dfCap, pin)
+    }
   }
 
   /** Candidate generation from the (pruned) inverted index, then an
@@ -207,14 +219,17 @@ object Search {
     * numerator, so a pair reachable only through them scores 0 < τ.
     */
   private def invertedPairs(weighted: DataFrame, threshold: Double,
-      dfCap: Option[Long]): DataFrame = {
+      dfCap: Option[Long], pin: Boolean): DataFrame = {
     val norms = weighted.groupBy(col("doc_id"))
       .agg(sqrt(sum(col("w") * col("w")).cast("double")).as("norm"))
     val pruned = weighted.filter(col("df") > 1 && col("w") > 0)
     val indexed = dfCap.fold(pruned)(cap =>
       pruned.filter(col("df") <= cap))
-    val cand = indexed.select(col("doc_id").as("id_a"), col("tk"))
-      .join(indexed.select(col("doc_id").as("id_b"), col("tk")), Seq("tk"))
+    val cand = Explosive.maybePin(
+        indexed.select(col("doc_id").as("id_a"), col("tk")), pin, col("tk"))
+      .join(Explosive.maybePin(
+        indexed.select(col("doc_id").as("id_b"), col("tk")), pin, col("tk")),
+        Seq("tk"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()

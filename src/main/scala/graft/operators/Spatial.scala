@@ -58,37 +58,48 @@ object Spatial {
     * real work (Σ_cell 9·n²). AQE sizes reducers by shuffled BYTES, so
     * left alone it coalesces this stage down to a couple of tasks and
     * the distance verify runs nearly serial — measured 42 s of q207's
-    * 85 s at sf1 on 32 cores. Both sides are therefore repartitioned
-    * by cell with an EXPLICIT partition count (user-specified numbered
-    * repartitions are exempt from AQE coalescing), which the join
-    * reuses as its exchanges: full verify parallelism, no extra
-    * shuffle.
+    * 85 s at sf1 on 32 cores. Past the [[Explosive]] blocker gate both
+    * sides are therefore repartitioned by cell with an EXPLICIT
+    * partition count (user-specified numbered repartitions are exempt
+    * from AQE coalescing), which the join reuses as its exchanges:
+    * full verify parallelism, no extra shuffle. Below the gate the
+    * join is left to AQE/broadcast — the small-input regime where the
+    * pin's dead exchanges cost more than starvation ever could (the
+    * round-10 sf0.1 scale regression).
     */
   private[graft] def radiusPairsFull(df: DataFrame, id: Column,
       x: Column, y: Column, r: Long): DataFrame = {
     require(r >= 1, s"r must be >= 1, got $r")
-    val n = df.sparkSession.sessionState.conf.numShufflePartitions
     val pts = df.select(id.as("pid"), x.cast("long").as("px"),
         y.cast("long").as("py"))
       .filter(col("px").isNotNull && col("py").isNotNull)
+    // ADAPTIVE pin (round 11): unconditional pinning recovered 42 s at
+    // sf1 but cost ~1 s at sf0.1, where the un-pinned join broadcasts
+    // or AQE-coalesces fine — so pin only past the blocker gate
+    // (probe rows = 9 × points). The input count is one cheap action
+    // over the projected points, cached per logical plan.
+    val pin = AdaptiveStrategy.cachedLong("spatial-pts",
+        pts.queryExecution.analyzed.semanticHash()) {
+      pts.count()
+    } * 9 > Explosive.pinRows(df)
     def cellOf(c: Column) = (c - pmod(c, lit(r))) / r
     val cells = pts
       .withColumn("cx", cellOf(col("px")).cast("long"))
       .withColumn("cy", cellOf(col("py")).cast("long"))
     val offsets = array((for (dx <- -1 to 1; dy <- -1 to 1)
       yield struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))): _*)
-    val probes = cells.select(col("pid").as("id_a"),
+    val probes = Explosive.maybePin(cells.select(col("pid").as("id_a"),
         col("px").as("xa"), col("py").as("ya"),
         explode(offsets).as("o"),
         col("cx"), col("cy"))
       .select(col("id_a"), col("xa"), col("ya"),
         (col("cx") + col("o.dx")).as("cx"),
-        (col("cy") + col("o.dy")).as("cy"))
-      .repartition(n, col("cx"), col("cy"))
+        (col("cy") + col("o.dy")).as("cy")), pin, col("cx"), col("cy"))
     val cand = probes.join(
-      cells.select(col("pid").as("id_b"), col("px").as("xb"),
-        col("py").as("yb"), col("cx"), col("cy"))
-        .repartition(n, col("cx"), col("cy")),
+      Explosive.maybePin(
+        cells.select(col("pid").as("id_b"), col("px").as("xb"),
+          col("py").as("yb"), col("cx"), col("cy")),
+        pin, col("cx"), col("cy")),
       Seq("cx", "cy"))
       .filter(col("id_a") < col("id_b"))
     cand.select(col("id_a"), col("id_b"),

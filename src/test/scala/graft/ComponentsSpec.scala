@@ -48,6 +48,44 @@ class ComponentsSpec extends SparkSpec {
     }
   }
 
+  test("small-tail union-find finish ≡ pure star rounds (long and " +
+      "string keys), and unsupported key types fall back to stars") {
+    def withTail[A](edges: Long)(f: => A): A = {
+      spark.conf.set(graft.operators.Components.SmallTailKey,
+        edges.toString)
+      try f finally spark.conf.unset(graft.operators.Components.SmallTailKey)
+    }
+    val rnd = new scala.util.Random(271)
+    for (trial <- 0 until 3) {
+      val n = 80 + trial * 40
+      val m = rnd.nextInt(2 * n) + 5
+      val edges = Seq.fill(m)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val starOnly = withTail(0L)(ccOf(n, edges))
+      val tailed = withTail(Long.MaxValue)(ccOf(n, edges))
+      assert(tailed === starOnly, s"trial $trial (n=$n, m=$m)")
+      assert(starOnly === unionFind(n, edges), s"trial $trial ref")
+    }
+    // string node ids: lexicographic min labels, both paths agree
+    val sEdges = Seq(("b", "c"), ("c", "a"), ("x", "y"), ("q", "q"))
+      .toDF("src", "dst")
+    def run() = Components.connectedComponents(sEdges)
+      .as[(String, String)].collect().toMap
+    val sStar = withTail(0L)(run())
+    val sTail = withTail(Long.MaxValue)(run())
+    assert(sStar === sTail)
+    assert(sTail === Map("a" -> "a", "b" -> "a", "c" -> "a",
+      "x" -> "x", "y" -> "x"))
+    // a key type without an external ordering (double) must still
+    // converge — via star rounds — even when the tail gate is open
+    val dEdges = Seq((1.5, 2.5), (2.5, 3.5)).toDF("src", "dst")
+    val dGot = withTail(Long.MaxValue) {
+      Components.connectedComponents(dEdges)
+        .as[(Double, Double)].collect().toMap
+    }
+    assert(dGot === Map(1.5 -> 1.5, 2.5 -> 1.5, 3.5 -> 1.5))
+  }
+
   test("bfsHops matches a reference BFS on seeded random graphs") {
     def refBfs(edges: Seq[(Long, Long)], seeds: Set[Long],
         maxHops: Int): Map[Long, Long] = {

@@ -141,28 +141,42 @@ class ScaleDesignSpec extends SparkSpec {
       s"sample must not shuffle the corpus:\n$plan")
   }
 
-  test("radius join pins its exchanges against AQE coalescing") {
+  test("radius join pins its exchanges against AQE coalescing past " +
+      "the blocker gate, and leaves small inputs AQE-coalescible") {
     // the grid join is EXPLOSIVE (tiny shuffled bytes, post-join work);
     // AQE would coalesce it to ~1 task unless both sides carry a
-    // user-numbered repartition, which is AQE-exempt. Pin that the
-    // physical plan keeps the full partition count on the join's
-    // exchanges — losing this silently re-serializes the distance
-    // verify at exactly the scale where it matters (42 s of q207's
-    // 85 s at sf1 before the fix).
+    // user-numbered repartition, which is AQE-exempt. Past the
+    // blocker-row gate the physical plan must keep the full partition
+    // count on the join's exchanges — losing this silently
+    // re-serializes the distance verify at exactly the scale where it
+    // matters (42 s of q207's 85 s at sf1 before the fix). BELOW the
+    // gate the pin must vanish: at sf0.1 its dead exchanges cost ~1 s
+    // against an AQE-coalesced/broadcast join (the round-10 scale
+    // regression this gate recovers).
     val pts = Tables(spark, sfDir, "customer")
       .select(col("c_custkey").as("uid"),
         pmod(col("c_custkey") * 7919, lit(1000L)).as("x"),
         pmod(col("c_custkey") * 104729, lit(1000L)).as("y"))
-    val pairs = graft.operators.Spatial.radiusPairs(
-      pts, col("uid"), col("x"), col("y"), 25L)
     val n = spark.sessionState.conf.numShufflePartitions
-    val reparts = pairs.queryExecution.optimizedPlan.collect {
-      case r: org.apache.spark.sql.catalyst.plans.logical
-          .RepartitionByExpression if r.optNumPartitions.contains(n) => r
-    }
-    assert(reparts.size >= 2, "expected both grid-join inputs to carry " +
-      "AQE-exempt numbered repartitions:\n" +
-      pairs.queryExecution.optimizedPlan.toString)
+    def reparts(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.catalyst.plans.logical
+            .RepartitionByExpression if r.optNumPartitions.contains(n) => r
+      }
+    // force the gate OPEN: tiny threshold ⇒ the pin must be present
+    spark.conf.set(graft.operators.Explosive.PinRowsKey, "0")
+    val pinned = try graft.operators.Spatial.radiusPairs(
+      pts, col("uid"), col("x"), col("y"), 25L)
+    finally spark.conf.unset(graft.operators.Explosive.PinRowsKey)
+    assert(reparts(pinned).size >= 2,
+      "expected both grid-join inputs to carry AQE-exempt numbered " +
+        "repartitions:\n" + pinned.queryExecution.optimizedPlan.toString)
+    // default gate at this tiny SF: no pin, AQE keeps its freedom
+    val unpinned = graft.operators.Spatial.radiusPairs(
+      pts, col("uid"), col("x"), col("y"), 25L)
+    assert(reparts(unpinned).isEmpty,
+      "below the blocker gate the radius join must not pin:\n" +
+        unpinned.queryExecution.optimizedPlan.toString)
     // and the pairs themselves stay correct (spot parity vs brute force
     // on a bounded slice)
     val slice = pts.filter(col("uid") <= 200)
@@ -176,6 +190,39 @@ class ScaleDesignSpec extends SparkSpec {
       if d2 <= 625L
     } yield (a._1, b._1)).sortBy(identity)
     assert(got.toSeq === brute.toSeq)
+  }
+
+  test("LSH band join pins its exchanges past the blocker gate; at " +
+      "small SF only the map-parallelism lift remains") {
+    // same starvation shape as the radius join: band-bucket self-join
+    // with post-join candidate volume. Past the gate both join inputs
+    // carry AQE-exempt numbered repartitions on (band, band_sig).
+    // (The split-starved scan separately gets a keyed map lift for
+    // shingle+minhash — q35's sf1 profile: wall time tracked scan
+    // splits, not shuffle partitions — but that exchange lives below
+    // the eager shingle checkpoint, outside this plan.)
+    val docs = Tables(spark, sfDir, "documents")
+    val n = spark.sessionState.conf.numShufflePartitions
+    def reparts(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.catalyst.plans.logical
+            .RepartitionByExpression if r.optNumPartitions.contains(n) => r
+      }
+    spark.conf.set(graft.operators.Explosive.PinRowsKey, "0")
+    val pinned = try graft.operators.Dedup.minhashLshPairs(
+      docs, col("doc_id"), col("text"), 3, 0.8)
+    finally spark.conf.unset(graft.operators.Explosive.PinRowsKey)
+    // the map lift sits ABOVE the scan but BELOW the eager shingle
+    // checkpoint, so the final plan shows only the two band-join pins
+    // (the checkpoint is a LogicalRDD leaf here)
+    assert(reparts(pinned).size >= 2,
+      "expected both band-join inputs to carry AQE-exempt numbered " +
+        "repartitions:\n" + pinned.queryExecution.optimizedPlan.toString)
+    val unpinned = graft.operators.Dedup.minhashLshPairs(
+      docs, col("doc_id"), col("text"), 3, 0.8)
+    assert(reparts(unpinned).isEmpty,
+      "below the blocker gate the band join must not pin:\n" +
+        unpinned.queryExecution.optimizedPlan.toString)
   }
 
   test("connected-components rounds plan no cartesian or BNLJ") {
