@@ -220,7 +220,7 @@ object BenchSf1 {
         System.err.println(s"[bench-sf1] ${d.name} failed: $e"); return -1.0 }
       (System.nanoTime() - t0) / 1e9
     }
-    val targets = SparkEntry.scaleBench
+    val targets = SparkEntry.scaleBenchSf1
     targets.foreach(runOnce) // warm-up
     val results = targets.map { d =>
       val runs = Seq.fill(3)(runOnce(d))

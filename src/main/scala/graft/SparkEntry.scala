@@ -57,4 +57,16 @@ object SparkEntry {
     val byName = defs.map(d => d.name -> d).toMap
     scaleBenchNames.map(byName)
   }
+
+  /** The gated sf1 bench additionally times the near-dup pair
+    * generators the round-11 explosive-join pins target (q34's adaptive
+    * count/prefix join, q35's banded LSH) so the starvation fix has a
+    * per-round trend line at the scale where it bites. Kept OUT of the
+    * sf0.1 `scale_total` section so that number stays comparable across
+    * rounds.
+    */
+  def scaleBenchSf1: Seq[QueryDef] = {
+    val byName = defs.map(d => d.name -> d).toMap
+    scaleBench ++ Seq("q34_ngram_jaccard", "q35_minhash_lsh").map(byName)
+  }
 }

@@ -1031,7 +1031,6 @@ object ScaleQueries {
     * unsigned 16-bit samples; DuckDB replays the signal by pure
     * arithmetic. PCM WAV is lossless, so a green row proves the
     * writer, the container parser, and the PCM read are all real.
-    * Only video's codec remains stubbed (no JDK video codec exists).
     */
   val q231AudioDecode: QueryDef = QueryDef(
     "q231_audio_decode",
@@ -1065,8 +1064,7 @@ object ScaleQueries {
     * mdat payload bytes, boxes walked. DuckDB replays the container
     * parameters by arithmetic. This is the video path a 100 TB
     * pipeline actually runs at scan time — parse moov, never decode
-    * samples; only the frame CODEC remains stubbed (no JDK video
-    * codec exists).
+    * samples; q233 grades the frame-decode path itself.
     */
   val q232VideoContainer: QueryDef = QueryDef(
     "q232_video_container",
@@ -1085,6 +1083,54 @@ object ScaleQueries {
       FROM documents ORDER BY media_id"""),
   )
 
+  // --------------------------------------------------------------- q233
+  /** REAL video-frame decode, closing the last codec gap: Spark packs
+    * per-frame PNG images (the lossless QuickTime-style 'png ' video
+    * codec — the only video codec that is both JDK-encodable and
+    * cross-engine gradable) into the real ISO-BMFF container
+    * ([[Multimodal.videoFromIds]] — ftyp, moov(mvhd, trak), one mdat
+    * per frame), walks the boxes back, samples every 2nd frame
+    * keyframe-style, and decodes REAL PIXELS with `javax.imageio`
+    * ([[Multimodal.decodeVideoFrames]]), hashing each frame's ARGB
+    * raster. DuckDB replays frame count, sampling, dimensions, and
+    * per-frame raster checksums by pure arithmetic — a green row
+    * proves the container walk, the sampling, and the frame codec all
+    * operate on real bytes. Scale shape: row-local encode/decode, the
+    * frames-per-clip fan-out streams through the scan stage, zero
+    * shuffle.
+    */
+  val q233VideoFrames: QueryDef = QueryDef(
+    "q233_video_frames",
+    (s, dir) =>
+      Multimodal.decodeVideoFrames(
+          Multimodal.videoFromIds(
+            Tables(s, dir, "documents").select(col("doc_id"))),
+          everyNth = 2)
+        .orderBy(col("media_id"), col("frame_id")),
+    Some("""
+      WITH d AS (
+        SELECT doc_id, CAST(4 + doc_id % 13 AS BIGINT) AS w,
+          CAST(3 + doc_id % 7 AS BIGINT) AS h,
+          CAST(2 + doc_id % 4 AS BIGINT) AS k
+        FROM documents),
+      f AS (
+        SELECT doc_id, w, h, unnest(range(0, k, 2)) AS frame_id
+        FROM d),
+      px AS (
+        SELECT doc_id, frame_id, w, h,
+          [4278190080
+             + (((doc_id * 131 + 17 * frame_id) + 3 * (i % w) + 5 * (i // w)) % 256) * 65536
+             + ((2 * (doc_id * 131 + 17 * frame_id) + 7 * (i % w) + (i // w)) % 256) * 256
+             + ((5 * (doc_id * 131 + 17 * frame_id) + (i % w) + 11 * (i // w)) % 256)
+           for i in range(0, w * h)] AS pxs
+        FROM f)
+      SELECT doc_id AS media_id, CAST(frame_id AS BIGINT) AS frame_id,
+        w AS width, h AS height,
+        list_reduce([0::BIGINT] || pxs,
+          (a, v) -> (a * 31 + v) % 1000000007) AS pixel_checksum
+      FROM px ORDER BY media_id, frame_id"""),
+  )
+
   val all: Seq[QueryDef] = Seq(
     q30TextStats, q31LangId, q32Fingerprint, q33DedupExact,
     q34NgramJaccard, q35MinhashLsh, q36SimhashPairs, q37CosinePairs,
@@ -1093,5 +1139,5 @@ object ScaleQueries {
     q49Vocab, q50AsofJoin, q52TokenCost, q55Keywords, q59HeavyHitters,
     q60ResampleFfill, q61Repetition, q62Decontaminate, q63CorpusFilter,
     q64MixtureSample, q65LabelCentroids, q100FrameSample, q101Resize,
-    q230ImageDecode, q231AudioDecode, q232VideoContainer)
+    q230ImageDecode, q231AudioDecode, q232VideoContainer, q233VideoFrames)
 }

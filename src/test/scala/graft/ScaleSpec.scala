@@ -665,6 +665,55 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("video codec: PNG frames in ISO-BMFF round-trip, keyframe " +
+      "sampling, and malformed audit row") {
+    val ids = Seq(0L, 1L, 2L, 3L, 7L, 90L).toDF("doc_id")
+    val media = Multimodal.videoFromIds(ids)
+    // the container parses with the generic walker: 1 track, one mdat
+    // per frame whose bytes are each a complete PNG
+    val meta = Multimodal.parseMp4(media).orderBy("media_id").collect()
+    meta.foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      assert(r.getAs[Long]("n_tracks") === 1L)
+      assert(r.getAs[Long]("timescale") === 600L)
+      assert(r.getAs[Long]("duration") ===
+        Multimodal.videoFrames(id) * 40L)
+    }
+    // every frame sampled: real decoded pixels equal the reference
+    // raster for that frame's seed
+    val all = Multimodal.decodeVideoFrames(media, everyNth = 1)
+      .orderBy("media_id", "frame_id").collect()
+    assert(all.length === Seq(0L, 1L, 2L, 3L, 7L, 90L)
+      .map(Multimodal.videoFrames).sum)
+    all.foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      val f = r.getAs[Long]("frame_id")
+      val (w, h) = Multimodal.patternDims(id)
+      assert(r.getAs[Long]("width") === w.toLong)
+      assert(r.getAs[Long]("height") === h.toLong)
+      val seed = Multimodal.videoFrameSeed(id, f.toInt)
+      var acc = 0L
+      for (y <- 0 until h; x <- 0 until w)
+        acc = (acc * 31L + Multimodal.patternArgb(seed, x, y)) % 1000000007L
+      assert(r.getAs[Long]("pixel_checksum") === acc, s"clip $id frame $f")
+    }
+    // every-2nd sampling keeps exactly frames 0, 2, 4, ...
+    val sampled = Multimodal.decodeVideoFrames(media, everyNth = 2)
+      .select(col("media_id"), col("frame_id"))
+      .as[(Long, Long)].collect().toSet
+    val expect = (for {
+      id <- Seq(0L, 1L, 2L, 3L, 7L, 90L)
+      f <- 0 until Multimodal.videoFrames(id) if f % 2 == 0
+    } yield (id, f.toLong)).toSet
+    assert(sampled === expect)
+    // malformed payload: audit row, not a task failure
+    val junk = Seq((99L, "video", Array[Byte](1, 2, 3)))
+      .toDF("media_id", "kind", "payload")
+    val bad = Multimodal.decodeVideoFrames(junk).head
+    assert(bad.getAs[Long]("frame_id") === -1L)
+    assert(bad.getAs[Long]("pixel_checksum") === -1L)
+  }
+
   test("audio codec: real WAV write/parse round-trip + PCM checksum") {
     val ids = Seq(0L, 3L, 128L, 500L).toDF("doc_id")
     val media = Multimodal.wavFromIds(ids)
