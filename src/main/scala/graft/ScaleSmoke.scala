@@ -42,9 +42,9 @@ object ScaleSmoke {
     val outPath = if (args.length > 1) args(1) else "SCALE_SMOKE.json"
     val names: Seq[String] =
       if (args.length > 2) args(2).split(",").toSeq
-      else Seq("q33_dedup_exact", "q35_minhash_lsh", "q95_sparse_cosine",
-        "q122_indexed_near_dedup", "q207_dbscan", "q93_pagerank",
-        "q125_bpe_merges", "q141_hll_replay")
+      else Seq("q33_dedup_exact", "q34_ngram_jaccard", "q35_minhash_lsh",
+        "q95_sparse_cosine", "q122_indexed_near_dedup", "q207_dbscan",
+        "q93_pagerank", "q125_bpe_merges", "q141_hll_replay")
     val spark = SparkSession.builder()
       .withExtensions(new graft.plans.GraftExtensions)
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
