@@ -75,6 +75,37 @@ class PlanSpec extends SparkSpec {
       s"nested-loop join:\n$plan")
   }
 
+  test("versioned-store reads push filters and prune columns at the " +
+      "parquet scan (the q226/q228 read path)") {
+    // the manifest-pointer store resolves to a plain parquet snapshot
+    // dir, so a reader's filters/projection must reach the scan exactly
+    // as on any parquet table — a store wrapper that broke pushdown
+    // would silently re-read every snapshot column at 100 TB
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_pushdown_store").resolve("store").toString
+    graft.sources.Sinks.upsertParquet(
+      Seq((1L, 1L, "a", "x"), (2L, 1L, "b", "y"), (3L, 2L, "c", "z"))
+        .toDF("k", "ver", "v", "unused"),
+      dir, Seq("k"), "ver")
+    val read = graft.sources.Sinks.readSnapshot(spark, dir)
+      .filter(col("k") > 1L).select(col("k"), col("v"))
+    val plan = read.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PushedFilters:") &&
+      plan.contains("GreaterThan(k,1)"),
+      s"store read filter not pushed:\n$plan")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("unused"),
+      s"store read column not pruned: $readSchema")
+    // time travel resolves to the same scan shape
+    val travel = graft.sources.Sinks.readSnapshotAt(spark, dir, 1L)
+      .filter(col("k") > 1L).select(col("k"), col("v"))
+    val tplan = travel.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(tplan.contains("GreaterThan(k,1)"),
+      s"time-travel read filter not pushed:\n$tplan")
+  }
+
   test("geocode join broadcasts the location dimension") {
     val dim = graft.ingest.SyntheticSuumo.writeLocationCsv(
       java.nio.file.Files.createTempDirectory("graft_plan_loc"))
