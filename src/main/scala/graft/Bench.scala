@@ -94,8 +94,20 @@ object Bench {
     val valuePerCalib = total / calibRatio
     val scalePerCalib = scaleTotal / calibRatio
     val compileExceptions = counter.count.get()
+    // mid-run contamination check (round 11): the r10 driver artifact
+    // passed the STARTUP load gate yet recorded on a contended host
+    // (calib 339 vs 284) and misled trend readers. Re-spin the
+    // calibration AFTER the run; >15% drift means the host changed
+    // speed mid-bench and the numbers are a load measurement.
+    val calibAfterMs = cpuCalibMs()
+    val calibDrift =
+      math.abs(calibAfterMs - calibMs).toDouble / calibMs.toDouble
+    val validFinal = valid && calibDrift <= 0.15
+    if (!validFinal && valid) System.err.println(
+      f"[bench] WARN: calibration drifted $calibDrift%.2f mid-run " +
+        s"($calibMs -> $calibAfterMs ms) — artifact carries \"valid\":false")
     val json =
-      f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","valid":$valid,"queries":$qs,"scale_total":$scaleTotal%.3f,"scale_queries":$scaleQs,"value_per_calib":$valuePerCalib%.3f,"scale_total_per_calib":$scalePerCalib%.3f,"ref_calib_ms":284,"sf":"$sfDir","loadavg_before":"$loadBefore","loadavg_after":"${loadavg()}","cpu_calib_ms":$calibMs,"compile_exceptions":$compileExceptions}"""
+      f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","valid":$validFinal,"queries":$qs,"scale_total":$scaleTotal%.3f,"scale_queries":$scaleQs,"value_per_calib":$valuePerCalib%.3f,"scale_total_per_calib":$scalePerCalib%.3f,"ref_calib_ms":284,"sf":"$sfDir","loadavg_before":"$loadBefore","loadavg_after":"${loadavg()}","cpu_calib_ms":$calibMs,"cpu_calib_after_ms":$calibAfterMs,"compile_exceptions":$compileExceptions}"""
     println(json)
     // the printed line is the source of truth; an unwritable out path
     // must not turn a successful run into a nonzero exit
@@ -232,8 +244,16 @@ object BenchSf1 {
     val refCalibMs = 284.0
     val valuePerCalib = total / (calibMs.toDouble / refCalibMs)
     val compileExceptions = counter.count.get()
+    // same mid-run contamination check as Bench (round 11)
+    val calibAfterMs = cpuCalibMs()
+    val calibDrift =
+      math.abs(calibAfterMs - calibMs).toDouble / calibMs.toDouble
+    val validFinal = valid && calibDrift <= 0.15
+    if (!validFinal && valid) System.err.println(
+      f"[bench-sf1] WARN: calibration drifted $calibDrift%.2f mid-run " +
+        s"($calibMs -> $calibAfterMs ms) — artifact carries \"valid\":false")
     val json =
-      f"""{"metric":"sf1_total","value":$total%.3f,"unit":"sec","valid":$valid,"queries":$qs,"value_per_calib":$valuePerCalib%.3f,"ref_calib_ms":284,"sf":"$sfDir","loadavg_before":"$loadBefore","loadavg_after":"${loadavg()}","cpu_calib_ms":$calibMs,"compile_exceptions":$compileExceptions}"""
+      f"""{"metric":"sf1_total","value":$total%.3f,"unit":"sec","valid":$validFinal,"queries":$qs,"value_per_calib":$valuePerCalib%.3f,"ref_calib_ms":284,"sf":"$sfDir","loadavg_before":"$loadBefore","loadavg_after":"${loadavg()}","cpu_calib_ms":$calibMs,"cpu_calib_after_ms":$calibAfterMs,"compile_exceptions":$compileExceptions}"""
     println(json)
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
