@@ -15,8 +15,27 @@ package graft.operators
   * the slower strategy, never a wrong answer. The namespace keeps two
   * different gates over the SAME input plan from aliasing each
   * other's decisions.
+  *
+  * Cached stats are PER-PLAN-LIFETIME: data appended under the same
+  * logical plan (same files re-listed, a versioned-store snapshot
+  * advancing) keeps serving the decision taken at first sight — at
+  * worst the slower exact strategy, by design. Callers whose inputs
+  * mutate in place should pass explicit hints instead. Both maps are
+  * size-capped (a long-lived interactive session must not leak one
+  * entry per distinct plan forever): at [[MaxEntries]] the map is
+  * cleared — dropping a memo only re-runs a stats pass.
   */
 private[graft] object AdaptiveStrategy {
+
+  private[graft] val MaxEntries = 4096
+
+  private def boundedPutIfAbsent[V <: AnyRef](
+      m: java.util.concurrent.ConcurrentHashMap[String, V],
+      key: String, v: V): V = {
+    if (m.size() >= MaxEntries) m.clear()
+    val prior = m.putIfAbsent(key, v)
+    if (prior != null) prior else v
+  }
 
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]
@@ -33,8 +52,7 @@ private[graft] object AdaptiveStrategy {
     if (hit != null) hit.booleanValue()
     else {
       val decision = compute
-      val prior = cache.putIfAbsent(key, Boolean.box(decision))
-      if (prior != null) prior.booleanValue() else decision
+      boundedPutIfAbsent(cache, key, Boolean.box(decision)).booleanValue()
     }
   }
 
@@ -52,8 +70,7 @@ private[graft] object AdaptiveStrategy {
     if (hit != null) hit.longValue()
     else {
       val v = compute
-      val prior = longCache.putIfAbsent(key, java.lang.Long.valueOf(v))
-      if (prior != null) prior.longValue() else v
+      boundedPutIfAbsent(longCache, key, java.lang.Long.valueOf(v)).longValue()
     }
   }
 }

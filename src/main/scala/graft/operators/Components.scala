@@ -47,9 +47,46 @@ object Components {
   private[graft] val SmallTailKey = "spark.graft.cc.smallTailEdges"
   private[graft] val DefaultSmallTailEdges = 1000000L
 
+  /** Upper bound on the ESTIMATED heap the single-task union-find may
+    * hold (hash table + boxed/string keys + its output), independent of
+    * the edge-count gate. The count gate alone is key-width-blind: 1 M
+    * long-keyed edges is ~150 MB in one task, and string keys can be
+    * arbitrarily wider — a small-heap executor could OOM exactly at the
+    * gate. Both gates must pass for the tail collapse to fire.
+    */
+  private[graft] val SmallTailBytesKey = "spark.graft.cc.smallTailMaxBytes"
+  private[graft] val DefaultSmallTailMaxBytes = 64L * 1024 * 1024
+
   private def smallTailEdges(df: DataFrame): Long =
     df.sparkSession.conf
       .get(SmallTailKey, DefaultSmallTailEdges.toString).toLong
+
+  private def smallTailMaxBytes(df: DataFrame): Long =
+    df.sparkSession.conf
+      .get(SmallTailBytesKey, DefaultSmallTailMaxBytes.toString).toLong
+
+  /** Test-visible, process-wide count of small-tail collapses fired.
+    * Specs pin BOTH sides of the gates with it: the coalesce(1) stage
+    * must fire below them and must NEVER appear above them — a config
+    * typo must not silently single-task a 100 TB CC.
+    */
+  private[graft] val smallTailFires =
+    new java.util.concurrent.atomic.LongAdder
+
+  /** Conservative heap estimate for the one-task union-find over
+    * `count` edges: ≤ 2 nodes per edge, each a HashMap entry (~48 B of
+    * table + entry overhead) plus its key payload — a boxed numeric
+    * (`fixedKeyWidth` > 0) or a String (~48 B header + char storage
+    * ≈ 2× the observed UTF-8 bytes, the compact-strings worst case).
+    * `keyBytes` is the observed Σ utf8len(src)+utf8len(dst) over the
+    * edge set (0 for fixed-width keys).
+    */
+  private[graft] def smallTailEstBytes(count: Long, keyBytes: Long,
+      fixedKeyWidth: Long): Long = {
+    val nodes = 2L * count
+    val perKey = if (fixedKeyWidth > 0) fixedKeyWidth else 48L
+    nodes * (48L + perKey) + 2L * keyBytes
+  }
 
   /** Connected components of the undirected graph given by `edges`
     * (columns `src`, `dst`, any numeric/orderable type). Returns
@@ -68,14 +105,28 @@ object Components {
         least(col("src"), col("dst")).as("dst"))
       .distinct()
 
+    // Key-width bookkeeping for the byte-aware small-tail gate: string
+    // keys have no static width, so their total UTF-8 bytes ride the
+    // same observe action as the edge count (free — no extra job).
+    val keyIsString = edges.schema("src").dataType ==
+      org.apache.spark.sql.types.StringType
+    val fixedKeyWidth = if (keyIsString) 0L else 24L // boxed numeric
+    def keyBytesMetric: Column =
+      if (keyIsString)
+        coalesce(sum(octet_length(col("src")) + octet_length(col("dst")))
+          .cast("long"), lit(0L)).as("key_bytes")
+      else coalesce(sum(lit(0L)), lit(0L)).as("key_bytes")
+
     val obs0 = Observation()
     var cur = Checkpoints.truncate(
       normalize(edges.select(col("src"), col("dst")))
-        .observe(obs0, count(lit(1)).as("edges")))
+        .observe(obs0, count(lit(1)).as("edges"), keyBytesMetric))
     var curCount = obs0.get("edges").asInstanceOf[Long]
+    var curKeyBytes = obs0.get("key_bytes").asInstanceOf[Long]
     var converged = curCount == 0L // no edges: already a star forest
     var iter = 0
     val tail = smallTailEdges(edges)
+    val maxTailBytes = smallTailMaxBytes(edges)
     def starRound(): Unit = {
       val obs = Observation()
       // ONE star round per checkpoint — deliberately. Fusing two
@@ -91,7 +142,8 @@ object Components {
           .join(cur.select(col("src"), col("dst"), lit(1).as("in_cur")),
             Seq("src", "dst"), "left")
           .observe(obs, count(lit(1)).as("edges"),
-            count(when(col("in_cur").isNull, 1)).as("new_edges"))
+            count(when(col("in_cur").isNull, 1)).as("new_edges"),
+            keyBytesMetric)
           .select(col("src"), col("dst")))
       val m = obs.get
       val nextCount = m("edges").asInstanceOf[Long]
@@ -101,6 +153,7 @@ object Components {
         m("new_edges").asInstanceOf[Long] == 0L
       cur = next
       curCount = nextCount
+      curKeyBytes = m("key_bytes").asInstanceOf[Long]
       iter += 1
     }
     while (!converged && iter < maxIter) {
@@ -112,13 +165,18 @@ object Components {
       // OBSERVED edge count (free — it rode the previous round's
       // checkpoint action) fits one task, collapse every remaining
       // round into a single coalesce(1) + union-find stage computing
-      // the exact fixed point in memory. Bound: `tail` edges ≈ tens
-      // of MB in one task, documented at the conf key. Falls through
-      // to star rounds for node types without a total order mapping
-      // (never the case for the library's own callers).
-      if (curCount <= tail) {
+      // the exact fixed point in memory. Bounded TWICE: by edge count
+      // (`tail`) and by a key-width-aware byte estimate against
+      // `smallTailMaxBytes` — a count gate alone is blind to key width
+      // (1 M long-keyed edges ≈ 150 MB boxed; strings are unbounded)
+      // and could OOM a small-heap executor exactly at the gate. Falls
+      // through to star rounds for node types without a total order
+      // mapping (never the case for the library's own callers).
+      if (curCount <= tail && smallTailEstBytes(curCount, curKeyBytes,
+          fixedKeyWidth) <= maxTailBytes) {
         smallTailFinish(cur) match {
           case Some(fin) =>
+            smallTailFires.increment()
             cur = Checkpoints.truncate(fin)
             converged = true
           case None => starRound()
@@ -149,7 +207,20 @@ object Components {
       case IntegerType => Some(Ordering.Int.on[Any](_.asInstanceOf[Int]))
       case LongType => Some(Ordering.Long.on[Any](_.asInstanceOf[Long]))
       case StringType =>
-        Some(Ordering.String.on[Any](_.asInstanceOf[String]))
+        // MUST match Spark's own string comparison (UTF8String: unsigned
+        // byte-wise over UTF-8, i.e. code-point order), NOT
+        // Ordering.String (UTF-16 code-unit order) — the two disagree
+        // for supplementary characters vs U+E000..U+FFFF, and the
+        // small-tail min-root rule must pick the same root as the
+        // least/greatest/min of the star rounds it replaces.
+        Some(new Ordering[Any] {
+          override def compare(a: Any, b: Any): Int =
+            java.util.Arrays.compareUnsigned(
+              a.asInstanceOf[String]
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8),
+              b.asInstanceOf[String]
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        })
       case _ => None
     }
   }
@@ -192,14 +263,18 @@ object Components {
             else parent.put(ra, rb)
           }
         }
-        val out = Vector.newBuilder[org.apache.spark.sql.Row]
-        val keys = parent.keySet.toArray
-        keys.foreach { node =>
+        // Stream the output instead of buffering it: path compression
+        // during the scan only UPDATES values of existing keys (every
+        // reachable node is already a key), which is not a structural
+        // modification, so iterating keySet while find() compresses is
+        // safe — and the output never doubles the task's footprint.
+        import scala.jdk.CollectionConverters._
+        parent.keySet.iterator.asScala.flatMap { node =>
           val root = find(node)
           if (node != root)
-            out += org.apache.spark.sql.Row(node, root)
+            Iterator.single(org.apache.spark.sql.Row(node, root))
+          else Iterator.empty
         }
-        out.result().iterator
       }
     }
   }

@@ -192,19 +192,29 @@ object Search {
       .crossJoin(broadcast(nRel))
       .select(col("doc_id"), col("tk"),
         (col("tf") * (col("n_total") - col("df"))).as("w"), col("df"))
+    // BOTH gate statistics — vocabulary size (dense gate) and total
+    // postings (pin gate) — ride ONE lazy action over dfRel. Each gate
+    // previously ran its own aggregate over the uncheckpointed
+    // tokenize→tf pipeline, so the expensive map work executed twice
+    // at DataFrame-construction time on first sight of a plan; now it
+    // executes once, and hinted/cache-warm callers never run it.
+    lazy val gateStats: (Long, Long) = {
+      val r = dfRel.agg(count(lit(1)).as("vocab"),
+        coalesce(sum(col("df")), lit(0L)).as("postings")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val tfHash = tf.queryExecution.analyzed.semanticHash()
     val useDense = dense.getOrElse {
-      AdaptiveStrategy.cached("apss-dense",
-          tf.queryExecution.analyzed.semanticHash()) {
-        dfRel.count() <= maxDenseVocab
+      AdaptiveStrategy.cached("apss-dense", tfHash) {
+        gateStats._1 <= maxDenseVocab
       }
     }
     if (useDense) densePairs(weighted, threshold)
     else {
       // posting self-join is explosive: pin its exchanges past the
       // blocker gate (total postings), same shape as q34's count join
-      val pin = AdaptiveStrategy.cachedLong("apss-postings",
-          tf.queryExecution.analyzed.semanticHash()) {
-        dfRel.agg(coalesce(sum(col("df")), lit(0L))).head().getLong(0)
+      val pin = AdaptiveStrategy.cachedLong("apss-postings", tfHash) {
+        gateStats._2
       } > Explosive.pinRows(docs)
       invertedPairs(weighted, threshold, dfCap, pin)
     }

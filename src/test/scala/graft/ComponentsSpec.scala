@@ -76,6 +76,20 @@ class ComponentsSpec extends SparkSpec {
     assert(sStar === sTail)
     assert(sTail === Map("a" -> "a", "b" -> "a", "c" -> "a",
       "x" -> "x", "y" -> "x"))
+    // non-BMP regression: U+10000 ("𐀀") sorts BELOW U+E000
+    // in UTF-16 code-unit order but ABOVE it in UTF-8/code-point order
+    // (Spark's UTF8String order). Both paths must agree with Spark:
+    // root is U+E000.
+    val supp = "𐀀" // U+10000
+    val pua = ""
+    val uEdges = Seq((supp, pua)).toDF("src", "dst")
+    def runU() = Components.connectedComponents(uEdges)
+      .as[(String, String)].collect().toMap
+    val uStar = withTail(0L)(runU())
+    val uTail = withTail(Long.MaxValue)(runU())
+    assert(uStar === uTail, "supplementary-char root must match Spark order")
+    assert(uTail(supp) === pua && uTail(pua) === pua,
+      "UTF-16 order would (wrongly) root at the supplementary char")
     // a key type without an external ordering (double) must still
     // converge — via star rounds — even when the tail gate is open
     val dEdges = Seq((1.5, 2.5), (2.5, 3.5)).toDF("src", "dst")
@@ -84,6 +98,39 @@ class ComponentsSpec extends SparkSpec {
         .as[(Double, Double)].collect().toMap
     }
     assert(dGot === Map(1.5 -> 1.5, 2.5 -> 1.5, 3.5 -> 1.5))
+  }
+
+  test("small-tail collapse fires below the gates and NEVER above " +
+      "them (count gate and byte gate)") {
+    def fires[A](tailEdges: String, maxBytes: String)(f: => A): Long = {
+      spark.conf.set(Components.SmallTailKey, tailEdges)
+      spark.conf.set(Components.SmallTailBytesKey, maxBytes)
+      val before = Components.smallTailFires.sum()
+      try { f; Components.smallTailFires.sum() - before }
+      finally {
+        spark.conf.unset(Components.SmallTailKey)
+        spark.conf.unset(Components.SmallTailBytesKey)
+      }
+    }
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L),
+      (21L, 22L), (22L, 23L)).toDF("src", "dst")
+    def run(): Unit =
+      Components.connectedComponents(edges).collect()
+    // wide-open gates: the collapse must fire exactly once
+    assert(fires(Long.MaxValue.toString, Long.MaxValue.toString)(run()) === 1L,
+      "collapse should fire below both gates")
+    // count gate closed: star rounds only, no single-task stage
+    assert(fires("0", Long.MaxValue.toString)(run()) === 0L,
+      "collapse must never fire above the edge-count gate")
+    // byte gate closed: even a tiny edge count must stay on star rounds
+    assert(fires(Long.MaxValue.toString, "0")(run()) === 0L,
+      "collapse must never fire above the byte gate")
+    // the byte estimate is monotone in count and key width, and
+    // strings with observed bytes estimate wider than zero-byte keys
+    assert(Components.smallTailEstBytes(100L, 0L, 24L) <
+      Components.smallTailEstBytes(1000L, 0L, 24L))
+    assert(Components.smallTailEstBytes(100L, 0L, 0L) <
+      Components.smallTailEstBytes(100L, 5000L, 0L))
   }
 
   test("bfsHops matches a reference BFS on seeded random graphs") {
