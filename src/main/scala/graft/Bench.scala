@@ -25,7 +25,15 @@ import org.apache.spark.sql.SparkSession
   *  - a log4j2 appender counts logged CompileExceptions (a failed Janino
   *    compile means a codegen'd operator silently fell back to
   *    interpreted execution) and the run EXITS NONZERO if any occurred —
-  *    a bench of the fallback path is not a bench of the shipped code.
+  *    a bench of the fallback path is not a bench of the shipped code;
+  *  - ALL-CORES contamination gate (round 12): the r10 and r11 driver
+  *    artifacts both passed the loadavg gate AND the single-thread
+  *    calibration drift check while running 33-76% slow — a contender
+  *    job leaves one core free, so single-thread yardsticks read clean
+  *    while 32-thread queries starve. [[BenchGates.cpuCalibParMs]]
+  *    measures the max-of-32-concurrent-spins wall before and after
+  *    the run; a parallel/single ratio above
+  *    [[BenchGates.ParRatioMax]] marks the artifact `"valid":false`.
   */
 object Bench {
 
@@ -38,6 +46,7 @@ object Bench {
     val valid = waitForIdle()
     val loadBefore = loadavg()
     val calibMs = cpuCalibMs()
+    val parMs = cpuCalibParMs()
     val spark = SparkSession.builder()
       .withExtensions(new graft.plans.GraftExtensions)
       .master(s"local[$cpus]")
@@ -100,14 +109,26 @@ object Bench {
     // calibration AFTER the run; >15% drift means the host changed
     // speed mid-bench and the numbers are a load measurement.
     val calibAfterMs = cpuCalibMs()
+    val parAfterMs = cpuCalibParMs()
     val calibDrift =
       math.abs(calibAfterMs - calibMs).toDouble / calibMs.toDouble
-    val validFinal = valid && calibDrift <= 0.15
-    if (!validFinal && valid) System.err.println(
+    // the ALL-CORES probe (round 12): the single-thread spin and the
+    // loadavg gate both passed on the contaminated r10/r11 driver
+    // artifacts — a contender leaves one core free. The parallel/
+    // single ratio, before and after, is what actually sees it.
+    val parRatio = parMs.toDouble / calibMs.toDouble
+    val parRatioAfter = parAfterMs.toDouble / calibAfterMs.toDouble
+    val parClean = parRatio <= ParRatioMax && parRatioAfter <= ParRatioMax
+    val validFinal = valid && calibDrift <= 0.15 && parClean
+    if (!parClean) System.err.println(
+      f"[bench] WARN: all-cores calibration ratio $parRatio%.2f/" +
+        f"$parRatioAfter%.2f exceeds $ParRatioMax%.2f — another " +
+        "multi-core job is stealing cores; artifact carries \"valid\":false")
+    else if (!validFinal && valid) System.err.println(
       f"[bench] WARN: calibration drifted $calibDrift%.2f mid-run " +
         s"($calibMs -> $calibAfterMs ms) — artifact carries \"valid\":false")
     val json =
-      f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","valid":$validFinal,"queries":$qs,"scale_total":$scaleTotal%.3f,"scale_queries":$scaleQs,"value_per_calib":$valuePerCalib%.3f,"scale_total_per_calib":$scalePerCalib%.3f,"ref_calib_ms":284,"sf":"$sfDir","loadavg_before":"$loadBefore","loadavg_after":"${loadavg()}","cpu_calib_ms":$calibMs,"cpu_calib_after_ms":$calibAfterMs,"compile_exceptions":$compileExceptions}"""
+      f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","valid":$validFinal,"queries":$qs,"scale_total":$scaleTotal%.3f,"scale_queries":$scaleQs,"value_per_calib":$valuePerCalib%.3f,"scale_total_per_calib":$scalePerCalib%.3f,"ref_calib_ms":284,"sf":"$sfDir","loadavg_before":"$loadBefore","loadavg_after":"${loadavg()}","cpu_calib_ms":$calibMs,"cpu_calib_after_ms":$calibAfterMs,"cpu_calib_par_ms":$parMs,"cpu_calib_par_after_ms":$parAfterMs,"par_ratio":$parRatio%.3f,"par_ratio_after":$parRatioAfter%.3f,"par_ratio_max":$ParRatioMax%.2f,"compile_exceptions":$compileExceptions}"""
     println(json)
     // the printed line is the source of truth; an unwritable out path
     // must not turn a successful run into a nonzero exit
@@ -139,22 +160,55 @@ object BenchGates {
     * can be normalized by the hosts' calibration ratio before anyone
     * concludes a plan got worse.
     */
+  private def spinOnce(): Long = {
+    var h = 0x9E3779B97F4A7C15L
+    var i = 0
+    val t0 = System.nanoTime()
+    while (i < (1 << 27)) {
+      h ^= h << 13; h ^= h >>> 7; h ^= h << 17
+      i += 1
+    }
+    // publish h so the loop cannot be dead-code-eliminated
+    if (h == 42L) System.err.print("")
+    (System.nanoTime() - t0) / 1000000L
+  }
+
   def cpuCalibMs(): Long = {
-    def spin(): Long = {
-      var h = 0x9E3779B97F4A7C15L
-      var i = 0
+    spinOnce() // JIT warm-up
+    Seq.fill(3)(spinOnce()).min
+  }
+
+  /** All-cores calibration probe (round 12): wall-clock for ALL of
+    * `nThreads` concurrent spins to finish (max-of-threads), min of 2
+    * runs. The single-thread spin is blind to multi-core contention —
+    * a contender job leaves one core free for the spin, so `calibMs`
+    * and the 1-min loadavg both read clean while every local[32] query
+    * is starved (the r10 AND r11 driver artifacts passed every gate
+    * that way). The PARALLEL/SINGLE ratio is the detector: measured
+    * idle on the reference host it is ~1.13, and a 12-thread contender
+    * moves it to ~1.88 while moving the single spin only 13%. Gate at
+    * [[ParRatioMax]], before AND after the run.
+    */
+  def cpuCalibParMs(
+      nThreads: Int = Runtime.getRuntime.availableProcessors()): Long = {
+    spinOnce() // JIT warm-up (shared method with cpuCalibMs)
+    def wall(): Long = {
+      val ts = Array.fill(nThreads)(new Thread(() => { spinOnce(); () }))
       val t0 = System.nanoTime()
-      while (i < (1 << 27)) {
-        h ^= h << 13; h ^= h >>> 7; h ^= h << 17
-        i += 1
-      }
-      // publish h so the loop cannot be dead-code-eliminated
-      if (h == 42L) System.err.print("")
+      ts.foreach(_.start())
+      ts.foreach(_.join())
       (System.nanoTime() - t0) / 1000000L
     }
-    spin() // JIT warm-up
-    Seq.fill(3)(spin()).min
+    Seq.fill(2)(wall()).min
   }
+
+  /** Max allowed parallel/single calibration ratio for a valid
+    * artifact. Committed reference: 1.13 idle on the r12 host; 1.35
+    * leaves scheduler-noise headroom while still flagging any
+    * contender big enough to skew a 32-thread query (a 12-thread
+    * contender measures ~1.9).
+    */
+  val ParRatioMax = 1.35
 
   def loadavg(): String =
     try {
@@ -214,6 +268,7 @@ object BenchSf1 {
     val valid = waitForIdle()
     val loadBefore = loadavg()
     val calibMs = cpuCalibMs()
+    val parMs = cpuCalibParMs()
     val spark = SparkSession.builder()
       .withExtensions(new graft.plans.GraftExtensions)
       .master(s"local[$cpus]")
@@ -244,16 +299,25 @@ object BenchSf1 {
     val refCalibMs = 284.0
     val valuePerCalib = total / (calibMs.toDouble / refCalibMs)
     val compileExceptions = counter.count.get()
-    // same mid-run contamination check as Bench (round 11)
+    // same mid-run contamination checks as Bench (single-thread drift,
+    // round 11; all-cores parallel ratio, round 12)
     val calibAfterMs = cpuCalibMs()
+    val parAfterMs = cpuCalibParMs()
     val calibDrift =
       math.abs(calibAfterMs - calibMs).toDouble / calibMs.toDouble
-    val validFinal = valid && calibDrift <= 0.15
-    if (!validFinal && valid) System.err.println(
+    val parRatio = parMs.toDouble / calibMs.toDouble
+    val parRatioAfter = parAfterMs.toDouble / calibAfterMs.toDouble
+    val parClean = parRatio <= ParRatioMax && parRatioAfter <= ParRatioMax
+    val validFinal = valid && calibDrift <= 0.15 && parClean
+    if (!parClean) System.err.println(
+      f"[bench-sf1] WARN: all-cores calibration ratio $parRatio%.2f/" +
+        f"$parRatioAfter%.2f exceeds $ParRatioMax%.2f — artifact " +
+        "carries \"valid\":false")
+    else if (!validFinal && valid) System.err.println(
       f"[bench-sf1] WARN: calibration drifted $calibDrift%.2f mid-run " +
         s"($calibMs -> $calibAfterMs ms) — artifact carries \"valid\":false")
     val json =
-      f"""{"metric":"sf1_total","value":$total%.3f,"unit":"sec","valid":$validFinal,"queries":$qs,"value_per_calib":$valuePerCalib%.3f,"ref_calib_ms":284,"sf":"$sfDir","loadavg_before":"$loadBefore","loadavg_after":"${loadavg()}","cpu_calib_ms":$calibMs,"cpu_calib_after_ms":$calibAfterMs,"compile_exceptions":$compileExceptions}"""
+      f"""{"metric":"sf1_total","value":$total%.3f,"unit":"sec","valid":$validFinal,"queries":$qs,"value_per_calib":$valuePerCalib%.3f,"ref_calib_ms":284,"sf":"$sfDir","loadavg_before":"$loadBefore","loadavg_after":"${loadavg()}","cpu_calib_ms":$calibMs,"cpu_calib_after_ms":$calibAfterMs,"cpu_calib_par_ms":$parMs,"cpu_calib_par_after_ms":$parAfterMs,"par_ratio":$parRatio%.3f,"par_ratio_after":$parRatioAfter%.3f,"par_ratio_max":$ParRatioMax%.2f,"compile_exceptions":$compileExceptions}"""
     println(json)
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -438,10 +438,11 @@ object ScaleQueries {
   )
 
   // --------------------------------------------------------------- q101
-  /** Image resize stub: deterministic 1/4 downsample (every 4th
-    * character standing in for a box filter), grading the
-    * original/resized size accounting and the resized payload's
-    * fingerprint. */
+  /** Resize-accounting plumbing variant: deterministic 1/4
+    * character downsample grading the original/resized size accounting
+    * and the resized payload's fingerprint over arbitrary binary
+    * payloads. The REAL pixel resampler on real PNGs is q234
+    * ([[Multimodal.resizeImages]]). */
   val q101Resize: QueryDef = QueryDef(
     "q101_resize",
     (s, dir) =>
@@ -1131,6 +1132,54 @@ object ScaleQueries {
       FROM px ORDER BY media_id, frame_id"""),
   )
 
+  // --------------------------------------------------------------- q234
+  /** REAL image resize on real pixels — the round-12 upgrade of the
+    * last stub-shaped operator: Spark encodes one actual PNG per
+    * document id ([[Multimodal.pngFromIds]]), decodes it, downsamples
+    * 2× with the EXACT area-average (box) resampler, round-trips the
+    * resized raster through a real PNG encode→decode, and hashes the
+    * resulting pixels ([[Multimodal.resizeImages]]). DuckDB replays the
+    * resampled raster by pure integer arithmetic — each output channel
+    * is ⌊Σ 2×2 input block / 4⌋ over the [[Multimodal.patternArgb]]
+    * pattern — so a green row proves decoder, resampler, and encoder
+    * all operated on real pixels. Row-local, batched, zero shuffle.
+    */
+  val q234ImageResize: QueryDef = QueryDef(
+    "q234_image_resize",
+    (s, dir) =>
+      Multimodal.resizeImages(
+          Multimodal.pngFromIds(
+            Tables(s, dir, "documents").select(col("doc_id"))),
+          factor = 2)
+        .orderBy(col("media_id")),
+    Some("""
+      WITH d AS (
+        SELECT doc_id, CAST(4 + doc_id % 13 AS BIGINT) AS w,
+          CAST(3 + doc_id % 7 AS BIGINT) AS h
+        FROM documents),
+      dim AS (
+        SELECT doc_id, w, h, w // 2 AS w2, h // 2 AS h2 FROM d),
+      px AS (
+        SELECT doc_id, w, h, w2, h2,
+          [4278190080
+             + (list_sum([(doc_id + 3 * (2 * (i % w2) + j % 2)
+                           + 5 * (2 * (i // w2) + j // 2)) % 256
+                          for j in range(0, 4)]) // 4) * 65536
+             + (list_sum([(2 * doc_id + 7 * (2 * (i % w2) + j % 2)
+                           + (2 * (i // w2) + j // 2)) % 256
+                          for j in range(0, 4)]) // 4) * 256
+             + (list_sum([(5 * doc_id + (2 * (i % w2) + j % 2)
+                           + 11 * (2 * (i // w2) + j // 2)) % 256
+                          for j in range(0, 4)]) // 4)
+           for i in range(0, w2 * h2)] AS pxs
+        FROM dim)
+      SELECT doc_id AS media_id, w AS orig_width, h AS orig_height,
+        w2 AS width, h2 AS height,
+        CAST(list_reduce([0::BIGINT] || pxs,
+          (a, v) -> (a * 31 + v) % 1000000007) AS BIGINT) AS pixel_checksum
+      FROM px ORDER BY media_id"""),
+  )
+
   val all: Seq[QueryDef] = Seq(
     q30TextStats, q31LangId, q32Fingerprint, q33DedupExact,
     q34NgramJaccard, q35MinhashLsh, q36SimhashPairs, q37CosinePairs,
@@ -1139,5 +1188,6 @@ object ScaleQueries {
     q49Vocab, q50AsofJoin, q52TokenCost, q55Keywords, q59HeavyHitters,
     q60ResampleFfill, q61Repetition, q62Decontaminate, q63CorpusFilter,
     q64MixtureSample, q65LabelCentroids, q100FrameSample, q101Resize,
-    q230ImageDecode, q231AudioDecode, q232VideoContainer, q233VideoFrames)
+    q230ImageDecode, q231AudioDecode, q232VideoContainer, q233VideoFrames,
+    q234ImageResize)
 }

@@ -665,6 +665,48 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("image resampler: exact area-average on real PNG pixels, " +
+      "PNG round-trip, audit rows") {
+    val idSeq = Seq(0L, 1L, 5L, 12L, 90L)
+    val media = Multimodal.pngFromIds(idSeq.toDF("doc_id"))
+    val out = Multimodal.resizeImages(media, factor = 2)
+      .orderBy("media_id").collect()
+    out.foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      val (w, h) = Multimodal.patternDims(id)
+      assert(r.getAs[Long]("orig_width") === w.toLong)
+      assert(r.getAs[Long]("orig_height") === h.toLong)
+      val (w2, h2) = (w / 2, h / 2)
+      assert(r.getAs[Long]("width") === w2.toLong)
+      assert(r.getAs[Long]("height") === h2.toLong)
+      // in-JVM reference: per-channel floor-average of each 2x2 block
+      // of the pattern raster, hashed like decodeImages
+      var acc = 0L
+      for (y <- 0 until h2; x <- 0 until w2) {
+        def ch(f: (Long, Int, Int) => Long): Long =
+          (for (dy <- 0 until 2; dx <- 0 until 2)
+            yield f(id, 2 * x + dx, 2 * y + dy)).sum / 4
+        val argb = 0xFF000000L |
+          (ch((i, a, b) => ((i + 3L * a + 5L * b) % 256L)) << 16) |
+          (ch((i, a, b) => ((2L * i + 7L * a + b) % 256L)) << 8) |
+          ch((i, a, b) => ((5L * i + a + 11L * b) % 256L))
+        acc = (acc * 31L + argb) % 1000000007L
+      }
+      assert(r.getAs[Long]("pixel_checksum") === acc, s"image $id")
+    }
+    // undecodable payload and smaller-than-factor images are audit
+    // rows, not failures
+    val junk = Seq(Multimodal.MediaRecord(7L, "image", Array[Byte](1, 2)))
+      .toDF("media_id", "kind", "payload")
+    val bad = Multimodal.resizeImages(junk, factor = 2).head
+    assert(bad.getAs[Long]("width") === -1L &&
+      bad.getAs[Long]("pixel_checksum") === -1L)
+    val tiny = Multimodal.resizeImages(media, factor = 100)
+      .orderBy("media_id").head
+    assert(tiny.getAs[Long]("orig_width") > 0L &&
+      tiny.getAs[Long]("width") === -1L)
+  }
+
   test("video codec: PNG frames in ISO-BMFF round-trip, keyframe " +
       "sampling, and malformed audit row") {
     val ids = Seq(0L, 1L, 2L, 3L, 7L, 90L).toDF("doc_id")
