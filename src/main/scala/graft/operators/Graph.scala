@@ -25,20 +25,38 @@ object Graph {
     * units of mass per node per hop (harmless at scale = 1e12: a
     * relative error of ~1e-9 per iteration).
     *
-    * Scale shape per iteration: one equi-join of the rank table with
-    * the (pre-deduplicated, outdeg-annotated) edge list on the node
-    * key, one map-side-combining groupBy on dst, one left join back
-    * to the node table — the standard Pregel-as-joins layout. Ranks
-    * and edges both key on the node id, so pre-partitioning both on
-    * that key makes every iteration's big join exchange-free on the
-    * edge side. The edge and node tables are materialized ONCE with
-    * an eager lineage truncation (Checkpoints.truncate — reliable when
-    * configured; the repo's multi-branch pattern) and
-    * the rank table is checkpointed per iteration — without that,
-    * each rank reference re-derives the whole prior lineage and the
-    * plan fans out 2^iters. Iterative operators compute at call time
-    * by nature (GraphX does the same); this is not the q82 lazy-gate
-    * situation.
+    * Scale shape per iteration: one NODE-sized join attaching outdeg
+    * to the rank table (the per-src contribution `rank div outdeg` is
+    * constant along a node's out-edges, so it divides once per node,
+    * never per edge), one equi-join of those contributions with the
+    * edge list on the src key, one map-side-combining groupBy on dst,
+    * one left join back to the node table — the standard
+    * Pregel-as-joins layout with the division hoisted. The edge
+    * list is hash-partitioned on `src` ONCE (an explicit repartition
+    * before the eager truncation, which localCheckpoint preserves), so
+    * the outdeg annotation AND every iteration's big join are
+    * exchange-free on the edge side — the only per-iteration shuffle
+    * is the map-side-combined in-mass aggregate, which is node-sized,
+    * not edge-sized. The round-12 sf1 profile that motivated this
+    * shape: the one-time setup (edge distinct + a second full edge
+    * exchange for the outdeg join) cost 2× the whole 3-round loop.
+    *
+    * `edgesDistinct = true` is the caller's guarantee that `edges`
+    * already holds DISTINCT (src, dst) rows, skipping the operator's
+    * own edge-sized distinct — callers often can dedup far cheaper
+    * pre-shaping (q93 dedups narrow int pairs before building string
+    * node ids and symmetrizing into disjoint orientations). A false
+    * guarantee inflates outdeg and double-pushes mass — wrong ranks,
+    * not a crash — so the default stays safe.
+    *
+    * `truncateEvery` checkpoints the rank table every K rounds instead
+    * of every round. `ranks` is referenced exactly ONCE per round, so
+    * lineage between truncations grows LINEARLY (unlike the CC star
+    * rounds, whose multi-reference input made fused rounds recompute —
+    * the round-10 regression); folding rounds removes per-round job
+    * barriers, which at cluster scale are round-trip-latency floors.
+    * The default (1) preserves the round-11 behavior; q93 folds all 3
+    * rounds into the consuming action.
     *
     * Dangling nodes (no out-edges) simply leak their mass — the graded
     * graph is symmetric so none exist; a crawl-graph caller should add
@@ -46,13 +64,21 @@ object Graph {
     */
   def pageRank(edges: DataFrame, iters: Int,
       scale: Long = 1000000000000L, dampNum: Long = 85,
-      dampDen: Long = 100): DataFrame = {
+      dampDen: Long = 100, edgesDistinct: Boolean = false,
+      truncateEvery: Int = 1): DataFrame = {
     require(iters >= 1 && dampNum >= 0 && dampNum <= dampDen)
-    val e = edges.select(col("src"), col("dst")).distinct()
-      .truncated
-    val eOut = e
-      .join(e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")),
-        Seq("src"))
+    require(truncateEvery >= 1)
+    val pre = edges.select(col("src"), col("dst"))
+    val dedup = if (edgesDistinct) pre else pre.distinct()
+    val e = dedup.repartition(col("src")).truncated
+    // outdeg lives on the NODE side, not annotated onto every edge:
+    // `rank div outdeg` is constant per src, so dividing on the
+    // node-sized rank table before the edge join is the same mass —
+    // and the edge-sized eOut materialization (an 11.7M-row 3-col
+    // checkpoint at the sf1 profile, 2.6 s of setup) disappears.
+    // hash(src)-partitioned like e, so the per-iteration joins stay
+    // exchange-free on both keyed sides.
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
       .truncated
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
@@ -66,18 +92,20 @@ object Graph {
     val teleport = (init * (dampDen - dampNum)) / dampDen
 
     var ranks = nodes.select(col("node"), lit(init).as("rank"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val inMass = ranks
-        .join(eOut, col("node") === col("src"))
-        .select(col("dst"), expr("rank div outdeg").as("c"))
+        .join(outdeg, col("node") === col("src"))
+        .select(col("src"), expr("rank div outdeg").as("c"))
+        .join(e, Seq("src"))
+        .select(col("dst"), col("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("in_mass"))
-      ranks = nodes
+      val next = nodes
         .join(inMass, col("node") === col("dst"), "left")
         .select(col("node"),
           (lit(teleport) +
             expr(s"(coalesce(in_mass, 0L) * $dampNum) div $dampDen"))
             .as("rank"))
-        .truncated
+      ranks = if (i % truncateEvery == 0) next.truncated else next
     }
     ranks
   }

@@ -539,6 +539,18 @@ object CurationQueries {
     * same way). Every rank is exact integer mass, so a 3-hop iterative
     * computation hash-matches DuckDB's unrolled replay — something no
     * float PageRank can promise. Top-100 by rank.
+    *
+    * Edge-build shape (round 12): the whole iteration runs on LONG
+    * surrogate node ids — custkey·2 for customers, suppkey·2+1 for
+    * suppliers, a disjoint injective encoding — and converts to the
+    * 'c…'/'s…' string labels only on the final node-sized rank table.
+    * Rank mass is invariant under graph isomorphism, so the surrogate
+    * graph's ranks ARE the string graph's ranks, at half the shuffle
+    * bytes and integer (not string) hashing in every setup and
+    * iteration exchange. The narrow int pair also dedups BEFORE
+    * symmetrizing into two disjoint orientations (even↔odd ids can
+    * never collide), so the union itself is distinct and
+    * `edgesDistinct = true` skips the operator's edge-sized distinct.
     */
   val q93PageRank: QueryDef = QueryDef(
     "q93_pagerank",
@@ -548,11 +560,20 @@ object CurationQueries {
       val l = Tables(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_suppkey"))
       val cs = o.join(l, col("o_orderkey") === col("l_orderkey"))
-        .select(concat(lit("c"), col("o_custkey")).as("src"),
-          concat(lit("s"), col("l_suppkey")).as("dst"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
+        .distinct()
+        .select((col("c").cast("long") * 2).as("src"),
+          (col("sk").cast("long") * 2 + 1).as("dst"))
       val edges = cs.union(
         cs.select(col("dst").as("src"), col("src").as("dst")))
-      graft.operators.Graph.pageRank(edges, iters = 3)
+      graft.operators.Graph.pageRank(edges, iters = 3,
+          edgesDistinct = true)
+        .select(
+          when(col("node") % 2 === 0,
+            concat(lit("c"), expr("node div 2")))
+            .otherwise(concat(lit("s"), expr("(node - 1) div 2")))
+            .as("node"),
+          col("rank"))
         .orderBy(col("rank").desc, col("node"))
         .limit(100)
     },
