@@ -61,12 +61,16 @@ object SparkEntry {
   /** The gated sf1 bench additionally times the near-dup pair
     * generators the round-11 explosive-join pins target (q34's adaptive
     * count/prefix join, q35's banded LSH) so the starvation fix has a
-    * per-round trend line at the scale where it bites. Kept OUT of the
-    * sf0.1 `scale_total` section so that number stays comparable across
+    * per-round trend line at the scale where it bites — extended in
+    * round 12 with the two remaining pinned near-dup family members
+    * (q36 SimHash pigeonhole, q37 grid-tile cosine), which the smoke
+    * covered but no gated artifact timed. Kept OUT of the sf0.1
+    * `scale_total` section so that number stays comparable across
     * rounds.
     */
   def scaleBenchSf1: Seq[QueryDef] = {
     val byName = defs.map(d => d.name -> d).toMap
-    scaleBench ++ Seq("q34_ngram_jaccard", "q35_minhash_lsh").map(byName)
+    scaleBench ++ Seq("q34_ngram_jaccard", "q35_minhash_lsh",
+      "q36_simhash_pairs", "q37_cosine_pairs").map(byName)
   }
 }

@@ -47,7 +47,8 @@ object ScaleQueries {
   val q30TextStats: QueryDef = QueryDef(
     "q30_text_stats",
     (s, dir) =>
-      Tables(s, dir, "documents")
+      graft.operators.Explosive.ensureMapParallelism(
+          Tables(s, dir, "documents"), col("doc_id"))
         .select(
           col("doc_id"),
           TextFunctions.tokenCount(col("text")).as("n_tokens"),
@@ -89,7 +90,8 @@ object ScaleQueries {
   val q31LangId: QueryDef = QueryDef(
     "q31_lang_id",
     (s, dir) =>
-      Tables(s, dir, "documents")
+      graft.operators.Explosive.ensureMapParallelism(
+          Tables(s, dir, "documents"), col("doc_id"))
         .select(col("doc_id"),
           TextFunctions.langId(col("text")).as("lang_pred"))
         .orderBy(col("doc_id")),
@@ -120,12 +122,19 @@ object ScaleQueries {
   // ---------------------------------------------------------------- q32
   /** Document fingerprinting: the codegen'd RollingHash expression
     * (31-base polynomial mod 1e9+7) plus a 32-bit token SimHash per
-    * document — integer-exact, engine-replayable, map-only.
+    * document — integer-exact, engine-replayable, map-only. The scan
+    * rides [[graft.operators.Explosive.ensureMapParallelism]]: the
+    * per-token SimHash is the heaviest pure-map expression in the
+    * text family, and on a compact few-split parquet it otherwise
+    * executes inside a ~2-task scan stage (round-12 probe at sf1:
+    * 20.3 s starved → see bench/PROFILE_PAGERANK_r12 companion note;
+    * a many-split cluster scan makes the guard a no-op).
     */
   val q32Fingerprint: QueryDef = QueryDef(
     "q32_fingerprint",
     (s, dir) =>
-      Tables(s, dir, "documents")
+      graft.operators.Explosive.ensureMapParallelism(
+          Tables(s, dir, "documents"), col("doc_id"))
         .select(col("doc_id"),
           rolling_hash(col("text")).as("fingerprint"),
           TextFunctions.simhash(col("text")).as("simhash"))
@@ -636,7 +645,8 @@ object ScaleQueries {
   val q52TokenCost: QueryDef = QueryDef(
     "q52_token_cost",
     (s, dir) =>
-      Tables(s, dir, "documents").select(
+      graft.operators.Explosive.ensureMapParallelism(
+          Tables(s, dir, "documents"), col("doc_id")).select(
         col("doc_id"),
         TextFunctions.tokenCount(col("text")).as("n_ws_tokens"),
         TextFunctions.bpeIshTokenCount(col("text")).as("n_bpe_tokens"),
@@ -808,7 +818,8 @@ object ScaleQueries {
   val q61Repetition: QueryDef = QueryDef(
     "q61_repetition",
     (s, dir) =>
-      Tables(s, dir, "documents")
+      graft.operators.Explosive.ensureMapParallelism(
+          Tables(s, dir, "documents"), col("doc_id"))
         .select(col("doc_id"),
           graft.plans.TokenNgramStats.token_ngram_stats(col("text"), 1).as("u"),
           graft.plans.TokenNgramStats.token_ngram_stats(col("text"), 2).as("b"))
