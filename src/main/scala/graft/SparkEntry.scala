@@ -64,13 +64,16 @@ object SparkEntry {
     * per-round trend line at the scale where it bites — extended in
     * round 12 with the two remaining pinned near-dup family members
     * (q36 SimHash pigeonhole, q37 grid-tile cosine), which the smoke
-    * covered but no gated artifact timed. Kept OUT of the sf0.1
-    * `scale_total` section so that number stays comparable across
-    * rounds.
+    * covered but no gated artifact timed, and one stateful streaming
+    * drain (q118 count-min over the micro-batched events feed) so
+    * stream latency has a gated trend line at 100× grading scale.
+    * Kept OUT of the sf0.1 `scale_total` section so that number stays
+    * comparable across rounds.
     */
   def scaleBenchSf1: Seq[QueryDef] = {
     val byName = defs.map(d => d.name -> d).toMap
     scaleBench ++ Seq("q34_ngram_jaccard", "q35_minhash_lsh",
-      "q36_simhash_pairs", "q37_cosine_pairs").map(byName)
+      "q36_simhash_pairs", "q37_cosine_pairs",
+      "q118_stream_count_min").map(byName)
   }
 }

@@ -1556,6 +1556,93 @@ ${bfsCtes("b", "s2", 4)}
     q226UpsertSnapshot.oracle,
   )
 
+  // --------------------------------------------------------------- q235
+  /** The versioned store's COMPOSED lifecycle in one graded chain
+    * (round 12) — upsert ×3 → time-travel → compact → diff —
+    * complementing q226–q229's per-operation grades: q226's three
+    * keep-latest batches build the store fresh, generation 2 is read
+    * back AS OF (the state after two batches), the LIVE generation is
+    * compacted into a new path, and [[graft.operators.SnapshotDiff
+    * .diff]] of (generation 2 → compacted live) emits exactly batch
+    * 3's effect as a changelog. The oracle replays both states
+    * independently from the raw feed and full-outer-joins them — a
+    * green row proves the four lifecycle stages COMPOSE: time travel
+    * reads the exact pre-batch-3 state, compaction didn't change the
+    * live answer, and the diff is the true delta between them
+    * ('removed' is impossible under pure upserts, which the chain
+    * also certifies by producing none).
+    *
+    * Scale shape: the batches and merge are q226's keyed shuffles;
+    * the diff is one full-outer join on the store key — co-partitioned
+    * when both sides bucket on it, never edge-sized.
+    */
+  val q235StoreLifecycle: QueryDef = QueryDef(
+    "q235_store_lifecycle",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val tag = s"${ProcessHandle.current().pid()}_" +
+        Integer.toHexString(dir.hashCode)
+      val store = s"/tmp/graft_q235_store_$tag"
+      val cpath = s"/tmp/graft_q235_compact_$tag"
+      val conf = s.sessionState.newHadoopConf()
+      Seq(store, cpath).foreach { p =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(conf).delete(hp, true)
+      }
+      val ev = Tables(s, dir, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull
+          && col("event_id").isNotNull)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("ord",
+          format_string("%020d|%012d", col("us"), col("event_id")))
+      (0L to 2L).foreach { i =>
+        val b = ev.filter(pmod(col("event_id"), lit(3L)) === i)
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ord").desc)
+        val latest = b.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+        graft.sources.Sinks.upsertParquet(latest, store,
+          Seq("user_id"), "ord")
+      }
+      val gen2 = graft.sources.Sinks.readSnapshotAt(s, store, 2L)
+        .select(col("user_id"), col("event_id"), col("us"))
+      graft.sources.Sinks.compactParquet(s, store, cpath)
+      val live = s.read.parquet(cpath)
+        .select(col("user_id"), col("event_id"), col("us"))
+      graft.operators.SnapshotDiff.diff(gen2, live, "user_id",
+          Seq("event_id", "us"))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_id,
+          CAST(epoch_ns(ts) // 1000 AS BIGINT) AS us
+        FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          AND event_id IS NOT NULL),
+      s2 AS (
+        SELECT user_id, event_id, us FROM (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY user_id ORDER BY us DESC, event_id DESC) AS rn
+          FROM e WHERE event_id % 3 IN (0, 1)) WHERE rn = 1),
+      s3 AS (
+        SELECT user_id, event_id, us FROM (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY user_id ORDER BY us DESC, event_id DESC) AS rn
+          FROM e) WHERE rn = 1)
+      SELECT COALESCE(s3.user_id, s2.user_id) AS user_id,
+        CASE WHEN s2.user_id IS NULL THEN 'added'
+             WHEN s2.event_id <> s3.event_id OR s2.us <> s3.us
+               THEN 'changed' END AS change_type,
+        s2.event_id AS old_event_id, s3.event_id AS new_event_id,
+        s2.us AS old_us, s3.us AS new_us
+      FROM s2 FULL JOIN s3 ON s2.user_id = s3.user_id
+      WHERE s2.user_id IS NULL
+         OR s2.event_id <> s3.event_id OR s2.us <> s3.us
+      ORDER BY user_id"""),
+  )
+
   val all: Seq[QueryDef] = Seq(q201Rfm, q202Abc, q203Assortativity,
     q204JsonNested, q205Covariance, q206RadiusJoin, q207Dbscan,
     q208SeasonalNaive, q209SessionPaths, q210LinearAttribution,
@@ -1565,5 +1652,5 @@ ${bfsCtes("b", "s2", 4)}
     q220Eccentricity, q221EmbeddingDrift, q222SortedNeighborhood,
     q223Conformal, q224LtvCurve, q225NewVsReturning,
     q226UpsertSnapshot, q227StreamUpsertSnapshot, q228StoreTimeTravel,
-    q229CompactedStore)
+    q229CompactedStore, q235StoreLifecycle)
 }
