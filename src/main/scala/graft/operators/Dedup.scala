@@ -288,10 +288,27 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming.
-    * Pigeonhole blocking: split the 32-bit signature into maxHamming+1
+    * Pigeonhole blocking: split the nBits signature into maxHamming+1
     * chunks — any pair within the radius shares at least one exact
     * chunk — then verify with bit_count(xor). Exact (blocking is
-    * lossless by pigeonhole), linear-ish candidates at scale.
+    * lossless by pigeonhole).
+    *
+    * The quadratic stage runs over DISTINCT SIGNATURES, not documents
+    * (round 12): a near-dup-saturated corpus — the regime this
+    * operator exists for — has far fewer signatures than documents,
+    * and every per-document computation here is a pure function of
+    * the signature. At sf1 (50 k docs, ~10 copies each) the
+    * document-level pigeonhole join generated 1.99 BILLION candidates
+    * (top bucket 27 863 docs ⇒ 776 M candidates from one bucket
+    * alone); signature-level blocking generates the same information
+    * from the distinct-sig buckets, then expands surviving signature
+    * pairs back to id pairs with two member joins plus a same-sig
+    * self-join — pure OUTPUT-sized join fan-out, which is the
+    * irreducible part (the answer itself is every qualifying pair).
+    * Equality with the per-document join: hamming(sig_a, sig_b) is
+    * constant over the members, hamming = 0 ⟺ equal signatures (the
+    * same-sig branch), and distinct ids always carry one signature
+    * each.
     */
   def simhashPairs(docs: DataFrame, id: Column, text: Column,
       maxHamming: Int = 3, nBits: Int = 32): DataFrame = {
@@ -302,7 +319,8 @@ object Dedup {
       .select(col("id"),
         TextFunctions.simhash(col("__text"), nBits).as("sig"))
     val sig = sigQuery.truncated
-    val blocked = sig.select(col("id"), col("sig"),
+    val groups = sig.select(col("sig")).distinct().truncated
+    val blocked = groups.select(col("sig"),
       posexplode(transform(sequence(lit(0), lit(chunks - 1)), ch =>
         graft.functions.TextFunctions.shiftRight(col("sig"),
             (ch * chunkBits).cast("int"))
@@ -310,23 +328,36 @@ object Dedup {
       .withColumnRenamed("pos", "chunk")
       .withColumnRenamed("col", "chunk_val")
     // chunk self-join: same explosive-blocker shape, same gated pin
-    val pin = AdaptiveStrategy.cachedLong("simhash-docs",
+    val pin = AdaptiveStrategy.cachedLong("simhash-sigs",
         sigQuery.queryExecution.analyzed.semanticHash()) {
-      sig.count()
+      groups.count()
     } * chunks > Explosive.pinRows(docs)
-    val ba = Explosive.maybePin(blocked.select(col("id").as("id_a"),
-      col("sig").as("sig_a"), col("chunk"), col("chunk_val")),
-      pin, col("chunk"), col("chunk_val"))
-    val bb = Explosive.maybePin(blocked.select(col("id").as("id_b"),
-      col("sig").as("sig_b"), col("chunk"), col("chunk_val")),
-      pin, col("chunk"), col("chunk_val"))
-    ba.join(bb, Seq("chunk", "chunk_val"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sig_a", "sig_b").distinct()
+    val ga = Explosive.maybePin(blocked.select(col("sig").as("sig_a"),
+      col("chunk"), col("chunk_val")), pin, col("chunk"), col("chunk_val"))
+    val gb = Explosive.maybePin(blocked.select(col("sig").as("sig_b"),
+      col("chunk"), col("chunk_val")), pin, col("chunk"), col("chunk_val"))
+    // verify BEFORE the dedup: bit_count(xor) is a codegen'd streaming
+    // filter, so the distinct shuffles only surviving SIGNATURE pairs
+    // (a pair colliding in several chunks appears up to `chunks` times)
+    val sigPairs = Checkpoints.truncate(ga
+      .join(gb, Seq("chunk", "chunk_val"))
+      .filter(col("sig_a") < col("sig_b"))
       .withColumn("hamming",
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
+      .select("sig_a", "sig_b", "hamming").distinct())
+    val cross = sigPairs
+      .join(sig.select(col("sig").as("sig_a"), col("id").as("ia")),
+        Seq("sig_a"))
+      .join(sig.select(col("sig").as("sig_b"), col("id").as("ib")),
+        Seq("sig_b"))
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"), col("hamming"))
+    val same = sig.select(col("sig"), col("id").as("id_a"))
+      .join(sig.select(col("sig"), col("id").as("id_b")), Seq("sig"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), lit(0L).as("hamming"))
+    cross.union(same)
   }
 
   /** Exact embedding-cosine near-dup pairs via a triangular grid-tile

@@ -55,8 +55,11 @@ object Graph {
     * rounds, whose multi-reference input made fused rounds recompute —
     * the round-10 regression); folding rounds removes per-round job
     * barriers, which at cluster scale are round-trip-latency floors.
-    * The default (1) preserves the round-11 behavior; q93 folds all 3
-    * rounds into the consuming action.
+    * The default (1) preserves the round-11 behavior — and the sf1
+    * profile measured folding as a PESSIMIZATION locally (8.9 s vs
+    * 6.5 s for the 3-round loop: AQE replans each round better from
+    * materialized stats), so q93 keeps the default; the knob is for
+    * barrier-latency-bound cluster callers.
     *
     * Dangling nodes (no out-edges) simply leak their mass — the graded
     * graph is symmetric so none exist; a crawl-graph caller should add
