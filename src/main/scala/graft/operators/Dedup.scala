@@ -385,25 +385,55 @@ object Dedup {
   def cosinePairs(emb: DataFrame, id: Column, vec: Column,
       threshold: Double, gridSide: Int = 8): DataFrame = {
     import graft.plans.DotProduct.dot_product
-    val e = emb.select(id.as("id"), vec.as("v"))
+    val raw = emb.select(id.as("id"), vec.as("v"))
+    // Collapse IDENTICAL vectors before the quadratic stage (round 12):
+    // cosine is a pure function of the two vectors, and the corpora
+    // this operator exists for are duplicate-saturated — at sf1 the
+    // table holds 20 k rows but 2 k distinct vectors, so the tile join
+    // scores 100× fewer pairs and qualifying vector pairs expand back
+    // to id pairs with output-sized joins on the group key. Same-group
+    // pairs keep the ORIGINAL floating arithmetic (dot(v,v)/norm², not
+    // a literal 1.0) so every emitted cosine is bit-identical to the
+    // per-id join's.
+    val groups = Checkpoints.truncate(
+      raw.groupBy(col("v")).agg(min(col("id")).as("gid")))
+    val members = Checkpoints.truncate(
+      raw.join(groups, Seq("v")).select(col("id"), col("gid")))
+    val e = groups
       .withColumn("norm", sqrt(dot_product(col("v"), col("v"))))
-      .withColumn("blk", pmod(xxhash64(col("id")), lit(gridSide)).cast("int"))
-    val left = e.select(col("id").as("id_l"), col("v").as("v_l"),
+      .withColumn("blk", pmod(xxhash64(col("gid")), lit(gridSide)).cast("int"))
+    val left = e.select(col("gid").as("gid_l"), col("v").as("v_l"),
         col("norm").as("n_l"), col("blk").as("ti"))
       .withColumn("tj", explode(sequence(col("ti"), lit(gridSide - 1))))
-    val right = e.select(col("id").as("id_r"), col("v").as("v_r"),
+    val right = e.select(col("gid").as("gid_r"), col("v").as("v_r"),
         col("norm").as("n_r"), col("blk").as("tj"))
       .withColumn("ti", explode(sequence(lit(0), col("tj"))))
-    left.join(right, Seq("ti", "tj"))
+    val survivors = left.join(right, Seq("ti", "tj"))
       // off-diagonal tiles see each pair once; diagonal tiles see both
-      // orderings, so break the tie on id there
-      .filter(col("ti") < col("tj") || col("id_l") < col("id_r"))
+      // orderings, so break the tie on the group id there
+      .filter(col("ti") < col("tj") || col("gid_l") < col("gid_r"))
       .withColumn("cosine",
         dot_product(col("v_l"), col("v_r")) / (col("n_l") * col("n_r")))
       .filter(col("cosine") >= threshold)
-      .select(least(col("id_l"), col("id_r")).as("id_a"),
-        greatest(col("id_l"), col("id_r")).as("id_b"),
+      .select(col("gid_l"), col("gid_r"), col("cosine"))
+    val cross = survivors
+      .join(members.select(col("gid").as("gid_l"), col("id").as("ia")),
+        Seq("gid_l"))
+      .join(members.select(col("gid").as("gid_r"), col("id").as("ib")),
+        Seq("gid_r"))
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"),
         round(col("cosine"), 6).as("cosine"))
+    val self = e
+      .withColumn("cosine",
+        dot_product(col("v"), col("v")) / (col("norm") * col("norm")))
+      .filter(col("cosine") >= threshold)
+      .select(col("gid"), col("cosine"))
+      .join(members.select(col("gid"), col("id").as("id_a")), Seq("gid"))
+      .join(members.select(col("gid"), col("id").as("id_b")), Seq("gid"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+    cross.union(self)
   }
 
   /** Approximate embedding-cosine near-dup pairs — the sublinear scale
