@@ -71,7 +71,21 @@ object Dedup {
       .select(col("id"),
         graft.plans.ShingleHashes.shingle_hashes(col("__text"), n).as("sh"))
       .filter(size(col("sh")) > 0)
-    val sh = shQuery.truncated
+    val shAll = shQuery.truncated
+    // Collapse IDENTICAL shingle arrays before the quadratic stage
+    // (round 12, the q36/q37 move): Jaccard is a pure function of the
+    // two shingle sets, and near-dup corpora are duplicate-saturated.
+    // Grouping by ARRAY equality is correct whatever the array's
+    // internal order — equal arrays have Jaccard exactly 1.0 (x/x
+    // divides to 1.0 in IEEE), and arrays that differ pair through the
+    // normal strategies. Qualifying group pairs expand back to id
+    // pairs with output-sized member joins.
+    val groups = Checkpoints.truncate(
+      shAll.groupBy(col("sh")).agg(min(col("id")).as("id")))
+    val members = Checkpoints.truncate(
+      shAll.join(groups.select(col("sh"), col("id").as("gid")), Seq("sh"))
+        .select(col("id"), col("gid")))
+    val sh = groups.select(col("id"), col("sh"))
     val planHash = shQuery.queryExecution.analyzed.semanticHash()
     val usePrefix = prefixFilter.getOrElse {
       AdaptiveStrategy.cached("ngram-prefix", planHash) {
@@ -86,8 +100,22 @@ object Dedup {
       sh.agg(coalesce(sum(size(col("sh")).cast("long")), lit(0L)))
         .head().getLong(0)
     } > Explosive.pinRows(docs)
-    if (usePrefix) prefixFilterPairs(sh, threshold, pin)
-    else countJoinPairs(sh, threshold, pin)
+    val groupPairs =
+      if (usePrefix) prefixFilterPairs(sh, threshold, pin)
+      else countJoinPairs(sh, threshold, pin)
+    val cross = groupPairs
+      .join(members.select(col("gid").as("id_a"), col("id").as("ia")),
+        Seq("id_a"))
+      .join(members.select(col("gid").as("id_b"), col("id").as("ib")),
+        Seq("id_b"))
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"), col("jaccard"))
+    val same = members.select(col("gid"), col("id").as("id_a"))
+      .join(members.select(col("gid"), col("id").as("id_b")), Seq("gid"))
+      .filter(col("id_a") < col("id_b") && lit(1.0) >= threshold)
+      .select(col("id_a"), col("id_b"),
+        round(lit(1.0), 6).as("jaccard"))
+    cross.union(same)
   }
 
   private def chooseNgramStrategy(sh: DataFrame): Boolean = {
