@@ -43,6 +43,7 @@ object ScaleSmoke {
     val names: Seq[String] =
       if (args.length > 2) args(2).split(",").toSeq
       else Seq("q33_dedup_exact", "q34_ngram_jaccard", "q35_minhash_lsh",
+        "q36_simhash_pairs", "q37_cosine_pairs",
         "q95_sparse_cosine", "q122_indexed_near_dedup", "q207_dbscan",
         "q93_pagerank", "q125_bpe_merges", "q141_hll_replay")
     val spark = SparkSession.builder()

@@ -411,9 +411,10 @@ object Dedup {
     * [[graft.operators.Similarity.lshTopK]] (vectors, approximate).
     */
   def cosinePairs(emb: DataFrame, id: Column, vec: Column,
-      threshold: Double, gridSide: Int = 8): DataFrame = {
+      threshold: Double, gridSide: Int = 8,
+      collapseDuplicates: Boolean = true): DataFrame = {
     import graft.plans.DotProduct.dot_product
-    val raw = emb.select(id.as("id"), vec.as("v"))
+    val raw0 = emb.select(id.as("id"), vec.as("v"))
     // Collapse IDENTICAL vectors before the quadratic stage (round 12):
     // cosine is a pure function of the two vectors, and the corpora
     // this operator exists for are duplicate-saturated — at sf1 the
@@ -422,11 +423,23 @@ object Dedup {
     // to id pairs with output-sized joins on the group key. Same-group
     // pairs keep the ORIGINAL floating arithmetic (dot(v,v)/norm², not
     // a literal 1.0) so every emitted cosine is bit-identical to the
-    // per-id join's.
-    val groups = Checkpoints.truncate(
-      raw.groupBy(col("v")).agg(min(col("id")).as("gid")))
-    val members = Checkpoints.truncate(
-      raw.join(groups, Seq("v")).select(col("id"), col("gid")))
+    // per-id join's. `collapseDuplicates = false` skips the collapse
+    // when the CALLER knows it cannot pay — the dense APSS path feeds
+    // vocab-wide synthesized vectors (~32 KB each) whose group-by
+    // shuffle costs more than the few duplicates it would remove
+    // (measured +8 s on q95 at sf1); with it off, the id doubles as
+    // its own group of one and the same plan shape runs.
+    val raw =
+      if (collapseDuplicates) raw0
+      else raw0.select(col("id"), col("v"), col("id").as("gid"))
+    val groups =
+      if (collapseDuplicates) Checkpoints.truncate(
+        raw.groupBy(col("v")).agg(min(col("id")).as("gid")))
+      else raw.select(col("v"), col("gid"))
+    val members =
+      if (collapseDuplicates) Checkpoints.truncate(
+        raw.join(groups, Seq("v")).select(col("id"), col("gid")))
+      else raw.select(col("id"), col("gid"))
     val e = groups
       .withColumn("norm", sqrt(dot_product(col("v"), col("v"))))
       .withColumn("blk", pmod(xxhash64(col("gid")), lit(gridSide)).cast("int"))

@@ -286,7 +286,11 @@ object Search {
       .select(col("doc_id"),
         transform(sequence(lit(0), col("vmax")),
           i => coalesce(element_at(col("m"), i), lit(0.0))).as("v"))
-    Dedup.cosinePairs(vecs, col("doc_id"), col("v"), threshold)
+    // collapseDuplicates off: these are vocab-wide synthesized vectors
+    // (~8 B × vocab each) — the duplicate-collapse group-by shuffles
+    // more bytes than the tile join saves (measured +8 s on q95 sf1)
+    Dedup.cosinePairs(vecs, col("doc_id"), col("v"), threshold,
+      collapseDuplicates = false)
   }
 
   /** Reciprocal-rank fusion (Cormack/Clarke/Büttcher) — the standard
