@@ -465,6 +465,10 @@ object Dedup {
       .select(least(col("ia"), col("ib")).as("id_a"),
         greatest(col("ia"), col("ib")).as("id_b"),
         round(col("cosine"), 6).as("cosine"))
+    // every group is a singleton with the collapse off, so the
+    // same-group branch is provably empty — skipping it avoids a third
+    // reference to the (possibly expensive) vector-construction subplan
+    if (!collapseDuplicates) return cross
     val self = e
       .withColumn("cosine",
         dot_product(col("v"), col("v")) / (col("norm") * col("norm")))
