@@ -457,6 +457,17 @@ object Dedup {
         dot_product(col("v_l"), col("v_r")) / (col("n_l") * col("n_r")))
       .filter(col("cosine") >= threshold)
       .select(col("gid_l"), col("gid_r"), col("cosine"))
+    // With the collapse off every group is the singleton {id}: the
+    // survivors' gids ARE the ids, the member joins are identities,
+    // and the same-group branch is provably empty. Emit directly —
+    // each skipped branch would otherwise RE-REFERENCE the caller's
+    // (possibly expensive, e.g. q95's vocab-wide densify) vector
+    // subplan, which only the real collapse path truncates.
+    if (!collapseDuplicates)
+      return survivors.select(
+        least(col("gid_l"), col("gid_r")).as("id_a"),
+        greatest(col("gid_l"), col("gid_r")).as("id_b"),
+        round(col("cosine"), 6).as("cosine"))
     val cross = survivors
       .join(members.select(col("gid").as("gid_l"), col("id").as("ia")),
         Seq("gid_l"))
@@ -465,10 +476,6 @@ object Dedup {
       .select(least(col("ia"), col("ib")).as("id_a"),
         greatest(col("ia"), col("ib")).as("id_b"),
         round(col("cosine"), 6).as("cosine"))
-    // every group is a singleton with the collapse off, so the
-    // same-group branch is provably empty — skipping it avoids a third
-    // reference to the (possibly expensive) vector-construction subplan
-    if (!collapseDuplicates) return cross
     val self = e
       .withColumn("cosine",
         dot_product(col("v"), col("v")) / (col("norm") * col("norm")))
