@@ -72,24 +72,30 @@ object Dedup {
         graft.plans.ShingleHashes.shingle_hashes(col("__text"), n).as("sh"))
       .filter(size(col("sh")) > 0)
     val shAll = shQuery.truncated
-    // Collapse IDENTICAL shingle arrays before the quadratic stage
-    // (round 12, the q36/q37 move): Jaccard is a pure function of the
-    // two shingle sets, and near-dup corpora are duplicate-saturated.
-    // Grouping by ARRAY equality is correct whatever the array's
-    // internal order — equal arrays have Jaccard exactly 1.0 (x/x
-    // divides to 1.0 in IEEE), and arrays that differ pair through the
-    // normal strategies. Qualifying group pairs expand back to id
-    // pairs with output-sized member joins.
-    val groups = Checkpoints.truncate(
-      shAll.groupBy(col("sh")).agg(min(col("id")).as("id")))
-    val members = Checkpoints.truncate(
-      shAll.join(groups.select(col("sh"), col("id").as("gid")), Seq("sh"))
-        .select(col("id"), col("gid")))
-    val sh = groups.select(col("id"), col("sh"))
     val planHash = shQuery.queryExecution.analyzed.semanticHash()
+    // Collapse IDENTICAL shingle arrays before the quadratic stage
+    // (round 12, the q36/q37 move) — ADAPTIVELY: Jaccard is a pure
+    // function of the two shingle sets, so on a duplicate-saturated
+    // corpus the collapse shrinks the candidate join quadratically,
+    // but on a mostly-unique corpus the group-by + member joins are
+    // pure overhead (measured +0.4 s on q34's sf0.1 headline row,
+    // ~zero duplicates there). Gate on the observed duplicate
+    // fraction — approx_count_distinct suffices because BOTH branches
+    // are exact; the stat is cached per logical input like the
+    // strategy gate below. Grouping by ARRAY equality is correct
+    // whatever the array's internal order: equal arrays have Jaccard
+    // exactly 1.0 (x/x divides to 1.0 in IEEE), and arrays that
+    // differ pair through the normal strategies.
+    val collapse = AdaptiveStrategy.cached("ngram-collapse", planHash) {
+      val r = shAll.agg(count(lit(1)).as("n"),
+        approx_count_distinct(col("sh")).as("d")).head()
+      // collapse once ≥20% of documents are byte-identical at the
+      // shingle level (well past approx_count_distinct's ~2% error)
+      r.getLong(1) * 5L <= r.getLong(0) * 4L
+    }
     val usePrefix = prefixFilter.getOrElse {
       AdaptiveStrategy.cached("ngram-prefix", planHash) {
-        chooseNgramStrategy(sh)
+        chooseNgramStrategy(shAll)
       }
     }
     // the posting self-join is explosive (post-join candidate volume,
@@ -97,12 +103,19 @@ object Dedup {
     // unpinned+AQE-starved it ground 1.4e8 sf1 candidates through ~2
     // reducers (~100 s); pinned it spreads them over every core
     val pin = AdaptiveStrategy.cachedLong("ngram-postings", planHash) {
-      sh.agg(coalesce(sum(size(col("sh")).cast("long")), lit(0L)))
+      shAll.agg(coalesce(sum(size(col("sh")).cast("long")), lit(0L)))
         .head().getLong(0)
     } > Explosive.pinRows(docs)
-    val groupPairs =
+    def pairsOver(sh: DataFrame): DataFrame =
       if (usePrefix) prefixFilterPairs(sh, threshold, pin)
       else countJoinPairs(sh, threshold, pin)
+    if (!collapse) return pairsOver(shAll)
+    val groups = Checkpoints.truncate(
+      shAll.groupBy(col("sh")).agg(min(col("id")).as("id")))
+    val members = Checkpoints.truncate(
+      shAll.join(groups.select(col("sh"), col("id").as("gid")), Seq("sh"))
+        .select(col("id"), col("gid")))
+    val groupPairs = pairsOver(groups.select(col("id"), col("sh")))
     val cross = groupPairs
       .join(members.select(col("gid").as("id_a"), col("id").as("ia")),
         Seq("id_a"))
