@@ -88,6 +88,49 @@ class ScaleSpec extends SparkSpec {
     assert(b.exceptAll(a).count() === 0)
   }
 
+  test("duplicate-collapse gate: Jaccard pairs identical on both sides " +
+      "of the duplicate-fraction gate, vs an in-JVM reference") {
+    // reference: brute-force Jaccard over the operator's own shingle
+    // sets (so only the PAIRING machinery is under test)
+    def refPairs(rows: Seq[(Long, String)]): Set[(Long, Long)] = {
+      val sets = rows.map { case (i, t) =>
+        i -> t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+      }.filter(_._2.nonEmpty)
+      (for {
+        (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+        j = sa.intersect(sb).size.toDouble / sa.union(sb).size
+        if j >= 0.8
+      } yield (ia, ib)).toSet
+    }
+    val uniqueRows = (1L to 40L).map(i =>
+      i -> s"alpha bravo charlie delta echo ${i} foxtrot golf hotel india")
+    // duplicate-saturated: 10 base texts, 4 copies each (gate fires)
+    val dupRows = (0L until 40L).map(i =>
+      i -> s"alpha bravo charlie delta echo ${i % 10} foxtrot golf hotel india")
+    for ((rows, label) <- Seq((uniqueRows, "unique"), (dupRows, "duped"))) {
+      val got = Dedup.ngramJaccardPairs(rows.toDF("doc_id", "text"),
+          col("doc_id"), col("text"), 3, 0.8)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(got === refPairs(rows), label)
+    }
+    assert(refPairs(dupRows).nonEmpty, "duped corpus must have pairs")
+  }
+
+  test("cosinePairs: collapse on and off produce identical pairs on a " +
+      "duplicated embedding table") {
+    val emb = (0L until 30L).map { i =>
+      (i, Array.tabulate(8)(d => ((i % 6) * 7 + d).toFloat / 10f))
+    }.toDF("vec_id", "embedding")
+    def run(collapse: Boolean) =
+      Dedup.cosinePairs(emb, col("vec_id"), col("embedding"), 0.9,
+          collapseDuplicates = collapse)
+        .as[(Long, Long, Double)].collect().toSet
+    val on = run(true)
+    val off = run(false)
+    assert(on === off)
+    assert(on.nonEmpty, "duplicated vectors must pair at cosine 1.0")
+  }
+
   test("ShingleHashes equals the lambda shingling bit-for-bit") {
     val docs = Tables(spark, sfDir, "documents")
       .unionByName(Seq((90001L, "a  b c d a b", "en"),
