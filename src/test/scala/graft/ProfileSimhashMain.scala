@@ -60,20 +60,43 @@ object ProfileSimhashMain {
           max(col("n")).as("max_bucket"))
         .show(false)
     }
-    val ba = blocked.select(col("id").as("id_a"), col("sig").as("sig_a"),
-      col("chunk"), col("chunk_val"))
-    val bb = blocked.select(col("id").as("id_b"), col("sig").as("sig_b"),
-      col("chunk"), col("chunk_val"))
-    val cand = mat("join+verify (pre-distinct)") {
-      ba.join(bb, Seq("chunk", "chunk_val"))
-        .filter(col("id_a") < col("id_b"))
+    // historical note: the r12 pre-fix DOCUMENT-level join measured
+    // here generated 1.99B candidates / 193M survivors at sf1 and
+    // OOM'd the survivor distinct — that measurement motivated the
+    // shipped sig-level rewrite, profiled below.
+    val groups = mat("groups (distinct signatures)") {
+      sig.select(col("sig")).distinct()
+    }
+    val gBlocked = groups.select(col("sig"),
+      posexplode(transform(sequence(lit(0), lit(chunks - 1)), ch =>
+        graft.functions.TextFunctions.shiftRight(col("sig"),
+            (ch * chunkBits).cast("int"))
+          .bitwiseAND((1L << chunkBits) - 1))))
+      .withColumnRenamed("pos", "chunk")
+      .withColumnRenamed("col", "chunk_val")
+    val ga = gBlocked.select(col("sig").as("sig_a"), col("chunk"),
+      col("chunk_val"))
+    val gb = gBlocked.select(col("sig").as("sig_b"), col("chunk"),
+      col("chunk_val"))
+    val sigPairs = mat("sig-level join+verify+distinct") {
+      ga.join(gb, Seq("chunk", "chunk_val"))
+        .filter(col("sig_a") < col("sig_b"))
         .withColumn("hamming",
           bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
         .filter(col("hamming") <= 3)
-        .select("id_a", "id_b", "hamming")
+        .select("sig_a", "sig_b", "hamming").distinct()
     }
-    timed("distinct (survivors)") {
-      println("[prof]   survivors distinct=" + cand.distinct().count())
+    timed("member expansion (output-sized)") {
+      val cross = sigPairs
+        .join(sig.select(col("sig").as("sig_a"), col("id").as("ia")),
+          Seq("sig_a"))
+        .join(sig.select(col("sig").as("sig_b"), col("id").as("ib")),
+          Seq("sig_b"))
+      val same = sig.select(col("sig"), col("id").as("ia"))
+        .join(sig.select(col("sig"), col("id").as("ib")), Seq("sig"))
+        .filter(col("ia") < col("ib"))
+      println("[prof]   expanded pairs=" +
+        (cross.count() + same.count()))
     }
     spark.stop()
   }
