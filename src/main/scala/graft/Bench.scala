@@ -33,7 +33,15 @@ import org.apache.spark.sql.SparkSession
   *    while 32-thread queries starve. [[BenchGates.cpuCalibParMs]]
   *    measures the max-of-32-concurrent-spins wall before and after
   *    the run; a parallel/single ratio above
-  *    [[BenchGates.ParRatioMax]] marks the artifact `"valid":false`.
+  *    [[BenchGates.ParRatioMax]] marks the artifact `"valid":false`;
+  *  - RETRY-UNTIL-CLEAN (round 13): the r12 driver artifact shipped
+  *    `"valid":false` — the gate WORKED (a contender was stealing
+  *    cores) but the canonical trend file a reader grabs first was a
+  *    flagged load measurement. The whole timed run now sleep-retries
+  *    (bounded, SPARK_GRAFT_BENCH_ATTEMPTS, default 3) until the
+  *    artifact ends valid, the same way the startup gate already
+  *    sleep-retries on loadavg; only if every attempt is contaminated
+  *    does the LAST attempt's flagged artifact ship.
   */
 object Bench {
 
@@ -43,10 +51,6 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
     val counter = graft.plans.CodegenWatch.install()
-    val valid = waitForIdle()
-    val loadBefore = loadavg()
-    val calibMs = cpuCalibMs()
-    val parMs = cpuCalibParMs()
     val spark = SparkSession.builder()
       .withExtensions(new graft.plans.GraftExtensions)
       .master(s"local[$cpus]")
@@ -85,50 +89,61 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
 
-    val results = timeSection(SparkEntry.headline)
-    val qs = toJsonObj(results)
-    val total = results.map(_._2).filter(_ >= 0).sum
-    // second section (round 9): the 100 TB scale families — APSS,
-    // stored-index near-dedup, BPE training, PageRank, DBSCAN, HLL —
-    // previously invisible to the per-round artifact
-    val scaleResults = timeSection(SparkEntry.scaleBench)
-    val scaleQs = toJsonObj(scaleResults)
-    val scaleTotal = scaleResults.map(_._2).filter(_ >= 0).sum
-    // calib-normalized value: seconds this run WOULD have taken on the
-    // round-8 reference host (cpu_calib_ms = 284 on the r8 recorded
-    // artifact). Cross-round comparison becomes a field read instead of
-    // reader arithmetic: compare value_per_calib to value_per_calib.
-    val refCalibMs = 284.0
-    val calibRatio = calibMs.toDouble / refCalibMs
-    val valuePerCalib = total / calibRatio
-    val scalePerCalib = scaleTotal / calibRatio
-    val compileExceptions = counter.count.get()
-    // mid-run contamination check (round 11): the r10 driver artifact
-    // passed the STARTUP load gate yet recorded on a contended host
-    // (calib 339 vs 284) and misled trend readers. Re-spin the
-    // calibration AFTER the run; >15% drift means the host changed
-    // speed mid-bench and the numbers are a load measurement.
-    val calibAfterMs = cpuCalibMs()
-    val parAfterMs = cpuCalibParMs()
-    val calibDrift =
-      math.abs(calibAfterMs - calibMs).toDouble / calibMs.toDouble
-    // the ALL-CORES probe (round 12): the single-thread spin and the
-    // loadavg gate both passed on the contaminated r10/r11 driver
-    // artifacts — a contender leaves one core free. The parallel/
-    // single ratio, before and after, is what actually sees it.
-    val parRatio = parMs.toDouble / calibMs.toDouble
-    val parRatioAfter = parAfterMs.toDouble / calibAfterMs.toDouble
-    val parClean = parRatio <= ParRatioMax && parRatioAfter <= ParRatioMax
-    val validFinal = valid && calibDrift <= 0.15 && parClean
-    if (!parClean) System.err.println(
-      f"[bench] WARN: all-cores calibration ratio $parRatio%.2f/" +
-        f"$parRatioAfter%.2f exceeds $ParRatioMax%.2f — another " +
-        "multi-core job is stealing cores; artifact carries \"valid\":false")
-    else if (!validFinal && valid) System.err.println(
-      f"[bench] WARN: calibration drifted $calibDrift%.2f mid-run " +
-        s"($calibMs -> $calibAfterMs ms) — artifact carries \"valid\":false")
-    val json =
-      f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","valid":$validFinal,"queries":$qs,"scale_total":$scaleTotal%.3f,"scale_queries":$scaleQs,"value_per_calib":$valuePerCalib%.3f,"scale_total_per_calib":$scalePerCalib%.3f,"ref_calib_ms":284,"sf":"$sfDir","loadavg_before":"$loadBefore","loadavg_after":"${loadavg()}","cpu_calib_ms":$calibMs,"cpu_calib_after_ms":$calibAfterMs,"cpu_calib_par_ms":$parMs,"cpu_calib_par_after_ms":$parAfterMs,"par_ratio":$parRatio%.3f,"par_ratio_after":$parRatioAfter%.3f,"par_ratio_max":$ParRatioMax%.2f,"compile_exceptions":$compileExceptions}"""
+    // one full gated measurement: idle gate, before-calibrations, the
+    // timed sections, after-calibrations → (artifact JSON, validFinal)
+    def attempt(): (String, Boolean) = {
+      val valid = waitForIdle()
+      val loadBefore = loadavg()
+      val calibMs = cpuCalibMs()
+      val parMs = cpuCalibParMs()
+      val results = timeSection(SparkEntry.headline)
+      val qs = toJsonObj(results)
+      val total = results.map(_._2).filter(_ >= 0).sum
+      // second section (round 9): the 100 TB scale families — APSS,
+      // stored-index near-dedup, BPE training, PageRank, DBSCAN, HLL —
+      // previously invisible to the per-round artifact
+      val scaleResults = timeSection(SparkEntry.scaleBench)
+      val scaleQs = toJsonObj(scaleResults)
+      val scaleTotal = scaleResults.map(_._2).filter(_ >= 0).sum
+      // calib-normalized value: seconds this run WOULD have taken on the
+      // round-8 reference host (cpu_calib_ms = 284 on the r8 recorded
+      // artifact). Cross-round comparison becomes a field read instead of
+      // reader arithmetic: compare value_per_calib to value_per_calib.
+      val refCalibMs = 284.0
+      val calibRatio = calibMs.toDouble / refCalibMs
+      val valuePerCalib = total / calibRatio
+      val scalePerCalib = scaleTotal / calibRatio
+      val compileExceptions = counter.count.get()
+      // mid-run contamination check (round 11): the r10 driver artifact
+      // passed the STARTUP load gate yet recorded on a contended host
+      // (calib 339 vs 284) and misled trend readers. Re-spin the
+      // calibration AFTER the run; >15% drift means the host changed
+      // speed mid-bench and the numbers are a load measurement.
+      val calibAfterMs = cpuCalibMs()
+      val parAfterMs = cpuCalibParMs()
+      val calibDrift =
+        math.abs(calibAfterMs - calibMs).toDouble / calibMs.toDouble
+      // the ALL-CORES probe (round 12): the single-thread spin and the
+      // loadavg gate both passed on the contaminated r10/r11 driver
+      // artifacts — a contender leaves one core free. The parallel/
+      // single ratio, before and after, is what actually sees it.
+      val parRatio = parMs.toDouble / calibMs.toDouble
+      val parRatioAfter = parAfterMs.toDouble / calibAfterMs.toDouble
+      val parClean = parRatio <= ParRatioMax && parRatioAfter <= ParRatioMax
+      val validFinal = valid && calibDrift <= 0.15 && parClean
+      if (!parClean) System.err.println(
+        f"[bench] WARN: all-cores calibration ratio $parRatio%.2f/" +
+          f"$parRatioAfter%.2f exceeds $ParRatioMax%.2f — another " +
+          "multi-core job is stealing cores; artifact carries \"valid\":false")
+      else if (!validFinal && valid) System.err.println(
+        f"[bench] WARN: calibration drifted $calibDrift%.2f mid-run " +
+          s"($calibMs -> $calibAfterMs ms) — artifact carries \"valid\":false")
+      val json =
+        f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","valid":$validFinal,"queries":$qs,"scale_total":$scaleTotal%.3f,"scale_queries":$scaleQs,"value_per_calib":$valuePerCalib%.3f,"scale_total_per_calib":$scalePerCalib%.3f,"ref_calib_ms":284,"sf":"$sfDir","loadavg_before":"$loadBefore","loadavg_after":"${loadavg()}","cpu_calib_ms":$calibMs,"cpu_calib_after_ms":$calibAfterMs,"cpu_calib_par_ms":$parMs,"cpu_calib_par_after_ms":$parAfterMs,"par_ratio":$parRatio%.3f,"par_ratio_after":$parRatioAfter%.3f,"par_ratio_max":$ParRatioMax%.2f,"compile_exceptions":$compileExceptions}"""
+      (json, validFinal)
+    }
+
+    val json = retryUntilValid("bench")(attempt())
     println(json)
     // the printed line is the source of truth; an unwritable out path
     // must not turn a successful run into a nonzero exit
@@ -139,6 +154,7 @@ object Bench {
         System.err.println(s"[bench] WARN: could not write $outPath: $e")
     }
     spark.stop()
+    val compileExceptions = counter.count.get()
     if (compileExceptions > 0) {
       System.err.println(s"[bench] FAILING: $compileExceptions CompileException(s) logged — a codegen'd stage fell back to interpreted execution")
       sys.exit(1)
@@ -189,8 +205,7 @@ object BenchGates {
     * moves it to ~1.88 while moving the single spin only 13%. Gate at
     * [[ParRatioMax]], before AND after the run.
     */
-  def cpuCalibParMs(
-      nThreads: Int = Runtime.getRuntime.availableProcessors()): Long = {
+  def cpuCalibParMs(nThreads: Int = CalibThreads): Long = {
     spinOnce() // JIT warm-up (shared method with cpuCalibMs)
     def wall(): Long = {
       val ts = Array.fill(nThreads)(new Thread(() => { spinOnce(); () }))
@@ -202,13 +217,60 @@ object BenchGates {
     Seq.fill(2)(wall()).min
   }
 
+  /** Threads for the all-cores probe. Default availableProcessors —
+    * correct on the reference host (32 physical-thread local[32] box).
+    * On an SMT host availableProcessors counts hyperthreads, so 2×
+    * physical-core spins share ports and the IDLE ratio sits near 2.0;
+    * set SPARK_GRAFT_CALIB_THREADS to the physical core count there
+    * (or raise SPARK_GRAFT_PAR_RATIO_MAX) so clean runs aren't flagged.
+    */
+  val CalibThreads: Int =
+    sys.env.get("SPARK_GRAFT_CALIB_THREADS").map(_.toInt)
+      .getOrElse(Runtime.getRuntime.availableProcessors())
+
   /** Max allowed parallel/single calibration ratio for a valid
     * artifact. Committed reference: 1.13 idle on the r12 host; 1.35
     * leaves scheduler-noise headroom while still flagging any
     * contender big enough to skew a 32-thread query (a 12-thread
-    * contender measures ~1.9).
+    * contender measures ~1.9). Host-overridable (round 13, per
+    * advisor): the 1.35 constant is calibrated to the non-SMT
+    * reference host — on SMT hosts set SPARK_GRAFT_PAR_RATIO_MAX
+    * (or SPARK_GRAFT_CALIB_THREADS above) to the locally-measured
+    * idle ratio plus headroom.
     */
-  val ParRatioMax = 1.35
+  val ParRatioMax: Double =
+    sys.env.get("SPARK_GRAFT_PAR_RATIO_MAX").map(_.toDouble).getOrElse(1.35)
+
+  /** Retry-until-clean (round 13): run the full gated measurement up
+    * to SPARK_GRAFT_BENCH_ATTEMPTS (default 3) times, sleeping 60 s
+    * between attempts, until one ends `"valid":true`. The r12 driver
+    * artifact shipped valid:false — the contamination gate fired
+    * correctly, but the canonical trend file was then a flagged load
+    * measurement; a bounded whole-run retry makes the committed
+    * artifact a measurement whenever the contention is transient. If
+    * every attempt is contaminated the LAST attempt's flagged JSON is
+    * returned — an honest record, machine-readably invalid.
+    */
+  def retryUntilValid(
+      label: String,
+      maxAttempts: Int =
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_ATTEMPTS", "3").toInt.max(1),
+      sleepMs: Long = 60000L)(attempt: => (String, Boolean)): String = {
+    var n = 1
+    var (json, ok) = attempt
+    while (!ok && n < maxAttempts) {
+      System.err.println(
+        s"[$label] attempt $n/$maxAttempts contaminated — sleeping " +
+          s"${sleepMs / 1000} s and re-running the whole measurement")
+      Thread.sleep(sleepMs)
+      n += 1
+      val r = attempt; json = r._1; ok = r._2
+    }
+    if (!ok) System.err.println(
+      s"[$label] all $maxAttempts attempts contaminated — shipping the " +
+        "last artifact with \"valid\":false")
+    json
+  }
 
   def loadavg(): String =
     try {
@@ -235,10 +297,29 @@ object BenchGates {
           s"sleeping 30 s (retry $waits/10)")
       Thread.sleep(30000L)
     }
-    val valid = load1() <= loadMax
+    // all-cores pre-gate (round 13): the 1-min loadavg lags ~60 s and
+    // misses a contender that leaves one core free; probe the
+    // parallel/single spin ratio directly before letting a timed run
+    // start, so transient contention burns a sleep here instead of a
+    // whole contaminated measurement.
+    def parNow(): Double = {
+      val single = cpuCalibMs()
+      cpuCalibParMs().toDouble / single.toDouble
+    }
+    var ratio = parNow()
+    while (ratio > ParRatioMax && waits < 10) {
+      waits += 1
+      System.err.println(
+        f"[bench] all-cores ratio $ratio%.2f > $ParRatioMax%.2f — " +
+          s"sleeping 30 s (retry $waits/10)")
+      Thread.sleep(30000L)
+      ratio = parNow()
+    }
+    val valid = load1() <= loadMax && ratio <= ParRatioMax
     if (!valid) System.err.println(
-      f"[bench] WARN: load ${load1()}%.2f never cleared $loadMax%.2f — " +
-        "artifact will carry \"valid\":false")
+      f"[bench] WARN: load ${load1()}%.2f/ratio $ratio%.2f never " +
+        f"cleared $loadMax%.2f/$ParRatioMax%.2f — artifact will carry " +
+        "\"valid\":false")
     valid
   }
 }
@@ -265,10 +346,6 @@ object BenchSf1 {
     require(new java.io.File(sfDir).isDirectory,
       s"$sfDir missing — run: python3 tools/gen_sf1.py /root/testdata/sf0.1 $sfDir")
     val counter = graft.plans.CodegenWatch.install()
-    val valid = waitForIdle()
-    val loadBefore = loadavg()
-    val calibMs = cpuCalibMs()
-    val parMs = cpuCalibParMs()
     val spark = SparkSession.builder()
       .withExtensions(new graft.plans.GraftExtensions)
       .master(s"local[$cpus]")
@@ -288,42 +365,53 @@ object BenchSf1 {
       (System.nanoTime() - t0) / 1e9
     }
     val targets = SparkEntry.scaleBenchSf1
-    targets.foreach(runOnce) // warm-up
-    val results = targets.map { d =>
-      val runs = Seq.fill(3)(runOnce(d))
-      d.name -> (if (runs.exists(_ < 0)) -1.0 else runs.min)
+
+    def attempt(): (String, Boolean) = {
+      val valid = waitForIdle()
+      val loadBefore = loadavg()
+      val calibMs = cpuCalibMs()
+      val parMs = cpuCalibParMs()
+      targets.foreach(runOnce) // warm-up
+      val results = targets.map { d =>
+        val runs = Seq.fill(3)(runOnce(d))
+        d.name -> (if (runs.exists(_ < 0)) -1.0 else runs.min)
+      }
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
+      val total = results.map(_._2).filter(_ >= 0).sum
+      val refCalibMs = 284.0
+      val valuePerCalib = total / (calibMs.toDouble / refCalibMs)
+      val compileExceptions = counter.count.get()
+      // same mid-run contamination checks as Bench (single-thread drift,
+      // round 11; all-cores parallel ratio, round 12)
+      val calibAfterMs = cpuCalibMs()
+      val parAfterMs = cpuCalibParMs()
+      val calibDrift =
+        math.abs(calibAfterMs - calibMs).toDouble / calibMs.toDouble
+      val parRatio = parMs.toDouble / calibMs.toDouble
+      val parRatioAfter = parAfterMs.toDouble / calibAfterMs.toDouble
+      val parClean = parRatio <= ParRatioMax && parRatioAfter <= ParRatioMax
+      val validFinal = valid && calibDrift <= 0.15 && parClean
+      if (!parClean) System.err.println(
+        f"[bench-sf1] WARN: all-cores calibration ratio $parRatio%.2f/" +
+          f"$parRatioAfter%.2f exceeds $ParRatioMax%.2f — artifact " +
+          "carries \"valid\":false")
+      else if (!validFinal && valid) System.err.println(
+        f"[bench-sf1] WARN: calibration drifted $calibDrift%.2f mid-run " +
+          s"($calibMs -> $calibAfterMs ms) — artifact carries \"valid\":false")
+      val json =
+        f"""{"metric":"sf1_total","value":$total%.3f,"unit":"sec","valid":$validFinal,"queries":$qs,"value_per_calib":$valuePerCalib%.3f,"ref_calib_ms":284,"sf":"$sfDir","loadavg_before":"$loadBefore","loadavg_after":"${loadavg()}","cpu_calib_ms":$calibMs,"cpu_calib_after_ms":$calibAfterMs,"cpu_calib_par_ms":$parMs,"cpu_calib_par_after_ms":$parAfterMs,"par_ratio":$parRatio%.3f,"par_ratio_after":$parRatioAfter%.3f,"par_ratio_max":$ParRatioMax%.2f,"compile_exceptions":$compileExceptions}"""
+      (json, validFinal)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val refCalibMs = 284.0
-    val valuePerCalib = total / (calibMs.toDouble / refCalibMs)
-    val compileExceptions = counter.count.get()
-    // same mid-run contamination checks as Bench (single-thread drift,
-    // round 11; all-cores parallel ratio, round 12)
-    val calibAfterMs = cpuCalibMs()
-    val parAfterMs = cpuCalibParMs()
-    val calibDrift =
-      math.abs(calibAfterMs - calibMs).toDouble / calibMs.toDouble
-    val parRatio = parMs.toDouble / calibMs.toDouble
-    val parRatioAfter = parAfterMs.toDouble / calibAfterMs.toDouble
-    val parClean = parRatio <= ParRatioMax && parRatioAfter <= ParRatioMax
-    val validFinal = valid && calibDrift <= 0.15 && parClean
-    if (!parClean) System.err.println(
-      f"[bench-sf1] WARN: all-cores calibration ratio $parRatio%.2f/" +
-        f"$parRatioAfter%.2f exceeds $ParRatioMax%.2f — artifact " +
-        "carries \"valid\":false")
-    else if (!validFinal && valid) System.err.println(
-      f"[bench-sf1] WARN: calibration drifted $calibDrift%.2f mid-run " +
-        s"($calibMs -> $calibAfterMs ms) — artifact carries \"valid\":false")
-    val json =
-      f"""{"metric":"sf1_total","value":$total%.3f,"unit":"sec","valid":$validFinal,"queries":$qs,"value_per_calib":$valuePerCalib%.3f,"ref_calib_ms":284,"sf":"$sfDir","loadavg_before":"$loadBefore","loadavg_after":"${loadavg()}","cpu_calib_ms":$calibMs,"cpu_calib_after_ms":$calibAfterMs,"cpu_calib_par_ms":$parMs,"cpu_calib_par_after_ms":$parAfterMs,"par_ratio":$parRatio%.3f,"par_ratio_after":$parRatioAfter%.3f,"par_ratio_max":$ParRatioMax%.2f,"compile_exceptions":$compileExceptions}"""
+
+    val json = retryUntilValid("bench-sf1")(attempt())
     println(json)
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable =>
       System.err.println(s"[bench-sf1] WARN: could not write $outPath: $e") }
     spark.stop()
+    val compileExceptions = counter.count.get()
     if (compileExceptions > 0) {
       System.err.println(s"[bench-sf1] FAILING: $compileExceptions CompileException(s) logged")
       sys.exit(1)
