@@ -22,8 +22,11 @@ package graft.operators
   * worst the slower exact strategy, by design. Callers whose inputs
   * mutate in place should pass explicit hints instead. Both maps are
   * size-capped (a long-lived interactive session must not leak one
-  * entry per distinct plan forever): at [[MaxEntries]] the map is
-  * cleared — dropping a memo only re-runs a stats pass.
+  * entry per distinct plan forever): at [[MaxEntries]] one arbitrary
+  * entry is evicted per insert — NOT a full clear(), which dumped
+  * every hot memo at once exactly when the cache was most loaded, and
+  * under racing callers could re-fire repeatedly, bursting re-run
+  * stats jobs. Dropping a single memo only re-runs one stats pass.
   */
 private[graft] object AdaptiveStrategy {
 
@@ -32,7 +35,13 @@ private[graft] object AdaptiveStrategy {
   private def boundedPutIfAbsent[V <: AnyRef](
       m: java.util.concurrent.ConcurrentHashMap[String, V],
       key: String, v: V): V = {
-    if (m.size() >= MaxEntries) m.clear()
+    if (m.size() >= MaxEntries) {
+      // evict one arbitrary resident (iteration order ≈ random bin
+      // order); racing callers each evict at most one entry, keeping
+      // the hot set resident
+      val it = m.keySet().iterator()
+      if (it.hasNext) { it.next(); it.remove() }
+    }
     val prior = m.putIfAbsent(key, v)
     if (prior != null) prior else v
   }

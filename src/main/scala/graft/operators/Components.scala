@@ -43,6 +43,17 @@ object Components {
     * into ONE single-task union-find stage (see the small-tail note in
     * [[connectedComponents]]). Session-overridable — primarily a spec
     * and tuning knob.
+    *
+    * Reliable-checkpoint caveat (applies to [[SmallTailBytesKey]]
+    * too): under `spark.graft.checkpoint.reliable` the `Dataset
+    * .observe` metrics these gates read may count each row TWICE
+    * (Checkpoints.scala documents the double-compute of the reliable
+    * write path), so the effective thresholds HALVE — the collapse
+    * fires one round later than the configured value suggests. That
+    * is the safe direction (the tail is smaller than measured, never
+    * larger), so the observed value is deliberately NOT rescaled;
+    * tune the keys ×2 under reliable mode if the exact trip point
+    * matters.
     */
   private[graft] val SmallTailKey = "spark.graft.cc.smallTailEdges"
   private[graft] val DefaultSmallTailEdges = 1000000L

@@ -86,16 +86,28 @@ object Dedup {
     // whatever the array's internal order: equal arrays have Jaccard
     // exactly 1.0 (x/x divides to 1.0 in IEEE), and arrays that
     // differ pair through the normal strategies.
-    val collapse = AdaptiveStrategy.cached("ngram-collapse", planHash) {
+    // ALL THREE scalar gate statistics — doc count + approx-distinct
+    // shingle sets (collapse gate) and total postings (pin gate) —
+    // ride ONE lazy action over the checkpointed shAll, the same
+    // consolidation Search.gateStats got in round 12: previously the
+    // three gates each ran their own aggregate job on first sight of
+    // a plan (three re-scans of the checkpoint where one would do).
+    // Cache-warm callers never run it at all.
+    lazy val gateStats: (Long, Long, Long) = {
       val r = shAll.agg(count(lit(1)).as("n"),
-        approx_count_distinct(col("sh")).as("d")).head()
+        approx_count_distinct(col("sh")).as("d"),
+        coalesce(sum(size(col("sh")).cast("long")), lit(0L)).as("postings"))
+        .head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val collapse = AdaptiveStrategy.cached("ngram-collapse", planHash) {
       // collapse once ≥20% of documents are byte-identical at the
       // shingle level (well past approx_count_distinct's ~2% error)
-      r.getLong(1) * 5L <= r.getLong(0) * 4L
+      gateStats._2 * 5L <= gateStats._1 * 4L
     }
     val usePrefix = prefixFilter.getOrElse {
       AdaptiveStrategy.cached("ngram-prefix", planHash) {
-        chooseNgramStrategy(shAll)
+        chooseNgramStrategy(shAll, gateStats._3)
       }
     }
     // the posting self-join is explosive (post-join candidate volume,
@@ -103,8 +115,7 @@ object Dedup {
     // unpinned+AQE-starved it ground 1.4e8 sf1 candidates through ~2
     // reducers (~100 s); pinned it spreads them over every core
     val pin = AdaptiveStrategy.cachedLong("ngram-postings", planHash) {
-      shAll.agg(coalesce(sum(size(col("sh")).cast("long")), lit(0L)))
-        .head().getLong(0)
+      gateStats._3
     } > Explosive.pinRows(docs)
     def pairsOver(sh: DataFrame): DataFrame =
       if (usePrefix) prefixFilterPairs(sh, threshold, pin)
@@ -131,19 +142,19 @@ object Dedup {
     cross.union(same)
   }
 
-  private def chooseNgramStrategy(sh: DataFrame): Boolean = {
+  private def chooseNgramStrategy(sh: DataFrame, postings: Long): Boolean = {
     // candidate volume summed in DOUBLE: one ultra-frequent shingle
     // (df in the billions) overflows df*(df-1) as a long, and Spark's
     // non-ANSI sum would wrap negative — silently routing exactly the
     // skewed corpus this gate exists to catch onto the count join.
     // The threshold only needs magnitude, not exact integers.
+    // `postings` (= Σ df) arrives from the caller's consolidated
+    // gateStats row rather than being re-summed here.
     val stats = sh.select(explode(col("sh")).as("g"))
       .groupBy(col("g")).agg(count(lit(1)).as("df"))
       .agg(sum(col("df").cast("double") * (col("df").cast("double") - 1))
-          .as("cand2"),
-        sum(col("df")).as("postings")).head()
+          .as("cand2")).head()
     val candidates = (if (stats.isNullAt(0)) 0.0 else stats.getDouble(0)) / 2
-    val postings = if (stats.isNullAt(1)) 0L else stats.getLong(1)
     candidates > 64.0 * postings
   }
 
