@@ -72,8 +72,15 @@ object SparkEntry {
     */
   def scaleBenchSf1: Seq[QueryDef] = {
     val byName = defs.map(d => d.name -> d).toMap
+    // q236 replaces q36 here (round 13): q36's sf1 answer is 99.7 M
+    // pairs and its graded ORDER BY was ~90% of the row's wall-clock
+    // (bench/PROFILE_TEXTFAMILY_r12.txt) — the trend row measured the
+    // presentation sort, not the operator. q236 composes the same
+    // signature-level SimHash stage into clusters→kept-corpus (the
+    // operation a pipeline actually runs), so its row regresses on
+    // compute. q36 itself stays oracle-graded in the registry.
     scaleBench ++ Seq("q34_ngram_jaccard", "q35_minhash_lsh",
-      "q36_simhash_pairs", "q37_cosine_pairs",
+      "q236_simhash_dedup_e2e", "q37_cosine_pairs",
       "q118_stream_count_min").map(byName)
   }
 }

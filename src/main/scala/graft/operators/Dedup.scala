@@ -339,31 +339,14 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming.
-    * Pigeonhole blocking: split the nBits signature into maxHamming+1
-    * chunks — any pair within the radius shares at least one exact
-    * chunk — then verify with bit_count(xor). Exact (blocking is
-    * lossless by pigeonhole).
-    *
-    * The quadratic stage runs over DISTINCT SIGNATURES, not documents
-    * (round 12): a near-dup-saturated corpus — the regime this
-    * operator exists for — has far fewer signatures than documents,
-    * and every per-document computation here is a pure function of
-    * the signature. At sf1 (50 k docs, ~10 copies each) the
-    * document-level pigeonhole join generated 1.99 BILLION candidates
-    * (top bucket 27 863 docs ⇒ 776 M candidates from one bucket
-    * alone); signature-level blocking generates the same information
-    * from the distinct-sig buckets, then expands surviving signature
-    * pairs back to id pairs with two member joins plus a same-sig
-    * self-join — pure OUTPUT-sized join fan-out, which is the
-    * irreducible part (the answer itself is every qualifying pair).
-    * Equality with the per-document join: hamming(sig_a, sig_b) is
-    * constant over the members, hamming = 0 ⟺ equal signatures (the
-    * same-sig branch), and distinct ids always carry one signature
-    * each.
+  /** Shared signature-level stage of [[simhashPairs]] and
+    * [[simhashClusters]]: per-doc signatures (truncated) and the
+    * qualifying DISTINCT-SIGNATURE pairs from the pigeonhole band
+    * join. Everything quadratic happens here, over distinct sigs —
+    * the doc-level expansion is the caller's (output-sized) business.
     */
-  def simhashPairs(docs: DataFrame, id: Column, text: Column,
-      maxHamming: Int = 3, nBits: Int = 32): DataFrame = {
+  private def simhashSigPairs(docs: DataFrame, id: Column, text: Column,
+      maxHamming: Int, nBits: Int): (DataFrame, DataFrame) = {
     val chunks = maxHamming + 1
     val chunkBits = nBits / chunks
     val sigQuery = Explosive.ensureMapParallelism(
@@ -398,6 +381,39 @@ object Dedup {
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select("sig_a", "sig_b", "hamming").distinct())
+    (sig, sigPairs)
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming.
+    * Pigeonhole blocking: split the nBits signature into maxHamming+1
+    * chunks — any pair within the radius shares at least one exact
+    * chunk — then verify with bit_count(xor). Exact (blocking is
+    * lossless by pigeonhole).
+    *
+    * The quadratic stage runs over DISTINCT SIGNATURES, not documents
+    * (round 12): a near-dup-saturated corpus — the regime this
+    * operator exists for — has far fewer signatures than documents,
+    * and every per-document computation here is a pure function of
+    * the signature. At sf1 (50 k docs, ~10 copies each) the
+    * document-level pigeonhole join generated 1.99 BILLION candidates
+    * (top bucket 27 863 docs ⇒ 776 M candidates from one bucket
+    * alone); signature-level blocking generates the same information
+    * from the distinct-sig buckets, then expands surviving signature
+    * pairs back to id pairs with two member joins plus a same-sig
+    * self-join — pure OUTPUT-sized join fan-out, which is the
+    * irreducible part (the answer itself is every qualifying pair).
+    * Equality with the per-document join: hamming(sig_a, sig_b) is
+    * constant over the members, hamming = 0 ⟺ equal signatures (the
+    * same-sig branch), and distinct ids always carry one signature
+    * each.
+    *
+    * The pairs themselves are the presentation form; a pipeline that
+    * goes on to DEDUP should use [[simhashClusters]], whose output
+    * (and every shuffle) is corpus-sized, not pairs-sized.
+    */
+  def simhashPairs(docs: DataFrame, id: Column, text: Column,
+      maxHamming: Int = 3, nBits: Int = 32): DataFrame = {
+    val (sig, sigPairs) = simhashSigPairs(docs, id, text, maxHamming, nBits)
     val cross = sigPairs
       .join(sig.select(col("sig").as("sig_a"), col("id").as("ia")),
         Seq("sig_a"))
@@ -410,6 +426,49 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), lit(0L).as("hamming"))
     cross.union(same)
+  }
+
+  /** Doc-level dedup clusters from SimHash — (node, component, is_rep,
+    * component_size) in the [[Components.dedupClusters]] convention
+    * (component = minimum doc id; the representative is that minimum)
+    * — computed ENTIRELY at signature level: connected components run
+    * over the distinct-signature graph (nodes = distinct sigs, edges
+    * = qualifying sig pairs), then each doc inherits its signature's
+    * component and the label is remapped to the component's minimum
+    * doc id.
+    *
+    * This is the operation a dedup pipeline actually executes at
+    * scale, and unlike [[simhashPairs]] its output — and every join
+    * and shuffle past the sig stage — is CORPUS-sized: a
+    * duplicate-saturated corpus has quadratically many qualifying
+    * pairs (sf1's 50 k docs hold 99.7 M of them; 100 TB holds
+    * correspondingly more), and this path never materializes them.
+    * Same-sig docs share a component by construction (hamming 0), so
+    * the expansion is one hash join on sig, one component-sized min
+    * aggregate, one component-keyed relabel join.
+    *
+    * Equality with pair-level clustering: hamming is a pure function
+    * of the signatures, so doc-level qualifying pairs = expansion of
+    * sig-level qualifying pairs ∪ same-sig pairs, and contracting
+    * same-sig docs into one node preserves connected components
+    * exactly.
+    */
+  def simhashClusters(docs: DataFrame, id: Column, text: Column,
+      maxHamming: Int = 3, nBits: Int = 32): DataFrame = {
+    val (sig, sigPairs) = simhashSigPairs(docs, id, text, maxHamming, nBits)
+    val sigCC = Components.connectedComponents(
+      sigPairs.select(col("sig_a").as("src"), col("sig_b").as("dst")),
+      Some(sig.select(col("sig").as("node")).distinct()))
+    val docComp = sig
+      .join(sigCC, sig("sig") === sigCC("node"))
+      .select(col("id"), col("component").as("sig_component"))
+    val reps = docComp.groupBy(col("sig_component"))
+      .agg(min(col("id")).as("component"),
+        count(lit(1)).as("component_size"))
+    docComp.join(reps, Seq("sig_component"))
+      .select(col("id").as("node"), col("component"),
+        (col("id") === col("component")).cast("long").as("is_rep"),
+        col("component_size"))
   }
 
   /** Exact embedding-cosine near-dup pairs via a triangular grid-tile

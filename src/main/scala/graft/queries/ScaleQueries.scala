@@ -246,6 +246,58 @@ object ScaleQueries {
       ORDER BY id_a, id_b"""),
   )
 
+  // --------------------------------------------------------------- q236
+  /** SimHash dedup graded end-to-end at CORPUS size (round 13): the
+    * q198 composition shape, but the clustering never leaves signature
+    * level — [[Dedup.simhashClusters]] runs connected components over
+    * the distinct-signature graph and expands to docs with
+    * output-sized joins, so unlike q36 (whose answer at sf1 is 99.7 M
+    * pairs and whose graded ORDER BY is ~90% of its wall-clock) every
+    * stage, shuffle, and the graded row set here is corpus-sized.
+    * This is the sf1 trend row for the SimHash family: it regresses
+    * on the operator's compute, not on sorting a 100 M-row
+    * presentation. Oracle: exact all-pairs Hamming ≤ 3 + recursive
+    * minimum-label propagation + the same per-source census as q198.
+    */
+  val q236SimhashDedupE2e: QueryDef = QueryDef(
+    "q236_simhash_dedup_e2e",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val clusters = Dedup.simhashClusters(docs,
+        col("doc_id"), col("text"), maxHamming = 3)
+      docs.join(clusters, col("doc_id") === col("node"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("is_rep")).as("n_kept"),
+          sum(col("n_chars")).as("chars_total"),
+          sum(when(col("is_rep") === 1, col("n_chars"))
+            .otherwise(0L)).as("chars_kept"))
+        .orderBy(col("source"))
+    },
+    Some(s"""
+      WITH RECURSIVE $SimhashCtes,
+      p AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+      e AS (SELECT id_a AS s, id_b AS d FROM p
+            UNION ALL SELECT id_b, id_a FROM p),
+      lab(node, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.d, l.label FROM lab l JOIN e ON e.s = l.node
+        WHERE l.label < e.d),
+      cc AS (SELECT node, MIN(label) AS component FROM lab GROUP BY node)
+      SELECT d.source AS source, COUNT(*) AS n_docs,
+        CAST(SUM(CASE WHEN cc.node = cc.component THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_kept,
+        CAST(SUM(d.n_chars) AS BIGINT) AS chars_total,
+        CAST(SUM(CASE WHEN cc.node = cc.component THEN d.n_chars
+          ELSE 0 END) AS BIGINT) AS chars_kept
+      FROM documents d JOIN cc ON d.doc_id = cc.node
+      GROUP BY d.source ORDER BY source"""),
+  )
+
   /** Oracle fragment: exact double cosine with strict left-fold sums. */
   private val CosineE = """
       e AS (
@@ -1200,5 +1252,5 @@ object ScaleQueries {
     q60ResampleFfill, q61Repetition, q62Decontaminate, q63CorpusFilter,
     q64MixtureSample, q65LabelCentroids, q100FrameSample, q101Resize,
     q230ImageDecode, q231AudioDecode, q232VideoContainer, q233VideoFrames,
-    q234ImageResize)
+    q234ImageResize, q236SimhashDedupE2e)
 }

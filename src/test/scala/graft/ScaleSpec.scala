@@ -55,6 +55,30 @@ class ScaleSpec extends SparkSpec {
       r.getLong(2) === 0L))
   }
 
+  test("simhashClusters equals pair-level clustering (sig-level CC is " +
+      "a lossless contraction)") {
+    // duplicate-saturated corpus + a chain of near-dups + singletons:
+    // exercises same-sig contraction, cross-sig edges, and isolated
+    // nodes in one fixture
+    val base = "spark scans fast tables and joins them quickly today"
+    val rows = (1L to 6L).map(i => (i, base)) ++ // one 6-dup group
+      Seq((7L, base + " x"), (8L, base + " x y"),  // near-dup chain
+        (9L, "completely different words entirely here now"),
+        (10L, "another unrelated document about nothing shared"))
+    val docs = rows.toDF("doc_id", "text")
+    val viaSigs = Dedup.simhashClusters(docs, col("doc_id"), col("text"),
+      maxHamming = 3).orderBy("node").collect().toSeq
+    val viaPairs = graft.operators.Components.dedupClusters(
+      Dedup.simhashPairs(docs, col("doc_id"), col("text"), maxHamming = 3)
+        .select(col("id_a").as("src"), col("id_b").as("dst")),
+      docs.select(col("doc_id").as("node")))
+      .orderBy("node").collect().toSeq
+    assert(viaSigs === viaPairs)
+    // the dup group must have collapsed to one representative
+    val repCount = viaSigs.count(_.getLong(2) == 1L)
+    assert(repCount < rows.size)
+  }
+
   test("62-bit simhash: wider signatures, same dup detection, more spread") {
     val df = Seq((1L, "spark scans fast tables"), (2L, "spark scans fast tables"),
       (3L, "completely different words here")).toDF("doc_id", "text")
