@@ -79,8 +79,11 @@ object SparkEntry {
     // signature-level SimHash stage into clusters→kept-corpus (the
     // operation a pipeline actually runs), so its row regresses on
     // compute. q36 itself stays oracle-graded in the registry.
+    // q235 (round 13): the versioned-store lifecycle (upsert ×3 →
+    // time-travel → compact → diff) is the day-2 write path; grade its
+    // latency at 100× too, not just its sf0.01 correctness.
     scaleBench ++ Seq("q34_ngram_jaccard", "q35_minhash_lsh",
       "q236_simhash_dedup_e2e", "q37_cosine_pairs",
-      "q118_stream_count_min").map(byName)
+      "q118_stream_count_min", "q235_store_lifecycle").map(byName)
   }
 }

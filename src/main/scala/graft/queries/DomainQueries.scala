@@ -524,7 +524,65 @@ object DomainQueries {
       ORDER BY page, jnc_id"""),
   )
 
+  // --------------------------------------------------------------- q237
+  // per-process paths (see q22BasePath for why)
+  private val q237ExpectedPath =
+    s"/tmp/graft_q237_expected_${ProcessHandle.current().pid()}.parquet"
+
+  /** Equivalence oracle for the S2 zip-member scan (round 13 — the one
+    * §2 source that was spec-only): the SAME rendered synthetic pages
+    * are ingested twice, once through the S1 directory scan and once
+    * repacked into a zip through the K4 sink and read back through the
+    * S2 zip-member scan. The dir-side result is written as the
+    * expected parquet; the zip-side result is the graded frame — the
+    * driver's hash compare then proves member enumeration, content
+    * decode, fan-out, and mtime flow agree between the two sources.
+    * Entry mtimes are graded at the zip container's documented 2 s
+    * resolution (DOS time, see [[graft.sources.Sinks.writeZip]]):
+    * both sides floor to 2 s, so the compare is exact, not lenient —
+    * a dropped or mis-decoded member, a wrong entry time, or a
+    * different surviving-row set still fails.
+    */
+  val q237ZipParity: QueryDef = QueryDef(
+    "q237_zip_parity",
+    (s, _) => {
+      import scala.jdk.CollectionConverters._
+      val pagesDir = synthPages(6)
+      val zipPath = Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft_q237_${ProcessHandle.current().pid()}.zip")
+      val files = java.nio.file.Files.list(Paths.get(pagesDir))
+        .iterator().asScala.toSeq
+        .filter(_.toString.endsWith(".html"))
+        .sortBy(_.getFileName.toString)
+        .map(p => (p.getFileName.toString,
+          java.nio.file.Files.readAllBytes(p),
+          // whole seconds by rint, matching the S1 dir reader's mtime
+          // rounding — truncation here would skew odd sub-second
+          // mtimes one second below the dir side
+          math.rint(java.nio.file.Files.getLastModifiedTime(p)
+            .toMillis / 1000.0).toLong))
+      graft.sources.Sinks.writeZip(files, zipPath)
+      def graded(df: org.apache.spark.sql.DataFrame) = df
+        .withColumn("page",
+          regexp_extract(col("source_file"), "([^/]+)$", 1))
+        .withColumn("mtime_2s",
+          (floor(col("html_file_last_modified_at") / 2) * 2).cast("double"))
+        .withColumn("building_transportation",
+          to_json(col("building_transportation")))
+        .drop("source_file", "source_order", "html_file_last_modified_at")
+        .orderBy(col("page"), col("jnc_id"))
+      graded(PropertiesFrame.scrape(s, pagesDir, fetchedAt = Some(1.6254e9)))
+        .write.mode("overwrite").parquet(q237ExpectedPath)
+      graded(PropertiesFrame.scrape(s, zipPath.toString,
+        fetchedAt = Some(1.6254e9)))
+    },
+    oracle = Some(s"""
+      SELECT * FROM read_parquet('$q237ExpectedPath/*.parquet')
+      ORDER BY page, jnc_id"""),
+  )
+
   val all: Seq[QueryDef] =
     Seq(q19ParseGolden, q20KanjiAddress, q21ScrapePipeline, q22FullPipeline,
-      q23MlScore, q24ScrapeBench, q47JobInfo, q66MlEval, q67ParseOracle)
+      q23MlScore, q24ScrapeBench, q47JobInfo, q66MlEval, q67ParseOracle,
+      q237ZipParity)
 }
