@@ -45,7 +45,8 @@ object ScaleSmoke {
       else Seq("q33_dedup_exact", "q34_ngram_jaccard", "q35_minhash_lsh",
         "q36_simhash_pairs", "q37_cosine_pairs",
         "q95_sparse_cosine", "q122_indexed_near_dedup", "q207_dbscan",
-        "q93_pagerank", "q125_bpe_merges", "q141_hll_replay")
+        "q93_pagerank", "q125_bpe_merges", "q141_hll_replay",
+        "q236_simhash_dedup_e2e", "q235_store_lifecycle")
     val spark = SparkSession.builder()
       .withExtensions(new graft.plans.GraftExtensions)
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")

@@ -494,9 +494,25 @@ object Dedup {
     * [[graft.operators.Similarity.lshTopK]] (vectors, approximate).
     */
   def cosinePairs(emb: DataFrame, id: Column, vec: Column,
-      threshold: Double, gridSide: Int = 8,
+      threshold: Double, gridSide: Int = 0,
       collapseDuplicates: Boolean = true): DataFrame = {
     import graft.plans.DotProduct.dot_product
+    // gridSide 0 (default) derives the tile grid from session
+    // parallelism: G(G+1)/2 tiles ≈ 8 tasks per reducer slot, so the
+    // quadratic per-tile work — (N/G)² pair scorings — spreads in
+    // many balanced waves instead of a few coarse tasks whose
+    // stragglers set the wall (measured at sf1/32 cores: G=8 ran
+    // 6.7-15.4 s across sessions, G=24 4.7 s — the G8 grid is 36
+    // tasks, one bad placement doubles the wall). Replication per
+    // side grows ~G/2, but the tile join only exists where n² pair
+    // work dominates n·G/2 shuffle volume by construction; the cap
+    // bounds replication for very wide sessions.
+    val g =
+      if (gridSide > 0) gridSide
+      else {
+        val slots = emb.sparkSession.sessionState.conf.numShufflePartitions
+        math.min(64, math.max(8, math.ceil(math.sqrt(8.0 * slots)).toInt))
+      }
     val raw0 = emb.select(id.as("id"), vec.as("v"))
     // Collapse IDENTICAL vectors before the quadratic stage (round 12):
     // cosine is a pure function of the two vectors, and the corpora
@@ -525,13 +541,23 @@ object Dedup {
       else raw.select(col("id"), col("gid"))
     val e = groups
       .withColumn("norm", sqrt(dot_product(col("v"), col("v"))))
-      .withColumn("blk", pmod(xxhash64(col("gid")), lit(gridSide)).cast("int"))
+      .withColumn("blk", pmod(xxhash64(col("gid")), lit(g)).cast("int"))
+    // the tile join is an explosive blocker BY CONSTRUCTION — tiny
+    // shuffled bytes (the replicated vector table), quadratic
+    // post-join pair work — so its exchanges are pinned with
+    // user-numbered repartitions unconditionally (the q207/q34
+    // playbook): AQE sizes reducers by shuffled bytes and would
+    // coalesce the tile tasks onto a few cores exactly when the
+    // per-tile work is heaviest
+    val n = emb.sparkSession.sessionState.conf.numShufflePartitions
     val left = e.select(col("gid").as("gid_l"), col("v").as("v_l"),
         col("norm").as("n_l"), col("blk").as("ti"))
-      .withColumn("tj", explode(sequence(col("ti"), lit(gridSide - 1))))
+      .withColumn("tj", explode(sequence(col("ti"), lit(g - 1))))
+      .repartition(n, col("ti"), col("tj"))
     val right = e.select(col("gid").as("gid_r"), col("v").as("v_r"),
         col("norm").as("n_r"), col("blk").as("tj"))
       .withColumn("ti", explode(sequence(lit(0), col("tj"))))
+      .repartition(n, col("ti"), col("tj"))
     val survivors = left.join(right, Seq("ti", "tj"))
       // off-diagonal tiles see each pair once; diagonal tiles see both
       // orderings, so break the tie on the group id there

@@ -279,9 +279,17 @@ object PipelineQueries {
   val q95SparseCosine: QueryDef = QueryDef(
     "q95_sparse_cosine",
     (s, dir) =>
-      Search.sparseCosinePairs(Tables(s, dir, "documents"),
+      // truncate BEFORE the presentation sort: a global orderBy
+      // range-samples its child to pick partition bounds, which
+      // RE-EXECUTES an unmaterialized child end-to-end — the whole
+      // APSS ran twice and the row's latency doubled (A/B: 6.6 s
+      // unsorted vs 13.3 s sorted at sf1, bench/PROFILE_APSS_r13.txt).
+      // Materializing the (output-sized) pair set makes the sample
+      // and the sort read the checkpoint instead.
+      graft.operators.Checkpoints.truncate(
+        Search.sparseCosinePairs(Tables(s, dir, "documents"),
           col("doc_id"), col("text"), threshold = 0.9,
-          dense = Some(true))
+          dense = Some(true)))
         .orderBy(col("id_a"), col("id_b")),
     Some("""
       WITH t AS (
