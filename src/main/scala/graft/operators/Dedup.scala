@@ -498,7 +498,7 @@ object Dedup {
       collapseDuplicates: Boolean = true): DataFrame = {
     import graft.plans.DotProduct.dot_product
     // gridSide 0 (default) derives the tile grid from session
-    // parallelism: G(G+1)/2 tiles ≈ 8 tasks per reducer slot, so the
+    // parallelism: G²/2 tiles ≈ 8 tasks per reducer slot, so the
     // quadratic per-tile work — (N/G)² pair scorings — spreads in
     // many balanced waves instead of a few coarse tasks whose
     // stragglers set the wall (measured at sf1/32 cores: G=8 ran
@@ -509,10 +509,8 @@ object Dedup {
     // bounds replication for very wide sessions.
     val g =
       if (gridSide > 0) gridSide
-      else {
-        val slots = emb.sparkSession.sessionState.conf.numShufflePartitions
-        math.min(64, math.max(8, math.ceil(math.sqrt(8.0 * slots)).toInt))
-      }
+      else deriveGridSide(
+        emb.sparkSession.sessionState.conf.numShufflePartitions)
     val raw0 = emb.select(id.as("id"), vec.as("v"))
     // Collapse IDENTICAL vectors before the quadratic stage (round 12):
     // cosine is a pure function of the two vectors, and the corpora
@@ -596,6 +594,14 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
     cross.union(self)
   }
+
+  /** Tile-grid side for [[cosinePairs]] when the caller doesn't pass
+    * one: G(G+1)/2 tiles ≈ 8 tasks per reducer slot (floor 8, cap 64
+    * to bound the ~G/2-per-side replication) — see the gridSide note
+    * in [[cosinePairs]].
+    */
+  private[graft] def deriveGridSide(slots: Int): Int =
+    math.min(64, math.max(8, math.ceil(math.sqrt(16.0 * slots)).toInt))
 
   /** Approximate embedding-cosine near-dup pairs — the sublinear scale
     * path for NEAR-DUP thresholds (τ ≳ 0.85), mirroring

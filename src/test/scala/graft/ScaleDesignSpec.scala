@@ -192,6 +192,44 @@ class ScaleDesignSpec extends SparkSpec {
     assert(got.toSeq === brute.toSeq)
   }
 
+  test("cosine tile join: exchanges pinned unconditionally, grid " +
+      "derived from session parallelism (round-13 q95 fix)") {
+    // the tile join is explosive BY CONSTRUCTION (tiny shuffled bytes,
+    // quadratic post-join pair work) — unlike the gated radius/LSH
+    // pins there is no small regime where AQE coalescing helps, so
+    // both sides must always carry AQE-exempt numbered repartitions.
+    // Losing this re-serializes ~n²/2 pair scorings onto a few cores
+    // (q95 at sf1 flipped 6.7↔15.4 s on wave placement before the fix).
+    val emb = Tables(spark, sfDir, "embeddings")
+    val n = spark.sessionState.conf.numShufflePartitions
+    def reparts(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.catalyst.plans.logical
+            .RepartitionByExpression if r.optNumPartitions.contains(n) => r
+      }
+    val pairs = graft.operators.Dedup.cosinePairs(emb,
+      col("vec_id"), col("embedding"), threshold = 0.5)
+    assert(reparts(pairs).size >= 2,
+      "expected both tile-join inputs to carry AQE-exempt numbered " +
+        "repartitions:\n" + pairs.queryExecution.optimizedPlan.toString)
+    // derived grid tracks parallelism: G(G+1)/2 ≈ 8 tasks per slot,
+    // floor 8, cap 64 — read back from the explode(sequence(ti, G-1))
+    // bound in the analyzed plan via the blk pmod literal
+    // grid-derivation formula: G²/2 tiles ≈ 8 tasks per slot, floor 8,
+    // cap 64 (the sf1 grid sweep in bench/PROFILE_APSS_r13.txt: G16
+    // 6.0 s, G23-24 4.7 s at 32 slots)
+    assert(graft.operators.Dedup.deriveGridSide(4) === 8)   // floor
+    assert(graft.operators.Dedup.deriveGridSide(32) === 23)
+    assert(graft.operators.Dedup.deriveGridSide(64) === 32)
+    assert(graft.operators.Dedup.deriveGridSide(10000) === 64) // cap
+    // and explicit-vs-derived changes the grid but never the answer
+    val explicit = graft.operators.Dedup.cosinePairs(emb,
+        col("vec_id"), col("embedding"), threshold = 0.5, gridSide = 5)
+      .orderBy("id_a", "id_b").collect().toSeq
+    val derived = pairs.orderBy("id_a", "id_b").collect().toSeq
+    assert(explicit === derived)
+  }
+
   test("LSH band join pins its exchanges past the blocker gate; at " +
       "small SF only the map-parallelism lift remains") {
     // same starvation shape as the radius join: band-bucket self-join
