@@ -94,6 +94,11 @@ object Bench {
     def attempt(): (String, Boolean) = {
       val valid = waitForIdle()
       val loadBefore = loadavg()
+      // per-attempt codegen-fallback count (r13 advisor): the watcher is
+      // JVM-cumulative, so a clean retry must not inherit a discarded
+      // contaminated attempt's fallbacks. The process-exit gate below
+      // stays cumulative on purpose.
+      val ceStart = counter.count.get()
       val calibMs = cpuCalibMs()
       val parMs = cpuCalibParMs()
       val results = timeSection(SparkEntry.headline)
@@ -113,7 +118,7 @@ object Bench {
       val calibRatio = calibMs.toDouble / refCalibMs
       val valuePerCalib = total / calibRatio
       val scalePerCalib = scaleTotal / calibRatio
-      val compileExceptions = counter.count.get()
+      val compileExceptions = counter.count.get() - ceStart
       // mid-run contamination check (round 11): the r10 driver artifact
       // passed the STARTUP load gate yet recorded on a contended host
       // (calib 339 vs 284) and misled trend readers. Re-spin the
@@ -205,6 +210,62 @@ object BenchGates {
     * moves it to ~1.88 while moving the single spin only 13%. Gate at
     * [[ParRatioMax]], before AND after the run.
     */
+  /** Barrier-shaped calibration probe (round 14): wall-clock for a
+    * fixed 10-round shuffle-iterate microjob — each round is one job
+    * (range scan → keyed repartition → count), so the probe pays 10
+    * scheduler barriers and 10 shuffle write+read cycles over a fixed
+    * 4 M-row working set. Rationale: the r13 frozen-binary A/B proved
+    * q93/q207's ±25% cross-day sf1 swings were HOST STATE, yet both
+    * runs passed every existing gate — the single-thread and all-cores
+    * CPU spins are pure-compute and blind to whatever moves
+    * barrier/shuffle latency (page cache, IO, scheduler state). This
+    * probe is shaped like the queries that drifted; BenchSf1 stamps it
+    * before and after the run next to [[RefBarrierMs]], and flags
+    * `iterative_comparable:false` when it sits >15% off the idle
+    * reference — sf1 trend deltas on iterative-barrier rows
+    * (q93/q207/q125-shaped) are then machine-readably noise, without
+    * poisoning `valid` (the measurement itself is still internally
+    * clean).
+    */
+  def barrierCalibMs(spark: SparkSession, rounds: Int = 15,
+      rows: Long = 1L << 20): Long = {
+    import org.apache.spark.sql.functions._
+    def once(): Long = {
+      val t0 = System.nanoTime()
+      var i = 0
+      var sink = 0L
+      while (i < rounds) {
+        sink ^= spark.range(rows)
+          .select((col("id") * 2654435761L % 65536).as("k"))
+          .repartition(32, col("k"))
+          .count()
+        i += 1
+      }
+      if (sink == 42L) System.err.print("")
+      (System.nanoTime() - t0) / 1000000L
+    }
+    // the probe reads scheduler+shuffle latency, not allocator state: a
+    // JVM fresh off a heavy bench carries GC debt that would read as
+    // host drift — settle it first
+    System.gc()
+    // DEEP warm-up (measured): with a single warm-up loop the reading
+    // tracks JIT depth, not the host — fresh JVMs read ~4.0-4.7 s where
+    // a heavily-exercised JVM reads ~2.7 s for the same host state.
+    // Three full loops before timing puts the whole scheduler/shuffle/
+    // codegen stack on its steady tier.
+    (1 to 3).foreach(_ => once())
+    Seq.fill(3)(once()).min
+  }
+
+  /** Idle reference for [[barrierCalibMs]] on the r14 host (measured
+    * idle, min-of-2 after warm-up, same session shape as BenchSf1).
+    * Env-overridable for other hosts like the par-ratio gate.
+    */
+  val RefBarrierMs: Double =
+    sys.env.get("SPARK_GRAFT_REF_BARRIER_MS")
+      .flatMap(s => scala.util.Try(s.toDouble).toOption)
+      .getOrElse(1340.0)
+
   def cpuCalibParMs(nThreads: Int = CalibThreads): Long = {
     spinOnce() // JIT warm-up (shared method with cpuCalibMs)
     def wall(): Long = {
@@ -254,7 +315,11 @@ object BenchGates {
   def retryUntilValid(
       label: String,
       maxAttempts: Int =
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_ATTEMPTS", "3").toInt.max(1),
+        // tolerant parse (r13 advisor): a malformed env value must not
+        // crash the bench after the session is already up
+        sys.env.get("SPARK_GRAFT_BENCH_ATTEMPTS")
+          .flatMap(s => scala.util.Try(s.toInt).toOption)
+          .getOrElse(3).max(1),
       sleepMs: Long = 60000L)(attempt: => (String, Boolean)): String = {
     var n = 1
     var (json, ok) = attempt
@@ -289,12 +354,15 @@ object BenchGates {
     def load1(): Double = loadavg().split(" ").headOption
       .flatMap(s => scala.util.Try(s.toDouble).toOption).getOrElse(0.0)
     val loadMax = sys.env.getOrElse("SPARK_GRAFT_LOAD_MAX", "2.0").toDouble
-    var waits = 0
-    while (load1() > loadMax && waits < 10) {
-      waits += 1
+    // each gate gets its OWN retry budget (r13 advisor: a shared
+    // counter silently halved the worst-case wait and let a loadavg
+    // storm starve the par-ratio gate of retries)
+    var loadWaits = 0
+    while (load1() > loadMax && loadWaits < 10) {
+      loadWaits += 1
       System.err.println(
         f"[bench] 1-min load ${load1()}%.2f > $loadMax%.2f — " +
-          s"sleeping 30 s (retry $waits/10)")
+          s"sleeping 30 s (retry $loadWaits/10)")
       Thread.sleep(30000L)
     }
     // all-cores pre-gate (round 13): the 1-min loadavg lags ~60 s and
@@ -307,11 +375,12 @@ object BenchGates {
       cpuCalibParMs().toDouble / single.toDouble
     }
     var ratio = parNow()
-    while (ratio > ParRatioMax && waits < 10) {
-      waits += 1
+    var parWaits = 0
+    while (ratio > ParRatioMax && parWaits < 10) {
+      parWaits += 1
       System.err.println(
         f"[bench] all-cores ratio $ratio%.2f > $ParRatioMax%.2f — " +
-          s"sleeping 30 s (retry $waits/10)")
+          s"sleeping 30 s (retry $parWaits/10)")
       Thread.sleep(30000L)
       ratio = parNow()
     }
@@ -369,8 +438,10 @@ object BenchSf1 {
     def attempt(): (String, Boolean) = {
       val valid = waitForIdle()
       val loadBefore = loadavg()
+      val ceStart = counter.count.get() // per-attempt delta, see Bench
       val calibMs = cpuCalibMs()
       val parMs = cpuCalibParMs()
+      val barrierMs = barrierCalibMs(spark)
       targets.foreach(runOnce) // warm-up
       val results = targets.map { d =>
         val runs = Seq.fill(3)(runOnce(d))
@@ -381,17 +452,33 @@ object BenchSf1 {
       val total = results.map(_._2).filter(_ >= 0).sum
       val refCalibMs = 284.0
       val valuePerCalib = total / (calibMs.toDouble / refCalibMs)
-      val compileExceptions = counter.count.get()
+      val compileExceptions = counter.count.get() - ceStart
       // same mid-run contamination checks as Bench (single-thread drift,
       // round 11; all-cores parallel ratio, round 12)
       val calibAfterMs = cpuCalibMs()
       val parAfterMs = cpuCalibParMs()
+      val barrierAfterMs = barrierCalibMs(spark)
       val calibDrift =
         math.abs(calibAfterMs - calibMs).toDouble / calibMs.toDouble
       val parRatio = parMs.toDouble / calibMs.toDouble
       val parRatioAfter = parAfterMs.toDouble / calibAfterMs.toDouble
       val parClean = parRatio <= ParRatioMax && parRatioAfter <= ParRatioMax
       val validFinal = valid && calibDrift <= 0.15 && parClean
+      // barrier-state comparability flag (round 14): not folded into
+      // `valid` — the measurement is still internally clean — but when
+      // the barrier probe sits >15% off its idle reference, cross-day
+      // trend deltas on iterative-barrier rows are noise and the
+      // artifact says so machine-readably (see barrierCalibMs scaladoc).
+      // Gated on the PRE-RUN reading only: the post-bench JVM carries
+      // cached-block and GC state that reads slow without being host
+      // state (measured: after-probe +50% in an otherwise-clean run);
+      // the after value is recorded as information, not a gate.
+      val barrierRatio = barrierMs.toDouble / RefBarrierMs
+      val iterComparable = math.abs(barrierRatio - 1.0) <= 0.15
+      if (!iterComparable) System.err.println(
+        f"[bench-sf1] NOTE: barrier calibration $barrierMs/$barrierAfterMs ms " +
+          f"vs idle reference ${RefBarrierMs}%.0f ms — iterative-barrier " +
+          "rows (q93/q207-shaped) are not cross-day comparable this run")
       if (!parClean) System.err.println(
         f"[bench-sf1] WARN: all-cores calibration ratio $parRatio%.2f/" +
           f"$parRatioAfter%.2f exceeds $ParRatioMax%.2f — artifact " +
@@ -400,7 +487,7 @@ object BenchSf1 {
         f"[bench-sf1] WARN: calibration drifted $calibDrift%.2f mid-run " +
           s"($calibMs -> $calibAfterMs ms) — artifact carries \"valid\":false")
       val json =
-        f"""{"metric":"sf1_total","value":$total%.3f,"unit":"sec","valid":$validFinal,"queries":$qs,"value_per_calib":$valuePerCalib%.3f,"ref_calib_ms":284,"sf":"$sfDir","loadavg_before":"$loadBefore","loadavg_after":"${loadavg()}","cpu_calib_ms":$calibMs,"cpu_calib_after_ms":$calibAfterMs,"cpu_calib_par_ms":$parMs,"cpu_calib_par_after_ms":$parAfterMs,"par_ratio":$parRatio%.3f,"par_ratio_after":$parRatioAfter%.3f,"par_ratio_max":$ParRatioMax%.2f,"compile_exceptions":$compileExceptions}"""
+        f"""{"metric":"sf1_total","value":$total%.3f,"unit":"sec","valid":$validFinal,"queries":$qs,"value_per_calib":$valuePerCalib%.3f,"ref_calib_ms":284,"sf":"$sfDir","loadavg_before":"$loadBefore","loadavg_after":"${loadavg()}","cpu_calib_ms":$calibMs,"cpu_calib_after_ms":$calibAfterMs,"cpu_calib_par_ms":$parMs,"cpu_calib_par_after_ms":$parAfterMs,"par_ratio":$parRatio%.3f,"par_ratio_after":$parRatioAfter%.3f,"par_ratio_max":$ParRatioMax%.2f,"barrier_calib_ms":$barrierMs,"barrier_calib_after_ms":$barrierAfterMs,"ref_barrier_ms":${RefBarrierMs}%.0f,"barrier_ratio":$barrierRatio%.3f,"iterative_comparable":$iterComparable,"compile_exceptions":$compileExceptions}"""
       (json, validFinal)
     }
 

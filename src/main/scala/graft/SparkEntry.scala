@@ -82,8 +82,12 @@ object SparkEntry {
     // q235 (round 13): the versioned-store lifecycle (upsert ×3 →
     // time-travel → compact → diff) is the day-2 write path; grade its
     // latency at 100× too, not just its sf0.01 correctness.
+    // q238 (round 14): the day-1 index build q122 amortizes into
+    // warm-up, rebuilt fresh every call — both lifecycle halves of the
+    // stored-index dedup stay measured (r13 verdict "What's wrong #1").
     scaleBench ++ Seq("q34_ngram_jaccard", "q35_minhash_lsh",
       "q236_simhash_dedup_e2e", "q37_cosine_pairs",
-      "q118_stream_count_min", "q235_store_lifecycle").map(byName)
+      "q118_stream_count_min", "q235_store_lifecycle",
+      "q238_index_build").map(byName)
   }
 }

@@ -1468,10 +1468,14 @@ object CurationQueries {
       // q24 fixture pattern) and the timed runs measure the
       // steady-state classify, which is what runs daily at 100 TB.
       val idx = s"graft_q121_idx_${pid}_${Integer.toHexString(dir.hashCode)}"
+      // add() is the first-sight CAS guard; a FAILED build (disk full,
+      // interrupt) must un-memoize or every later call in this JVM would
+      // read a missing/partial table (r13 advisor)
       if (builtIndexes.add(idx))
-        graft.operators.DedupIndex.writeExactIndex(
+        try graft.operators.DedupIndex.writeExactIndex(
           docs.filter(col("doc_id") % 5 =!= 0), col("doc_id"), key,
           idx, buckets = 8)
+        catch { case e: Throwable => builtIndexes.remove(idx); throw e }
       graft.operators.DedupIndex.incrementalDedupIndexed(
           s.table(idx),
           docs.filter(col("doc_id") % 5 === 0), col("doc_id"), key)
@@ -1501,13 +1505,50 @@ object CurationQueries {
       // day-1 build
       val tag = s"${pid}_${Integer.toHexString(dir.hashCode)}"
       if (builtIndexes.add(s"graft_q122_band_$tag"))
-        graft.operators.DedupIndex.writeNearDupIndex(
+        try graft.operators.DedupIndex.writeNearDupIndex(
           docs.filter(col("doc_id") % 5 =!= 0), col("doc_id"), col("text"),
           n = 3, bands = 32, rowsPerBand = 4,
           bandTable = s"graft_q122_band_$tag",
           shingleTable = s"graft_q122_sh_$tag", buckets = 8)
+        catch { case e: Throwable =>
+          builtIndexes.remove(s"graft_q122_band_$tag"); throw e }
       graft.operators.DedupIndex.incrementalNearDedupIndexed(
           s.table(s"graft_q122_band_$tag"), s.table(s"graft_q122_sh_$tag"),
+          docs.filter(col("doc_id") % 5 === 0), col("doc_id"), col("text"),
+          n = 3, threshold = 0.8, bands = 32, rowsPerBand = 4)
+        .orderBy(col("doc_id"))
+    },
+    q105DeltaNearDedup.oracle,
+  )
+
+  // --------------------------------------------------------------- q238
+  /** The day-1 lifecycle half q122 deliberately amortizes into bench
+    * warm-up (round 14, verdict): a FRESH near-dup index build on every
+    * call — no memo — followed by the same day-2 classify over the
+    * just-built tables. As a gated sf1 bench row this keeps the
+    * expensive half of the stored-index lifecycle measured per round
+    * (BENCH_SF1 shows build+classify here next to q122's steady-state
+    * classify), and the q105 oracle keeps it hash-green: a build that
+    * drops shingles, mis-bands, or mis-buckets surfaces as a wrong
+    * classify answer, not just a slow row.
+    *
+    * Scale shape: the build is two bucketed writes (band index on bkey,
+    * shingle store on id) — each one wide shuffle into the bucketing,
+    * both corpus-sized exactly once; the classify then re-reads them
+    * with zero history-side Exchange (same plan pin as q122).
+    */
+  val q238IndexBuild: QueryDef = QueryDef(
+    "q238_index_build",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val tag = s"${pid}_${Integer.toHexString(dir.hashCode)}"
+      graft.operators.DedupIndex.writeNearDupIndex(
+        docs.filter(col("doc_id") % 5 =!= 0), col("doc_id"), col("text"),
+        n = 3, bands = 32, rowsPerBand = 4,
+        bandTable = s"graft_q238_band_$tag",
+        shingleTable = s"graft_q238_sh_$tag", buckets = 8)
+      graft.operators.DedupIndex.incrementalNearDedupIndexed(
+          s.table(s"graft_q238_band_$tag"), s.table(s"graft_q238_sh_$tag"),
           docs.filter(col("doc_id") % 5 === 0), col("doc_id"), col("text"),
           n = 3, threshold = 0.8, bands = 32, rowsPerBand = 4)
         .orderBy(col("doc_id"))
@@ -1639,5 +1680,5 @@ object CurationQueries {
     q113CsvRoundtrip, q114TargetEncode, q115SchemaEvolution,
     q116CountMin, q117PercentRank, q118StreamCountMin, q119NextEvent,
     q120NegativeSample, q121IndexedDeltaDedup, q122IndexedNearDedup,
-    q123CurationPipeline)
+    q123CurationPipeline, q238IndexBuild)
 }

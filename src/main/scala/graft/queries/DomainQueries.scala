@@ -581,8 +581,97 @@ object DomainQueries {
       ORDER BY page, jnc_id"""),
   )
 
+  // --------------------------------------------------------------- q239
+  /** F15 (JST formatting, app/app.py:47-50) graded by oracle — was the
+    * cheapest remaining spec-only §2 entry (round 14, verdict). The
+    * Spark side runs the REAL serving function
+    * ([[graft.transform.AppServe.formatJst]]: epoch →
+    * from_utc_timestamp Asia/Tokyo → yyyy-MM-dd HH:mm:ss); the DuckDB
+    * oracle recomputes it as fixed +9 h arithmetic, which is exact for
+    * every instant after 1951 (Japan abolished DST), so a tz-database
+    * regression, a truncation-vs-round drift, or a format change all
+    * hash-mismatch.
+    */
+  val q239JstFormat: QueryDef = QueryDef(
+    "q239_jst_format",
+    (s, dir) =>
+      graft.Tables(s, dir, "events")
+        .select(col("event_id"), unix_timestamp(col("ts")).as("epoch"))
+        .withColumn("jst", graft.transform.AppServe.formatJst(col("epoch")))
+        .orderBy(col("event_id")),
+    oracle = Some("""
+      SELECT event_id,
+        CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS epoch,
+        strftime(date_trunc('second', ts) + INTERVAL 9 HOUR,
+                 '%Y-%m-%d %H:%M:%S') AS jst
+      FROM events ORDER BY event_id"""),
+  )
+
+  // --------------------------------------------------------------- q240
+  /** F13 (URL query-param algebra, dumping.py:67-99) graded by oracle
+    * (round 14, verdict): five URL shapes are built from `orders` rows
+    * — no query string, page-only, set-in-middle, replace-in-place
+    * before another key, and a multi-valued key — then pushed through
+    * the REAL remove_params + add_params composition
+    * ([[graft.ingest.Dumping.removePageParam]] →
+    * [[graft.ingest.Dumping.addResultsPerPageParam]]) on executors via
+    * a typed map. The oracle states the expected output string per
+    * shape, so in-place replacement order, append-at-end for new keys,
+    * removal, and multi-value preservation are each hash-graded.
+    * Driver-utility surface: a per-row string rewrite, embarrassingly
+    * parallel, no shuffle.
+    */
+  val q240UrlParams: QueryDef = QueryDef(
+    "q240_url_params",
+    (s, dir) => {
+      import s.implicits._
+      val base = "https://suumo.jp/search"
+      val urls = graft.Tables(s, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("k"),
+          col("o_orderstatus").as("st"))
+        .select(col("k"), concat(lit(base),
+          when(col("k") % 5 === 0, lit(""))
+            .when(col("k") % 5 === 1, concat(lit("?page="), col("k") % 7))
+            .when(col("k") % 5 === 2, concat(lit("?ts="), col("st"),
+              lit("&page="), col("k") % 7, lit("&pc="), col("k") % 3))
+            .when(col("k") % 5 === 3, concat(lit("?pc="), col("k") % 3,
+              lit("&ts="), col("st")))
+            .otherwise(concat(lit("?ts="), col("st"), lit("&ts=Z&page="),
+              col("k") % 7))).as("url_in"))
+      urls.as[(Long, String)]
+        .map { case (k, u) =>
+          (k, u, graft.ingest.Dumping.addResultsPerPageParam(
+            graft.ingest.Dumping.removePageParam(u)))
+        }
+        .toDF("k", "url_in", "url_out")
+        .orderBy(col("k"))
+    },
+    oracle = Some("""
+      WITH o AS (
+        SELECT CAST(o_orderkey AS BIGINT) AS k, o_orderstatus AS st,
+               CAST(o_orderkey % 7 AS BIGINT) AS pg,
+               CAST(o_orderkey % 3 AS BIGINT) AS pc
+        FROM orders)
+      SELECT k,
+        CASE CAST(k % 5 AS INT)
+          WHEN 0 THEN 'https://suumo.jp/search'
+          WHEN 1 THEN 'https://suumo.jp/search?page=' || pg
+          WHEN 2 THEN 'https://suumo.jp/search?ts=' || st || '&page=' || pg || '&pc=' || pc
+          WHEN 3 THEN 'https://suumo.jp/search?pc=' || pc || '&ts=' || st
+          ELSE 'https://suumo.jp/search?ts=' || st || '&ts=Z&page=' || pg
+        END AS url_in,
+        CASE CAST(k % 5 AS INT)
+          WHEN 0 THEN 'https://suumo.jp/search?pc=50'
+          WHEN 1 THEN 'https://suumo.jp/search?pc=50'
+          WHEN 2 THEN 'https://suumo.jp/search?ts=' || st || '&pc=50'
+          WHEN 3 THEN 'https://suumo.jp/search?pc=50&ts=' || st
+          ELSE 'https://suumo.jp/search?ts=' || st || '&ts=Z&pc=50'
+        END AS url_out
+      FROM o ORDER BY k"""),
+  )
+
   val all: Seq[QueryDef] =
     Seq(q19ParseGolden, q20KanjiAddress, q21ScrapePipeline, q22FullPipeline,
       q23MlScore, q24ScrapeBench, q47JobInfo, q66MlEval, q67ParseOracle,
-      q237ZipParity)
+      q237ZipParity, q239JstFormat, q240UrlParams)
 }
