@@ -773,28 +773,152 @@ object Dedup {
     *
     * Scale shape: the blocking key turns the all-pairs problem into an
     * equi-join (one shuffle on the block key); pair volume is Σ|block|²
-    * and the DP cost is capped by prefixLen². A production corpus
-    * blocks on a stronger key (first token + length bucket, or a
-    * SimHash band) and salts hot blocks — same join shape. Spark 4's
-    * 3-arg levenshtein(l, r, threshold) early-exits the DP at scale;
-    * the graded form uses the 2-arg version because the oracle computes
-    * the plain distance. Parity note: Spark counts chars, DuckDB bytes
-    * — identical on this ASCII corpus (asserted in the spec), so the
-    * oracle is exact; non-ASCII corpora would block on codepoints.
+    * and the DP cost is capped by prefixLen². HOT-BLOCK SALTING
+    * (round 14, from the sf1 audit): first tokens are Zipf-skewed —
+    * the sf1 corpus has 30 distinct blocks for 50 k docs, so the whole
+    * 42 M-pair verify funnelled through ≤30 join keys and AQE coalesced
+    * the tiny-byte exchanges down to ~1 task (22 min single-threaded;
+    * the two-failure-modes pattern from SCALING.md round 11). When the
+    * observed max block size alone exceeds [[SaltPairsFloor]] pairs —
+    * one block overfills a task, the skew AQE's split cannot fix
+    * because the cost is post-join compute, not shuffle bytes — the
+    * probe side keeps one deterministic salt in [0, parts) and the
+    * build side replicates ×parts, splitting every block's quadratic
+    * work across the session's full parallelism; both sides ride
+    * user-numbered repartitions on (blk, salt) so AQE cannot re-fuse
+    * them. Each unordered pair still joins exactly once per
+    * orientation (the probe row's single salt picks the copy), so the
+    * id_a < id_b filter keeps exactly one — row-identical to the plain
+    * join. Below the floor the plain pinless join stands (small-corpus
+    * regime; the sf0.1 sweep takes it, so both paths stay oracle-
+    * graded). The replication is gated, never unconditional: ×parts on
+    * a 100 TB relation is only paid when per-block work actually
+    * starves, and then only parts ≈ slot-count copies of the slim
+    * (id, prefix, blk) projection.
+    *
+    * The DP itself uses Spark 4's 3-arg levenshtein(l, r, threshold):
+    * it band-limits the matrix and early-exits past `maxDist`,
+    * returning −1 there — and −1 rows are exactly the ones the
+    * distance filter drops, while every KEPT row's value equals the
+    * plain distance, so the oracle (which computes the plain DP)
+    * still matches hash-exactly. Parity note: Spark counts chars,
+    * DuckDB bytes — identical on this ASCII corpus (asserted in the
+    * spec), so the oracle is exact; non-ASCII corpora would block on
+    * codepoints.
     */
   def editDistancePairs(docs: DataFrame, id: Column, text: Column,
-      prefixLen: Int, maxDist: Int): DataFrame = {
+      prefixLen: Int, maxDist: Int,
+      collapseDups: Option[Boolean] = None): DataFrame = {
     val d = docs.select(id.as("id"),
       substring(text, 1, prefixLen).as("p"),
       element_at(TextFunctions.tokens(text), 1).as("blk"))
+    // DUPLICATE COLLAPSE (round 14): the DP input is exactly (p, blk) —
+    // rows agreeing on both are interchangeable through the quadratic
+    // stage, so on a replica-heavy corpus (sf1: 10 near-copies per doc,
+    // all sharing their 80-char prefix verbatim) one representative per
+    // distinct (p, blk) carries the verify and survivors expand through
+    // member joins, within-group pairs emitted at distance 0 directly —
+    // the [[ngramJaccardPairs]] / [[StringJoin.editDistancePairs]]
+    // pattern, gated the same way (≥20% duplicates) because on a
+    // mostly-unique corpus the group-by + expansion joins are pure
+    // overhead.
+    val planHash = d.queryExecution.analyzed.semanticHash()
+    lazy val dupStats: (Long, Long) = {
+      val r = d.agg(count(lit(1)).as("n"),
+        approx_count_distinct(xxhash64(col("p"), col("blk"))).as("dd"))
+        .head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val collapse = collapseDups.getOrElse(
+      AdaptiveStrategy.cached("edblock-collapse", planHash) {
+        dupStats._2 * 5L <= dupStats._1 * 4L
+      })
+    if (!collapse) blockedDpPairs(d, maxDist)
+    else {
+      val groups = Checkpoints.truncate(
+        d.groupBy(col("p"), col("blk")).agg(min(col("id")).as("id")))
+      val members = Checkpoints.truncate(
+        d.join(groups.select(col("p"), col("blk"), col("id").as("gid")),
+            Seq("p", "blk"))
+          .select(col("id"), col("gid")))
+      val cross = blockedDpPairs(
+          groups.select(col("id"), col("p"), col("blk")), maxDist)
+        .join(members.select(col("gid").as("id_a"), col("id").as("ia")),
+          Seq("id_a"))
+        .join(members.select(col("gid").as("id_b"), col("id").as("ib")),
+          Seq("id_b"))
+        .select(least(col("ia"), col("ib")).as("id_a"),
+          greatest(col("ia"), col("ib")).as("id_b"), col("dist"))
+      val same = members.select(col("gid"), col("id").as("id_a"))
+        .join(members.select(col("gid"), col("id").as("id_b")), Seq("gid"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), lit(0L).as("dist"))
+      cross.union(same)
+    }
+  }
+
+  /** The blocked DP join proper, over (id, p, blk) rows: plain equi-
+    * join below [[SaltPairsFloor]]; hot-block salted + pinned above it
+    * (see [[editDistancePairs]]'s scaladoc). Candidate volume past
+    * [[Explosive.pinRows]] pins the plain join's exchanges too — the
+    * post-join DP is the cost, so AQE's byte-sized reducers starve it
+    * exactly like the posting joins.
+    */
+  private def blockedDpPairs(d: DataFrame, maxDist: Int): DataFrame = {
     val a = d.select(col("id").as("id_a"), col("p").as("p_a"), col("blk"))
     val b = d.select(col("id").as("id_b"), col("p").as("p_b"), col("blk"))
-    a.join(b, Seq("blk"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("dist", levenshtein(col("p_a"), col("p_b")).cast("long"))
-      .filter(col("dist") <= maxDist)
-      .select(col("id_a"), col("id_b"), col("dist"))
+    val verified = { (cand: DataFrame) =>
+      cand.filter(col("id_a") < col("id_b"))
+        .withColumn("dist",
+          levenshtein(col("p_a"), col("p_b"), maxDist).cast("long"))
+        .filter(col("dist") >= 0 && col("dist") <= maxDist)
+        .select(col("id_a"), col("id_b"), col("dist"))
+    }
+    val planHash = d.queryExecution.analyzed.semanticHash()
+    lazy val blockStats: (Long, Long) = {
+      val r = d.filter(col("blk").isNotNull)
+        .groupBy(col("blk")).agg(count(lit(1)).as("n"))
+        // double sum: one corpus-sized block would overflow n*n as long
+        .agg(coalesce(max(col("n")), lit(0L)).as("mx"),
+          coalesce(sum(col("n").cast("double") * col("n").cast("double")),
+            lit(0.0)).as("vol"))
+        .head()
+      (r.getLong(0), math.min(r.getDouble(1), Long.MaxValue.toDouble).toLong)
+    }
+    val maxBlock = AdaptiveStrategy.cachedLong("edblock-max", planHash) {
+      blockStats._1
+    }
+    val candVol = AdaptiveStrategy.cachedLong("edblock-cand", planHash) {
+      blockStats._2
+    }
+    val parts = d.sparkSession.sessionState.conf.numShufflePartitions
+    if (maxBlock * maxBlock > saltPairsFloor(d)) {
+      val aS = a
+        .withColumn("salt", pmod(xxhash64(col("id_a")), lit(parts.toLong)))
+        .repartition(parts, col("blk"), col("salt"))
+      val bS = b
+        .withColumn("salt", explode(sequence(lit(0L), lit(parts - 1L))))
+        .repartition(parts, col("blk"), col("salt"))
+      verified(aS.join(bS, Seq("blk", "salt")))
+    } else {
+      val pin = candVol / 2 > Explosive.pinRows(d)
+      verified(Explosive.maybePin(a, pin, col("blk"))
+        .join(Explosive.maybePin(b, pin, col("blk")), Seq("blk")))
+    }
   }
+
+  /** Max single-block pair volume the plain (unsalted, unpinned)
+    * blocked join is allowed before [[editDistancePairs]] salts —
+    * roughly one task's fair share of DP work. Session-overridable via
+    * [[SaltPairsFloorKey]] (specs pin both paths identical with it).
+    */
+  private[operators] val SaltPairsFloor = 1L << 20
+
+  private[graft] val SaltPairsFloorKey = "spark.graft.edjoin.saltPairsFloor"
+
+  private def saltPairsFloor(df: DataFrame): Long =
+    df.sparkSession.conf
+      .get(SaltPairsFloorKey, SaltPairsFloor.toString).toLong
 
   /** Semantic dedup over embeddings (the SemDeDup recipe, Abbas et al.
     * 2023: partition the embedding space into cells, drop in-cell

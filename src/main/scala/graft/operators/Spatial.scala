@@ -135,10 +135,25 @@ object Spatial {
     require(minPts >= 1, s"minPts must be >= 1, got $minPts")
     val pts = df.select(id.as("pid"), x.cast("long").as("px"),
       y.cast("long").as("py"))
+    // the contraction grid (see below) — computed up front because the
+    // pair checkpoint carries each endpoint's s2-cell instead of its
+    // raw coordinates: the cells are free to derive while the coords
+    // are already in flight inside the pair join, they are all the
+    // contraction ever reads, and dropping (xa,ya,xb,yb,dist2) for
+    // (qxa,qya,qxb,qyb) shrinks the one pair-sized checkpoint this
+    // operator writes (21.6 M rows at sf1) by a seventh. Carrying them
+    // in the checkpoint — rather than re-attaching via a join against
+    // the point table — is the scale-honest choice: at 100 TB the
+    // point table is not broadcastable.
+    val s2 = { var s = 1L; while (2L * s * s <= r * r) s += 1; s }
+    def cellCol(c: Column) = ((c - pmod(c, lit(s2))) / s2).cast("long")
     // pair count observed during the checkpoint's own job (no extra
     // action) — it picks the CC-input strategy below
     val pairsObs = org.apache.spark.sql.Observation()
     val pairsC = radiusPairsFull(pts, col("pid"), col("px"), col("py"), r)
+      .select(col("id_a"), col("id_b"),
+        cellCol(col("xa")).as("qxa"), cellCol(col("ya")).as("qya"),
+        cellCol(col("xb")).as("qxb"), cellCol(col("yb")).as("qyb"))
       .observe(pairsObs, count(lit(1)).as("n"))
       .truncated // read three times below
     val nPairs = pairsObs.get("n").asInstanceOf[Long]
@@ -147,10 +162,30 @@ object Spatial {
       .unionByName(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
     val nbCount = sym.groupBy(col("a").as("pid"))
       .agg(count(lit(1)).as("nb"))
+    // point/core counts observed on the roles checkpoint (no extra
+    // action). ALL-CORE SHORTCUT (round 14, from the sf1 phase
+    // profile): dense inputs — the common regime for DBSCAN at scale,
+    // and all 150 k sf1 points — make every point core, and then every
+    // core-restricting semi-join below is the identity (a semi-join
+    // against the full key set keeps every row, null-coordinate points
+    // included since they never reach the pair set at all). Skipping
+    // them removes two passes over the pair-sized checkpoint, measured
+    // ~2 s of q207's 15 s at sf1. Equality of OBSERVED counts is what
+    // gates it, so the decision is exact, not heuristic; under the
+    // reliable-checkpoint knob both counts double together (same
+    // action), so the comparison stays valid — the scale-invariance
+    // rule in [[Checkpoints]]'s caveats.
+    val rolesObs = org.apache.spark.sql.Observation()
     val roles = pts.join(nbCount, Seq("pid"), "left")
       .select(col("pid"),
         (coalesce(col("nb"), lit(0L)) + 1 >= minPts).as("is_core"))
+      .observe(rolesObs, count(lit(1)).as("n"),
+        sum(when(col("is_core"), 1L).otherwise(0L)).as("nc"))
       .truncated
+    val nPts = rolesObs.get("n").asInstanceOf[Long]
+    val nCore = Option(rolesObs.get("nc"))
+      .fold(0L)(_.asInstanceOf[Number].longValue)
+    val allCore = nPts > 0 && nCore == nPts
     val core = roles.filter(col("is_core")).select(col("pid"))
 
     // -- CC edge CONTRACTION (lossless) -------------------------------
@@ -180,18 +215,18 @@ object Spatial {
     // plan from observed runtime statistics, identical results either
     // way.
     val coreEdges = if (nPairs < contractionThreshold(df)) {
-      sym.join(core.select(col("pid").as("a")), Seq("a"), "left_semi")
-        .join(core.select(col("pid").as("b")), Seq("b"), "left_semi")
-        .select(col("a").as("src"), col("b").as("dst"))
+      val symCore =
+        if (allCore) sym
+        else sym
+          .join(core.select(col("pid").as("a")), Seq("a"), "left_semi")
+          .join(core.select(col("pid").as("b")), Seq("b"), "left_semi")
+      symCore.select(col("a").as("src"), col("b").as("dst"))
     } else {
-      val s2 = { var s = 1L; while (2L * s * s <= r * r) s += 1; s }
-      def cellCol(c: Column) = ((c - pmod(c, lit(s2))) / s2).cast("long")
-      val corePairs = pairsC
-        .join(core.select(col("pid").as("id_a")), Seq("id_a"), "left_semi")
-        .join(core.select(col("pid").as("id_b")), Seq("id_b"), "left_semi")
-        .select(col("id_a"), col("id_b"),
-          cellCol(col("xa")).as("qxa"), cellCol(col("ya")).as("qya"),
-          cellCol(col("xb")).as("qxb"), cellCol(col("yb")).as("qyb"))
+      val corePairs =
+        if (allCore) pairsC
+        else pairsC
+          .join(core.select(col("pid").as("id_a")), Seq("id_a"), "left_semi")
+          .join(core.select(col("pid").as("id_b")), Seq("id_b"), "left_semi")
       val cross = corePairs
         .filter(col("qxa") =!= col("qxb") || col("qya") =!= col("qyb"))
         .groupBy(col("qxa"), col("qya"), col("qxb"), col("qyb"))
@@ -203,11 +238,16 @@ object Spatial {
       // all land in the null s2-cell and the star fuses them into one
       // bogus cluster; excluded, they stay isolated CC nodes →
       // singleton clusters, exactly what the small-pairs path yields.
-      val coreCells = pts
+      // (The allCore shortcut is sound here for the same reason: a
+      // semi-join against the full core set keeps exactly these
+      // non-null rows.)
+      val ptsCells = pts
         .filter(col("px").isNotNull && col("py").isNotNull)
-        .join(core, Seq("pid"), "left_semi")
         .select(col("pid"), cellCol(col("px")).as("qx"),
           cellCol(col("py")).as("qy"))
+      val coreCells =
+        if (allCore) ptsCells
+        else ptsCells.join(core, Seq("pid"), "left_semi")
       val stars = coreCells
         .join(coreCells.groupBy(col("qx"), col("qy"))
           .agg(min(col("pid")).as("rep")), Seq("qx", "qy"))
@@ -218,7 +258,15 @@ object Spatial {
     val clusters = Components.connectedComponents(coreEdges,
         Some(core.select(col("pid").as("node"))))
       .select(col("node").as("pid"), col("component").as("cluster"))
+    // border resolution only matters for NON-core points — the
+    // when(is_core) branch below shadows every border row computed for
+    // a core point, so restricting the min-aggregate's probe side to
+    // non-core points halves its input in mixed corpora and empties it
+    // outright in the all-core regime (AQE propagates the empty
+    // relation through the joins). Same output by construction.
     val borderCluster = sym
+      .join(roles.filter(!col("is_core")).select(col("pid").as("a")),
+        Seq("a"), "left_semi")
       .join(core.select(col("pid").as("b")), Seq("b"), "left_semi")
       .join(clusters.select(col("pid").as("b"),
         col("cluster")), Seq("b"))

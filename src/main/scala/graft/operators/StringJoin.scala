@@ -43,14 +43,70 @@ import org.apache.spark.sql.functions._
   */
 object StringJoin {
 
+  /** `collapseDups`: force the duplicate-collapse strategy on (Some
+    * true) or off (Some false); None gates it on the observed
+    * duplicate fraction (the q34 pattern — collapse once ≥20% of
+    * strings are byte-identical). Both branches are exact; specs pin
+    * them row-identical.
+    */
   def editDistancePairs(df: DataFrame, id: Column, str: Column,
-      maxDist: Int, q: Int = 2): DataFrame = {
+      maxDist: Int, q: Int = 2,
+      collapseDups: Option[Boolean] = None): DataFrame = {
     require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
     require(q >= 1, s"q must be >= 1, got $q")
     val prefixLen = maxDist * q + 1
-    val s = df.select(id.as("id"), str.as("s"))
+    val s0 = df.select(id.as("id"), str.as("s"))
       .filter(col("s").isNotNull &&
         length(col("s")) >= q * (maxDist + 1))
+    // DUPLICATE COLLAPSE (round 14, from the sf1 audit): edit distance
+    // is a pure function of the two strings, so byte-identical strings
+    // can share one representative through the quadratic stage — on
+    // the 10×-replicated sf1 corpus the posting self-join shrank from
+    // 8.0e8 candidate pairs over 258 keys (which AQE then coalesced
+    // to ~2 tasks: >25 min) to the distinct-string volume, with
+    // survivors expanded through member joins and within-group pairs
+    // emitted at distance 0 directly. Gated on the observed duplicate
+    // fraction exactly like [[Dedup.ngramJaccardPairs]]: on a mostly-
+    // unique corpus the group-by + member joins are pure overhead.
+    val planHash = s0.queryExecution.analyzed.semanticHash()
+    lazy val stats: (Long, Long) = {
+      val r = s0.agg(count(lit(1)).as("n"),
+        approx_count_distinct(col("s")).as("d")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val collapse = collapseDups.getOrElse(
+      AdaptiveStrategy.cached("edjoin-collapse", planHash) {
+        stats._2 * 5L <= stats._1 * 4L
+      })
+    if (!collapse) pairsAmongDistinct(s0, maxDist, q, prefixLen)
+    else {
+      val groups = Checkpoints.truncate(
+        s0.groupBy(col("s")).agg(min(col("id")).as("id")))
+      val members = Checkpoints.truncate(
+        s0.join(groups.select(col("s"), col("id").as("gid")), Seq("s"))
+          .select(col("id"), col("gid")))
+      val groupPairs =
+        pairsAmongDistinct(groups.select(col("id"), col("s")),
+          maxDist, q, prefixLen)
+      val cross = groupPairs
+        .join(members.select(col("gid").as("id_a"), col("id").as("ia")),
+          Seq("id_a"))
+        .join(members.select(col("gid").as("id_b"), col("id").as("ib")),
+          Seq("id_b"))
+        .select(least(col("ia"), col("ib")).as("id_a"),
+          greatest(col("ia"), col("ib")).as("id_b"), col("dist"))
+      // identical strings are distance 0 ≤ maxDist by definition: every
+      // within-group pair is emitted directly, no DP
+      val same = members.select(col("gid"), col("id").as("id_a"))
+        .join(members.select(col("gid"), col("id").as("id_b")), Seq("gid"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), lit(0L).as("dist"))
+      cross.union(same)
+    }
+  }
+
+  private def pairsAmongDistinct(s: DataFrame, maxDist: Int, q: Int,
+      prefixLen: Int): DataFrame = {
     val inst = s
       .select(col("id"), length(col("s")).as("len"),
         posexplode(expr(
@@ -68,10 +124,20 @@ object StringJoin {
           .orderBy(col("dfe"), col("gram"), col("occ"))))
       .filter(col("rk") <= prefixLen)
       .select(col("id"), col("len"), col("gram"), col("occ"))
+    // the posting self-join is explosive BY CONSTRUCTION (tiny shuffled
+    // bytes — ≤ d·q+1 prefix rows per string — against quadratic
+    // post-join candidate volume), so its exchanges are pinned
+    // unconditionally with user-numbered repartitions, the cosine-tile
+    // rule: AQE sizes reducers by shuffled bytes and coalesced the sf1
+    // candidate stream to ~2 tasks. The pinned exchange moves only the
+    // slim prefix postings, never the strings.
+    val parts = s.sparkSession.sessionState.conf.numShufflePartitions
     val cand = prefix.select(col("id").as("id_a"), col("len").as("len_a"),
         col("gram"), col("occ"))
+      .repartition(parts, col("gram"), col("occ"))
       .join(prefix.select(col("id").as("id_b"), col("len").as("len_b"),
-        col("gram"), col("occ")), Seq("gram", "occ"))
+        col("gram"), col("occ"))
+        .repartition(parts, col("gram"), col("occ")), Seq("gram", "occ"))
       .filter(col("id_a") < col("id_b") &&
         abs(col("len_a") - col("len_b")) <= maxDist)
       .select(col("id_a"), col("id_b")).distinct()

@@ -255,6 +255,10 @@ object AnalyticsQueries {
           pmod(PortableHash.hash32(col("c_custkey")), lit(1000L)).as("x"),
           pmod(PortableHash.hash32(col("c_custkey") * 31 + 7),
             lit(1000L)).as("y"))
+      // NO truncate before this presentation sort (round-14 audit):
+      // pair-sized answer over a cheap grid join — same verdict as q36,
+      // materializing the output costs more than the range sampler's
+      // re-execution of the ~2 s child
       graft.operators.Spatial.radiusPairs(pts, col("uid"), col("x"),
           col("y"), r = 50L)
         .orderBy(col("id_a"), col("id_b"))

@@ -66,10 +66,13 @@ object AssociationQueries {
   val q182EditDistanceJoin: QueryDef = QueryDef(
     "q182_edit_distance_join",
     (s, dir) =>
-      graft.operators.StringJoin.editDistancePairs(
-        Tables(s, dir, "documents")
-          .select(col("doc_id"), substring(col("text"), 1, 24).as("s")),
-        col("doc_id"), col("s"), maxDist = 2, q = 2)
+      // truncate before the presentation sort (round-14 audit): the
+      // range sampler re-executes the unmaterialized prefix-filter join
+      graft.operators.Checkpoints.truncate(
+        graft.operators.StringJoin.editDistancePairs(
+          Tables(s, dir, "documents")
+            .select(col("doc_id"), substring(col("text"), 1, 24).as("s")),
+          col("doc_id"), col("s"), maxDist = 2, q = 2))
         .orderBy(col("id_a"), col("id_b")),
     Some("""
       WITH p AS (SELECT doc_id, substr(text, 1, 24) AS s

@@ -305,8 +305,11 @@ object CurationQueries {
   val q83EditDistance: QueryDef = QueryDef(
     "q83_edit_distance",
     (s, dir) =>
-      Dedup.editDistancePairs(Tables(s, dir, "documents"),
-          col("doc_id"), col("text"), prefixLen = 80, maxDist = 20)
+      // truncate before the presentation sort — see q34: the range
+      // sampler would otherwise re-run the 42 M-pair DP verify
+      graft.operators.Checkpoints.truncate(
+        Dedup.editDistancePairs(Tables(s, dir, "documents"),
+          col("doc_id"), col("text"), prefixLen = 80, maxDist = 20))
         .orderBy(col("id_a"), col("id_b")),
     Some("""
       WITH d AS (SELECT doc_id AS id, substr(text, 1, 80) AS p,

@@ -242,6 +242,13 @@ object ScaleQueries {
   val q36SimhashPairs: QueryDef = QueryDef(
     "q36_simhash_pairs",
     (s, dir) =>
+      // NO truncate before this presentation sort (round-14 audit,
+      // measured): the answer is ~100 M pairs at sf1 but the pair join
+      // itself is cheap (~3 s compute) — checkpointing the output blows
+      // the block store (27.9 s → 90 s measured) where the range
+      // sampler's re-execution of the cheap child costs ~3 s. Truncate
+      // pays only when child-cost ≫ output-materialization-cost
+      // (q34/q83/q95 yes; q36/q206 no).
       Dedup.simhashPairs(Tables(s, dir, "documents"),
           col("doc_id"), col("text"), maxHamming = 3)
         .orderBy(col("id_a"), col("id_b")),

@@ -82,6 +82,29 @@ class AssociationSpec extends SparkSpec {
     }
   }
 
+  test("editDistancePairs: duplicate-collapse path is row-identical to " +
+      "the plain path on a replicated corpus (incl. dist-0 pairs)") {
+    // replica-heavy corpus, the sf1 shape: 4 base strings × 5 copies
+    // plus singletons — within-group dist-0 pairs, cross-group
+    // survivors, and an unpaired string all exercised
+    val bases = Seq("abcabcab", "abcabcax", "zzzyyyxx", "qqqqqqqq")
+    val strs = (bases.flatMap(b => Seq.fill(5)(b)) ++
+      Seq("abcabcbb", "mnopqrst")).zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }
+    val df = strs.toDF("id", "s")
+    def run(c: Option[Boolean]) = graft.operators.StringJoin
+      .editDistancePairs(df, col("id"), col("s"), maxDist = 2, q = 2,
+        collapseDups = c)
+      .as[(Long, Long, Long)].collect().toSet
+    val plain = run(Some(false))
+    val collapsed = run(Some(true))
+    assert(plain === collapsed)
+    // sanity: both within-group (dist 0) and cross-group pairs present
+    assert(plain.exists(_._3 == 0L) && plain.exists(_._3 > 0L))
+    // and the ungated call picks SOME path and agrees too
+    assert(run(None) === plain)
+  }
+
   test("editDistancePairs: short strings are excluded by contract") {
     val strs = Seq((1L, "abc"), (2L, "abd"), (3L, "abcdefgh"),
       (4L, "abcdefgx"))

@@ -239,6 +239,68 @@ class CurationSpec extends SparkSpec {
     assert(nonAscii === 0, "corpus must be ASCII for levenshtein parity")
   }
 
+  test("edit-distance pairs: hot-block salted path is row-identical to " +
+      "the plain join (both adaptive paths)") {
+    // skewed blocks on purpose: one hot block of 12 docs, one pair-only
+    // block, one singleton — mutations keep some pairs under maxDist
+    // and push others over, so the threshold filter is exercised too
+    val docs = ((1L to 12L).map(i =>
+        (i, s"alpha doc number $i with shared prefix content")) ++
+      Seq((20L, "beta first variant here"), (21L, "beta first variant"),
+        (30L, "gamma loner"))).toDF("doc_id", "text")
+    def run(floor: String, collapse: Option[Boolean]) = {
+      spark.conf.set(graft.operators.Dedup.SaltPairsFloorKey, floor)
+      try Dedup.editDistancePairs(docs, col("doc_id"), col("text"),
+          prefixLen = 80, maxDist = 6, collapseDups = collapse)
+        .as[(Long, Long, Long)].collect().toSet
+      finally spark.conf.unset(graft.operators.Dedup.SaltPairsFloorKey)
+    }
+    val plain = run(Long.MaxValue.toString, Some(false)) // plain path
+    val salted = run("0", Some(false)) // forced hot-block salting
+    assert(plain === salted)
+    assert(plain.nonEmpty) // the comparison must not be vacuous
+    // duplicate-collapse path (round 14), against both DP join shapes —
+    // fresh ids with byte-identical texts, the replica shape
+    val collapsedDocs = docs.union(
+      docs.filter(col("doc_id") <= 6L)
+        .select((col("doc_id") + 100L).as("doc_id"), col("text")))
+    val cPlain = Dedup.editDistancePairs(collapsedDocs, col("doc_id"),
+        col("text"), prefixLen = 80, maxDist = 6,
+        collapseDups = Some(false))
+      .as[(Long, Long, Long)].collect().toSet
+    def cRun(floor: String) = {
+      spark.conf.set(graft.operators.Dedup.SaltPairsFloorKey, floor)
+      try Dedup.editDistancePairs(collapsedDocs, col("doc_id"),
+          col("text"), prefixLen = 80, maxDist = 6,
+          collapseDups = Some(true))
+        .as[(Long, Long, Long)].collect().toSet
+      finally spark.conf.unset(graft.operators.Dedup.SaltPairsFloorKey)
+    }
+    assert(cRun(Long.MaxValue.toString) === cPlain)
+    assert(cRun("0") === cPlain)
+    assert(cPlain.exists(_._3 == 0L), "dup ids at distance 0 expected")
+    // every kept dist is a true plain-DP distance (3-arg levenshtein's
+    // early-exit may only remove >maxDist rows, never distort kept ones)
+    val brute = {
+      val rows = docs.as[(Long, String)].collect()
+      (for {
+        a <- rows; b <- rows if a._1 < b._1
+        if a._2.split(" ").head == b._2.split(" ").head
+        d = {
+          val (s, t) = (a._2.take(80), b._2.take(80))
+          val dp = Array.tabulate(s.length + 1, t.length + 1) { (i, j) =>
+            if (i == 0) j else if (j == 0) i else 0 }
+          for (i <- 1 to s.length; j <- 1 to t.length)
+            dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+              dp(i - 1)(j - 1) + (if (s(i - 1) == t(j - 1)) 0 else 1))
+          dp(s.length)(t.length).toLong
+        }
+        if d <= 6L
+      } yield (a._1, b._1, d)).toSet
+    }
+    assert(plain === brute)
+  }
+
   test("exact moments match Spark's float aggregates and are stable") {
     import graft.operators.Stats
     val li = Tables(spark, sfDir, "lineitem")

@@ -1,0 +1,32 @@
+#!/usr/bin/env python3
+"""Derive a 100x (sf10-equivalent) documents table from the sf1 copy,
+for the round-14 dedup-family decade probe (q33/q35/q122/q236 via
+graft.ScaleSmoke — all documents-only). Same construction as
+gen_sf1.py one decade up: replicas are id-shifted (sf1 holds 50k docs),
+replica 0 and every 10th doc keep their text verbatim so cross-replica
+exact/near-dup structure keeps scaling, the rest get a per-replica
+suffix so the corpus is not pure copies.
+
+Usage: python3 tools/gen_sf10.py [src=/tmp/graft_sf1] [out=/tmp/graft_sf10]
+"""
+import os
+import sys
+
+import duckdb
+
+src = sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft_sf1"
+out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_sf10"
+
+os.makedirs(out, exist_ok=True)
+con = duckdb.connect()
+con.sql(f"""COPY (
+  SELECT d.doc_id + 50000*r.i AS doc_id,
+    CASE WHEN r.i=0 OR d.doc_id % 10 = 0 THEN d.text
+         ELSE d.text || ' s' || r.i END AS text,
+    d.lang, d.source,
+    CAST(len(CASE WHEN r.i=0 OR d.doc_id % 10 = 0 THEN d.text
+         ELSE d.text || ' s' || r.i END) AS BIGINT) AS n_chars
+  FROM read_parquet('{src}/documents.parquet') d,
+       (SELECT unnest(range(10)) AS i) r
+) TO '{out}/documents.parquet' (FORMAT PARQUET)""")
+print(f"wrote {out}/documents.parquet")
