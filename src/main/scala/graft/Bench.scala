@@ -257,14 +257,21 @@ object BenchGates {
     Seq.fill(3)(once()).min
   }
 
-  /** Idle reference for [[barrierCalibMs]] on the r14 host (measured
-    * idle, min-of-2 after warm-up, same session shape as BenchSf1).
-    * Env-overridable for other hosts like the par-ratio gate.
+  /** Idle reference for [[barrierCalibMs]] on the r14 host. Measured
+    * behavior (r14, fresh JVMs, BenchSf1 session shape): back-to-back
+    * readings agree within 1-3%, but clean same-day readings wandered
+    * 4240-5185 ms across hours — the host's barrier/shuffle state
+    * itself drifts ~±10%, which is precisely the phenomenon this probe
+    * instruments (the r13 q93/q207 swings were ~±25%). The reference
+    * sits at the observed clean-band midpoint; the 15% comparability
+    * band therefore tolerates the intra-day wander while flagging the
+    * ±25% cross-day class. Env-overridable for other hosts like the
+    * par-ratio gate.
     */
   val RefBarrierMs: Double =
     sys.env.get("SPARK_GRAFT_REF_BARRIER_MS")
       .flatMap(s => scala.util.Try(s.toDouble).toOption)
-      .getOrElse(1340.0)
+      .getOrElse(4700.0)
 
   def cpuCalibParMs(nThreads: Int = CalibThreads): Long = {
     spinOnce() // JIT warm-up (shared method with cpuCalibMs)
