@@ -45,4 +45,20 @@ class BenchGatesSpec extends AnyFunSuite {
       sys.env.contains("SPARK_GRAFT_PAR_RATIO_MAX"))
     assert(BenchGates.CalibThreads > 0)
   }
+
+  test("barrier probe reference holds the r14 idle stamp and the 15% " +
+      "comparability band is the documented tripwire shape") {
+    // reference on the r14 host (no env override in the test JVM); the
+    // band check mirrors BenchSf1's iterative_comparable arithmetic so
+    // a band-width change can't drift silently out of the scaladoc
+    assert(BenchGates.RefBarrierMs == 4700.0 ||
+      sys.env.contains("SPARK_GRAFT_REF_BARRIER_MS"))
+    def comparable(ms: Double) =
+      math.abs(ms / BenchGates.RefBarrierMs - 1.0) <= 0.15
+    val ref = BenchGates.RefBarrierMs
+    assert(comparable(ref) && comparable(ref * 1.14) &&
+      comparable(ref * 0.86))
+    assert(!comparable(ref * 1.26) && !comparable(ref * 0.74),
+      "a ±25%-class swing (the r13 q93/q207 magnitude) must flag")
+  }
 }
