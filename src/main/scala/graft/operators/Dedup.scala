@@ -781,18 +781,27 @@ object Dedup {
     * the two-failure-modes pattern from SCALING.md round 11). When the
     * observed max block size alone exceeds [[SaltPairsFloor]] pairs —
     * one block overfills a task, the skew AQE's split cannot fix
-    * because the cost is post-join compute, not shuffle bytes — the
-    * probe side keeps one deterministic salt in [0, parts) and the
-    * build side replicates ×parts, splitting every block's quadratic
-    * work across the session's full parallelism; both sides ride
-    * user-numbered repartitions on (blk, salt) so AQE cannot re-fuse
-    * them. Each unordered pair still joins exactly once per
+    * because the cost is post-join compute, not shuffle bytes — each
+    * HOT block b gets its own salt count S_b = ⌈n_b²/floor⌉ (the
+    * [[deriveGridSide]] pattern: the factor derives from target
+    * pairs-per-task, NOT from the raw session partition count, so a
+    * 2000-slot cluster doesn't pay ×2000 replication for a block that
+    * only needs ×20 to reach one task's fair share), clamped to
+    * 4×parts to bound a pathological block's replication; cold blocks
+    * keep S_b = 1 and are never replicated at all. The probe side
+    * keeps one deterministic salt in [0, S_b) and the build side
+    * replicates ×S_b; both sides ride user-numbered repartitions on
+    * (blk, salt) so AQE cannot re-fuse them. The per-block counts ride
+    * a broadcast: only blocks past the floor appear in it, and each
+    * such block holds > √floor rows, so the broadcast is ≤ n/√floor
+    * entries by construction (corpus-sized/1024 at the default floor).
+    * Each unordered pair still joins exactly once per
     * orientation (the probe row's single salt picks the copy), so the
     * id_a < id_b filter keeps exactly one — row-identical to the plain
     * join. Below the floor the plain pinless join stands (small-corpus
     * regime; the sf0.1 sweep takes it, so both paths stay oracle-
-    * graded). The replication is gated, never unconditional: ×parts on
-    * a 100 TB relation is only paid when per-block work actually
+    * graded). The replication is gated, never unconditional: it is
+    * only paid when per-block work actually
     * starves, and then only parts ≈ slot-count copies of the slim
     * (id, prefix, blk) projection.
     *
@@ -893,11 +902,27 @@ object Dedup {
     }
     val parts = d.sparkSession.sessionState.conf.numShufflePartitions
     if (maxBlock * maxBlock > saltPairsFloor(d)) {
-      val aS = a
-        .withColumn("salt", pmod(xxhash64(col("id_a")), lit(parts.toLong)))
+      // per-block salt counts, work-derived (see scaladoc): S_b =
+      // ceil(n_b^2 / floor) for hot blocks only, clamped to 4x parts;
+      // cold blocks are absent from the broadcast and coalesce to 1
+      val floor = math.max(1L, saltPairsFloor(d)).toDouble
+      val saltMax = math.max(2L, parts.toLong * 4)
+      val hot = d.filter(col("blk").isNotNull)
+        .groupBy(col("blk")).agg(count(lit(1)).as("n"))
+        .filter(col("n").cast("double") * col("n") > lit(floor))
+        .select(col("blk"),
+          least(lit(saltMax),
+            ceil(col("n").cast("double") * col("n") / lit(floor))
+              .cast("long")).as("nsalt"))
+      val aS = a.join(broadcast(hot), Seq("blk"), "left")
+        .withColumn("salt",
+          pmod(xxhash64(col("id_a")), coalesce(col("nsalt"), lit(1L))))
+        .drop("nsalt")
         .repartition(parts, col("blk"), col("salt"))
-      val bS = b
-        .withColumn("salt", explode(sequence(lit(0L), lit(parts - 1L))))
+      val bS = b.join(broadcast(hot), Seq("blk"), "left")
+        .withColumn("salt",
+          explode(sequence(lit(0L), coalesce(col("nsalt"), lit(1L)) - 1)))
+        .drop("nsalt")
         .repartition(parts, col("blk"), col("salt"))
       verified(aS.join(bS, Seq("blk", "salt")))
     } else {

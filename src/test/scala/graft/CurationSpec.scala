@@ -258,6 +258,12 @@ class CurationSpec extends SparkSpec {
     val plain = run(Long.MaxValue.toString, Some(false)) // plain path
     val salted = run("0", Some(false)) // forced hot-block salting
     assert(plain === salted)
+    // mixed regime (round 14, work-derived per-block salt counts):
+    // floor 100 sits between the 2-doc beta block (4 pairs, stays
+    // cold, coalesces to one salt) and the 12-doc alpha block (144
+    // pairs, salts with S = ceil(144/100) = 2) — both per-block paths
+    // in one run, still row-identical to the plain join
+    assert(run("100", Some(false)) === plain)
     assert(plain.nonEmpty) // the comparison must not be vacuous
     // duplicate-collapse path (round 14), against both DP join shapes —
     // fresh ids with byte-identical texts, the replica shape
