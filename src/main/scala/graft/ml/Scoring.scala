@@ -78,9 +78,17 @@ object Scoring {
     df.na.drop(Seq(yCol, predCol))
       .agg(avg(abs(col(yCol) - col(predCol)))).head().getDouble(0)
 
+  /** A4 as a relation — (max_ape, n), graded by the q242 oracle. The
+    * row count rides along so an empty input (max_ape null) is visibly
+    * distinct from a perfect score.
+    */
+  def maxApeFrame(df: DataFrame, aCol: String, bCol: String): DataFrame =
+    df.agg(max(abs((col(aCol) - col(bCol)) / col(aCol))).as("max_ape"),
+      count(lit(1)).as("n"))
+
   /** A4: max absolute percentage error between two prediction columns. */
   def maxApe(df: DataFrame, aCol: String, bCol: String): Double =
-    df.agg(max(abs((col(aCol) - col(bCol)) / col(aCol)))).head().getDouble(0)
+    maxApeFrame(df, aCol, bCol).head().getDouble(0)
 
   /** M3: save → reload → compare predictions on a seeded sample
     * (ml/check_onnx.py:19-37 semantics, rtol gate left to the caller).

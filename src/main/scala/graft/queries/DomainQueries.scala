@@ -670,8 +670,185 @@ object DomainQueries {
       FROM o ORDER BY k"""),
   )
 
+  // --------------------------------------------------------------- q241
+  // per-process path (see q22BasePath for why)
+  private val q241ExpectedPath =
+    s"/tmp/graft_q241_expected_${ProcessHandle.current().pid()}.parquet"
+
+  /** Equivalence oracle for the K3 HTML-page sink (round 14 — the last
+    * sink without a hash signal): the rendered synthetic pages are
+    * re-emitted through the REAL [[graft.sources.Sinks.writeHtmlPages]]
+    * (one file per page, page_%06d.html naming, dumping.py:223-226) and
+    * the sink's output directory is scraped back through the S1/S3
+    * pipeline; the SAME pages scraped from their original directory —
+    * filenames remapped to the sink's page numbering — are written as
+    * the expected parquet. The driver's hash compare then proves the
+    * sink preserves page count, numbering order, and byte content (a
+    * dropped page, a mangled encoding, or a mis-numbered file all
+    * fail). Fresh files get fresh mtimes, so the mtime column is
+    * excluded here — q237's zip flow grades the mtime-preserving sink.
+    */
+  val q241HtmlSinkParity: QueryDef = QueryDef(
+    "q241_html_sink_parity",
+    (s, _) => {
+      import s.implicits._
+      import scala.jdk.CollectionConverters._
+      val pagesDir = synthPages(6)
+      val outDir = Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft_q241_sink_${ProcessHandle.current().pid()}")
+      val files = java.nio.file.Files.list(Paths.get(pagesDir))
+        .iterator().asScala.toSeq
+        .filter(_.toString.endsWith(".html"))
+        .sortBy(_.getFileName.toString)
+      // 1-based sink numbering over the 0-based fixture names: the
+      // remap is deliberately NOT the identity, so a sink that echoed
+      // input filenames instead of numbering pages would fail
+      graft.sources.Sinks.writeHtmlPages(
+        files.zipWithIndex.map { case (p, i) =>
+          (i + 1, java.nio.file.Files.readString(p)) }, outDir)
+      val nameMap = files.zipWithIndex.map { case (p, i) =>
+          (p.getFileName.toString, f"page_${i + 1}%06d.html") }
+        .toDF("fname", "page")
+      def graded(df: org.apache.spark.sql.DataFrame) = df
+        .withColumn("fname",
+          regexp_extract(col("source_file"), "([^/]+)$", 1))
+        .withColumn("building_transportation",
+          to_json(col("building_transportation")))
+        .drop("source_file", "source_order", "html_file_last_modified_at")
+      graded(PropertiesFrame.scrape(s, pagesDir, fetchedAt = Some(1.6254e9)))
+        .join(broadcast(nameMap), Seq("fname")).drop("fname")
+        .orderBy(col("page"), col("jnc_id"))
+        .write.mode("overwrite").parquet(q241ExpectedPath)
+      graded(PropertiesFrame.scrape(s, outDir.toString,
+          fetchedAt = Some(1.6254e9)))
+        .withColumnRenamed("fname", "page")
+        .orderBy(col("page"), col("jnc_id"))
+    },
+    oracle = Some(s"""
+      SELECT * FROM read_parquet('$q241ExpectedPath/*.parquet')
+      ORDER BY page, jnc_id"""),
+  )
+
+  // --------------------------------------------------------------- q242
+  /** A4 (max absolute percentage error, ml/check_onnx.py:33-37) graded
+    * by oracle (round 14): the REAL [[graft.ml.Scoring.maxApeFrame]]
+    * runs over a deterministic prediction pair derived from lineitem
+    * (a = extended price, b = discounted price — the q12 pattern) and
+    * DuckDB recomputes the identical IEEE-754 expression. Per-row sub/
+    * div/abs on doubles and an order-independent MAX are bit-exact
+    * across engines, so the compare needs no rounding; n rides along
+    * so an empty relation can't vacuously pass.
+    */
+  val q242MaxApe: QueryDef = QueryDef(
+    "q242_max_ape",
+    (s, dir) => {
+      val pairs = graft.Tables(s, dir, "lineitem")
+        .select(col("l_extendedprice").cast("double").as("a"),
+          (col("l_extendedprice").cast("double") *
+            (lit(1.0) - col("l_discount").cast("double"))).as("b"))
+      graft.ml.Scoring.maxApeFrame(pairs, "a", "b")
+    },
+    oracle = Some("""
+      SELECT MAX(ABS((a - a * (1.0 - d)) / a)) AS max_ape,
+             COUNT(*) AS n
+      FROM (SELECT CAST(l_extendedprice AS DOUBLE) AS a,
+                   CAST(l_discount AS DOUBLE) AS d
+            FROM lineitem)"""),
+  )
+
+  // --------------------------------------------------------------- q243
+  /** J4 + P5/X3 (condition-code lookup and request validation,
+    * dumping.py:33-63) graded by oracle (round 14): a condition-page
+    * HTML is rendered from the `nation` table (one checkbox + label per
+    * nation, code C<key>), and the REAL
+    * [[graft.ingest.Dumping.conditionCodesByValue]] (checkbox→label
+    * pairing through the HTML parser) and
+    * [[graft.ingest.Dumping.buildConditionCodes]] (requested-value
+    * validation + selection; the even-keyed nations are requested) run
+    * against it. The oracle restates the expected (value, code,
+    * selected) rows from `nation` directly, so a mis-paired label, a
+    * dropped checkbox, or a wrong selection all hash-mismatch. The
+    * reject path (a requested value with no checkbox throws) stays
+    * spec-covered — DumpingSpec. Driver-side utility by design, like
+    * the reference: the condition page is ONE fetched document (the
+    * 25-row collect is the bounded input, not a data path).
+    */
+  val q243ConditionCodes: QueryDef = QueryDef(
+    "q243_condition_codes",
+    (s, dir) => {
+      import s.implicits._
+      val nations = graft.Tables(s, dir, "nation")
+        .select(col("n_nationkey").cast("long"), col("n_name"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      val html = nations.map { case (k, name) =>
+        s"""<input type="checkbox" name="ts" id="id$k" value="C$k">""" +
+          s"""<label for="id$k">$name</label>"""
+      }.mkString("<html><body>", "\n", "</body></html>")
+      val byValue = graft.ingest.Dumping.conditionCodesByValue(html, "ts")
+      val requested = nations.filter(_._1 % 2 == 0).map(_._2).toSeq
+      val selected = graft.ingest.Dumping
+        .buildConditionCodes(html, Some(requested), None, None)("ts").toSet
+      nations.toSeq.map { case (k, name) =>
+          (name, byValue(name), selected.contains(s"C$k")) }
+        .toDF("value", "code", "selected")
+        .orderBy(col("code"))
+    },
+    oracle = Some("""
+      SELECT n_name AS value,
+             'C' || CAST(CAST(n_nationkey AS BIGINT) AS VARCHAR) AS code,
+             (CAST(n_nationkey AS BIGINT) % 2 = 0) AS selected
+      FROM nation ORDER BY code"""),
+  )
+
+  // --------------------------------------------------------------- q244
+  /** A6 (pagination scraping, dumping.py:141-167) graded by oracle
+    * (round 14): per `orders` row a pager fragment with k = key%7+1
+    * pages is rendered on executors — the multi-page shape (numbered
+    * links + a 次へ anchor) and the single-page shape (one non-link
+    * item, the structure scrape_number_of_pages requires) — and the
+    * REAL [[graft.ingest.Dumping.scrapeNumberOfPages]] /
+    * [[graft.ingest.Dumping.scrapeNextPageUrl]] parse it back. The
+    * oracle restates k and the next-page URL arithmetic, so the
+    * last-link extraction, the single-page fallback, and the
+    * 次へ-anchor resolution are each hash-graded. Per-row string
+    * parse, embarrassingly parallel, no shuffle.
+    */
+  val q244PaginationScrape: QueryDef = QueryDef(
+    "q244_pagination_scrape",
+    (s, dir) => {
+      import s.implicits._
+      graft.Tables(s, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("k")).as[Long]
+        .map { k =>
+          val n = (k % 7 + 1).toInt
+          val html =
+            if (n == 1)
+              """<div class="pagination pagination_set-nav">""" +
+                """<ol class="pagination-parts"><li>1</li></ol></div>"""
+            else {
+              val lis = (1 to n).map(i =>
+                s"""<li><a href="/p?page=$i">$i</a></li>""").mkString
+              s"""<div class="pagination pagination_set-nav">""" +
+                s"""<ol class="pagination-parts">$lis</ol>""" +
+                """<ul><li><a href="/p?page=2">次へ</a></li></ul></div>"""
+            }
+          (k, graft.ingest.Dumping.scrapeNumberOfPages(html),
+            graft.ingest.Dumping.scrapeNextPageUrl(html).orNull)
+        }
+        .toDF("k", "n_pages", "next_url")
+        .orderBy(col("k"))
+    },
+    oracle = Some("""
+      SELECT CAST(o_orderkey AS BIGINT) AS k,
+             CAST(o_orderkey % 7 + 1 AS INT) AS n_pages,
+             CASE WHEN o_orderkey % 7 + 1 > 1
+                  THEN 'https://suumo.jp/p?page=2' END AS next_url
+      FROM orders ORDER BY k"""),
+  )
+
   val all: Seq[QueryDef] =
     Seq(q19ParseGolden, q20KanjiAddress, q21ScrapePipeline, q22FullPipeline,
       q23MlScore, q24ScrapeBench, q47JobInfo, q66MlEval, q67ParseOracle,
-      q237ZipParity, q239JstFormat, q240UrlParams)
+      q237ZipParity, q239JstFormat, q240UrlParams, q241HtmlSinkParity,
+      q242MaxApe, q243ConditionCodes, q244PaginationScrape)
 }

@@ -58,6 +58,15 @@ class MlSpec extends SparkSpec {
     assert(ape < 1e-9, s"save/load max APE $ape")
   }
 
+  test("A4: maxApeFrame hand-computed values; scalar maxApe agrees") {
+    // apes: (10-9)/10 = 0.1, (4-5)/4 = 0.25, (8-8)/8 = 0
+    val df = Seq((10.0, 9.0), (4.0, 5.0), (8.0, 8.0)).toDF("a", "b")
+    val row = Scoring.maxApeFrame(df, "a", "b").head()
+    assert(row.getDouble(0) === 0.25)
+    assert(row.getLong(1) === 3L)
+    assert(Scoring.maxApe(df, "a", "b") === 0.25)
+  }
+
   /** Deterministic prediction digest: micro-unit-quantized predictions
     * of the feature-complete test rows, order-pinned by jnc_id.
     */

@@ -85,6 +85,37 @@ object ProfileIndexMain {
         n = 3, threshold = 0.8, bands = 32, rowsPerBand = 4)
         .write.format("noop").mode("overwrite").save()
     }
+    // ---- round 14: BUILD-phase split + shingle-materialization A/B.
+    // writeNearDupIndex references `sh` from BOTH bucketed writes, so
+    // the documents scan + shingle_hashes run twice; phases D/E name
+    // the recompute, F measures materializing the shingle store once
+    // (truncate) and feeding both writes from the blocks.
+    minOf3("D history shingleStore alone (noop)") {
+      graft.operators.DedupIndex.shingleStore(hist,
+        col("doc_id"), col("text"), 3)
+        .write.format("noop").mode("overwrite").save()
+    }
+    minOf3("E band index compute (noop, incl. D's work)") {
+      graft.operators.DedupIndex.minhashBandIndex(
+        graft.operators.DedupIndex.shingleStore(hist,
+          col("doc_id"), col("text"), 3), 32, 4)
+        .write.format("noop").mode("overwrite").save()
+    }
+    minOf3("F build A/B: truncated shingle store feeding both writes") {
+      val shD = graft.operators.Checkpoints.truncate(
+        graft.operators.DedupIndex.shingleStore(hist,
+          col("doc_id"), col("text"), 3))
+      graft.operators.Scale.writeBucketed(
+        graft.operators.DedupIndex.minhashBandIndex(shD, 32, 4),
+        band + "_ab", "bkey", 8)
+      graft.operators.Scale.writeBucketed(shD, sh + "_ab", "id", 8)
+    }
+    minOf3("G build baseline (writeNearDupIndex as shipped)") {
+      graft.operators.DedupIndex.writeNearDupIndex(hist,
+        col("doc_id"), col("text"), n = 3, bands = 32, rowsPerBand = 4,
+        bandTable = band, shingleTable = sh, buckets = 8)
+    }
+
     // candidate volume — is the verify join output-bound?
     val nCand = graft.operators.DedupIndex.minhashBandIndex(
         graft.operators.DedupIndex.shingleStore(delta,
