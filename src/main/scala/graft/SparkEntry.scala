@@ -85,9 +85,13 @@ object SparkEntry {
     // q238 (round 14): the day-1 index build q122 amortizes into
     // warm-up, rebuilt fresh every call — both lifecycle halves of the
     // stored-index dedup stay measured (r13 verdict "What's wrong #1").
+    // q83 (round 14): the blocked edit-distance pairs row — fixed this
+    // round from >22 min single-threaded to ~13 s (duplicate collapse
+    // + work-derived per-block salting) — gets a gated trend line so
+    // the salted path stays measured at the scale where it bites.
     scaleBench ++ Seq("q34_ngram_jaccard", "q35_minhash_lsh",
       "q236_simhash_dedup_e2e", "q37_cosine_pairs",
       "q118_stream_count_min", "q235_store_lifecycle",
-      "q238_index_build").map(byName)
+      "q238_index_build", "q83_edit_distance").map(byName)
   }
 }

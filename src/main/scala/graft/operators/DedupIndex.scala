@@ -91,7 +91,14 @@ object DedupIndex {
   def writeNearDupIndex(history: DataFrame, id: Column, text: Column,
       n: Int, bands: Int, rowsPerBand: Int,
       bandTable: String, shingleTable: String, buckets: Int): Unit = {
-    val sh = shingleStore(history, id, text, n)
+    // materialize the shingle store once (truncate) so both bucketed
+    // writes read the blocks: without it the plan reference is shared
+    // and the corpus text is scanned + shingled TWICE — measured
+    // 5.8 → 5.3 s warm at sf1 (bench/PROFILE_INDEX_r13.txt, round-14
+    // A/B), and at 100 TB the second full-text scan this removes is
+    // the build's dominant I/O, paid against one metadata-narrow
+    // (id, hashes) block write.
+    val sh = shingleStore(history, id, text, n).truncated
     Scale.writeBucketed(minhashBandIndex(sh, bands, rowsPerBand),
       bandTable, "bkey", buckets)
     Scale.writeBucketed(sh, shingleTable, "id", buckets)
