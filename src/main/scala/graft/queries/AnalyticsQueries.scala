@@ -312,11 +312,18 @@ object AnalyticsQueries {
           col("y"), r = 25L, minPts = 5L)
         .orderBy(col("pid"))
     },
-    Some {
-      val hx = graft.functions.PortableHash.hash32SqlSteps("c_custkey")
-      val hy = graft.functions.PortableHash
-        .hash32SqlSteps("c_custkey * 31 + 7")
-      s"""
+    Some(dbscanOracleSql(r2 = 625L, minPts = 5L)),
+  )
+
+  /** The q207/q245 DBSCAN oracle, parameterized on (r², minPts):
+    * brute-force neighborhoods, recursive min-label propagation over
+    * the core-core graph (the q68 pattern), borders by the min rule.
+    */
+  private def dbscanOracleSql(r2: Long, minPts: Long): String = {
+    val hx = graft.functions.PortableHash.hash32SqlSteps("c_custkey")
+    val hy = graft.functions.PortableHash
+      .hash32SqlSteps("c_custkey * 31 + 7")
+    s"""
       WITH RECURSIVE
       x0 AS (SELECT c_custkey, ${hx(0)} AS h FROM customer),
       x1 AS (SELECT c_custkey, ${hx(1)} AS h FROM x0),
@@ -333,12 +340,12 @@ object AnalyticsQueries {
         SELECT a.uid AS ua, b.uid AS ub
         FROM pts a JOIN pts b ON a.uid < b.uid
         WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
-          <= 625),
+          <= $r2),
       sym AS (SELECT ua AS a, ub AS b FROM p
               UNION ALL SELECT ub, ua FROM p),
       nb AS (SELECT a AS uid, COUNT(*) AS c FROM sym GROUP BY a),
       roles AS (
-        SELECT pts.uid, COALESCE(nb.c, 0) + 1 >= 5 AS is_core
+        SELECT pts.uid, COALESCE(nb.c, 0) + 1 >= $minPts AS is_core
         FROM pts LEFT JOIN nb ON pts.uid = nb.uid),
       core AS (SELECT uid FROM roles WHERE is_core),
       ce AS (
@@ -365,7 +372,51 @@ object AnalyticsQueries {
       LEFT JOIN cc ON cc.node = r.uid
       LEFT JOIN bc ON bc.uid = r.uid
       ORDER BY pid"""
+  }
+
+  // --------------------------------------------------------------- q245
+  /** DBSCAN in the saturated-density regime (r=80, minPts=2 — checked:
+    * every point at sf0.01 AND sf0.1 has ≥8 in-radius neighbors, so
+    * nCore == nPts): grades [[graft.operators.Spatial.dbscan]]'s
+    * ALL-CORE shortcut paths (identity semi-joins skipped, border
+    * resolution provably empty) — closing the round-14 advisor note
+    * that the shortcut was only reached at scales the oracle doesn't
+    * watch. Both adaptive paths of the operator are now hash-graded
+    * at the graded scale.
+    *
+    * ORACLE DESIGN: the closed form, not [[dbscanOracleSql]]'s
+    * recursive replay — in this regime the radius graph is ONE
+    * component (verified out-of-band with a grid-bucketed union-find
+    * over the staged-hash coordinates: sf0.01 and sf0.1 both single-
+    * component, min in-radius degree 8), so the exact expected output
+    * is every point `core` with cluster = MIN(uid). The recursive
+    * min-label replay is quadratic in label-pair space on a dense
+    * graph (DuckDB held >40 CPU-minutes at sf0.1 before being cut);
+    * q207 keeps the recursion where the sparse regime makes it cheap.
+    * A dbscan bug that splits the giant cluster, mislabels a role, or
+    * drops a point still hash-mismatches; if the testdata generator
+    * ever sparsifies this corpus the oracle fails LOUDLY (single-
+    * component assumption printed here, not silently assumed).
+    */
+  val q245DbscanDense: QueryDef = QueryDef(
+    "q245_dbscan_dense",
+    (s, dir) => {
+      import graft.functions.PortableHash
+      val pts = Tables(s, dir, "customer")
+        .select(col("c_custkey").as("uid"),
+          pmod(PortableHash.hash32(col("c_custkey")), lit(1000L)).as("x"),
+          pmod(PortableHash.hash32(col("c_custkey") * 31 + 7),
+            lit(1000L)).as("y"))
+      graft.operators.Spatial.dbscan(pts, col("uid"), col("x"),
+          col("y"), r = 80L, minPts = 2L)
+        .orderBy(col("pid"))
     },
+    Some("""
+      SELECT CAST(c_custkey AS BIGINT) AS pid,
+             'core' AS role,
+             (SELECT CAST(MIN(c_custkey) AS BIGINT) FROM customer)
+               AS cluster
+      FROM customer ORDER BY pid"""),
   )
 
   // --------------------------------------------------------------- q208
@@ -1656,5 +1707,5 @@ ${bfsCtes("b", "s2", 4)}
     q220Eccentricity, q221EmbeddingDrift, q222SortedNeighborhood,
     q223Conformal, q224LtvCurve, q225NewVsReturning,
     q226UpsertSnapshot, q227StreamUpsertSnapshot, q228StoreTimeTravel,
-    q229CompactedStore, q235StoreLifecycle)
+    q229CompactedStore, q235StoreLifecycle, q245DbscanDense)
 }
