@@ -19,22 +19,33 @@ import org.apache.spark.sql.functions._
   * blocking payoff, recorded in the artifact.
   *
   * Usage: ScaleSmoke <dataDir> <outJson> [query,query,...]
+  *
+  * The two parallelism legs default to 8/128 MB vs 64/4 MB and can be
+  * overridden with SPARK_GRAFT_SMOKE_LEGS="parts:splitBytes,
+  * parts:splitBytes" — the deliberately-starved p8 leg is the point
+  * of the probe, but one decade up it can exceed any reasonable probe
+  * budget (the r14 q95 sf10 attempt sat >50 min in its first p8
+  * execution); a p16 or p32 first leg keeps the invariance check
+  * honest while fitting the budget.
   */
 object ScaleSmoke {
 
   /** Partition-order-independent content hash: sum (wrapping) of
     * per-row xxhash64 over every column rendered to string through a
     * canonical cast — identical row multisets hash identically under
-    * any partitioning or row order.
+    * any partitioning or row order. Returns (hash, rowCount) from the
+    * SAME action, so the probe executes each (query, leg) exactly
+    * once — the separate count() it replaced doubled every leg's cost
+    * (round 14; at sf10 one execution is minutes).
     */
-  private def contentHash(df: DataFrame): String = {
+  private def contentHash(df: DataFrame): (String, Long) = {
     val cols = df.columns.sorted.map(c =>
       coalesce(col(c).cast("string"), lit("<null>")))
     // decimal(38) sum: a long sum of 64-bit hashes overflows, which
     // ANSI mode (Spark 4 default) turns into a hard error
     val r = df.select(xxhash64(cols: _*).cast("decimal(38,0)").as("h"))
       .agg(sum(col("h")).as("s"), count(lit(1)).as("n")).head()
-    s"${r.get(0)}/${r.getLong(1)}"
+    (s"${r.get(0)}/${r.getLong(1)}", r.getLong(1))
   }
 
   def main(args: Array[String]): Unit = {
@@ -59,6 +70,14 @@ object ScaleSmoke {
     spark.sparkContext.setLogLevel("WARN")
     val byName = SparkEntry.defs.map(d => d.name -> d).toMap
 
+    val legs = sys.env.get("SPARK_GRAFT_SMOKE_LEGS")
+      .map(_.split(",").toSeq.map { leg =>
+        val Array(p, b) = leg.split(":"); (p.trim.toInt, b.trim.toLong)
+      })
+      .getOrElse(Seq((8, 128L << 20), (64, 4L << 20)))
+    require(legs.length == 2, "SPARK_GRAFT_SMOKE_LEGS wants two legs")
+    val legsDesc = legs.map { case (p, b) => s"$p:$b" }.mkString(",")
+
     val results = names.map { name =>
       val d = byName(name)
       def runWith(parts: Int, splitBytes: Long): (String, Long, Double) = {
@@ -66,13 +85,11 @@ object ScaleSmoke {
         spark.conf.set("spark.sql.files.maxPartitionBytes",
           splitBytes.toString)
         val t0 = System.nanoTime()
-        val out = d.fn(spark, dataDir)
-        val rows = out.count()
-        val h = contentHash(out)
+        val (h, rows) = contentHash(d.fn(spark, dataDir))
         (h, rows, (System.nanoTime() - t0) / 1e9)
       }
-      val (h8, n8, s8) = runWith(8, 128L << 20)
-      val (h64, n64, s64) = runWith(64, 4L << 20)
+      val (h8, n8, s8) = runWith(legs(0)._1, legs(0)._2)
+      val (h64, n64, s64) = runWith(legs(1)._1, legs(1)._2)
       val ok = h8 == h64 && n8 == n64
       System.err.println(
         f"[smoke] $name rows=$n8 match=$ok t8=$s8%.1fs t64=$s64%.1fs")
@@ -101,7 +118,7 @@ object ScaleSmoke {
     }.getOrElse("")
     val allOk = results.forall(_._3)
     val json =
-      s"""{"metric":"scale_smoke","data_dir":"$dataDir","all_partition_invariant":$allOk,"queries":$qJson$candJson}"""
+      s"""{"metric":"scale_smoke","data_dir":"$dataDir","legs":"$legsDesc","all_partition_invariant":$allOk,"queries":$qJson$candJson}"""
     println(json)
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
