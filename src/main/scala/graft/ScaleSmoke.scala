@@ -92,7 +92,8 @@ object ScaleSmoke {
       val (h64, n64, s64) = runWith(legs(1)._1, legs(1)._2)
       val ok = h8 == h64 && n8 == n64
       System.err.println(
-        f"[smoke] $name rows=$n8 match=$ok t8=$s8%.1fs t64=$s64%.1fs")
+        f"[smoke] $name rows=$n8 match=$ok " +
+          f"t${legs(0)._1}=$s8%.1fs t${legs(1)._1}=$s64%.1fs")
       (name, n8, ok, s8, s64)
     }
 
@@ -110,8 +111,11 @@ object ScaleSmoke {
       (agg.getLong(0), nDocs, nDocs * (nDocs - 1) / 2)
     }
 
+    // per-leg keys carry the actual partition counts (sec_p8/sec_p64
+    // under the defaults, so prior-round artifacts stay comparable);
+    // overridden legs are named for what they really ran
     val qJson = results.map { case (name, n, ok, s8, s64) =>
-      f""""$name":{"rows":$n,"partition_invariant":$ok,"sec_p8":$s8%.2f,"sec_p64":$s64%.2f}"""
+      f""""$name":{"rows":$n,"partition_invariant":$ok,"sec_p${legs(0)._1}":$s8%.2f,"sec_p${legs(1)._1}":$s64%.2f}"""
     }.mkString("{", ",", "}")
     val candJson = candProbe.map { case (cand, nDocs, allPairs) =>
       s""","lsh_candidates":$cand,"lsh_docs":$nDocs,"all_pairs":$allPairs"""

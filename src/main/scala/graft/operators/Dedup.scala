@@ -901,7 +901,9 @@ object Dedup {
       blockStats._2
     }
     val parts = d.sparkSession.sessionState.conf.numShufflePartitions
-    if (maxBlock * maxBlock > saltPairsFloor(d)) {
+    // double compare: a corpus-sized block would overflow maxBlock² as
+    // long (same guard the hot filter below uses)
+    if (maxBlock.toDouble * maxBlock > saltPairsFloor(d)) {
       // per-block salt counts, work-derived (see scaladoc): S_b =
       // ceil(n_b^2 / floor) for hot blocks only, clamped to 4x parts;
       // cold blocks are absent from the broadcast and coalesce to 1

@@ -524,6 +524,20 @@ object DomainQueries {
       ORDER BY page, jnc_id"""),
   )
 
+  /** Sorted .html page paths under dir — shared by the q237/q241
+    * sink-parity fixtures. Closes the Files.list stream (its javadoc
+    * requires it; leaking one per invocation accumulates descriptors
+    * across warm+min-of-N bench loops).
+    */
+  private def listHtmlPages(dir: String): Vector[java.nio.file.Path] = {
+    import scala.jdk.CollectionConverters._
+    val stream = java.nio.file.Files.list(Paths.get(dir))
+    try stream.iterator().asScala.toVector
+      .filter(_.toString.endsWith(".html"))
+      .sortBy(_.getFileName.toString)
+    finally stream.close()
+  }
+
   // --------------------------------------------------------------- q237
   // per-process paths (see q22BasePath for why)
   private val q237ExpectedPath =
@@ -546,14 +560,10 @@ object DomainQueries {
   val q237ZipParity: QueryDef = QueryDef(
     "q237_zip_parity",
     (s, _) => {
-      import scala.jdk.CollectionConverters._
       val pagesDir = synthPages(6)
       val zipPath = Paths.get(System.getProperty("java.io.tmpdir"),
         s"graft_q237_${ProcessHandle.current().pid()}.zip")
-      val files = java.nio.file.Files.list(Paths.get(pagesDir))
-        .iterator().asScala.toSeq
-        .filter(_.toString.endsWith(".html"))
-        .sortBy(_.getFileName.toString)
+      val files = listHtmlPages(pagesDir)
         .map(p => (p.getFileName.toString,
           java.nio.file.Files.readAllBytes(p),
           // whole seconds by rint, matching the S1 dir reader's mtime
@@ -692,14 +702,13 @@ object DomainQueries {
     "q241_html_sink_parity",
     (s, _) => {
       import s.implicits._
-      import scala.jdk.CollectionConverters._
       val pagesDir = synthPages(6)
-      val outDir = Paths.get(System.getProperty("java.io.tmpdir"),
-        s"graft_q241_sink_${ProcessHandle.current().pid()}")
-      val files = java.nio.file.Files.list(Paths.get(pagesDir))
-        .iterator().asScala.toSeq
-        .filter(_.toString.endsWith(".html"))
-        .sortBy(_.getFileName.toString)
+      // a FRESH temp dir per call: a fixed pid-keyed path could hold
+      // stale extra pages from a previous process after pid reuse —
+      // writeHtmlPages overwrites but never deletes, and the re-scrape
+      // reads the whole directory
+      val outDir = java.nio.file.Files.createTempDirectory("graft_q241_sink_")
+      val files = listHtmlPages(pagesDir)
       // 1-based sink numbering over the 0-based fixture names: the
       // remap is deliberately NOT the identity, so a sink that echoed
       // input filenames instead of numbering pages would fail

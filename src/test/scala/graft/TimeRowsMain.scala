@@ -18,8 +18,10 @@ object TimeRows {
     val dir = args.headOption.getOrElse("/tmp/graft_sf1")
     val spark = SparkSession.builder()
       .withExtensions(new graft.plans.GraftExtensions)
-      .master("local[32]").appName("time-rows")
-      .config("spark.sql.shuffle.partitions", "32")
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .appName("time-rows")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.files.maxPartitionBytes", s"${4 * 1024 * 1024}")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
