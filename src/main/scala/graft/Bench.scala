@@ -101,6 +101,13 @@ object Bench {
       val ceStart = counter.count.get()
       val calibMs = cpuCalibMs()
       val parMs = cpuCalibParMs()
+      // barrier-shaped probe (round 15): the r14 driver artifact shipped
+      // a +22% scale_total swing as "valid":true on UNCHANGED code (q95
+      // 1.59→2.98 s) while the idle sf1 rerun showed the same queries
+      // FASTER — the sf0.1 artifact is the one the driver records every
+      // round, so it needs the same iterative-state comparability flag
+      // BenchSf1 got in round 14 (see barrierCalibMs scaladoc).
+      val barrierMs = barrierCalibMs(spark)
       val results = timeSection(SparkEntry.headline)
       val qs = toJsonObj(results)
       val total = results.map(_._2).filter(_ >= 0).sum
@@ -126,6 +133,7 @@ object Bench {
       // speed mid-bench and the numbers are a load measurement.
       val calibAfterMs = cpuCalibMs()
       val parAfterMs = cpuCalibParMs()
+      val barrierAfterMs = barrierCalibMs(spark)
       val calibDrift =
         math.abs(calibAfterMs - calibMs).toDouble / calibMs.toDouble
       // the ALL-CORES probe (round 12): the single-thread spin and the
@@ -136,6 +144,19 @@ object Bench {
       val parRatioAfter = parAfterMs.toDouble / calibAfterMs.toDouble
       val parClean = parRatio <= ParRatioMax && parRatioAfter <= ParRatioMax
       val validFinal = valid && calibDrift <= 0.15 && parClean
+      // barrier-state comparability (round 15, mirrors BenchSf1): NOT
+      // folded into `valid` — an elevated barrier state means cross-day
+      // deltas on the iterative/shuffle-heavy `scale_queries` rows
+      // (q95/q93/q207/q125-shaped) are host noise, while the measurement
+      // itself is still internally clean. Pre-run reading only (the
+      // post-bench JVM carries GC/cached-block state that reads slow
+      // without being host state); the after value is information.
+      val barrierRatio = barrierMs.toDouble / RefBarrierMs
+      val iterComparable = math.abs(barrierRatio - 1.0) <= 0.15
+      if (!iterComparable) System.err.println(
+        f"[bench] NOTE: barrier calibration $barrierMs/$barrierAfterMs ms " +
+          f"vs idle reference ${RefBarrierMs}%.0f ms — scale_queries " +
+          "trend deltas are not cross-day comparable this run")
       if (!parClean) System.err.println(
         f"[bench] WARN: all-cores calibration ratio $parRatio%.2f/" +
           f"$parRatioAfter%.2f exceeds $ParRatioMax%.2f — another " +
@@ -144,7 +165,7 @@ object Bench {
         f"[bench] WARN: calibration drifted $calibDrift%.2f mid-run " +
           s"($calibMs -> $calibAfterMs ms) — artifact carries \"valid\":false")
       val json =
-        f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","valid":$validFinal,"queries":$qs,"scale_total":$scaleTotal%.3f,"scale_queries":$scaleQs,"value_per_calib":$valuePerCalib%.3f,"scale_total_per_calib":$scalePerCalib%.3f,"ref_calib_ms":284,"sf":"$sfDir","loadavg_before":"$loadBefore","loadavg_after":"${loadavg()}","cpu_calib_ms":$calibMs,"cpu_calib_after_ms":$calibAfterMs,"cpu_calib_par_ms":$parMs,"cpu_calib_par_after_ms":$parAfterMs,"par_ratio":$parRatio%.3f,"par_ratio_after":$parRatioAfter%.3f,"par_ratio_max":$ParRatioMax%.2f,"compile_exceptions":$compileExceptions}"""
+        f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","valid":$validFinal,"queries":$qs,"scale_total":$scaleTotal%.3f,"scale_queries":$scaleQs,"value_per_calib":$valuePerCalib%.3f,"scale_total_per_calib":$scalePerCalib%.3f,"ref_calib_ms":284,"sf":"$sfDir","loadavg_before":"$loadBefore","loadavg_after":"${loadavg()}","cpu_calib_ms":$calibMs,"cpu_calib_after_ms":$calibAfterMs,"cpu_calib_par_ms":$parMs,"cpu_calib_par_after_ms":$parAfterMs,"par_ratio":$parRatio%.3f,"par_ratio_after":$parRatioAfter%.3f,"par_ratio_max":$ParRatioMax%.2f,"barrier_calib_ms":$barrierMs,"barrier_calib_after_ms":$barrierAfterMs,"ref_barrier_ms":${RefBarrierMs}%.0f,"barrier_ratio":$barrierRatio%.3f,"iterative_comparable":$iterComparable,"compile_exceptions":$compileExceptions}"""
       (json, validFinal)
     }
 

@@ -113,16 +113,29 @@ object ScaleSmoke {
 
     // per-leg keys carry the actual partition counts (sec_p8/sec_p64
     // under the defaults, so prior-round artifacts stay comparable);
-    // overridden legs are named for what they really ran
+    // overridden legs are named for what they really ran. When BOTH
+    // legs override to the same partition count the keys additionally
+    // carry the split size (sec_p32_128m/sec_p32_4m) — identical keys
+    // in one JSON object silently lose a leg in most parsers (r14
+    // advisor).
+    val legKeys =
+      if (legs(0)._1 == legs(1)._1)
+        legs.map { case (p, b) => s"sec_p${p}_${b >> 20}m" }
+      else legs.map { case (p, _) => s"sec_p$p" }
     val qJson = results.map { case (name, n, ok, s8, s64) =>
-      f""""$name":{"rows":$n,"partition_invariant":$ok,"sec_p${legs(0)._1}":$s8%.2f,"sec_p${legs(1)._1}":$s64%.2f}"""
+      f""""$name":{"rows":$n,"partition_invariant":$ok,"${legKeys(0)}":$s8%.2f,"${legKeys(1)}":$s64%.2f}"""
     }.mkString("{", ",", "}")
     val candJson = candProbe.map { case (cand, nDocs, allPairs) =>
       s""","lsh_candidates":$cand,"lsh_docs":$nDocs,"all_pairs":$allPairs"""
     }.getOrElse("")
     val allOk = results.forall(_._3)
+    // "actions":1 — since round 14 each leg runs ONE action (hash and
+    // count share an aggregate), so per-leg seconds are NOT comparable
+    // to pre-r14 smoke artifacts, which ran two actions per leg; the
+    // artifact records the semantics so cross-round readers don't have
+    // to know the history (r14 advisor)
     val json =
-      s"""{"metric":"scale_smoke","data_dir":"$dataDir","legs":"$legsDesc","all_partition_invariant":$allOk,"queries":$qJson$candJson}"""
+      s"""{"metric":"scale_smoke","data_dir":"$dataDir","legs":"$legsDesc","actions":1,"all_partition_invariant":$allOk,"queries":$qJson$candJson}"""
     println(json)
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -107,7 +107,7 @@ object Dedup {
     }
     val usePrefix = prefixFilter.getOrElse {
       AdaptiveStrategy.cached("ngram-prefix", planHash) {
-        chooseNgramStrategy(shAll, gateStats._3)
+        chooseNgramStrategy(shAll, planHash, gateStats._3)
       }
     }
     // the posting self-join is explosive (post-join candidate volume,
@@ -117,16 +117,19 @@ object Dedup {
     val pin = AdaptiveStrategy.cachedLong("ngram-postings", planHash) {
       gateStats._3
     } > Explosive.pinRows(docs)
-    def pairsOver(sh: DataFrame): DataFrame =
+    def pairsOver(sh: DataFrame, statsKey: String): DataFrame = {
+      guardCandidateBudget(sh, statsKey, planHash)
       if (usePrefix) prefixFilterPairs(sh, threshold, pin)
       else countJoinPairs(sh, threshold, pin)
-    if (!collapse) return pairsOver(shAll)
+    }
+    if (!collapse) return pairsOver(shAll, "ngram-cand")
     val groups = Checkpoints.truncate(
       shAll.groupBy(col("sh")).agg(min(col("id")).as("id")))
     val members = Checkpoints.truncate(
       shAll.join(groups.select(col("sh"), col("id").as("gid")), Seq("sh"))
         .select(col("id"), col("gid")))
-    val groupPairs = pairsOver(groups.select(col("id"), col("sh")))
+    val groupPairs =
+      pairsOver(groups.select(col("id"), col("sh")), "ngram-cand-collapsed")
     val cross = groupPairs
       .join(members.select(col("gid").as("id_a"), col("id").as("ia")),
         Seq("id_a"))
@@ -142,21 +145,69 @@ object Dedup {
     cross.union(same)
   }
 
-  private def chooseNgramStrategy(sh: DataFrame, postings: Long): Boolean = {
-    // candidate volume summed in DOUBLE: one ultra-frequent shingle
-    // (df in the billions) overflows df*(df-1) as a long, and Spark's
-    // non-ANSI sum would wrap negative — silently routing exactly the
-    // skewed corpus this gate exists to catch onto the count join.
-    // The threshold only needs magnitude, not exact integers.
+  private def chooseNgramStrategy(sh: DataFrame, planHash: Int,
+      postings: Long): Boolean =
     // `postings` (= Σ df) arrives from the caller's consolidated
-    // gateStats row rather than being re-summed here.
-    val stats = sh.select(explode(col("sh")).as("g"))
-      .groupBy(col("g")).agg(count(lit(1)).as("df"))
-      .agg(sum(col("df").cast("double") * (col("df").cast("double") - 1))
-          .as("cand2")).head()
-    val candidates = (if (stats.isNullAt(0)) 0.0 else stats.getDouble(0)) / 2
-    candidates > 64.0 * postings
+    // gateStats row rather than being re-summed here; the candidate
+    // estimate shares [[candidatePairsEstimate]]'s cache with the
+    // pairs-budget guard, so the df aggregate runs once per plan.
+    candidatePairsEstimate(sh, "ngram-cand", planHash) > 64.0 * postings
+
+  /** Exact count-join candidate volume Σ_g df(g)·(df(g)−1)/2 for a
+    * shingled frame, cached per pre-checkpoint plan hash (the same
+    * key discipline as the strategy/pin gates — the checkpointed
+    * frame's own hash changes per invocation). Summed in DOUBLE: one
+    * ultra-frequent shingle (df in the billions) overflows df·(df−1)
+    * as a long, and Spark's non-ANSI sum would wrap negative —
+    * silently routing exactly the skewed corpus the gates exist to
+    * catch. Clamped to Long.MaxValue; the consumers only need
+    * magnitude.
+    */
+  private def candidatePairsEstimate(sh: DataFrame, statsKey: String,
+      planHash: Int): Long =
+    AdaptiveStrategy.cachedLong(statsKey, planHash) {
+      val stats = sh.select(explode(col("sh")).as("g"))
+        .groupBy(col("g")).agg(count(lit(1)).as("df"))
+        .agg(sum(col("df").cast("double") * (col("df").cast("double") - 1))
+            .as("cand2")).head()
+      val candidates = (if (stats.isNullAt(0)) 0.0 else stats.getDouble(0)) / 2
+      math.min(candidates, Long.MaxValue.toDouble).toLong
+    }
+
+  /** Fail-fast pairs budget for the exact n-gram join (round 15,
+    * verdict): at sf10 the verify stage died as an executor OOM after
+    * ~33 MINUTES (8 g heap in the shingle-array sort buffers; 28 g ran
+    * 33 min before dying) — an operator that already computes corpus
+    * df statistics to pick its join strategy should spend that same
+    * statistic to refuse an over-budget corpus upfront with an
+    * actionable message. The estimate is the count join's exact
+    * candidate volume and an upper bound on the prefix path's verify
+    * candidates, so it is the right proxy for both strategies' memory
+    * class. Session-overridable via [[NgramPairsMaxKey]] (0 or
+    * negative disables); the default clears sf1's measured 1.4e8
+    * candidates with an order of magnitude to spare while stopping
+    * the sf10 class (~1.4e10) at plan time.
+    */
+  private def guardCandidateBudget(sh: DataFrame, statsKey: String,
+      planHash: Int): Unit = {
+    val budget = sh.sparkSession.conf
+      .get(NgramPairsMaxKey, NgramPairsMax.toString).toLong
+    if (budget <= 0) return
+    val est = candidatePairsEstimate(sh, statsKey, planHash)
+    if (est > budget) throw new IllegalStateException(
+      s"ngramJaccardPairs: estimated candidate-pair volume $est exceeds " +
+        s"the $budget budget ($NgramPairsMaxKey) — the exact all-pairs " +
+        "verify at this scale exhausts executor memory (measured: 33-min " +
+        "OOM at sf10). Use the banded/bucketed scale paths instead: " +
+        "Dedup.minhashLshPairs (q35) or " +
+        "DedupIndex.incrementalNearDedupIndexed (q122); or raise the " +
+        "budget / set it <= 0 to force the exact join.")
   }
+
+  /** Default for [[NgramPairsMaxKey]]: 2e9 candidate pairs. */
+  private[operators] val NgramPairsMax = 2000000000L
+
+  private[graft] val NgramPairsMaxKey = "spark.graft.ngram.maxCandidatePairs"
 
   private def countJoinPairs(sh: DataFrame, threshold: Double,
       pin: Boolean): DataFrame = {
@@ -909,19 +960,30 @@ object Dedup {
       // cold blocks are absent from the broadcast and coalesce to 1
       val floor = math.max(1L, saltPairsFloor(d)).toDouble
       val saltMax = math.max(2L, parts.toLong * 4)
-      val hot = d.filter(col("blk").isNotNull)
-        .groupBy(col("blk")).agg(count(lit(1)).as("n"))
-        .filter(col("n").cast("double") * col("n") > lit(floor))
-        .select(col("blk"),
-          least(lit(saltMax),
-            ceil(col("n").cast("double") * col("n") / lit(floor))
-              .cast("long")).as("nsalt"))
-      val aS = a.join(broadcast(hot), Seq("blk"), "left")
+      // materialized ONCE (round 15, advisor): `hot` is referenced by
+      // both join sides, so without the checkpoint the per-block count
+      // aggregate over d could execute twice unless exchange reuse
+      // happened to dedupe it. The checkpoint also yields the hot-block
+      // COUNT for free, turning the documented-but-unenforced n/√floor
+      // size bound into a real broadcast gate: past [[HotBroadcastMax]]
+      // rows the salt attach falls back to a plain shuffle join on blk
+      // instead of risking the driver's broadcast limit.
+      val hot = Checkpoints.truncate(
+        d.filter(col("blk").isNotNull)
+          .groupBy(col("blk")).agg(count(lit(1)).as("n"))
+          .filter(col("n").cast("double") * col("n") > lit(floor))
+          .select(col("blk"),
+            least(lit(saltMax),
+              ceil(col("n").cast("double") * col("n") / lit(floor))
+                .cast("long")).as("nsalt")))
+      val hotSide =
+        if (hot.count() <= HotBroadcastMax) broadcast(hot) else hot
+      val aS = a.join(hotSide, Seq("blk"), "left")
         .withColumn("salt",
           pmod(xxhash64(col("id_a")), coalesce(col("nsalt"), lit(1L))))
         .drop("nsalt")
         .repartition(parts, col("blk"), col("salt"))
-      val bS = b.join(broadcast(hot), Seq("blk"), "left")
+      val bS = b.join(hotSide, Seq("blk"), "left")
         .withColumn("salt",
           explode(sequence(lit(0L), coalesce(col("nsalt"), lit(1L)) - 1)))
         .drop("nsalt")
@@ -933,6 +995,14 @@ object Dedup {
         .join(Explosive.maybePin(b, pin, col("blk")), Seq("blk")))
     }
   }
+
+  /** Max hot-block rows the salted edit-distance join will broadcast
+    * for the salt attach; larger hot lists join by shuffle instead
+    * (~4 M (blk, nsalt) rows ≈ tens of MB hashed — comfortably inside
+    * Spark's broadcast limits, while anything bigger suggests the
+    * whole corpus is hot and a shuffle join is the right plan anyway).
+    */
+  private[operators] val HotBroadcastMax = 1L << 22
 
   /** Max single-block pair volume the plain (unsalted, unpinned)
     * blocked join is allowed before [[editDistancePairs]] salts —

@@ -263,28 +263,50 @@ object Search {
 
   /** Densify (doc, term, w) into per-doc weight vectors over a
     * term→index map and delegate to the tiled cosine join. The
-    * vocabulary index is a window over the term-cardinality relation —
-    * bounded by maxDenseVocab, so the single-partition sort is V rows,
-    * not corpus rows — and is broadcast to the densify join.
+    * vocabulary index is assigned DRIVER-SIDE: the dense path only
+    * runs when vocab ≤ maxDenseVocab (4096), so collecting the
+    * distinct terms is an O(V) driver collect — the repo's bounded-
+    * collect pattern (k centroids, merge steps). It replaces a
+    * row_number window whose `partitionBy(lit(0))` did NOT suppress
+    * the single-partition WindowExec warning: Spark 4's
+    * EliminateWindowPartitions optimizer rule folds any foldable
+    * partition expression away, so the plan reached WindowExec with
+    * an empty spec and warned in every bench artifact (the r14
+    * verdict's 5-warning tail). Driver assignment also deletes the
+    * one-row vmax cross join. Terms are ordered by UTF-8 byte
+    * comparison — the identical total order the windowed
+    * `orderBy(tk)` produced (UTF8String binary compare), so index
+    * assignment, summation order, and the rounded cosines are
+    * bit-for-bit unchanged.
     */
   private def densePairs(weighted: DataFrame, threshold: Double)
       : DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // vocab is <= the dense-path cap (4096 terms): the single
-    // partition is bounded by construction; lit(0) declares it so
-    // WindowExec does not warn in every bench artifact
-    val vocabIdx = weighted.select(col("tk")).distinct()
-      .withColumn("idx",
-        (row_number().over(Window.partitionBy(lit(0))
-          .orderBy(col("tk"))) - 1).cast("int"))
-    val vmax = vocabIdx.agg(max(col("idx")).as("vmax"))
+    val utf8Order = new Ordering[String] {
+      def compare(a: String, b: String): Int = {
+        val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val n = math.min(x.length, y.length)
+        var i = 0
+        while (i < n) {
+          val c = (x(i) & 0xff) - (y(i) & 0xff)
+          if (c != 0) return c
+          i += 1
+        }
+        x.length - y.length
+      }
+    }
+    val terms = weighted.select(col("tk")).distinct()
+      .collect().map(_.getString(0)).sorted(utf8Order)
+    val spark = weighted.sparkSession
+    import spark.implicits._
+    val vocabIdx = terms.zipWithIndex.toSeq.toDF("tk", "idx")
+    val vlen = terms.length
     val vecs = weighted.join(broadcast(vocabIdx), Seq("tk"))
       .groupBy(col("doc_id"))
       .agg(map_from_entries(
         collect_list(struct(col("idx"), col("w").cast("double")))).as("m"))
-      .crossJoin(broadcast(vmax))
       .select(col("doc_id"),
-        transform(sequence(lit(0), col("vmax")),
+        transform(sequence(lit(0), lit(vlen - 1)),
           i => coalesce(element_at(col("m"), i), lit(0.0))).as("v"))
     // collapseDuplicates off: these are vocab-wide synthesized vectors
     // (~8 B × vocab each) — the duplicate-collapse group-by shuffles

@@ -1,9 +1,11 @@
 package graft.plans
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.execution.{SortExec, SparkPlan}
+import org.apache.spark.sql.execution.{CoalesceExec, CollectLimitExec, FilterExec, GlobalLimitExec, InputAdapter, ProjectExec, SortExec, SparkPlan, TakeOrderedAndProjectExec, WholeStageCodegenExec}
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+import org.apache.spark.sql.execution.exchange.Exchange
+import org.apache.spark.sql.execution.joins.{BaseJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec}
 import org.apache.spark.sql.execution.window.WindowExec
 
 /** Plan linting — the repo's plan-audit specs productized as a library
@@ -37,8 +39,20 @@ object PlanLint {
     *    scalar attaches (the q61/q130 pattern — hence reported, not
     *    forbidden).
     *  - `single_partition_window`: a WindowExec with an empty
-    *    PARTITION BY — the whole dataset funnels through ONE task
-    *    (the q117 anti-pattern; use two-phase ranking instead).
+    *    PARTITION BY whose input is NOT provably row-bounded — the
+    *    whole dataset funnels through ONE task (the q117
+    *    anti-pattern; use two-phase ranking instead). An empty-
+    *    partition window whose child subtree carries a compile-time
+    *    cardinality bound (a limit / TakeOrdered / grand-total
+    *    aggregate, composed through row-preserving or row-bounding
+    *    operators — [[rowBounded]]) is NOT a finding: a rank over a
+    *    k-row candidate list is the correct plan, and flagging it
+    *    would train authors to ignore the rule. NOTE (round 15): a
+    *    `partitionBy(lit(0))` declaration cannot express this —
+    *    Spark's EliminateWindowPartitions folds any foldable
+    *    partition expression away before WindowExec sees it, so the
+    *    boundedness claim must live in the child PLAN, which is what
+    *    this rule checks.
     *  - `global_sort`: a global SortExec that is the plan ROOT (not
     *    feeding a limit/join above it) — a full-data total order
     *    materialization; top-k should be TakeOrderedAndProject.
@@ -56,7 +70,7 @@ object PlanLint {
         ("cartesian_product", c.nodeName)
       case j: BroadcastNestedLoopJoinExec =>
         ("nested_loop_join", j.nodeName)
-      case w: WindowExec if w.partitionSpec.isEmpty =>
+      case w: WindowExec if w.partitionSpec.isEmpty && !rowBounded(w.child) =>
         ("single_partition_window", w.nodeName)
     }
     // a global sort is only a hazard when nothing above it bounds the
@@ -84,4 +98,53 @@ object PlanLint {
     * known scale hazards.
     */
   def clean(df: DataFrame): Boolean = findings(df).isEmpty
+
+  /** Conservative compile-time cardinality bound: true iff every path
+    * from `p` downward reaches a row-bounding node (GlobalLimit /
+    * CollectLimit / TakeOrderedAndProject / a grand-total aggregate)
+    * through operators that cannot increase the bound unboundedly.
+    * Joins count as bounded when BOTH sides are (output ≤ |L|·|R|),
+    * unions when ALL children are. Anything unrecognized — a
+    * Generate/explode, a scan, a grouped aggregate — answers false:
+    * the lint must never certify an unbounded relation, while a
+    * false "unbounded" merely reports a reviewable finding.
+    */
+  private[graft] def rowBounded(p: SparkPlan): Boolean = p match {
+    case a: AdaptiveSparkPlanExec => rowBounded(a.executedPlan)
+    case q: QueryStageExec        => rowBounded(q.plan)
+    case w: WholeStageCodegenExec => rowBounded(w.child)
+    case i: InputAdapter          => rowBounded(i.child)
+    case _: GlobalLimitExec | _: CollectLimitExec |
+        _: TakeOrderedAndProjectExec => true
+    case agg: BaseAggregateExec => agg.groupingExpressions.isEmpty ||
+      rowBounded(agg.child)
+    case pr: ProjectExec  => rowBounded(pr.child)
+    case f: FilterExec    => rowBounded(f.child)
+    case s: SortExec      => rowBounded(s.child)
+    case c: CoalesceExec  => rowBounded(c.child)
+    case e: Exchange      => rowBounded(e.child)
+    case w: WindowExec    => rowBounded(w.child)
+    case j: BaseJoinExec  => rowBounded(j.left) && rowBounded(j.right)
+    case u: org.apache.spark.sql.execution.UnionExec =>
+      u.children.forall(rowBounded)
+    case _ => false
+  }
+
+  /** Every empty-partition WindowExec in the plan with its boundedness
+    * verdict — the audit surface for "this single-partition window is
+    * fine BECAUSE its input is k rows" claims (specs assert the
+    * boolean instead of trusting a comment).
+    */
+  def emptyPartitionWindows(df: DataFrame): Seq[(String, Boolean)] = {
+    val root = df.queryExecution.sparkPlan
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => a +: flatten(a.executedPlan)
+      case q: QueryStageExec        => q +: flatten(q.plan)
+      case other => other +: other.children.flatMap(flatten)
+    }
+    flatten(root).collect {
+      case w: WindowExec if w.partitionSpec.isEmpty =>
+        (w.nodeName, rowBounded(w.child))
+    }
+  }
 }

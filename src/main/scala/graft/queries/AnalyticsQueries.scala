@@ -315,26 +315,31 @@ object AnalyticsQueries {
     Some(dbscanOracleSql(r2 = 625L, minPts = 5L)),
   )
 
-  /** The q207/q245 DBSCAN oracle, parameterized on (r², minPts):
-    * brute-force neighborhoods, recursive min-label propagation over
-    * the core-core graph (the q68 pattern), borders by the min rule.
+  /** The q207/q245/q246 DBSCAN oracle, parameterized on (r², minPts)
+    * and the staged-hash point derivation: brute-force neighborhoods,
+    * recursive min-label propagation over the core-core graph (the
+    * q68 pattern), borders by the min rule. `pred`/`xExpr`/`yExpr`
+    * shape the `pts` CTE (q246 filters the corpus and offsets one
+    * parity class into a second blob).
     */
-  private def dbscanOracleSql(r2: Long, minPts: Long): String = {
+  private def dbscanOracleSql(r2: Long, minPts: Long,
+      pred: String = "", xExpr: String = "xf.h % 1000",
+      yExpr: String = "yf.h % 1000"): String = {
     val hx = graft.functions.PortableHash.hash32SqlSteps("c_custkey")
     val hy = graft.functions.PortableHash
       .hash32SqlSteps("c_custkey * 31 + 7")
     s"""
       WITH RECURSIVE
-      x0 AS (SELECT c_custkey, ${hx(0)} AS h FROM customer),
+      x0 AS (SELECT c_custkey, ${hx(0)} AS h FROM customer$pred),
       x1 AS (SELECT c_custkey, ${hx(1)} AS h FROM x0),
       x2 AS (SELECT c_custkey, ${hx(2)} AS h FROM x1),
       xf AS (SELECT c_custkey, ${hx(3)} AS h FROM x2),
-      y0 AS (SELECT c_custkey, ${hy(0)} AS h FROM customer),
+      y0 AS (SELECT c_custkey, ${hy(0)} AS h FROM customer$pred),
       y1 AS (SELECT c_custkey, ${hy(1)} AS h FROM y0),
       y2 AS (SELECT c_custkey, ${hy(2)} AS h FROM y1),
       yf AS (SELECT c_custkey, ${hy(3)} AS h FROM y2),
       pts AS (
-        SELECT xf.c_custkey AS uid, xf.h % 1000 AS x, yf.h % 1000 AS y
+        SELECT xf.c_custkey AS uid, $xExpr AS x, $yExpr AS y
         FROM xf JOIN yf ON xf.c_custkey = yf.c_custkey),
       p AS (
         SELECT a.uid AS ua, b.uid AS ub
@@ -396,7 +401,10 @@ object AnalyticsQueries {
     * A dbscan bug that splits the giant cluster, mislabels a role, or
     * drops a point still hash-mismatches; if the testdata generator
     * ever sparsifies this corpus the oracle fails LOUDLY (single-
-    * component assumption printed here, not silently assumed).
+    * component assumption printed here, not silently assumed). The
+    * closed form's residual blind spot — all-core CONNECTIVITY under
+    * MULTIPLE components — is closed by [[q246DbscanBlobs]]'s
+    * recursive replay over a bounded two-blob fixture (round 15).
     */
   val q245DbscanDense: QueryDef = QueryDef(
     "q245_dbscan_dense",
@@ -417,6 +425,43 @@ object AnalyticsQueries {
              (SELECT CAST(MIN(c_custkey) AS BIGINT) FROM customer)
                AS cluster
       FROM customer ORDER BY pid"""),
+  )
+
+  // --------------------------------------------------------------- q246
+  /** DBSCAN all-core shortcut under MULTIPLE components, graded by the
+    * FULL recursive oracle (round 15, verdict: q245's closed form
+    * conceded single-component connectivity was "verified out-of-band").
+    * Fixture: 400 customer points in two blobs — each parity class
+    * hashed into a 40×40 box (in-blob diameter ≤ √(40²+40²) ≈ 56.6,
+    * so at r = 80 EVERY in-blob pair is a neighbor by construction,
+    * data-independent), with the odd class offset +500 in x (blob gap
+    * ≥ 500 − 2·40 > 80). minPts = 2 ⟹ nCore == nPts, so the all-core
+    * shortcut engages, and the connected-components stage must still
+    * find TWO clusters — the exact case the shortcut could corrupt if
+    * it collapsed connectivity instead of merely skipping the
+    * identity semi-joins. 400 points keep the recursive min-label
+    * replay cheap (the dense-graph label-pair space that priced the
+    * replay out of q245 is ~2·C(200,2) edges here).
+    */
+  val q246DbscanBlobs: QueryDef = QueryDef(
+    "q246_dbscan_blobs",
+    (s, dir) => {
+      import graft.functions.PortableHash
+      val pts = Tables(s, dir, "customer")
+        .filter(col("c_custkey") <= 400)
+        .select(col("c_custkey").as("uid"),
+          (pmod(PortableHash.hash32(col("c_custkey")), lit(40L)) +
+            pmod(col("c_custkey"), lit(2L)) * 500L).as("x"),
+          pmod(PortableHash.hash32(col("c_custkey") * 31 + 7),
+            lit(40L)).as("y"))
+      graft.operators.Spatial.dbscan(pts, col("uid"), col("x"),
+          col("y"), r = 80L, minPts = 2L)
+        .orderBy(col("pid"))
+    },
+    Some(dbscanOracleSql(r2 = 6400L, minPts = 2L,
+      pred = " WHERE c_custkey <= 400",
+      xExpr = "xf.h % 40 + (xf.c_custkey % 2) * 500",
+      yExpr = "yf.h % 40")),
   )
 
   // --------------------------------------------------------------- q208
@@ -1707,5 +1752,6 @@ ${bfsCtes("b", "s2", 4)}
     q220Eccentricity, q221EmbeddingDrift, q222SortedNeighborhood,
     q223Conformal, q224LtvCurve, q225NewVsReturning,
     q226UpsertSnapshot, q227StreamUpsertSnapshot, q228StoreTimeTravel,
-    q229CompactedStore, q235StoreLifecycle, q245DbscanDense)
+    q229CompactedStore, q235StoreLifecycle, q245DbscanDense,
+    q246DbscanBlobs)
 }

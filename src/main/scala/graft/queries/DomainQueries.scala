@@ -715,6 +715,14 @@ object DomainQueries {
       graft.sources.Sinks.writeHtmlPages(
         files.zipWithIndex.map { case (p, i) =>
           (i + 1, java.nio.file.Files.readString(p)) }, outDir)
+      // the returned plan lazily re-scrapes outDir, so an eager delete
+      // would break the caller's execution; deleteOnExit reclaims the
+      // per-call dirs a warm bench loop would otherwise accumulate for
+      // the life of the machine (r14 advisor). Dir registered FIRST —
+      // deleteOnExit runs in reverse registration order, so the files
+      // go before their directory.
+      outDir.toFile.deleteOnExit()
+      listHtmlPages(outDir.toString).foreach(_.toFile.deleteOnExit())
       val nameMap = files.zipWithIndex.map { case (p, i) =>
           (p.getFileName.toString, f"page_${i + 1}%06d.html") }
         .toDF("fname", "page")

@@ -564,14 +564,15 @@ $union
       val docs = Tables(s, dir, "documents")
       val terms = Seq("data", "table", "query")
       // candidate lists are k-sized: a single-partition rank window
-      // here is 30 rows, not a corpus sort. partitionBy(lit(0)) declares
-      // that single partition explicitly (same plan, same result) so
-      // WindowExec does not spam the bench log with the unpartitioned-
-      // window warning that would mask a real one.
+      // here is 30 rows, not a corpus sort. The window's child plan
+      // carries the retriever's own limit, which is what makes this
+      // safe — PlanLint.unboundedEmptyWindows asserts exactly that
+      // (a partitionBy(lit(0)) declaration would NOT help: Spark 4's
+      // EliminateWindowPartitions folds a foldable partition spec
+      // away before WindowExec's single-partition check, round 15).
       def ranked(df: org.apache.spark.sql.DataFrame) =
         df.withColumn("rank", row_number().over(
-            Window.partitionBy(lit(0))
-              .orderBy(col("score").desc, col("doc_id"))).cast("long"))
+            Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
           .select(col("doc_id"), col("rank"))
       graft.operators.Search.rrfFuse(Seq(
           ranked(graft.operators.Search.bm25TopK(docs, col("doc_id"),

@@ -607,24 +607,59 @@ object ScaleQueries {
   )
 
   // ---------------------------------------------------------------- q46
-  /** KMV sketch vs exact distinct per group. The estimate depends on
-    * xxhash64, so it is not DuckDB-replicable → rows-only check; the
-    * error-bound assertions live in ScaleDesignSpec.
+  /** KMV sketch vs exact distinct per group, graded by oracle since
+    * round 15: re-expressed over [[graft.plans.Kmv32DistinctSketch]]
+    * (the PortableHash 32-bit arithmetic hash + pure-integer
+    * estimate), so the ESTIMATES hash-replay in DuckDB — previously
+    * the lone rows-only sketch row, because its xxhash64 variant's
+    * estimate was engine-private. Distinct surface from q109 (k = 64
+    * over lineitem parts per returnflag): k = 128 over event users
+    * per event type — a second (k, cardinality) operating point of
+    * the same mergeable O(k) aggregate. The Spark-native xxhash64
+    * sketch ([[graft.plans.KmvDistinctSketch]]) remains in the
+    * library for non-integer keys, with its error bound pinned in
+    * ScaleDesignSpec.
     */
   val q46DistinctSketch: QueryDef = QueryDef(
     "q46_distinct_sketch",
     (s, dir) =>
-      Tables(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
+      Tables(s, dir, "events")
+        .groupBy(col("event_type"))
         .agg(
-          countDistinct(col("l_partkey")).as("exact"),
-          graft.plans.KmvDistinctSketch.distinctSketch(col("l_partkey"))
-            .as("estimate"))
+          countDistinct(col("user_id")).as("exact"),
+          graft.plans.Kmv32DistinctSketch
+            .distinctSketch32(col("user_id"), 128).as("estimate"))
         .withColumn("rel_err",
           round(abs(col("estimate") - col("exact")).cast("double") /
             col("exact"), 4))
-        .orderBy(col("l_returnflag")),
-    oracle = None,
+        .orderBy(col("event_type")),
+    oracle = Some {
+      val steps = graft.functions.PortableHash.hash32SqlSteps("user_id")
+      s"""
+      WITH h0 AS (
+        SELECT event_type, ${steps(0)} AS h
+        FROM events WHERE user_id IS NOT NULL),
+      h1 AS (SELECT event_type, ${steps(1)} AS h FROM h0),
+      h2 AS (SELECT event_type, ${steps(2)} AS h FROM h1),
+      hf AS (SELECT DISTINCT event_type, ${steps(3)} AS h FROM h2),
+      r AS (
+        SELECT event_type, h,
+          ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+          COUNT(*) OVER (PARTITION BY event_type) AS nd
+        FROM hf),
+      est AS (
+        SELECT event_type,
+          CASE WHEN nd < 128 THEN nd
+               ELSE (127 * 8589934592 + h) // (2 * h) END AS estimate
+        FROM r WHERE rn = LEAST(nd, 128)),
+      ex AS (
+        SELECT event_type, COUNT(DISTINCT user_id) AS exact
+        FROM events WHERE user_id IS NOT NULL GROUP BY 1)
+      SELECT ex.event_type, ex.exact, est.estimate,
+        ROUND(CAST(ABS(est.estimate - ex.exact) AS DOUBLE) / ex.exact, 4)
+          AS rel_err
+      FROM ex JOIN est USING (event_type) ORDER BY event_type"""
+    },
   )
 
   // ---------------------------------------------------------------- q49

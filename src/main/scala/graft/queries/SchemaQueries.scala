@@ -250,12 +250,13 @@ object SchemaQueries {
       import org.apache.spark.sql.expressions.Window
       val docs = Tables(s, dir, "documents")
       val terms = Seq("data", "table", "query")
-      // 30-row candidate list; lit(0) partition declares the bounded
-      // single-partition window (no WindowExec warning in artifacts)
+      // 30-row candidate list: the single-partition rank window sits
+      // over the retriever's own limit (PlanLint.unboundedEmptyWindows
+      // asserts the bound; a lit(0) partition spec would be folded
+      // away by EliminateWindowPartitions anyway — round 15)
       def ranked(df: org.apache.spark.sql.DataFrame) =
         df.withColumn("rank", row_number().over(
-            Window.partitionBy(lit(0))
-              .orderBy(col("score").desc, col("doc_id"))).cast("long"))
+            Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
           .select(col("doc_id"), col("rank"))
       graft.operators.Search.rboOverlap(
         ranked(graft.operators.Search.bm25TopK(docs, col("doc_id"),

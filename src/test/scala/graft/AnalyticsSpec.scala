@@ -490,6 +490,44 @@ class AnalyticsSpec extends SparkSpec {
       PlanLint.findings(q209).toString)
   }
 
+  test("plan lint: empty-partition windows are findings only when " +
+      "unbounded; the k-row candidate ranks are plan-provably bounded " +
+      "and the benched APSS path plans no window at all") {
+    import graft.plans.PlanLint
+    import org.apache.spark.sql.expressions.Window
+    // corpus-wide empty-partition window: the q117 anti-pattern stays
+    // a finding (and emptyPartitionWindows grades it unbounded)
+    val naive = Tables(spark, sfDir, "documents")
+      .withColumn("rk", row_number().over(Window.orderBy(col("doc_id"))))
+    assert(PlanLint.findings(naive).exists(_._1 == "single_partition_window"),
+      PlanLint.findings(naive).toString)
+    assert(PlanLint.emptyPartitionWindows(naive).exists(!_._2))
+    // q138/q191's rank windows sit over the retrievers' k=30 limits:
+    // present in the plan, provably bounded, NOT findings. This is the
+    // assertion the removed `partitionBy(lit(0))` comments claimed to
+    // be — Spark's EliminateWindowPartitions folds a foldable partition
+    // spec away, so only the child plan can carry the bound.
+    for (d <- Seq(graft.queries.Round8Queries.q138RrfFusion,
+        graft.queries.SchemaQueries.q191Rbo)) {
+      val df = d.fn(spark, sfDir)
+      val ws = PlanLint.emptyPartitionWindows(df)
+      assert(ws.nonEmpty && ws.forall(_._2), s"${d.name}: $ws")
+      assert(!PlanLint.findings(df).exists(_._1 == "single_partition_window"),
+        s"${d.name}: ${PlanLint.findings(df)}")
+    }
+    // the benched q95 emitter is gone: the dense vocab index is now
+    // assigned driver-side, so the APSS plan carries NO empty-partition
+    // WindowExec on either strategy (this was the 5-warning tail of the
+    // r14 canonical bench artifact)
+    val q95 = SparkEntry.defs.find(_.name == "q95_sparse_cosine").get
+      .fn(spark, sfDir)
+    assert(PlanLint.emptyPartitionWindows(q95).isEmpty)
+    val dense = graft.operators.Search.sparseCosinePairs(
+      Tables(spark, sfDir, "documents").limit(50),
+      col("doc_id"), col("text"), 0.6, dense = Some(true))
+    assert(PlanLint.emptyPartitionWindows(dense).isEmpty)
+  }
+
   test("plan lint: rank buckets and pareto classes never plan a " +
       "single-partition window") {
     import graft.plans.PlanLint

@@ -112,6 +112,39 @@ class ScaleSpec extends SparkSpec {
     assert(b.exceptAll(a).count() === 0)
   }
 
+  test("q34 pairs budget: an over-budget corpus fails fast at plan time " +
+      "with the estimate and the scale-path pointer") {
+    // duplicate-saturated corpus (10 bases × 4 copies): true pairs
+    // exist, and the guard fires on the COLLAPSED groups frame — the
+    // actual quadratic-stage input — not the raw corpus
+    val rows = (0L until 40L).map(i =>
+      i -> s"alpha bravo charlie delta echo ${i % 10} foxtrot golf hotel india")
+    val df = rows.toDF("doc_id", "text")
+    spark.conf.set(Dedup.NgramPairsMaxKey, "1")
+    try {
+      val e = intercept[IllegalStateException] {
+        Dedup.ngramJaccardPairs(df, col("doc_id"), col("text"), 3, 0.8)
+      }
+      // actionable: carries the measured estimate, the knob, and the
+      // banded/bucketed alternatives (the r14 failure mode was a
+      // 33-minute executor OOM with none of that)
+      assert(e.getMessage.contains("candidate-pair volume"))
+      assert(e.getMessage.contains(Dedup.NgramPairsMaxKey))
+      assert(e.getMessage.contains("minhashLshPairs"))
+      assert(e.getMessage.contains("incrementalNearDedupIndexed"))
+    } finally spark.conf.unset(Dedup.NgramPairsMaxKey)
+    // the same corpus under the default budget answers normally (the
+    // cached estimate is a statistic, not a decision — the budget is
+    // re-read per call)
+    assert(Dedup.ngramJaccardPairs(df, col("doc_id"), col("text"), 3, 0.8)
+      .count() > 0)
+    // and <= 0 disables the guard outright
+    spark.conf.set(Dedup.NgramPairsMaxKey, "0")
+    try assert(Dedup.ngramJaccardPairs(df, col("doc_id"), col("text"), 3, 0.8)
+      .count() > 0)
+    finally spark.conf.unset(Dedup.NgramPairsMaxKey)
+  }
+
   test("duplicate-collapse gate: Jaccard pairs identical on both sides " +
       "of the duplicate-fraction gate, vs an in-JVM reference") {
     // reference: brute-force Jaccard over the operator's own shingle
