@@ -78,6 +78,10 @@ object ScaleSmoke {
     require(legs.length == 2, "SPARK_GRAFT_SMOKE_LEGS wants two legs")
     val legsDesc = legs.map { case (p, b) => s"$p:$b" }.mkString(",")
 
+    // per-query failure capture (round 15): the r15 q207 sf10 attempt
+    // filled the disk 42 minutes in and the uncaught IOException threw
+    // away the two queries that had already PASSED — a probe artifact
+    // must record what it measured plus the failure, not vanish
     val results = names.map { name =>
       val d = byName(name)
       def runWith(parts: Int, splitBytes: Long): (String, Long, Double) = {
@@ -88,13 +92,20 @@ object ScaleSmoke {
         val (h, rows) = contentHash(d.fn(spark, dataDir))
         (h, rows, (System.nanoTime() - t0) / 1e9)
       }
-      val (h8, n8, s8) = runWith(legs(0)._1, legs(0)._2)
-      val (h64, n64, s64) = runWith(legs(1)._1, legs(1)._2)
-      val ok = h8 == h64 && n8 == n64
-      System.err.println(
-        f"[smoke] $name rows=$n8 match=$ok " +
-          f"t${legs(0)._1}=$s8%.1fs t${legs(1)._1}=$s64%.1fs")
-      (name, n8, ok, s8, s64)
+      try {
+        val (h8, n8, s8) = runWith(legs(0)._1, legs(0)._2)
+        val (h64, n64, s64) = runWith(legs(1)._1, legs(1)._2)
+        val ok = h8 == h64 && n8 == n64
+        System.err.println(
+          f"[smoke] $name rows=$n8 match=$ok " +
+            f"t${legs(0)._1}=$s8%.1fs t${legs(1)._1}=$s64%.1fs")
+        (name, n8, Some(ok), s8, s64, None: Option[String])
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[smoke] $name FAILED: $e")
+          (name, -1L, None: Option[Boolean], -1.0, -1.0,
+            Some(e.toString.takeWhile(_ != '\n').take(200)))
+      }
     }
 
     // LSH candidate volume vs bound, from q122's stored band index
@@ -122,13 +133,18 @@ object ScaleSmoke {
       if (legs(0)._1 == legs(1)._1)
         legs.map { case (p, b) => s"sec_p${p}_${b >> 20}m" }
       else legs.map { case (p, _) => s"sec_p$p" }
-    val qJson = results.map { case (name, n, ok, s8, s64) =>
-      f""""$name":{"rows":$n,"partition_invariant":$ok,"${legKeys(0)}":$s8%.2f,"${legKeys(1)}":$s64%.2f}"""
+    val qJson = results.map {
+      case (name, n, Some(ok), s8, s64, _) =>
+        f""""$name":{"rows":$n,"partition_invariant":$ok,"${legKeys(0)}":$s8%.2f,"${legKeys(1)}":$s64%.2f}"""
+      case (name, _, None, _, _, err) =>
+        val msg = err.getOrElse("unknown").flatMap {
+          case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString }
+        s""""$name":{"error":"$msg"}"""
     }.mkString("{", ",", "}")
     val candJson = candProbe.map { case (cand, nDocs, allPairs) =>
       s""","lsh_candidates":$cand,"lsh_docs":$nDocs,"all_pairs":$allPairs"""
     }.getOrElse("")
-    val allOk = results.forall(_._3)
+    val allOk = results.forall(_._3.contains(true))
     // "actions":1 — since round 14 each leg runs ONE action (hash and
     // count share an aggregate), so per-leg seconds are NOT comparable
     // to pre-r14 smoke artifacts, which ran two actions per leg; the

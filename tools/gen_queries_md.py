@@ -18,11 +18,12 @@ from pathlib import Path
 QUERY_DIR = Path("src/main/scala/graft/queries")
 ENTRY = Path("src/main/scala/graft/SparkEntry.scala")
 
-# rows-only queries and their anchoring twin (VERDICT r8 table)
+# rows-only queries and their anchoring twin (VERDICT r8 table;
+# q46 left this list in round 15 — re-expressed over the PortableHash
+# KMV, it now carries its own estimate-replaying oracle)
 TWINS = {
     "q21_scrape_pipeline": "q67_parse_oracle",
     "q24_scrape_bench": "q67_parse_oracle",
-    "q46_distinct_sketch": "q109_distinct_replay",
 }
 
 SCALE_BENCH = re.compile(r'"(q\d+[a-z0-9_]*)",?\s*$')

@@ -30,3 +30,30 @@ con.sql(f"""COPY (
        (SELECT unnest(range(10)) AS i) r
 ) TO '{out}/documents.parquet' (FORMAT PARQUET)""")
 print(f"wrote {out}/documents.parquet")
+
+# round 15: the similarity/graph/spatial decade probe (q95/q93/q207)
+# needs customer (DBSCAN points), orders+lineitem (PageRank edges) one
+# decade past sf1 too — same id-shift construction as gen_sf1.py
+# (sf1 key ranges: custkey < 150k, orderkey < 100M, suppkey < 10k+).
+con.sql(f"""COPY (
+  SELECT c.c_custkey + 150000*r.i AS c_custkey, c.* EXCLUDE (c_custkey)
+  FROM read_parquet('{src}/customer.parquet') c,
+       (SELECT unnest(range(10)) AS i) r
+) TO '{out}/customer.parquet' (FORMAT PARQUET)""")
+print(f"wrote {out}/customer.parquet")
+con.sql(f"""COPY (
+  SELECT o.o_orderkey + 100000000*r.i AS o_orderkey,
+         o.o_custkey + 150000*r.i AS o_custkey,
+         o.* EXCLUDE (o_orderkey, o_custkey)
+  FROM read_parquet('{src}/orders.parquet') o,
+       (SELECT unnest(range(10)) AS i) r
+) TO '{out}/orders.parquet' (FORMAT PARQUET)""")
+print(f"wrote {out}/orders.parquet")
+con.sql(f"""COPY (
+  SELECT l.l_orderkey + 100000000*r.i AS l_orderkey,
+         l.l_suppkey + 20000*r.i AS l_suppkey,
+         l.* EXCLUDE (l_orderkey, l_suppkey)
+  FROM read_parquet('{src}/lineitem.parquet') l,
+       (SELECT unnest(range(10)) AS i) r
+) TO '{out}/lineitem.parquet' (FORMAT PARQUET)""")
+print(f"wrote {out}/lineitem.parquet")
