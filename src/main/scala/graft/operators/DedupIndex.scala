@@ -149,7 +149,18 @@ object DedupIndex {
   def incrementalNearDedupIndexed(bandIndex: DataFrame,
       shingles: DataFrame, incoming: DataFrame, id: Column, text: Column,
       n: Int, threshold: Double, bands: Int, rowsPerBand: Int): DataFrame = {
-    val iSh = shingleStore(incoming, id, text, n).truncated
+    // the delta's shingle+minhash map work lifts to session parallelism
+    // when its scan is split-starved (round 15): a day's delta lands as
+    // FEW LARGE FILES, so at default 128 MB splits the CPU-heavy
+    // signature stage ran on ~1 task — measured at sf10, 34.9 s vs
+    // 9.1 s for the identical classify with the same 64 reducers and
+    // only the split size moved (bench/SCALE_SMOKE notes, r15 q122
+    // spread investigation). No-op on a many-split scan, like every
+    // other shingle producer.
+    val iSh = shingleStore(
+      Explosive.ensureMapParallelism(
+        incoming.select(id.as("id"), text.as("__text")), col("id")),
+      col("id"), col("__text"), n).truncated
     val cand = minhashBandIndex(iSh, bands, rowsPerBand)
       .select(col("id").as("doc_id"), col("bkey"))
       .join(bandIndex.select(col("id").as("hid"), col("bkey")), Seq("bkey"))
