@@ -209,7 +209,7 @@ object Search {
         gateStats._1 <= maxDenseVocab
       }
     }
-    if (useDense) densePairs(weighted, threshold)
+    if (useDense) densePairs(weighted, threshold, maxDenseVocab)
     else {
       // posting self-join is explosive: pin its exchanges past the
       // blocker gate (total postings), same shape as q34's count join
@@ -279,8 +279,8 @@ object Search {
     * assignment, summation order, and the rounded cosines are
     * bit-for-bit unchanged.
     */
-  private def densePairs(weighted: DataFrame, threshold: Double)
-      : DataFrame = {
+  private def densePairs(weighted: DataFrame, threshold: Double,
+      maxVocab: Long): DataFrame = {
     val utf8Order = new Ordering[String] {
       def compare(a: String, b: String): Int = {
         val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
@@ -295,8 +295,19 @@ object Search {
         x.length - y.length
       }
     }
-    val terms = weighted.select(col("tk")).distinct()
+    // the collect is bounded BEFORE it happens (limit maxVocab+1), so a
+    // dense=Some(true) caller who forced this path onto an over-cap
+    // vocabulary gets an actionable error instead of an unbounded
+    // driver collect — the adaptive gate never routes such a corpus here
+    val capPlusOne = math.min(maxVocab + 1, Int.MaxValue.toLong).toInt
+    val terms = weighted.select(col("tk")).distinct().limit(capPlusOne)
       .collect().map(_.getString(0)).sorted(utf8Order)
+    if (terms.length > maxVocab) throw new IllegalStateException(
+      s"sparseCosinePairs: dense path forced on a vocabulary exceeding " +
+        s"maxDenseVocab=$maxVocab — synthesized vectors would be wider " +
+        "than the dense join can carry; use the inverted-index path " +
+        "(dense = Some(false) or the adaptive default) or raise " +
+        "maxDenseVocab explicitly.")
     val spark = weighted.sparkSession
     import spark.implicits._
     val vocabIdx = terms.zipWithIndex.toSeq.toDF("tk", "idx")

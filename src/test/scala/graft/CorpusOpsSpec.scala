@@ -338,6 +338,20 @@ class CorpusOpsSpec extends SparkSpec {
     assert(pairs((1L, 4L)) > 0.0 && pairs((1L, 4L)) < 1.0)
   }
 
+  test("sparseCosinePairs: forcing the dense path past maxDenseVocab " +
+      "fails fast instead of collecting an unbounded vocabulary") {
+    val docs = (1L to 20L)
+      .map(i => (i, s"w${i}a w${i}b w${i}c")).toDF("doc_id", "text")
+    val e = intercept[IllegalStateException] {
+      graft.operators.Search.sparseCosinePairs(docs, col("doc_id"),
+        col("text"), 0.1, dense = Some(true), maxDenseVocab = 8L)
+    }
+    assert(e.getMessage.contains("maxDenseVocab"))
+    // the adaptive gate routes the same corpus to the inverted path
+    assert(graft.operators.Search.sparseCosinePairs(docs, col("doc_id"),
+      col("text"), 0.1, maxDenseVocab = 8L).count() === 0L)
+  }
+
   test("sparseCosinePairs: dfCap only drops pairs whose shared terms " +
       "are ubiquitous") {
     // 'the' has df=4 of N=5 (weight 1); capping at df<=2 removes the
