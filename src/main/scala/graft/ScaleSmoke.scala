@@ -30,6 +30,13 @@ import org.apache.spark.sql.functions._
   */
 object ScaleSmoke {
 
+  /** Queries whose QueryDef memoizes a day-1 index build per
+    * (JVM, dir) — their FIRST smoke leg's time includes that build
+    * (~25 s at sf10), by the bench-warm-up-absorbs-it design.
+    * Name prefixes, matching the registry's q-number convention.
+    */
+  private val IndexMemoizing = Seq("q121_", "q122_")
+
   /** Partition-order-independent content hash: sum (wrapping) of
     * per-row xxhash64 over every column rendered to string through a
     * canonical cast — identical row multisets hash identically under
@@ -135,7 +142,14 @@ object ScaleSmoke {
       else legs.map { case (p, _) => s"sec_p$p" }
     val qJson = results.map {
       case (name, n, Some(ok), s8, s64, _) =>
-        f""""$name":{"rows":$n,"partition_invariant":$ok,"${legKeys(0)}":$s8%.2f,"${legKeys(1)}":$s64%.2f}"""
+        // index-memoizing queries (build-once per JVM+dir, the q121/q122
+        // pattern) pay their day-1 build in whichever leg runs FIRST —
+        // the r15 q122 "3.9× spread" investigation; the artifact says so
+        // instead of leaving it to a doc note
+        val buildNote =
+          if (IndexMemoizing.exists(name.startsWith))
+            ""","first_leg_includes_build":true""" else ""
+        f""""$name":{"rows":$n,"partition_invariant":$ok,"${legKeys(0)}":$s8%.2f,"${legKeys(1)}":$s64%.2f$buildNote}"""
       case (name, _, None, _, _, err) =>
         val msg = err.getOrElse("unknown").flatMap {
           case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString }
