@@ -324,7 +324,8 @@ object AnalyticsQueries {
     */
   private def dbscanOracleSql(r2: Long, minPts: Long,
       pred: String = "", xExpr: String = "xf.h % 1000",
-      yExpr: String = "yf.h % 1000"): String = {
+      yExpr: String = "yf.h % 1000", extraCte: String = "",
+      ptsFromSuffix: String = ""): String = {
     val hx = graft.functions.PortableHash.hash32SqlSteps("c_custkey")
     val hy = graft.functions.PortableHash
       .hash32SqlSteps("c_custkey * 31 + 7")
@@ -337,10 +338,10 @@ object AnalyticsQueries {
       y0 AS (SELECT c_custkey, ${hy(0)} AS h FROM customer$pred),
       y1 AS (SELECT c_custkey, ${hy(1)} AS h FROM y0),
       y2 AS (SELECT c_custkey, ${hy(2)} AS h FROM y1),
-      yf AS (SELECT c_custkey, ${hy(3)} AS h FROM y2),
+      yf AS (SELECT c_custkey, ${hy(3)} AS h FROM y2),$extraCte
       pts AS (
         SELECT xf.c_custkey AS uid, $xExpr AS x, $yExpr AS y
-        FROM xf JOIN yf ON xf.c_custkey = yf.c_custkey),
+        FROM xf JOIN yf ON xf.c_custkey = yf.c_custkey$ptsFromSuffix),
       p AS (
         SELECT a.uid AS ua, b.uid AS ub
         FROM pts a JOIN pts b ON a.uid < b.uid
@@ -462,6 +463,46 @@ object AnalyticsQueries {
       pred = " WHERE c_custkey <= 400",
       xExpr = "xf.h % 40 + (xf.c_custkey % 2) * 500",
       yExpr = "yf.h % 40")),
+  )
+
+  // --------------------------------------------------------------- q247
+  /** DBSCAN over a DENSITY-INVARIANT point derivation: the domain side
+    * M = ⌈√(67·N)⌉ scales with the corpus (one N-count attached as a
+    * broadcast one-row cross join — no driver action, and DuckDB
+    * replays the identical IEEE sqrt/ceil), so the per-point expected
+    * neighborhood (πr²·N/M² ≈ 29 at r = 25) is CONSTANT at every SF.
+    * Round-15 motivation: q207's fixed 1000×1000 grid multiplies
+    * density 100× per decade — its sf10 probe died on the pair
+    * relation's local-disk footprint (2.2e9 pairs), which measures the
+    * fixture, not the operator. Under this derivation the radius-pair
+    * relation scales LINEARLY with N (22 M pairs at sf10 — sf1-class
+    * work), so the grid-blocked join + cell-contracted components can
+    * be probed one decade up on the corpus shape a spatial workload
+    * actually has. Same oracle machinery as q207, with the M CTE
+    * replayed stepwise.
+    */
+  val q247DbscanDensity: QueryDef = QueryDef(
+    "q247_dbscan_density",
+    (s, dir) => {
+      import graft.functions.PortableHash
+      val cust = Tables(s, dir, "customer")
+      val m = cust.agg(
+        ceil(sqrt(count(lit(1)) * lit(67))).cast("long").as("m"))
+      val pts = cust.crossJoin(broadcast(m))
+        .select(col("c_custkey").as("uid"),
+          pmod(PortableHash.hash32(col("c_custkey")), col("m")).as("x"),
+          pmod(PortableHash.hash32(col("c_custkey") * 31 + 7),
+            col("m")).as("y"))
+      graft.operators.Spatial.dbscan(pts, col("uid"), col("x"),
+          col("y"), r = 25L, minPts = 5L)
+        .orderBy(col("pid"))
+    },
+    Some(dbscanOracleSql(r2 = 625L, minPts = 5L,
+      extraCte = """
+      m AS (SELECT CAST(ceil(sqrt(COUNT(*) * 67)) AS BIGINT) AS m
+            FROM customer),""",
+      xExpr = "xf.h % m.m", yExpr = "yf.h % m.m",
+      ptsFromSuffix = ", m")),
   )
 
   // --------------------------------------------------------------- q208
@@ -1753,5 +1794,5 @@ ${bfsCtes("b", "s2", 4)}
     q223Conformal, q224LtvCurve, q225NewVsReturning,
     q226UpsertSnapshot, q227StreamUpsertSnapshot, q228StoreTimeTravel,
     q229CompactedStore, q235StoreLifecycle, q245DbscanDense,
-    q246DbscanBlobs)
+    q246DbscanBlobs, q247DbscanDensity)
 }
