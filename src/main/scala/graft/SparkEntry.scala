@@ -89,9 +89,14 @@ object SparkEntry {
     // round from >22 min single-threaded to ~13 s (duplicate collapse
     // + work-derived per-block salting) — gets a gated trend line so
     // the salted path stays measured at the scale where it bites.
+    // q247 (round 15): the density-invariant DBSCAN derivation — the
+    // corpus shape a spatial workload actually has (q207's fixed grid
+    // multiplies density with SF); its sf10 probe is the family's
+    // decade evidence, so its sf1 latency gets a gated trend line too.
     scaleBench ++ Seq("q34_ngram_jaccard", "q35_minhash_lsh",
       "q236_simhash_dedup_e2e", "q37_cosine_pairs",
       "q118_stream_count_min", "q235_store_lifecycle",
-      "q238_index_build", "q83_edit_distance").map(byName)
+      "q238_index_build", "q83_edit_distance",
+      "q247_dbscan_density").map(byName)
   }
 }
