@@ -90,8 +90,14 @@ object Bench {
       .mkString("{", ",", "}")
 
     // one full gated measurement: idle gate, before-calibrations, the
-    // timed sections, after-calibrations → (artifact JSON, validFinal)
-    def attempt(): (String, Boolean) = {
+    // timed sections, after-calibrations → (artifact JSON, clean).
+    // `clean` = validFinal AND barrier-comparable: the r15 driver
+    // artifact published a contaminated-then-rerun headline as
+    // "valid":true with barrier 1.356 — and the headline rows moved
+    // hardest (q24 3.0× on unchanged code). Publishing after a
+    // contaminated attempt now waits for the barrier probe to re-enter
+    // the band (bounded by SPARK_GRAFT_BENCH_ATTEMPTS).
+    def attempt(attemptNo: Int): (String, Boolean) = {
       val valid = waitForIdle()
       val loadBefore = loadavg()
       // per-attempt codegen-fallback count (r13 advisor): the watcher is
@@ -144,19 +150,24 @@ object Bench {
       val parRatioAfter = parAfterMs.toDouble / calibAfterMs.toDouble
       val parClean = parRatio <= ParRatioMax && parRatioAfter <= ParRatioMax
       val validFinal = valid && calibDrift <= 0.15 && parClean
-      // barrier-state comparability (round 15, mirrors BenchSf1): NOT
+      // barrier-state comparability (round 15, widened round 16): NOT
       // folded into `valid` — an elevated barrier state means cross-day
-      // deltas on the iterative/shuffle-heavy `scale_queries` rows
-      // (q95/q93/q207/q125-shaped) are host noise, while the measurement
-      // itself is still internally clean. Pre-run reading only (the
-      // post-bench JVM carries GC/cached-block state that reads slow
-      // without being host state); the after value is information.
+      // deltas are host noise, while the measurement itself is still
+      // internally clean. Round 15 proved the probe predicts HEADLINE
+      // movement too, not just the iterative scale rows (the driver's
+      // barrier-1.356 artifact carried q24 at 3.0× and q03 at 1.35× on
+      // unchanged code), so the stamp now covers both sections:
+      // `headline_comparable` and `iterative_comparable` read the same
+      // probe — a reader cannot mistake host state for regression on
+      // ANY published number. Pre-run reading only (the post-bench JVM
+      // carries GC/cached-block state that reads slow without being
+      // host state); the after value is information.
       val barrierRatio = barrierMs.toDouble / RefBarrierMs
       val iterComparable = math.abs(barrierRatio - 1.0) <= 0.15
       if (!iterComparable) System.err.println(
         f"[bench] NOTE: barrier calibration $barrierMs/$barrierAfterMs ms " +
-          f"vs idle reference ${RefBarrierMs}%.0f ms — scale_queries " +
-          "trend deltas are not cross-day comparable this run")
+          f"vs idle reference ${RefBarrierMs}%.0f ms — headline AND " +
+          "scale_queries trend deltas are not cross-day comparable this run")
       if (!parClean) System.err.println(
         f"[bench] WARN: all-cores calibration ratio $parRatio%.2f/" +
           f"$parRatioAfter%.2f exceeds $ParRatioMax%.2f — another " +
@@ -165,11 +176,11 @@ object Bench {
         f"[bench] WARN: calibration drifted $calibDrift%.2f mid-run " +
           s"($calibMs -> $calibAfterMs ms) — artifact carries \"valid\":false")
       val json =
-        f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","valid":$validFinal,"queries":$qs,"scale_total":$scaleTotal%.3f,"scale_queries":$scaleQs,"value_per_calib":$valuePerCalib%.3f,"scale_total_per_calib":$scalePerCalib%.3f,"ref_calib_ms":284,"sf":"$sfDir","loadavg_before":"$loadBefore","loadavg_after":"${loadavg()}","cpu_calib_ms":$calibMs,"cpu_calib_after_ms":$calibAfterMs,"cpu_calib_par_ms":$parMs,"cpu_calib_par_after_ms":$parAfterMs,"par_ratio":$parRatio%.3f,"par_ratio_after":$parRatioAfter%.3f,"par_ratio_max":$ParRatioMax%.2f,"barrier_calib_ms":$barrierMs,"barrier_calib_after_ms":$barrierAfterMs,"ref_barrier_ms":${RefBarrierMs}%.0f,"barrier_ratio":$barrierRatio%.3f,"iterative_comparable":$iterComparable,"compile_exceptions":$compileExceptions}"""
-      (json, validFinal)
+        f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","valid":$validFinal,"queries":$qs,"scale_total":$scaleTotal%.3f,"scale_queries":$scaleQs,"value_per_calib":$valuePerCalib%.3f,"scale_total_per_calib":$scalePerCalib%.3f,"ref_calib_ms":284,"sf":"$sfDir","loadavg_before":"$loadBefore","loadavg_after":"${loadavg()}","cpu_calib_ms":$calibMs,"cpu_calib_after_ms":$calibAfterMs,"cpu_calib_par_ms":$parMs,"cpu_calib_par_after_ms":$parAfterMs,"par_ratio":$parRatio%.3f,"par_ratio_after":$parRatioAfter%.3f,"par_ratio_max":$ParRatioMax%.2f,"barrier_calib_ms":$barrierMs,"barrier_calib_after_ms":$barrierAfterMs,"ref_barrier_ms":${RefBarrierMs}%.0f,"barrier_ratio":$barrierRatio%.3f,"headline_comparable":$iterComparable,"iterative_comparable":$iterComparable,"attempt":$attemptNo,"compile_exceptions":$compileExceptions}"""
+      (json, validFinal && iterComparable)
     }
 
-    val json = retryUntilValid("bench")(attempt())
+    val json = retryUntilValid("bench")(attempt)
     println(json)
     // the printed line is the source of truth; an unwritable out path
     // must not turn a successful run into a nonzero exit
@@ -185,6 +196,37 @@ object Bench {
       System.err.println(s"[bench] FAILING: $compileExceptions CompileException(s) logged — a codegen'd stage fell back to interpreted execution")
       sys.exit(1)
     }
+  }
+}
+
+/** Idle-reference re-anchoring main (round 16): prints the barrier
+  * probe reading from a fresh JVM in the exact session shape Bench and
+  * BenchSf1 use, plus the single-thread and all-cores spins — run this
+  * on a VERIFIED-IDLE host (loadavg < 0.5, no contenders) to re-stamp
+  * [[BenchGates.RefBarrierMs]] when the flag starts firing on every
+  * run (the r15 failure mode: every measurement read 1.14–1.36 against
+  * a stale 4700 ms anchor, so the flag stopped informing). One JSON
+  * line: {"barrier_ms":…,"calib_ms":…,"par_ratio":…,"loadavg":"…"}.
+  */
+object BarrierAnchor {
+  def main(args: Array[String]): Unit = {
+    import BenchGates._
+    val spark = SparkSession.builder()
+      .withExtensions(new graft.plans.GraftExtensions)
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .appName("graft-barrier-anchor")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val calib = cpuCalibMs()
+    val par = cpuCalibParMs()
+    val barrier = barrierCalibMs(spark)
+    println(f"""{"barrier_ms":$barrier,"calib_ms":$calib,"par_ratio":${par.toDouble / calib}%.3f,"ref_barrier_ms":${RefBarrierMs}%.0f,"loadavg":"${loadavg()}"}""")
+    spark.stop()
   }
 }
 
@@ -330,15 +372,21 @@ object BenchGates {
   val ParRatioMax: Double =
     sys.env.get("SPARK_GRAFT_PAR_RATIO_MAX").map(_.toDouble).getOrElse(1.35)
 
-  /** Retry-until-clean (round 13): run the full gated measurement up
-    * to SPARK_GRAFT_BENCH_ATTEMPTS (default 3) times, sleeping 60 s
-    * between attempts, until one ends `"valid":true`. The r12 driver
-    * artifact shipped valid:false — the contamination gate fired
-    * correctly, but the canonical trend file was then a flagged load
-    * measurement; a bounded whole-run retry makes the committed
-    * artifact a measurement whenever the contention is transient. If
-    * every attempt is contaminated the LAST attempt's flagged JSON is
-    * returned — an honest record, machine-readably invalid.
+  /** Retry-until-clean (round 13; attempt-aware round 16): run the
+    * full gated measurement up to SPARK_GRAFT_BENCH_ATTEMPTS (default
+    * 3) times, sleeping 60 s between attempts, until one reports clean.
+    * The r12 driver artifact shipped valid:false — the contamination
+    * gate fired correctly, but the canonical trend file was then a
+    * flagged load measurement; a bounded whole-run retry makes the
+    * committed artifact a measurement whenever the contention is
+    * transient. Since round 16 the caller's cleanliness predicate may
+    * be STRICTER than `valid` (Bench/BenchSf1 also require the barrier
+    * probe in its comparability band — the r15 driver artifact was
+    * "valid":true yet carried a 3.0× headline swing the probe had
+    * flagged), and each attempt receives its 1-based number so the
+    * artifact records how many measurements it took. If every attempt
+    * is dirty the LAST attempt's flagged JSON is returned — an honest
+    * record, machine-readably flagged via its own fields.
     */
   def retryUntilValid(
       label: String,
@@ -348,20 +396,20 @@ object BenchGates {
         sys.env.get("SPARK_GRAFT_BENCH_ATTEMPTS")
           .flatMap(s => scala.util.Try(s.toInt).toOption)
           .getOrElse(3).max(1),
-      sleepMs: Long = 60000L)(attempt: => (String, Boolean)): String = {
+      sleepMs: Long = 60000L)(attempt: Int => (String, Boolean)): String = {
     var n = 1
-    var (json, ok) = attempt
+    var (json, ok) = attempt(n)
     while (!ok && n < maxAttempts) {
       System.err.println(
-        s"[$label] attempt $n/$maxAttempts contaminated — sleeping " +
-          s"${sleepMs / 1000} s and re-running the whole measurement")
+        s"[$label] attempt $n/$maxAttempts contaminated or flagged — " +
+          s"sleeping ${sleepMs / 1000} s and re-running the whole measurement")
       Thread.sleep(sleepMs)
       n += 1
-      val r = attempt; json = r._1; ok = r._2
+      val r = attempt(n); json = r._1; ok = r._2
     }
     if (!ok) System.err.println(
-      s"[$label] all $maxAttempts attempts contaminated — shipping the " +
-        "last artifact with \"valid\":false")
+      s"[$label] all $maxAttempts attempts contaminated or flagged — " +
+        "shipping the last artifact; its valid/comparable fields say why")
     json
   }
 
@@ -463,7 +511,7 @@ object BenchSf1 {
     }
     val targets = SparkEntry.scaleBenchSf1
 
-    def attempt(): (String, Boolean) = {
+    def attempt(attemptNo: Int): (String, Boolean) = {
       val valid = waitForIdle()
       val loadBefore = loadavg()
       val ceStart = counter.count.get() // per-attempt delta, see Bench
@@ -515,11 +563,11 @@ object BenchSf1 {
         f"[bench-sf1] WARN: calibration drifted $calibDrift%.2f mid-run " +
           s"($calibMs -> $calibAfterMs ms) — artifact carries \"valid\":false")
       val json =
-        f"""{"metric":"sf1_total","value":$total%.3f,"unit":"sec","valid":$validFinal,"queries":$qs,"value_per_calib":$valuePerCalib%.3f,"ref_calib_ms":284,"sf":"$sfDir","loadavg_before":"$loadBefore","loadavg_after":"${loadavg()}","cpu_calib_ms":$calibMs,"cpu_calib_after_ms":$calibAfterMs,"cpu_calib_par_ms":$parMs,"cpu_calib_par_after_ms":$parAfterMs,"par_ratio":$parRatio%.3f,"par_ratio_after":$parRatioAfter%.3f,"par_ratio_max":$ParRatioMax%.2f,"barrier_calib_ms":$barrierMs,"barrier_calib_after_ms":$barrierAfterMs,"ref_barrier_ms":${RefBarrierMs}%.0f,"barrier_ratio":$barrierRatio%.3f,"iterative_comparable":$iterComparable,"compile_exceptions":$compileExceptions}"""
-      (json, validFinal)
+        f"""{"metric":"sf1_total","value":$total%.3f,"unit":"sec","valid":$validFinal,"queries":$qs,"value_per_calib":$valuePerCalib%.3f,"ref_calib_ms":284,"sf":"$sfDir","loadavg_before":"$loadBefore","loadavg_after":"${loadavg()}","cpu_calib_ms":$calibMs,"cpu_calib_after_ms":$calibAfterMs,"cpu_calib_par_ms":$parMs,"cpu_calib_par_after_ms":$parAfterMs,"par_ratio":$parRatio%.3f,"par_ratio_after":$parRatioAfter%.3f,"par_ratio_max":$ParRatioMax%.2f,"barrier_calib_ms":$barrierMs,"barrier_calib_after_ms":$barrierAfterMs,"ref_barrier_ms":${RefBarrierMs}%.0f,"barrier_ratio":$barrierRatio%.3f,"headline_comparable":$iterComparable,"iterative_comparable":$iterComparable,"attempt":$attemptNo,"compile_exceptions":$compileExceptions}"""
+      (json, validFinal && iterComparable)
     }
 
-    val json = retryUntilValid("bench-sf1")(attempt())
+    val json = retryUntilValid("bench-sf1")(attempt)
     println(json)
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

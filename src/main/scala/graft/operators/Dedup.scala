@@ -27,6 +27,12 @@ object Dedup {
     * once via an eager localCheckpoint (the frame feeds several plan
     * branches and re-deriving the shingling dominated the runtime):
     *
+    * An explicit `prefixFilter` hint also skips the candidate-pairs
+    * BUDGET's stats pass (the hint's contract is "no stats job");
+    * the budget is then enforced only when a prior unhinted call
+    * already cached the estimate. Hinted callers on unknown corpora
+    * accept the OOM risk the budget exists to stop.
+    *
     *  - `prefixFilter = Some(true)`: lossless prefix filtering —
     *    J(A,B) ≥ τ implies |A∩B| ≥ ⌈τ·|A|⌉, so if A's first
     *    |A|−⌈τ·|A|⌉+1 shingles (canonical rarest-first order) share
@@ -118,7 +124,14 @@ object Dedup {
       gateStats._3
     } > Explosive.pinRows(docs)
     def pairsOver(sh: DataFrame, statsKey: String): DataFrame = {
-      guardCandidateBudget(sh, statsKey, planHash)
+      // an explicit prefixFilter hint's documented purpose is to skip
+      // the stats pass entirely — the budget guard must not silently
+      // reintroduce a full corpus aggregate for hinted hot-path callers
+      // (round 16, advisor). The budget still applies when a prior
+      // unhinted caller already paid for the estimate (a free read).
+      if (prefixFilter.isEmpty) guardCandidateBudget(sh, statsKey, planHash)
+      else AdaptiveStrategy.peekLong(statsKey, planHash)
+        .foreach(est => enforceCandidateBudget(sh, est))
       if (usePrefix) prefixFilterPairs(sh, threshold, pin)
       else countJoinPairs(sh, threshold, pin)
     }
@@ -193,7 +206,17 @@ object Dedup {
     val budget = sh.sparkSession.conf
       .get(NgramPairsMaxKey, NgramPairsMax.toString).toLong
     if (budget <= 0) return
-    val est = candidatePairsEstimate(sh, statsKey, planHash)
+    enforceCandidateBudget(sh, candidatePairsEstimate(sh, statsKey, planHash))
+  }
+
+  /** The budget comparison alone, against an estimate the caller
+    * already holds — lets the hinted path enforce the budget from a
+    * cache read without paying the stats job.
+    */
+  private def enforceCandidateBudget(sh: DataFrame, est: Long): Unit = {
+    val budget = sh.sparkSession.conf
+      .get(NgramPairsMaxKey, NgramPairsMax.toString).toLong
+    if (budget <= 0) return
     if (est > budget) throw new IllegalStateException(
       s"ngramJaccardPairs: estimated candidate-pair volume $est exceeds " +
         s"the $budget budget ($NgramPairsMaxKey) — the exact all-pairs " +

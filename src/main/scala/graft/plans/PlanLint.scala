@@ -34,10 +34,14 @@ object PlanLint {
     * Rules:
     *  - `cartesian_product`: CartesianProductExec — output grows as
     *    |A|·|B|; at scale this is the job that never finishes.
-    *  - `nested_loop_join`: BroadcastNestedLoopJoinExec — per-row
-    *    scans of the broadcast side; legitimate only for one-row
-    *    scalar attaches (the q61/q130 pattern — hence reported, not
-    *    forbidden).
+    *  - `nested_loop_join`: BroadcastNestedLoopJoinExec whose BUILD
+    *    side is not provably row-bounded ([[rowBounded]]) — per-row
+    *    scans of an unbounded broadcast side. A nested loop against a
+    *    one-row scalar aggregate or a limit-bounded frame (the
+    *    q61/q130 scalar-attach pattern) is the CORRECT plan and is
+    *    not reported (round 16: the registry-wide sweep would
+    *    otherwise drown in ~38 benign scalar attaches, training
+    *    authors to ignore the rule).
     *  - `single_partition_window`: a WindowExec with an empty
     *    PARTITION BY whose input is NOT provably row-bounded — the
     *    whole dataset funnels through ONE task (the q117
@@ -68,7 +72,10 @@ object PlanLint {
     val base = all.collect {
       case c: CartesianProductExec =>
         ("cartesian_product", c.nodeName)
-      case j: BroadcastNestedLoopJoinExec =>
+      case j: BroadcastNestedLoopJoinExec if !rowBounded(j.buildSide match {
+            case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left
+            case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.right
+          }) =>
         ("nested_loop_join", j.nodeName)
       case w: WindowExec if w.partitionSpec.isEmpty && !rowBounded(w.child) =>
         ("single_partition_window", w.nodeName)
@@ -116,6 +123,15 @@ object PlanLint {
     case i: InputAdapter          => rowBounded(i.child)
     case _: GlobalLimitExec | _: CollectLimitExec |
         _: TakeOrderedAndProjectExec => true
+    // compile-time literal relations: a VALUES list / small constant
+    // range has its exact cardinality IN the plan — it cannot grow
+    // with the data, which is the hazard these rules police. The
+    // threshold keeps a deliberately-huge spark.range(1e9) driver of
+    // synthetic data out of the certified class.
+    case l: org.apache.spark.sql.execution.LocalTableScanExec =>
+      l.rows.lengthCompare(LiteralRowsMax) <= 0
+    case r: org.apache.spark.sql.execution.RangeExec =>
+      r.numElements <= BigInt(LiteralRowsMax)
     case agg: BaseAggregateExec => agg.groupingExpressions.isEmpty ||
       rowBounded(agg.child)
     case pr: ProjectExec  => rowBounded(pr.child)
@@ -129,6 +145,12 @@ object PlanLint {
       u.children.forall(rowBounded)
     case _ => false
   }
+
+  /** Cardinality threshold for certifying compile-time literal
+    * relations in [[rowBounded]] — generous for parameter grids and
+    * lookup VALUES, far below anything data-shaped.
+    */
+  private[graft] val LiteralRowsMax = 10000
 
   /** Every empty-partition WindowExec in the plan with its boundedness
     * verdict — the audit surface for "this single-partition window is

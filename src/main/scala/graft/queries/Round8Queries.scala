@@ -566,7 +566,7 @@ $union
       // candidate lists are k-sized: a single-partition rank window
       // here is 30 rows, not a corpus sort. The window's child plan
       // carries the retriever's own limit, which is what makes this
-      // safe — PlanLint.unboundedEmptyWindows asserts exactly that
+      // safe — PlanLint.emptyPartitionWindows asserts exactly that
       // (a partitionBy(lit(0)) declaration would NOT help: Spark 4's
       // EliminateWindowPartitions folds a foldable partition spec
       // away before WindowExec's single-partition check, round 15).

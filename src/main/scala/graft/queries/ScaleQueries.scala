@@ -624,6 +624,13 @@ object ScaleQueries {
     "q46_distinct_sketch",
     (s, dir) =>
       Tables(s, dir, "events")
+        // group set derived from the SAME null-filtered relation as the
+        // oracle's CTEs: an event_type whose user_ids are ALL null
+        // would otherwise survive here (exact=0, estimate=0) while
+        // vanishing from the oracle's inner join (round 16, advisor).
+        // For groups with ≥1 non-null user the filter is a no-op —
+        // countDistinct and the KMV sketch both ignore nulls.
+        .filter(col("user_id").isNotNull)
         .groupBy(col("event_type"))
         .agg(
           countDistinct(col("user_id")).as("exact"),

@@ -251,7 +251,7 @@ object SchemaQueries {
       val docs = Tables(s, dir, "documents")
       val terms = Seq("data", "table", "query")
       // 30-row candidate list: the single-partition rank window sits
-      // over the retriever's own limit (PlanLint.unboundedEmptyWindows
+      // over the retriever's own limit (PlanLint.emptyPartitionWindows
       // asserts the bound; a lit(0) partition spec would be folded
       // away by EliminateWindowPartitions anyway — round 15)
       def ranked(df: org.apache.spark.sql.DataFrame) =

@@ -12,27 +12,30 @@ class BenchGatesSpec extends AnyFunSuite {
   test("retryUntilValid returns the first clean attempt untouched") {
     var calls = 0
     val out = BenchGates.retryUntilValid("t", maxAttempts = 3, sleepMs = 0L) {
-      calls += 1; ("""{"valid":true}""", true)
+      _ => calls += 1; ("""{"valid":true}""", true)
     }
     assert(calls == 1)
     assert(out == """{"valid":true}""")
   }
 
-  test("retryUntilValid re-runs a contaminated attempt until clean") {
+  test("retryUntilValid re-runs a contaminated attempt until clean, " +
+      "passing the 1-based attempt number through") {
     var calls = 0
     val out = BenchGates.retryUntilValid("t", maxAttempts = 3, sleepMs = 0L) {
-      calls += 1
-      if (calls < 3) (s"""{"valid":false,"n":$calls}""", false)
-      else (s"""{"valid":true,"n":$calls}""", true)
+      n =>
+        calls += 1
+        assert(n == calls, "attempt number must track the call count")
+        if (calls < 3) (s"""{"valid":false,"n":$n}""", false)
+        else (s"""{"valid":true,"n":$n}""", true)
     }
     assert(calls == 3)
-    assert(out.contains("\"valid\":true"))
+    assert(out.contains("\"valid\":true") && out.contains("\"n\":3"))
   }
 
   test("retryUntilValid ships the LAST flagged attempt when all are dirty") {
     var calls = 0
     val out = BenchGates.retryUntilValid("t", maxAttempts = 3, sleepMs = 0L) {
-      calls += 1; (s"""{"valid":false,"n":$calls}""", false)
+      _ => calls += 1; (s"""{"valid":false,"n":$calls}""", false)
     }
     assert(calls == 3)
     // honest record: the artifact is the final measurement, flagged

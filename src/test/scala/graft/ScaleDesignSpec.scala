@@ -906,8 +906,12 @@ class ScaleDesignSpec extends SparkSpec {
   test("plan lint: fires on known hazards, clean on graded plans") {
     import graft.plans.PlanLint
     import org.apache.spark.sql.expressions.Window
-    val a = spark.range(100).toDF("x")
-    val b = spark.range(100).toDF("y")
+    // ranges above PlanLint.LiteralRowsMax: a compile-time-literal
+    // relation at or below that bound is CERTIFIED bounded since round
+    // 16 (parameter grids, VALUES lookups), so the hazard fixtures
+    // must sit above it to exercise the rules
+    val a = spark.range(100000).toDF("x")
+    val b = spark.range(100000).toDF("y")
     // cross join with no condition: small sides plan as a broadcast
     // nested loop, large ones as a cartesian — both are the hazard
     val cross = a.crossJoin(b)

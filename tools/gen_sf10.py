@@ -57,3 +57,20 @@ con.sql(f"""COPY (
        (SELECT unnest(range(10)) AS i) r
 ) TO '{out}/lineitem.parquet' (FORMAT PARQUET)""")
 print(f"wrote {out}/lineitem.parquet")
+
+# round 16: the streaming-CMS and store-lifecycle decade probes
+# (q118/q235 via graft.ScaleSmoke) read events — same id-shift
+# construction (sf1 key ranges: event_id < 100M, user_id < 1M).
+con.sql(f"""COPY (
+  SELECT e.event_id + 100000000*r.i AS event_id,
+         e.user_id + 1000000*r.i AS user_id,
+         e.* EXCLUDE (event_id, user_id)
+  FROM read_parquet('{src}/events.parquet') e,
+       (SELECT unnest(range(10)) AS i) r
+) TO '{out}/events.parquet' (FORMAT PARQUET)""")
+print(f"wrote {out}/events.parquet")
+for t in ["documents", "customer", "orders", "lineitem", "events"]:
+    n = con.sql(
+        f"SELECT COUNT(*) FROM read_parquet('{out}/{t}.parquet')"
+    ).fetchone()[0]
+    print(t, n)
