@@ -105,6 +105,8 @@ object Bench {
       // contaminated attempt's fallbacks. The process-exit gate below
       // stays cumulative on purpose.
       val ceStart = counter.count.get()
+      val attemptT0 = System.nanoTime()
+      val attemptSt0 = stealTicks()
       val calibMs = cpuCalibMs()
       val parMs = cpuCalibParMs()
       // barrier-shaped probe (round 15): the r14 driver artifact shipped
@@ -113,7 +115,15 @@ object Bench {
       // FASTER — the sf0.1 artifact is the one the driver records every
       // round, so it needs the same iterative-state comparability flag
       // BenchSf1 got in round 14 (see barrierCalibMs scaladoc).
+      // Steal sampled across the probe window (round 16): the probe's
+      // elevation is caused by hypervisor steal under parallel load —
+      // stamping the direct signal turns "barrier 1.3, cause unknown"
+      // into "the hypervisor took N% of the box during the probe".
+      val barrierSt0 = stealTicks()
+      val barrierT0 = System.nanoTime()
       val barrierMs = barrierCalibMs(spark)
+      val barrierStealPct = stealPct(stealTicks() - barrierSt0,
+        (System.nanoTime() - barrierT0) / 1000000L)
       val results = timeSection(SparkEntry.headline)
       val qs = toJsonObj(results)
       val total = results.map(_._2).filter(_ >= 0).sum
@@ -175,8 +185,10 @@ object Bench {
       else if (!validFinal && valid) System.err.println(
         f"[bench] WARN: calibration drifted $calibDrift%.2f mid-run " +
           s"($calibMs -> $calibAfterMs ms) — artifact carries \"valid\":false")
+      val attemptStealPct = stealPct(stealTicks() - attemptSt0,
+        (System.nanoTime() - attemptT0) / 1000000L)
       val json =
-        f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","valid":$validFinal,"queries":$qs,"scale_total":$scaleTotal%.3f,"scale_queries":$scaleQs,"value_per_calib":$valuePerCalib%.3f,"scale_total_per_calib":$scalePerCalib%.3f,"ref_calib_ms":284,"sf":"$sfDir","loadavg_before":"$loadBefore","loadavg_after":"${loadavg()}","cpu_calib_ms":$calibMs,"cpu_calib_after_ms":$calibAfterMs,"cpu_calib_par_ms":$parMs,"cpu_calib_par_after_ms":$parAfterMs,"par_ratio":$parRatio%.3f,"par_ratio_after":$parRatioAfter%.3f,"par_ratio_max":$ParRatioMax%.2f,"barrier_calib_ms":$barrierMs,"barrier_calib_after_ms":$barrierAfterMs,"ref_barrier_ms":${RefBarrierMs}%.0f,"barrier_ratio":$barrierRatio%.3f,"headline_comparable":$iterComparable,"iterative_comparable":$iterComparable,"attempt":$attemptNo,"compile_exceptions":$compileExceptions}"""
+        f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","valid":$validFinal,"queries":$qs,"scale_total":$scaleTotal%.3f,"scale_queries":$scaleQs,"value_per_calib":$valuePerCalib%.3f,"scale_total_per_calib":$scalePerCalib%.3f,"ref_calib_ms":284,"sf":"$sfDir","loadavg_before":"$loadBefore","loadavg_after":"${loadavg()}","cpu_calib_ms":$calibMs,"cpu_calib_after_ms":$calibAfterMs,"cpu_calib_par_ms":$parMs,"cpu_calib_par_after_ms":$parAfterMs,"par_ratio":$parRatio%.3f,"par_ratio_after":$parRatioAfter%.3f,"par_ratio_max":$ParRatioMax%.2f,"barrier_calib_ms":$barrierMs,"barrier_calib_after_ms":$barrierAfterMs,"ref_barrier_ms":${RefBarrierMs}%.0f,"barrier_ratio":$barrierRatio%.3f,"steal_pct_barrier":$barrierStealPct%.2f,"steal_pct_attempt":$attemptStealPct%.2f,"headline_comparable":$iterComparable,"iterative_comparable":$iterComparable,"attempt":$attemptNo,"compile_exceptions":$compileExceptions}"""
       (json, validFinal && iterComparable)
     }
 
@@ -224,8 +236,11 @@ object BarrierAnchor {
     spark.sparkContext.setLogLevel("WARN")
     val calib = cpuCalibMs()
     val par = cpuCalibParMs()
+    val st0 = stealTicks()
+    val t0 = System.nanoTime()
     val barrier = barrierCalibMs(spark)
-    println(f"""{"barrier_ms":$barrier,"calib_ms":$calib,"par_ratio":${par.toDouble / calib}%.3f,"ref_barrier_ms":${RefBarrierMs}%.0f,"loadavg":"${loadavg()}"}""")
+    val stl = stealPct(stealTicks() - st0, (System.nanoTime() - t0) / 1000000L)
+    println(f"""{"barrier_ms":$barrier,"calib_ms":$calib,"par_ratio":${par.toDouble / calib}%.3f,"steal_pct_barrier":$stl%.2f,"ref_barrier_ms":${RefBarrierMs}%.0f,"loadavg":"${loadavg()}"}""")
     spark.stop()
   }
 }
@@ -320,21 +335,26 @@ object BenchGates {
     Seq.fill(3)(once()).min
   }
 
-  /** Idle reference for [[barrierCalibMs]] on the r14 host. Measured
-    * behavior (r14, fresh JVMs, BenchSf1 session shape): back-to-back
-    * readings agree within 1-3%, but clean same-day readings wandered
-    * 4240-5185 ms across hours — the host's barrier/shuffle state
-    * itself drifts ~±10%, which is precisely the phenomenon this probe
-    * instruments (the r13 q93/q207 swings were ~±25%). The reference
-    * sits at the observed clean-band midpoint; the 15% comparability
-    * band therefore tolerates the intra-day wander while flagging the
-    * ±25% cross-day class. Env-overridable for other hosts like the
-    * par-ratio gate.
+  /** Idle reference for [[barrierCalibMs]]. RE-ANCHORED round 16: the
+    * r14 stamp (4700, clean band 4240–5185) went stale — every r15
+    * measurement read 1.14–1.36 against it, so the flag had stopped
+    * informing. Root cause found via the steal stamp: this guest's
+    * vCPUs are hypervisor-overcommitted, and a noisy neighbor now takes
+    * 2–13% of capacity under parallel load, varying by the minute
+    * (idle ≈ 1.8%, measured under a 32-thread spin: 9.4%). The r16
+    * re-anchor is the reading at a VERIFIED-near-zero-steal moment
+    * (barrier 5594 ms at 0.32% steal; contended same-day readings
+    * 6517–11768 at 5.7–13.2% steal — read steal_pct_barrier in the
+    * artifact to adjudicate any flagged run directly). The 15% band is
+    * unchanged: it tolerates intra-day wander at low steal while
+    * flagging the steal-storm class. Env-overridable for other hosts
+    * like the par-ratio gate; re-stamp with graft.BarrierAnchor when
+    * it next goes stale.
     */
   val RefBarrierMs: Double =
     sys.env.get("SPARK_GRAFT_REF_BARRIER_MS")
       .flatMap(s => scala.util.Try(s.toDouble).toOption)
-      .getOrElse(4700.0)
+      .getOrElse(5600.0)
 
   def cpuCalibParMs(nThreads: Int = CalibThreads): Long = {
     spinOnce() // JIT warm-up (shared method with cpuCalibMs)
@@ -420,6 +440,32 @@ object BenchGates {
         java.nio.charset.StandardCharsets.UTF_8)
       s.split("\\s+").take(3).mkString(" ")
     } catch { case _: Throwable => "unavailable" }
+
+  /** Cumulative hypervisor steal ticks (/proc/stat cpu line, field 8,
+    * USER_HZ = 100). Round 16: direct measurement of what the barrier
+    * probe was proxying — this host measures ~2% steal idle but
+    * 9–13% under full 32-thread load (a noisy neighbor takes 3–4
+    * cores' worth whenever the guest goes wide, varying by the
+    * minute), which is exactly the "barrier/shuffle-shaped capacity
+    * invisible to pure-compute gates" the r13–r15 swings traced to.
+    * −1 when unavailable (non-Linux).
+    */
+  def stealTicks(): Long =
+    try {
+      val s = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/stat")),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val a = s.linesIterator.next().trim.split("\\s+")
+      if (a.length > 8) a(8).toLong else -1L
+    } catch { case _: Throwable => -1L }
+
+  /** Steal as % of total guest CPU capacity over a window: ticks are
+    * 10 ms each, capacity is elapsed × cores.
+    */
+  def stealPct(ticksDelta: Long, elapsedMs: Long): Double =
+    if (ticksDelta < 0 || elapsedMs <= 0) -1.0
+    else 100.0 * ticksDelta * 10.0 /
+      (elapsedMs.toDouble * Runtime.getRuntime.availableProcessors())
 
   /** Load gate: a bench started on a busy machine measures the load,
     * not the code. Waits for idle (up to 10×30 s); returns false — the
@@ -515,9 +561,15 @@ object BenchSf1 {
       val valid = waitForIdle()
       val loadBefore = loadavg()
       val ceStart = counter.count.get() // per-attempt delta, see Bench
+      val attemptT0 = System.nanoTime()
+      val attemptSt0 = stealTicks()
       val calibMs = cpuCalibMs()
       val parMs = cpuCalibParMs()
+      val barrierSt0 = stealTicks()
+      val barrierT0 = System.nanoTime()
       val barrierMs = barrierCalibMs(spark)
+      val barrierStealPct = stealPct(stealTicks() - barrierSt0,
+        (System.nanoTime() - barrierT0) / 1000000L)
       targets.foreach(runOnce) // warm-up
       val results = targets.map { d =>
         val runs = Seq.fill(3)(runOnce(d))
@@ -562,8 +614,10 @@ object BenchSf1 {
       else if (!validFinal && valid) System.err.println(
         f"[bench-sf1] WARN: calibration drifted $calibDrift%.2f mid-run " +
           s"($calibMs -> $calibAfterMs ms) — artifact carries \"valid\":false")
+      val attemptStealPct = stealPct(stealTicks() - attemptSt0,
+        (System.nanoTime() - attemptT0) / 1000000L)
       val json =
-        f"""{"metric":"sf1_total","value":$total%.3f,"unit":"sec","valid":$validFinal,"queries":$qs,"value_per_calib":$valuePerCalib%.3f,"ref_calib_ms":284,"sf":"$sfDir","loadavg_before":"$loadBefore","loadavg_after":"${loadavg()}","cpu_calib_ms":$calibMs,"cpu_calib_after_ms":$calibAfterMs,"cpu_calib_par_ms":$parMs,"cpu_calib_par_after_ms":$parAfterMs,"par_ratio":$parRatio%.3f,"par_ratio_after":$parRatioAfter%.3f,"par_ratio_max":$ParRatioMax%.2f,"barrier_calib_ms":$barrierMs,"barrier_calib_after_ms":$barrierAfterMs,"ref_barrier_ms":${RefBarrierMs}%.0f,"barrier_ratio":$barrierRatio%.3f,"headline_comparable":$iterComparable,"iterative_comparable":$iterComparable,"attempt":$attemptNo,"compile_exceptions":$compileExceptions}"""
+        f"""{"metric":"sf1_total","value":$total%.3f,"unit":"sec","valid":$validFinal,"queries":$qs,"value_per_calib":$valuePerCalib%.3f,"ref_calib_ms":284,"sf":"$sfDir","loadavg_before":"$loadBefore","loadavg_after":"${loadavg()}","cpu_calib_ms":$calibMs,"cpu_calib_after_ms":$calibAfterMs,"cpu_calib_par_ms":$parMs,"cpu_calib_par_after_ms":$parAfterMs,"par_ratio":$parRatio%.3f,"par_ratio_after":$parRatioAfter%.3f,"par_ratio_max":$ParRatioMax%.2f,"barrier_calib_ms":$barrierMs,"barrier_calib_after_ms":$barrierAfterMs,"ref_barrier_ms":${RefBarrierMs}%.0f,"barrier_ratio":$barrierRatio%.3f,"steal_pct_barrier":$barrierStealPct%.2f,"steal_pct_attempt":$attemptStealPct%.2f,"headline_comparable":$iterComparable,"iterative_comparable":$iterComparable,"attempt":$attemptNo,"compile_exceptions":$compileExceptions}"""
       (json, validFinal && iterComparable)
     }
 
