@@ -140,10 +140,18 @@ object ScaleSmoke {
     // carry the split size (sec_p32_128m/sec_p32_4m) — identical keys
     // in one JSON object silently lose a leg in most parsers (r14
     // advisor).
-    val legKeys =
-      if (legs(0)._1 == legs(1)._1)
-        legs.map { case (p, b) => s"sec_p${p}_${b >> 20}m" }
-      else legs.map { case (p, _) => s"sec_p$p" }
+    val legKeys = {
+      val base =
+        if (legs(0)._1 == legs(1)._1)
+          legs.map { case (p, b) => s"sec_p${p}_${b >> 20}m" }
+        else legs.map { case (p, _) => s"sec_p$p" }
+      // IDENTICAL legs (a repeatability probe — the r16 q247 "p64/4M
+      // twice" run) still need distinct keys or the JSON object
+      // silently drops the first leg
+      if (base(0) == base(1)) base.zipWithIndex
+        .map { case (k, i) => s"${k}_leg${i + 1}" }
+      else base
+    }
     val qJson = results.map {
       case (name, n, Some(ok), s8, s64, _) =>
         // index-memoizing queries (build-once per JVM+dir, the q121/q122
