@@ -124,13 +124,26 @@ object Bench {
       val barrierMs = barrierCalibMs(spark)
       val barrierStealPct = stealPct(stealTicks() - barrierSt0,
         (System.nanoTime() - barrierT0) / 1000000L)
+      // per-SECTION steal (round 16): steal is bursty within a clean
+      // attempt — the r16 sf1 artifact carried one row 40% high while
+      // the attempt averaged 1.2% — so each timed section records the
+      // steal it actually ran under, which is the first field to read
+      // when a single section moves across rounds
+      val headSt0 = stealTicks()
+      val headT0 = System.nanoTime()
       val results = timeSection(SparkEntry.headline)
+      val headStealPct = stealPct(stealTicks() - headSt0,
+        (System.nanoTime() - headT0) / 1000000L)
       val qs = toJsonObj(results)
       val total = results.map(_._2).filter(_ >= 0).sum
       // second section (round 9): the 100 TB scale families — APSS,
       // stored-index near-dedup, BPE training, PageRank, DBSCAN, HLL —
       // previously invisible to the per-round artifact
+      val scaleSt0 = stealTicks()
+      val scaleT0 = System.nanoTime()
       val scaleResults = timeSection(SparkEntry.scaleBench)
+      val scaleStealPct = stealPct(stealTicks() - scaleSt0,
+        (System.nanoTime() - scaleT0) / 1000000L)
       val scaleQs = toJsonObj(scaleResults)
       val scaleTotal = scaleResults.map(_._2).filter(_ >= 0).sum
       // calib-normalized value: seconds this run WOULD have taken on the
@@ -188,7 +201,7 @@ object Bench {
       val attemptStealPct = stealPct(stealTicks() - attemptSt0,
         (System.nanoTime() - attemptT0) / 1000000L)
       val json =
-        f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","valid":$validFinal,"queries":$qs,"scale_total":$scaleTotal%.3f,"scale_queries":$scaleQs,"value_per_calib":$valuePerCalib%.3f,"scale_total_per_calib":$scalePerCalib%.3f,"ref_calib_ms":284,"sf":"$sfDir","loadavg_before":"$loadBefore","loadavg_after":"${loadavg()}","cpu_calib_ms":$calibMs,"cpu_calib_after_ms":$calibAfterMs,"cpu_calib_par_ms":$parMs,"cpu_calib_par_after_ms":$parAfterMs,"par_ratio":$parRatio%.3f,"par_ratio_after":$parRatioAfter%.3f,"par_ratio_max":$ParRatioMax%.2f,"barrier_calib_ms":$barrierMs,"barrier_calib_after_ms":$barrierAfterMs,"ref_barrier_ms":${RefBarrierMs}%.0f,"barrier_ratio":$barrierRatio%.3f,"steal_pct_barrier":$barrierStealPct%.2f,"steal_pct_attempt":$attemptStealPct%.2f,"headline_comparable":$iterComparable,"iterative_comparable":$iterComparable,"attempt":$attemptNo,"compile_exceptions":$compileExceptions}"""
+        f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","valid":$validFinal,"queries":$qs,"scale_total":$scaleTotal%.3f,"scale_queries":$scaleQs,"value_per_calib":$valuePerCalib%.3f,"scale_total_per_calib":$scalePerCalib%.3f,"ref_calib_ms":284,"sf":"$sfDir","loadavg_before":"$loadBefore","loadavg_after":"${loadavg()}","cpu_calib_ms":$calibMs,"cpu_calib_after_ms":$calibAfterMs,"cpu_calib_par_ms":$parMs,"cpu_calib_par_after_ms":$parAfterMs,"par_ratio":$parRatio%.3f,"par_ratio_after":$parRatioAfter%.3f,"par_ratio_max":$ParRatioMax%.2f,"barrier_calib_ms":$barrierMs,"barrier_calib_after_ms":$barrierAfterMs,"ref_barrier_ms":${RefBarrierMs}%.0f,"barrier_ratio":$barrierRatio%.3f,"steal_pct_barrier":$barrierStealPct%.2f,"steal_pct_headline":$headStealPct%.2f,"steal_pct_scale":$scaleStealPct%.2f,"steal_pct_attempt":$attemptStealPct%.2f,"headline_comparable":$iterComparable,"iterative_comparable":$iterComparable,"attempt":$attemptNo,"compile_exceptions":$compileExceptions}"""
       (json, validFinal && iterComparable)
     }
 
@@ -571,10 +584,16 @@ object BenchSf1 {
       val barrierStealPct = stealPct(stealTicks() - barrierSt0,
         (System.nanoTime() - barrierT0) / 1000000L)
       targets.foreach(runOnce) // warm-up
+      // per-section steal, mirroring Bench (round 16): the timed loop's
+      // own steal window, separate from the warm-up and the probes
+      val secSt0 = stealTicks()
+      val secT0 = System.nanoTime()
       val results = targets.map { d =>
         val runs = Seq.fill(3)(runOnce(d))
         d.name -> (if (runs.exists(_ < 0)) -1.0 else runs.min)
       }
+      val secStealPct = stealPct(stealTicks() - secSt0,
+        (System.nanoTime() - secT0) / 1000000L)
       val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
         .mkString("{", ",", "}")
       val total = results.map(_._2).filter(_ >= 0).sum
@@ -617,7 +636,7 @@ object BenchSf1 {
       val attemptStealPct = stealPct(stealTicks() - attemptSt0,
         (System.nanoTime() - attemptT0) / 1000000L)
       val json =
-        f"""{"metric":"sf1_total","value":$total%.3f,"unit":"sec","valid":$validFinal,"queries":$qs,"value_per_calib":$valuePerCalib%.3f,"ref_calib_ms":284,"sf":"$sfDir","loadavg_before":"$loadBefore","loadavg_after":"${loadavg()}","cpu_calib_ms":$calibMs,"cpu_calib_after_ms":$calibAfterMs,"cpu_calib_par_ms":$parMs,"cpu_calib_par_after_ms":$parAfterMs,"par_ratio":$parRatio%.3f,"par_ratio_after":$parRatioAfter%.3f,"par_ratio_max":$ParRatioMax%.2f,"barrier_calib_ms":$barrierMs,"barrier_calib_after_ms":$barrierAfterMs,"ref_barrier_ms":${RefBarrierMs}%.0f,"barrier_ratio":$barrierRatio%.3f,"steal_pct_barrier":$barrierStealPct%.2f,"steal_pct_attempt":$attemptStealPct%.2f,"headline_comparable":$iterComparable,"iterative_comparable":$iterComparable,"attempt":$attemptNo,"compile_exceptions":$compileExceptions}"""
+        f"""{"metric":"sf1_total","value":$total%.3f,"unit":"sec","valid":$validFinal,"queries":$qs,"value_per_calib":$valuePerCalib%.3f,"ref_calib_ms":284,"sf":"$sfDir","loadavg_before":"$loadBefore","loadavg_after":"${loadavg()}","cpu_calib_ms":$calibMs,"cpu_calib_after_ms":$calibAfterMs,"cpu_calib_par_ms":$parMs,"cpu_calib_par_after_ms":$parAfterMs,"par_ratio":$parRatio%.3f,"par_ratio_after":$parRatioAfter%.3f,"par_ratio_max":$ParRatioMax%.2f,"barrier_calib_ms":$barrierMs,"barrier_calib_after_ms":$barrierAfterMs,"ref_barrier_ms":${RefBarrierMs}%.0f,"barrier_ratio":$barrierRatio%.3f,"steal_pct_barrier":$barrierStealPct%.2f,"steal_pct_queries":$secStealPct%.2f,"steal_pct_attempt":$attemptStealPct%.2f,"headline_comparable":$iterComparable,"iterative_comparable":$iterComparable,"attempt":$attemptNo,"compile_exceptions":$compileExceptions}"""
       (json, validFinal && iterComparable)
     }
 

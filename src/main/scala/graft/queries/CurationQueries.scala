@@ -1672,6 +1672,65 @@ object CurationQueries {
       ORDER BY source, cum_tokens"""),
   )
 
+  // --------------------------------------------------------------- q248
+  /** DSIR-style data selection
+    * ([[graft.operators.CorpusFilter.dsirScores]]): the 100 non-'en'
+    * documents whose hashed unigram+bigram profile is most 'en'-like,
+    * by integer importance ratios between an add-one-smoothed
+    * bag-of-hashed-ngrams model of the target ('en') rows and one of
+    * the pool — the importance-resampling data-selection method
+    * (Xie et al. 2023) in this repo's float-free exact form (per-bucket
+    * probability ratio in micro-units instead of a log-ratio; the
+    * paper's Gumbel noise replaced by the deterministic top-k
+    * ablation, which is what a DuckDB oracle can replay bit-exactly).
+    * Features hash through the portable rolling hash into 1024
+    * buckets, so model fit, per-bucket weights, and every document
+    * score hash-match across engines. Scale shape: two scan-shaped
+    * shuffles and one 1024-row broadcast — the model never exceeds the
+    * bucket count whatever the corpus size.
+    */
+  val q248DsirSelect: QueryDef = QueryDef(
+    "q248_dsir_select",
+    (s, dir) =>
+      graft.operators.CorpusFilter.dsirScores(
+          Tables(s, dir, "documents"), col("doc_id"), col("text"),
+          col("lang") === "en", buckets = 1024)
+        .orderBy(col("score_micro").desc, col("doc_id"))
+        .limit(100),
+    Some(s"""
+      WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS w
+        FROM documents),
+      uni AS (SELECT doc_id, lang, unnest(w) AS feat FROM t),
+      bi AS (SELECT doc_id, lang, w[i] || ' ' || w[i + 1] AS feat
+        FROM t, LATERAL (SELECT unnest(range(1, len(w))) AS i) r),
+      feats AS (
+        SELECT * FROM uni WHERE feat <> ''
+        UNION ALL SELECT * FROM bi WHERE feat <> ''),
+      fb AS (SELECT doc_id, lang = 'en' AS is_t,
+          ${graft.queries.ScaleQueries.FpLambda.format("feat")} % 1024
+            AS b, COUNT(*) AS cnt
+        FROM feats GROUP BY 1, 2, 3),
+      m AS (SELECT b,
+          CAST(COALESCE(SUM(CASE WHEN is_t THEN cnt END), 0) AS BIGINT)
+            AS ct,
+          CAST(COALESCE(SUM(CASE WHEN NOT is_t THEN cnt END), 0)
+            AS BIGINT) AS cs
+        FROM fb GROUP BY b),
+      tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS nt,
+          CAST(SUM(cs) AS BIGINT) AS ns FROM m),
+      r AS (SELECT b,
+          CAST((CAST(ct + 1 AS HUGEINT) * (ns + 1024) * 1000000)
+            // (CAST(cs + 1 AS HUGEINT) * (nt + 1024)) AS BIGINT)
+            AS ratio_micro
+        FROM m, tot),
+      sc AS (SELECT fb.doc_id, CAST(SUM(cnt) AS BIGINT) AS n_feats,
+          CAST(SUM(CAST(cnt AS HUGEINT) * ratio_micro) AS BIGINT)
+            AS score_micro
+        FROM fb JOIN r USING (b) WHERE NOT is_t GROUP BY fb.doc_id)
+      SELECT doc_id, n_feats, score_micro FROM sc
+      ORDER BY score_micro DESC, doc_id LIMIT 100"""),
+  )
+
   val all: Seq[QueryDef] = Seq(q74StreamJoin, q75SnapshotDiff,
     q76StratifiedSample, q77TokenBudget, q78ZOrder, q79Int8Ann,
     q80SemanticDedup, q81SeqPack, q82BigramNovelty, q83EditDistance,
@@ -1683,5 +1742,5 @@ object CurationQueries {
     q113CsvRoundtrip, q114TargetEncode, q115SchemaEvolution,
     q116CountMin, q117PercentRank, q118StreamCountMin, q119NextEvent,
     q120NegativeSample, q121IndexedDeltaDedup, q122IndexedNearDedup,
-    q123CurationPipeline, q238IndexBuild)
+    q123CurationPipeline, q238IndexBuild, q248DsirSelect)
 }

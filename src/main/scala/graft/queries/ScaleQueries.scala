@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
 object ScaleQueries {
 
   /** Shared oracle fragment: per-token / per-text rolling hash. */
-  private[queries] val FpLambda =
+  private[graft] val FpLambda =
     "list_reduce([0::BIGINT] || [unicode(x)::BIGINT for x in string_split(%s, '')], (a, c) -> (a * 31 + c) %% 1000000007)"
 
   /** Oracle fragment: per-document 32-bit SimHash as CTEs ending in

@@ -488,4 +488,29 @@ class CurationSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).count() === 0 &&
       batch.exceptAll(streamed).count() === 0)
   }
+
+  test("dsirScores ranks target-like pool documents above unlike ones " +
+      "and its model join stays bounded (round 16, q248)") {
+    import graft.operators.CorpusFilter
+    // target rows speak vocabulary A; one pool doc mimics them, one is
+    // disjoint — the mimic must outscore the stranger
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha beta", true),
+      (2L, "beta gamma alpha beta gamma", true),
+      (3L, "alpha beta gamma beta alpha", true),
+      (10L, "alpha beta gamma alpha", false), // target-like pool doc
+      (11L, "zeta eta theta iota kappa", false), // disjoint pool doc
+    ).toDF("doc_id", "text", "is_t")
+    val out = CorpusFilter.dsirScores(docs, col("doc_id"), col("text"),
+        col("is_t"), buckets = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out.keySet === Set(10L, 11L), "pool rows only")
+    assert(out(10L) > out(11L),
+      s"target-like doc must outscore the disjoint one: $out")
+    // plan shape: the model attach is a broadcast, never a hazard
+    val fs = graft.plans.PlanLint.findings(
+      CorpusFilter.dsirScores(docs, col("doc_id"), col("text"),
+        col("is_t"), buckets = 64))
+    assert(fs.isEmpty, fs.toString)
+  }
 }
