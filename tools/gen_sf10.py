@@ -74,3 +74,16 @@ for t in ["documents", "customer", "orders", "lineitem", "events"]:
         f"SELECT COUNT(*) FROM read_parquet('{out}/{t}.parquet')"
     ).fetchone()[0]
     print(t, n)
+
+# round 16: the ANN/similarity-search decade probe (q38/q39/q45 via
+# graft.ScaleSmoke) reads embeddings — same id-shift construction
+# (sf1 key range: vec_id < 20k).
+con.sql(f"""COPY (
+  SELECT e.vec_id + 20000*r.i AS vec_id, e.embedding, e.label
+  FROM read_parquet('{src}/embeddings.parquet') e,
+       (SELECT unnest(range(10)) AS i) r
+) TO '{out}/embeddings.parquet' (FORMAT PARQUET)""")
+print(f"wrote {out}/embeddings.parquet")
+print("embeddings", con.sql(
+    f"SELECT COUNT(*) FROM read_parquet('{out}/embeddings.parquet')"
+).fetchone()[0])
