@@ -143,6 +143,25 @@ class ScaleSpec extends SparkSpec {
     try assert(Dedup.ngramJaccardPairs(df, col("doc_id"), col("text"), 3, 0.8)
       .count() > 0)
     finally spark.conf.unset(Dedup.NgramPairsMaxKey)
+    // hinted-strategy contract (round 16, advisor): an explicit
+    // prefixFilter hint skips the budget's STATS PASS, but the budget
+    // still applies when a prior unhinted caller already cached the
+    // estimate for this plan — the over-budget corpus above cached its
+    // estimate, so the hinted call fails fast from a free cache read
+    spark.conf.set(Dedup.NgramPairsMaxKey, "1")
+    try {
+      val e = intercept[IllegalStateException] {
+        Dedup.ngramJaccardPairs(df, col("doc_id"), col("text"), 3, 0.8,
+          prefixFilter = Some(false))
+      }
+      assert(e.getMessage.contains("candidate-pair volume"))
+      // a hinted call on a NEVER-SEEN plan runs no stats pass and so
+      // cannot be budget-stopped — it constructs (documented risk)
+      val fresh = rows.map { case (i, t) => i -> (t + " zz") }
+        .toDF("doc_id", "text")
+      Dedup.ngramJaccardPairs(fresh, col("doc_id"), col("text"), 3, 0.8,
+        prefixFilter = Some(false))
+    } finally spark.conf.unset(Dedup.NgramPairsMaxKey)
   }
 
   test("duplicate-collapse gate: Jaccard pairs identical on both sides " +
