@@ -98,7 +98,8 @@ object Bench {
     // contaminated attempt now waits for the barrier probe to re-enter
     // the band (bounded by SPARK_GRAFT_BENCH_ATTEMPTS).
     def attempt(attemptNo: Int): (String, Boolean) = {
-      val valid = waitForIdle()
+      val gate = waitForIdle()
+      val valid = gate.valid
       val loadBefore = loadavg()
       // per-attempt codegen-fallback count (r13 advisor): the watcher is
       // JVM-cumulative, so a clean retry must not inherit a discarded
@@ -201,7 +202,7 @@ object Bench {
       val attemptStealPct = stealPct(stealTicks() - attemptSt0,
         (System.nanoTime() - attemptT0) / 1000000L)
       val json =
-        f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","valid":$validFinal,"queries":$qs,"scale_total":$scaleTotal%.3f,"scale_queries":$scaleQs,"value_per_calib":$valuePerCalib%.3f,"scale_total_per_calib":$scalePerCalib%.3f,"ref_calib_ms":284,"sf":"$sfDir","loadavg_before":"$loadBefore","loadavg_after":"${loadavg()}","cpu_calib_ms":$calibMs,"cpu_calib_after_ms":$calibAfterMs,"cpu_calib_par_ms":$parMs,"cpu_calib_par_after_ms":$parAfterMs,"par_ratio":$parRatio%.3f,"par_ratio_after":$parRatioAfter%.3f,"par_ratio_max":$ParRatioMax%.2f,"barrier_calib_ms":$barrierMs,"barrier_calib_after_ms":$barrierAfterMs,"ref_barrier_ms":${RefBarrierMs}%.0f,"barrier_ratio":$barrierRatio%.3f,"steal_pct_barrier":$barrierStealPct%.2f,"steal_pct_headline":$headStealPct%.2f,"steal_pct_scale":$scaleStealPct%.2f,"steal_pct_attempt":$attemptStealPct%.2f,"headline_comparable":$iterComparable,"iterative_comparable":$iterComparable,"attempt":$attemptNo,"compile_exceptions":$compileExceptions}"""
+        f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","valid":$validFinal,"queries":$qs,"scale_total":$scaleTotal%.3f,"scale_queries":$scaleQs,"value_per_calib":$valuePerCalib%.3f,"scale_total_per_calib":$scalePerCalib%.3f,"ref_calib_ms":284,"sf":"$sfDir","loadavg_before":"$loadBefore","loadavg_after":"${loadavg()}","load_gate":"${gate.loadGate}","steal_pct_gate":${gate.gateStealPct}%.2f,"loadavg_gate_residual":${gate.residualLoad}%.2f,"cpu_calib_ms":$calibMs,"cpu_calib_after_ms":$calibAfterMs,"cpu_calib_par_ms":$parMs,"cpu_calib_par_after_ms":$parAfterMs,"par_ratio":$parRatio%.3f,"par_ratio_after":$parRatioAfter%.3f,"par_ratio_max":$ParRatioMax%.2f,"barrier_calib_ms":$barrierMs,"barrier_calib_after_ms":$barrierAfterMs,"ref_barrier_ms":${RefBarrierMs}%.0f,"barrier_ratio":$barrierRatio%.3f,"steal_pct_barrier":$barrierStealPct%.2f,"steal_pct_headline":$headStealPct%.2f,"steal_pct_scale":$scaleStealPct%.2f,"steal_pct_attempt":$attemptStealPct%.2f,"headline_comparable":$iterComparable,"iterative_comparable":$iterComparable,"attempt":$attemptNo,"compile_exceptions":$compileExceptions}"""
       (json, validFinal && iterComparable)
     }
 
@@ -426,9 +427,14 @@ object BenchGates {
       maxAttempts: Int =
         // tolerant parse (r13 advisor): a malformed env value must not
         // crash the bench after the session is already up
+        // default raised 3 → 4 in round 17 (r16 verdict task 2): two
+        // rounds running the driver's canonical artifact shipped with
+        // every attempt flagged; one more attempt plus the steal-gated
+        // pre-wait in waitForIdle makes a clean canonical point the
+        // expected outcome rather than the lucky one
         sys.env.get("SPARK_GRAFT_BENCH_ATTEMPTS")
           .flatMap(s => scala.util.Try(s.toInt).toOption)
-          .getOrElse(3).max(1),
+          .getOrElse(4).max(1),
       sleepMs: Long = 60000L)(attempt: Int => (String, Boolean)): String = {
     var n = 1
     var (json, ok) = attempt(n)
@@ -480,12 +486,67 @@ object BenchGates {
     else 100.0 * ticksDelta * 10.0 /
       (elapsedMs.toDouble * Runtime.getRuntime.availableProcessors())
 
-  /** Load gate: a bench started on a busy machine measures the load,
-    * not the code. Waits for idle (up to 10×30 s); returns false — the
-    * artifact must then carry `"valid":false` — if the machine never
-    * clears.
+  /** The idle gate's verdict plus the evidence it decided on, so the
+    * artifact can distinguish a genuinely idle start from an
+    * adjudicated one (round 17, advisor: the loadavg demotion needs
+    * its override STAMPED, not just logged to stderr).
+    * `loadGate` values: "clear" (every signal clean),
+    * "steal_adjudicated" (loadavg lingered; par ratio + repeated
+    * loaded-steal samples clean → self-residue), "steal_never_cleared"
+    * (gates clean but the loaded-steal pre-wait never dropped below
+    * [[StealGateMaxPct]] — the measurement is internally valid but the
+    * barrier probe will likely flag comparability), "failed_par_ratio"
+    * / "failed_loadavg_steal" (a contender confirmed — valid:false).
     */
-  def waitForIdle(): Boolean = {
+  case class IdleGate(valid: Boolean, loadGate: String,
+      gateStealPct: Double, residualLoad: Double)
+
+  /** Hypervisor steal measured UNDER a sustained all-cores spin load —
+    * the signal that actually predicts barrier/headline elevation on
+    * this overcommitted guest (idle steal reads ~2% while loaded steal
+    * swings 0–13% minute to minute; SCALING.md round 16). A ~5 s
+    * loaded window, per the SCALING.md gating recipe — long enough to
+    * catch a storm the one-shot par-probe sample misses. −1 when
+    * /proc/stat is unavailable.
+    */
+  def stealUnderLoadPct(ms: Long = 5000L): Double = {
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val ts = Array.fill(CalibThreads)(new Thread(() => {
+      while (!stop.get()) spinOnce(); ()
+    }))
+    ts.foreach { t => t.setDaemon(true); t.start() }
+    try {
+      val s0 = stealTicks()
+      val t0 = System.nanoTime()
+      Thread.sleep(ms)
+      stealPct(stealTicks() - s0, (System.nanoTime() - t0) / 1000000L)
+    } finally { stop.set(true); ts.foreach(_.join()) }
+  }
+
+  /** Loaded-steal threshold for the pre-measurement gate (round 17,
+    * r16 verdict task 2): the SCALING.md recipe's < 2%. The
+    * adjudication threshold for a lingering loadavg stays at the
+    * round-16 3% — it decides validity, not comparability.
+    */
+  val StealGateMaxPct: Double =
+    sys.env.get("SPARK_GRAFT_STEAL_GATE_MAX")
+      .flatMap(s => scala.util.Try(s.toDouble).toOption).getOrElse(2.0)
+
+  /** Load gate: a bench started on a busy machine measures the load,
+    * not the code. Waits for idle (up to 10×30 s per signal); the
+    * returned [[IdleGate]] carries the verdict AND the evidence.
+    * Round 17 adds a steal-gated pre-wait (the r16 canonical driver
+    * artifact shipped `headline_comparable:false` for the second round
+    * running — every attempt STARTED inside a steal storm the loadavg
+    * and par-ratio gates cannot see): after the legacy gates clear,
+    * the gate samples steal under its own ~5 s all-cores load and
+    * sleep-retries until the sample drops below [[StealGateMaxPct]],
+    * so attempt 1 begins in a clean window whenever the host offers
+    * one inside the wait budget. The repeated samples double as the
+    * lingering-loadavg adjudication signal (advisor: the old one-shot
+    * sample left a false-clean window).
+    */
+  def waitForIdle(): IdleGate = {
     def load1(): Double = loadavg().split(" ").headOption
       .flatMap(s => scala.util.Try(s.toDouble).toOption).getOrElse(0.0)
     val loadMax = sys.env.getOrElse("SPARK_GRAFT_LOAD_MAX", "2.0").toDouble
@@ -519,41 +580,61 @@ object BenchGates {
       Thread.sleep(30000L)
       ratio = parNow()
     }
+    // steal-gated pre-wait (round 17): sample hypervisor steal under a
+    // sustained ~5 s all-cores load and wait for a clean window. This
+    // is what the loadavg/par gates cannot see (an out-of-guest
+    // neighbor), and starting attempts inside a storm is why the r15
+    // AND r16 canonical driver artifacts shipped comparable:false.
+    // A never-clearing storm does NOT invalidate the measurement —
+    // the barrier probe owns comparability — but the artifact records
+    // that the gate gave up.
+    var stl = stealUnderLoadPct()
+    var stealWaits = 0
+    while (stl >= StealGateMaxPct && stealWaits < 10) {
+      stealWaits += 1
+      System.err.println(
+        f"[bench] loaded steal $stl%.2f%% >= $StealGateMaxPct%.2f%% — " +
+          s"sleeping 30 s for a clean window (retry $stealWaits/10)")
+      Thread.sleep(30000L)
+      stl = stealUnderLoadPct()
+    }
     // loadavg demotion (round 16): the 1-min loadavg measures runnable
     // PLUS uninterruptible threads, which includes the bench's OWN
     // residue — a prior attempt's writeback and the gate's own spin
-    // probes keep it re-inflated, and this round's sf1 attempt 2 was
+    // probes keep it re-inflated, and the r16 sf1 attempt 2 was
     // marked invalid purely on loadavg while the all-cores ratio read
     // 1.10 (no contender) and the run's mid-flight gates were clean.
     // When loadavg alone fails to clear, adjudicate with the DIRECT
     // signals: the par ratio (in-guest multi-core contender) and
-    // hypervisor steal measured under the gate's own parallel spin
-    // (out-of-guest contender). Both clean → the lingering loadavg is
-    // self-residue and the measurement may proceed; steal unavailable
-    // (non-Linux, -1) keeps the old strict behavior.
-    val loadCleared = load1() <= loadMax
+    // hypervisor steal under load (out-of-guest contender) — since
+    // round 17 the REPEATED pre-wait samples above, not a one-shot
+    // (advisor: a single 2-spin window could read clean inside a
+    // storm). Steal unavailable (non-Linux, -1) keeps the old strict
+    // behavior.
+    val residual = load1()
+    val loadCleared = residual <= loadMax
     val ratioCleared = ratio <= ParRatioMax
-    val valid =
-      if (ratioCleared && loadCleared) true
-      else if (!ratioCleared) false
-      else {
-        val s0 = stealTicks()
-        val t0 = System.nanoTime()
-        cpuCalibParMs()
-        val stl = stealPct(stealTicks() - s0,
-          (System.nanoTime() - t0) / 1000000L)
+    val gate =
+      if (!ratioCleared) {
+        System.err.println(
+          f"[bench] WARN: all-cores ratio $ratio%.2f never cleared " +
+            f"$ParRatioMax%.2f — artifact will carry \"valid\":false")
+        IdleGate(valid = false, "failed_par_ratio", stl, residual)
+      } else if (loadCleared) {
+        if (stl >= 0 && stl >= StealGateMaxPct) IdleGate(valid = true,
+          "steal_never_cleared", stl, residual)
+        else IdleGate(valid = true, "clear", stl, residual)
+      } else {
         val ok = stl >= 0 && stl < 3.0
         System.err.println(
-          f"[bench] loadavg ${load1()}%.2f never cleared but ratio " +
+          f"[bench] loadavg $residual%.2f never cleared but ratio " +
             f"$ratio%.2f is clean; steal under load $stl%.2f%% — " +
-            (if (ok) "self-residue, proceeding" else
-              "contention confirmed, artifact will carry \"valid\":false"))
-        ok
+            (if (ok) "self-residue, proceeding (stamped steal_adjudicated)"
+             else "contention confirmed, artifact will carry \"valid\":false"))
+        if (ok) IdleGate(valid = true, "steal_adjudicated", stl, residual)
+        else IdleGate(valid = false, "failed_loadavg_steal", stl, residual)
       }
-    if (!valid && !ratioCleared) System.err.println(
-      f"[bench] WARN: all-cores ratio $ratio%.2f never cleared " +
-        f"$ParRatioMax%.2f — artifact will carry \"valid\":false")
-    valid
+    gate
   }
 }
 
@@ -600,7 +681,8 @@ object BenchSf1 {
     val targets = SparkEntry.scaleBenchSf1
 
     def attempt(attemptNo: Int): (String, Boolean) = {
-      val valid = waitForIdle()
+      val gate = waitForIdle()
+      val valid = gate.valid
       val loadBefore = loadavg()
       val ceStart = counter.count.get() // per-attempt delta, see Bench
       val attemptT0 = System.nanoTime()
@@ -617,14 +699,50 @@ object BenchSf1 {
       // own steal window, separate from the warm-up and the probes
       val secSt0 = stealTicks()
       val secT0 = System.nanoTime()
+      // PER-ROW steal with burst retries (round 17, r16 verdict task 3):
+      // the r16 sf1 artifact carried q34 at 13.21 s inside a VALID,
+      // comparable attempt while a verified-0.1%-steal re-time read
+      // 9.47 — a single-row burst averaged into the published row with
+      // nothing in the artifact to adjudicate it. Each row now runs
+      // min-over-3 where every run carries its own steal sample; runs
+      // at >= StealGateMaxPct steal are discarded and re-run (bounded:
+      // 5 runs total), and the artifact stamps the published (min)
+      // run's steal per row plus how many runs were burst-discarded —
+      // a future single-row jump is adjudicable from the artifact
+      // alone.
       val results = targets.map { d =>
-        val runs = Seq.fill(3)(runOnce(d))
-        d.name -> (if (runs.exists(_ < 0)) -1.0 else runs.min)
+        def timedRun(): (Double, Double) = {
+          val s0 = stealTicks()
+          val t0 = System.nanoTime()
+          val sec = runOnce(d)
+          (sec, stealPct(stealTicks() - s0,
+            (System.nanoTime() - t0) / 1000000L))
+        }
+        var runs = List.empty[(Double, Double)]
+        var clean = 0
+        while (runs.length < 5 && clean < 3 && !runs.exists(_._1 < 0)) {
+          val r = timedRun()
+          runs ::= r
+          if (r._1 >= 0 && (r._2 < 0 || r._2 < StealGateMaxPct)) clean += 1
+        }
+        if (runs.exists(_._1 < 0)) (d.name, -1.0, -1.0, runs.length)
+        else {
+          // min over the burst-free runs when any exist (the burst
+          // runs are load measurements); else min over all, honestly
+          // stamped with its elevated steal
+          val pool = runs.filter(r => r._2 < 0 || r._2 < StealGateMaxPct)
+          val best = (if (pool.nonEmpty) pool else runs).minBy(_._1)
+          (d.name, best._1, best._2, runs.length)
+        }
       }
       val secStealPct = stealPct(stealTicks() - secSt0,
         (System.nanoTime() - secT0) / 1000000L)
-      val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-        .mkString("{", ",", "}")
+      val qs = results.map { case (k, v, _, _) =>
+        "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+      val qSteal = results.map { case (k, _, s, _) =>
+        "\"" + k + "\":" + f"$s%.2f" }.mkString("{", ",", "}")
+      val qRuns = results.map { case (k, _, _, n) =>
+        "\"" + k + "\":" + n }.mkString("{", ",", "}")
       val total = results.map(_._2).filter(_ >= 0).sum
       val refCalibMs = 284.0
       val valuePerCalib = total / (calibMs.toDouble / refCalibMs)
@@ -665,7 +783,7 @@ object BenchSf1 {
       val attemptStealPct = stealPct(stealTicks() - attemptSt0,
         (System.nanoTime() - attemptT0) / 1000000L)
       val json =
-        f"""{"metric":"sf1_total","value":$total%.3f,"unit":"sec","valid":$validFinal,"queries":$qs,"value_per_calib":$valuePerCalib%.3f,"ref_calib_ms":284,"sf":"$sfDir","loadavg_before":"$loadBefore","loadavg_after":"${loadavg()}","cpu_calib_ms":$calibMs,"cpu_calib_after_ms":$calibAfterMs,"cpu_calib_par_ms":$parMs,"cpu_calib_par_after_ms":$parAfterMs,"par_ratio":$parRatio%.3f,"par_ratio_after":$parRatioAfter%.3f,"par_ratio_max":$ParRatioMax%.2f,"barrier_calib_ms":$barrierMs,"barrier_calib_after_ms":$barrierAfterMs,"ref_barrier_ms":${RefBarrierMs}%.0f,"barrier_ratio":$barrierRatio%.3f,"steal_pct_barrier":$barrierStealPct%.2f,"steal_pct_queries":$secStealPct%.2f,"steal_pct_attempt":$attemptStealPct%.2f,"headline_comparable":$iterComparable,"iterative_comparable":$iterComparable,"attempt":$attemptNo,"compile_exceptions":$compileExceptions}"""
+        f"""{"metric":"sf1_total","value":$total%.3f,"unit":"sec","valid":$validFinal,"queries":$qs,"queries_steal_pct":$qSteal,"queries_runs":$qRuns,"value_per_calib":$valuePerCalib%.3f,"ref_calib_ms":284,"sf":"$sfDir","loadavg_before":"$loadBefore","loadavg_after":"${loadavg()}","load_gate":"${gate.loadGate}","steal_pct_gate":${gate.gateStealPct}%.2f,"loadavg_gate_residual":${gate.residualLoad}%.2f,"cpu_calib_ms":$calibMs,"cpu_calib_after_ms":$calibAfterMs,"cpu_calib_par_ms":$parMs,"cpu_calib_par_after_ms":$parAfterMs,"par_ratio":$parRatio%.3f,"par_ratio_after":$parRatioAfter%.3f,"par_ratio_max":$ParRatioMax%.2f,"barrier_calib_ms":$barrierMs,"barrier_calib_after_ms":$barrierAfterMs,"ref_barrier_ms":${RefBarrierMs}%.0f,"barrier_ratio":$barrierRatio%.3f,"steal_pct_barrier":$barrierStealPct%.2f,"steal_pct_queries":$secStealPct%.2f,"steal_pct_attempt":$attemptStealPct%.2f,"headline_comparable":$iterComparable,"iterative_comparable":$iterComparable,"attempt":$attemptNo,"compile_exceptions":$compileExceptions}"""
       (json, validFinal && iterComparable)
     }
 

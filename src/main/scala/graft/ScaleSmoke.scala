@@ -68,7 +68,14 @@ object ScaleSmoke {
         // q247 (round 16): the density-invariant DBSCAN derivation
         // entered the gated sf1 bench in r15; the invariance smoke
         // covers it at sf1 too (verdict task 7)
-        "q247_dbscan_density")
+        "q247_dbscan_density",
+        // round 17 (r16 verdict tasks 4/5): q248's scan-shaped DSIR
+        // selection, plus the two composition capstones — the chained
+        // semi/anti-join pipelines a real curation run executes end to
+        // end, where join ordering is where skew compounds. Families
+        // were sf10-covered individually; the CHAINS now hold their
+        // own invariance rows.
+        "q248_dsir_select", "q123_curation_pipeline", "q198_dedup_e2e")
     val spark = SparkSession.builder()
       .withExtensions(new graft.plans.GraftExtensions)
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")

@@ -9,12 +9,17 @@ package graft.operators
   * benchmark, an interactive session — pay the stats aggregate once
   * and then measure only the join itself.
   *
-  * Correctness is indifferent to the cache: both strategies behind
-  * every gate are exact, so staleness (underlying files changing
-  * beneath an identical plan) or a hash collision can at worst pick
-  * the slower strategy, never a wrong answer. The namespace keeps two
-  * different gates over the SAME input plan from aliasing each
-  * other's decisions.
+  * Correctness is indifferent to the BOOLEAN/LONG caches: both
+  * strategies behind every gate are exact, so staleness (underlying
+  * files changing beneath an identical plan) or a hash collision can
+  * at worst pick the slower strategy, never a wrong answer. That
+  * claim is scoped: it does NOT extend to [[cachedRef]], whose values
+  * feed results directly (a collision would serve the wrong
+  * artifact) — cachedRef callers must strengthen the key past the
+  * 32-bit semantic hash (see [[graft.operators.Search.vocabMemoKey]]:
+  * namespace carries an MD5 prefix of the canonicalized plan). The
+  * namespace keeps two different gates over the SAME input plan from
+  * aliasing each other's decisions.
   *
   * Cached stats are PER-PLAN-LIFETIME: data appended under the same
   * logical plan (same files re-listed, a versioned-store snapshot

@@ -114,16 +114,41 @@ object CorpusFilter {
       coalesce(sum(when(not(col("is_t")), col("cnt"))), lit(0L)).as("cs"))
     val tot = m.agg(coalesce(sum(col("ct")), lit(0L)).as("nt"),
       coalesce(sum(col("cs")), lit(0L)).as("ns"))
+    // Exactness bound, enforced loudly (round 17, advisor): ratio_micro
+    // = ((ct+1)(Ns+B)·10⁶) div ((cs+1)(Nt+B)) ≤ 10⁶·(Ns+B) because
+    // ct ≤ Nt ⇒ (ct+1) ≤ (Nt+B). So Ns ≤ 9·10¹² keeps every ratio
+    // inside a long's 9.2·10¹⁸ — beyond it Spark's non-ANSI `div`
+    // would wrap/NULL SILENTLY while the DuckDB replay's
+    // CAST(HUGEINT AS BIGINT) errors, a cross-engine divergence. The
+    // guard makes both engines fail the same way: a one-row check on
+    // the model totals raises instead of mis-ranking. Under the guard
+    // the decimal(38,0) score sum is exact (per-doc Σcnt ≤ Ns ≤ 9·10¹²
+    // times ratio ≤ 9.2·10¹⁸ is < 10³²), so only the final long cast
+    // needs its own overflow check.
+    val maxExactNs = 9000000000000L
     val ratios = m.crossJoin(broadcast(tot))
-      .select(col("b"), expr(
-        s"(cast(ct + 1 as decimal(20,0)) * (ns + $buckets) * 1000000) " +
-          s"div (cast(cs + 1 as decimal(20,0)) * (nt + $buckets))")
+      .select(col("b"),
+        when(col("ns") > maxExactNs, raise_error(concat(
+          lit("dsirScores: pool feature total "), col("ns"),
+          lit(s" exceeds the exact-long ratio bound $maxExactNs — " +
+            "per-bucket importance ratios would overflow 64-bit " +
+            "micro-units; shrink the pool or rescale the method"))))
+        .otherwise(expr(
+          s"(cast(ct + 1 as decimal(20,0)) * (ns + $buckets) * 1000000) " +
+            s"div (cast(cs + 1 as decimal(20,0)) * (nt + $buckets))"))
         .as("ratio_micro"))
     fb.filter(not(col("is_t")))
       .join(broadcast(ratios), Seq("b"))
       .groupBy(col("doc_id"))
       .agg(sum(col("cnt")).as("n_feats"),
         sum(col("cnt").cast("decimal(20,0)") * col("ratio_micro"))
-          .cast("long").as("score_micro"))
+          .as("s"))
+      .select(col("doc_id"), col("n_feats"),
+        when(col("s") > Long.MaxValue, raise_error(concat(
+          lit("dsirScores: score_micro "), col("s").cast("string"),
+          lit(" for doc "), col("doc_id").cast("string"),
+          lit(" exceeds 64-bit micro-units — matches the oracle's " +
+            "CAST(HUGEINT AS BIGINT) error instead of wrapping"))))
+        .otherwise(col("s").cast("long")).as("score_micro"))
   }
 }

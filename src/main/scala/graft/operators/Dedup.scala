@@ -28,10 +28,14 @@ object Dedup {
     * branches and re-deriving the shingling dominated the runtime):
     *
     * An explicit `prefixFilter` hint also skips the candidate-pairs
-    * BUDGET's stats pass (the hint's contract is "no stats job");
-    * the budget is then enforced only when a prior unhinted call
-    * already cached the estimate. Hinted callers on unknown corpora
-    * accept the OOM risk the budget exists to stop.
+    * BUDGET's stats pass (the hint's contract is "no stats job") —
+    * UNLESS the budget conf ([[NgramPairsMaxKey]]) was explicitly set
+    * in the session, which always enforces the guard (round 17,
+    * advisor: a set conf must never be a silent no-op; the stats pass
+    * it costs is cached per plan). With the conf unset, a hinted call
+    * is budget-checked only from a previously-cached estimate; hinted
+    * callers on unknown corpora then accept the OOM risk the budget
+    * exists to stop.
     *
     *  - `prefixFilter = Some(true)`: lossless prefix filtering —
     *    J(A,B) ≥ τ implies |A∩B| ≥ ⌈τ·|A|⌉, so if A's first
@@ -128,8 +132,15 @@ object Dedup {
       // the stats pass entirely — the budget guard must not silently
       // reintroduce a full corpus aggregate for hinted hot-path callers
       // (round 16, advisor). The budget still applies when a prior
-      // unhinted caller already paid for the estimate (a free read).
-      if (prefixFilter.isEmpty) guardCandidateBudget(sh, statsKey, planHash)
+      // unhinted caller already paid for the estimate (a free read) —
+      // and, since round 17 (advisor), whenever the budget conf was
+      // EXPLICITLY set in this session: a caller who both hints the
+      // strategy and sets the budget asked for the guard, and an
+      // explicitly-set conf must never be a silent no-op (the stats
+      // pass it costs runs once per plan and is cached).
+      if (prefixFilter.isEmpty ||
+          sh.sparkSession.conf.getOption(NgramPairsMaxKey).isDefined)
+        guardCandidateBudget(sh, statsKey, planHash)
       else AdaptiveStrategy.peekLong(statsKey, planHash)
         .foreach(est => enforceCandidateBudget(sh, est))
       if (usePrefix) prefixFilterPairs(sh, threshold, pin)

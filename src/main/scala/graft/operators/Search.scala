@@ -305,6 +305,28 @@ object Search {
     * that construct but never execute pay that job; the inverted path
     * stays fully lazy.
     */
+  /** Cache key for the dense-path vocabulary memo: namespace carries
+    * the cap PLUS a 64-bit MD5 prefix of the CANONICALIZED analyzed
+    * plan, alongside the 32-bit semantic hash. Unlike the boolean/long
+    * gate caches — where a collision merely picks the slower exact
+    * strategy — a refCache collision would serve the WRONG vocabulary,
+    * and terms absent from it are silently dropped by densePairs'
+    * inner join (round 16, advisor). Two independent digests of the
+    * same canonical form put an accidental collision past 90 bits;
+    * the staleness contract (in-place mutation under an identical
+    * plan) is unchanged and documented on [[AdaptiveStrategy
+    * .cachedRef]]. `private[graft]` so specs pin the exact key.
+    */
+  private[graft] def vocabMemoKey(weighted: DataFrame,
+      capPlusOne: Int): (String, Int) = {
+    val analyzed = weighted.queryExecution.analyzed
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(analyzed.canonicalized.toString
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(8).map(b => f"$b%02x").mkString
+    (s"apss-vocab-$capPlusOne-$md5", analyzed.semanticHash())
+  }
+
   private def densePairs(weighted: DataFrame, threshold: Double,
       maxVocab: Long): DataFrame = {
     val utf8Order = new Ordering[String] {
@@ -335,8 +357,8 @@ object Search {
     val capPlusOne = math.min(maxVocab + 1, Int.MaxValue.toLong).toInt
     // cap in the key: a smaller-cap call stores a TRUNCATED list (it
     // throws right after), which must never satisfy a larger-cap call
-    val terms = AdaptiveStrategy.cachedRef(s"apss-vocab-$capPlusOne",
-        weighted.queryExecution.analyzed.semanticHash()) {
+    val (memoNs, memoHash) = vocabMemoKey(weighted, capPlusOne)
+    val terms = AdaptiveStrategy.cachedRef(memoNs, memoHash) {
       weighted.select(col("tk")).distinct().limit(capPlusOne)
         .collect().map(_.getString(0)).sorted(utf8Order)
     }

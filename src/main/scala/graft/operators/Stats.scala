@@ -713,24 +713,38 @@ object Stats {
     * integers (o·N and r·c are exact longs well under 2⁵³ for the
     * intended cardinalities), rounded half-up at micro precision —
     * deterministic and engine-replayable. Scale shape: one
-    * map-side-combining cell count, two marginal aggregates of cell
-    * cardinality, the |A|×|B| scaffold built by joining the two
-    * BROADCAST marginals (meant for enum-like columns; the scaffold
-    * is quadratic in category counts by definition of the test).
+    * map-side-combining cell count; both marginals then collapse into
+    * ONE grand-total row of (category, count) structs — bounded by
+    * the category domain, which is what "LOW-cardinality categorical"
+    * means — and the |A|×|B| scaffold explodes out of that single row
+    * before an equi-join back to the observed cells. Restructured in
+    * round 17: the former broadcast-marginal crossJoin was the
+    * textbook construction but planned as a nested-loop join whose
+    * build side no static prover can bound (marginal cardinality is a
+    * data property); deriving the scaffold from a grand-total
+    * aggregate makes the boundedness claim VISIBLE to
+    * [[graft.plans.PlanLint.rowBounded]] — same cells, same marginal
+    * values, same fixed-order IEEE term sequence.
     * Exact-integer bound: r·c·10⁶ needs N ≤ ~3·10⁶ rows, the same
     * bound as [[giniImpurity]] — sample first beyond it.
     */
   def chiSquareCells(df: DataFrame, a: Column, b: Column): DataFrame = {
     val cells = df.select(a.as("a"), b.as("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("o"))
-    val ra = cells.groupBy(col("a")).agg(sum(col("o")).as("r"))
-    val cb = cells.groupBy(col("b")).agg(sum(col("o")).as("c"))
-    val n = cells.agg(coalesce(sum(col("o")), lit(0L)).as("n"))
+    val one = cells.groupBy(col("a")).agg(sum(col("o")).as("r"))
+      .agg(collect_list(struct(col("a"), col("r"))).as("ras"),
+        coalesce(sum(col("r")), lit(0L)).as("n"))
+      .crossJoin(broadcast(
+        cells.groupBy(col("b")).agg(sum(col("o")).as("c"))
+          .agg(collect_list(struct(col("b"), col("c"))).as("cbs"))))
     val term = (col("o") * col("n") - col("r") * col("c")).cast("double")
-    broadcast(ra).crossJoin(broadcast(cb))
+    one.select(explode(col("ras")).as("ra"), col("cbs"), col("n"))
+      .select(col("ra.a").as("a"), col("ra.r").as("r"),
+        explode(col("cbs")).as("cb"), col("n"))
+      .select(col("a"), col("r"), col("cb.b").as("b"), col("cb.c").as("c"),
+        col("n"))
       .join(cells, Seq("a", "b"), "left")
       .na.fill(0L, Seq("o"))
-      .crossJoin(broadcast(n))
       .select(col("a"), col("b"), col("o"),
         expr("(r * c * 1000000) div n").as("exp_micro"),
         round(term * term / col("r") / col("c") / col("n") * 1e6, 0)

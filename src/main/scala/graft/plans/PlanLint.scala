@@ -133,7 +133,7 @@ object PlanLint {
     case r: org.apache.spark.sql.execution.RangeExec =>
       r.numElements <= BigInt(LiteralRowsMax)
     case agg: BaseAggregateExec => agg.groupingExpressions.isEmpty ||
-      rowBounded(agg.child)
+      rowBounded(agg.child) || groupingDomainBounded(agg)
     case pr: ProjectExec  => rowBounded(pr.child)
     case f: FilterExec    => rowBounded(f.child)
     case s: SortExec      => rowBounded(s.child)
@@ -151,6 +151,92 @@ object PlanLint {
     * lookup VALUES, far below anything data-shaped.
     */
   private[graft] val LiteralRowsMax = 10000
+
+  /** Round 17: a grouped aggregate whose EVERY grouping expression has
+    * a compile-time-bounded VALUE DOMAIN is row-bounded by the product
+    * of those domains — the sketch-state class (HLL register tables
+    * grouped by a constant label × pmod(h, m); CMS cell tables grouped
+    * by (row, pmod(h, w))) whose "O(registers), never data-sized"
+    * claim was previously allowlist prose in the registry sweep.
+    * Output cardinality ≤ Π domain(keyᵢ) regardless of input size, so
+    * the certificate is as sound as the limit/grand-total cases.
+    */
+  private def groupingDomainBounded(agg: BaseAggregateExec): Boolean = {
+    val doms = agg.groupingExpressions.map(domainOf(_, agg.child))
+    doms.forall(_.isDefined) &&
+      doms.flatten.product <= BigInt(LiteralRowsMax)
+  }
+
+  /** Compile-time bound on the number of distinct values `e` can take,
+    * or None (= unbounded, the sound default for anything
+    * unrecognized). Attribute references resolve through the child
+    * plan's defining aliases — projections and aggregate keys/results
+    * — so a grouping key that is `pmod(hash, lit(m))` three operators
+    * down still certifies. A literal has domain 1; `pmod(_, lit(k))`
+    * has domain k; `_ % lit(k)` has 2k−1 (signed remainder).
+    */
+  private def domainOf(e: org.apache.spark.sql.catalyst.expressions.Expression,
+      scope: SparkPlan): Option[BigInt] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    e match {
+      case _: Literal => Some(BigInt(1))
+      case al: Alias  => domainOf(al.child, scope)
+      case c: Cast    => domainOf(c.child, scope)
+      case p: Pmod =>
+        literalLong(p.right).filter(_ > 0).map(BigInt(_))
+      case r: Remainder =>
+        literalLong(r.right).filter(_ > 0).map(k => BigInt(2) * k - 1)
+      case a: AttributeReference => resolveAttrDomain(a, scope)
+      case _ => None
+    }
+  }
+
+  private def literalLong(
+      e: org.apache.spark.sql.catalyst.expressions.Expression): Option[Long] = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    e match {
+      case Literal(v: Int, _)   => Some(v.toLong)
+      case Literal(v: Long, _)  => Some(v)
+      case Literal(v: Short, _) => Some(v.toLong)
+      case Literal(v: Byte, _)  => Some(v.toLong)
+      case _ => None
+    }
+  }
+
+  /** Find the node DEFINING attribute `a` in `scope`'s subtree — an
+    * Alias in a projection or in aggregate keys/results — and return
+    * the domain of its defining expression, evaluated against THAT
+    * node's child (so chains of projections resolve transitively).
+    * Not found ⇒ the attribute is a scan column or opaque passthrough
+    * ⇒ None.
+    */
+  private def resolveAttrDomain(
+      a: org.apache.spark.sql.catalyst.expressions.AttributeReference,
+      scope: SparkPlan): Option[BigInt] = {
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    def kids(p: SparkPlan): Seq[SparkPlan] = p match {
+      case ad: AdaptiveSparkPlanExec => Seq(ad.executedPlan)
+      case q: QueryStageExec         => Seq(q.plan)
+      case other                     => other.children
+    }
+    def search(p: SparkPlan): Option[Option[BigInt]] = {
+      val here: Option[Option[BigInt]] = p match {
+        case pr: ProjectExec =>
+          pr.projectList.collectFirst {
+            case al: Alias if al.exprId == a.exprId =>
+              domainOf(al.child, pr.child)
+          }
+        case ag: BaseAggregateExec =>
+          (ag.groupingExpressions ++ ag.resultExpressions).collectFirst {
+            case al: Alias if al.exprId == a.exprId =>
+              domainOf(al.child, ag.child)
+          }
+        case _ => None
+      }
+      here.orElse(kids(p).view.flatMap(search).headOption)
+    }
+    search(scope).flatten
+  }
 
   /** Every empty-partition WindowExec in the plan with its boundedness
     * verdict — the audit surface for "this single-partition window is

@@ -60,11 +60,16 @@ class ApssGateSpec extends SparkSpec {
     val docs = Tables(spark, sfDir, "documents")
       .select(col("doc_id"), col("text"))
     Search.sparseCosinePairs(docs, col("doc_id"), col("text"), 0.6)
-    val wKey = Search.weightedFrame(docs, col("doc_id"), col("text"))
-      .queryExecution.analyzed.semanticHash()
-    // default maxDenseVocab 4096 -> capPlusOne 4097 in the namespace
-    val memo = AdaptiveStrategy
-      .peekRef[Array[String]]("apss-vocab-4097", wKey)
+    // default maxDenseVocab 4096 -> capPlusOne 4097 in the namespace;
+    // since round 17 the namespace also carries an MD5 prefix of the
+    // canonicalized plan (collision hardening — a refCache collision
+    // would serve the WRONG vocabulary, unlike the gate caches)
+    val (memoNs, wKey) = Search.vocabMemoKey(
+      Search.weightedFrame(docs, col("doc_id"), col("text")), 4097)
+    assert(memoNs.startsWith("apss-vocab-4097-") &&
+      memoNs.length == "apss-vocab-4097-".length + 16,
+      s"memo namespace must carry the 64-bit plan digest: $memoNs")
+    val memo = AdaptiveStrategy.peekRef[Array[String]](memoNs, wKey)
     assert(memo.isDefined,
       "first dense construction must populate the vocabulary memo " +
         "(re-constructions then skip the tokenize/tf collect — the " +

@@ -143,11 +143,11 @@ class ScaleSpec extends SparkSpec {
     try assert(Dedup.ngramJaccardPairs(df, col("doc_id"), col("text"), 3, 0.8)
       .count() > 0)
     finally spark.conf.unset(Dedup.NgramPairsMaxKey)
-    // hinted-strategy contract (round 16, advisor): an explicit
-    // prefixFilter hint skips the budget's STATS PASS, but the budget
-    // still applies when a prior unhinted caller already cached the
-    // estimate for this plan — the over-budget corpus above cached its
-    // estimate, so the hinted call fails fast from a free cache read
+    // hinted-strategy contract (round 16, advisor; tightened round 17):
+    // an explicit prefixFilter hint skips the budget's stats pass ONLY
+    // while the budget conf is unset — an EXPLICITLY-SET budget is
+    // enforced even on a hinted, never-seen plan (a set conf must
+    // never be a silent no-op), paying the one cached stats pass
     spark.conf.set(Dedup.NgramPairsMaxKey, "1")
     try {
       val e = intercept[IllegalStateException] {
@@ -155,13 +155,24 @@ class ScaleSpec extends SparkSpec {
           prefixFilter = Some(false))
       }
       assert(e.getMessage.contains("candidate-pair volume"))
-      // a hinted call on a NEVER-SEEN plan runs no stats pass and so
-      // cannot be budget-stopped — it constructs (documented risk)
+      // hinted call on a NEVER-SEEN plan, conf explicitly set: the
+      // round-17 contract runs the guard anyway and fails fast
       val fresh = rows.map { case (i, t) => i -> (t + " zz") }
         .toDF("doc_id", "text")
-      Dedup.ngramJaccardPairs(fresh, col("doc_id"), col("text"), 3, 0.8,
-        prefixFilter = Some(false))
+      val e2 = intercept[IllegalStateException] {
+        Dedup.ngramJaccardPairs(fresh, col("doc_id"), col("text"), 3, 0.8,
+          prefixFilter = Some(false))
+      }
+      assert(e2.getMessage.contains("candidate-pair volume"))
     } finally spark.conf.unset(Dedup.NgramPairsMaxKey)
+    // with the conf UNSET, a hinted call on a never-seen plan runs no
+    // stats pass and cannot be budget-stopped — it constructs (the
+    // documented hinted-path contract; the DEFAULT budget still guards
+    // every unhinted call)
+    val fresh2 = rows.map { case (i, t) => i -> (t + " qq") }
+      .toDF("doc_id", "text")
+    Dedup.ngramJaccardPairs(fresh2, col("doc_id"), col("text"), 3, 0.8,
+      prefixFilter = Some(false))
   }
 
   test("duplicate-collapse gate: Jaccard pairs identical on both sides " +
