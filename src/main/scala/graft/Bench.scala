@@ -364,6 +364,14 @@ object BenchGates {
     * flagging the steal-storm class. Env-overridable for other hosts
     * like the par-ratio gate; re-stamp with graft.BarrierAnchor when
     * it next goes stale.
+    *
+    * Round-17 A/B finding: the idle reading itself breathes ±25% at
+    * near-zero steal (5470 vs 4150 ms an hour apart, both < 0.8%
+    * probe steal — neighbor bandwidth pressure steal cannot count),
+    * so this anchor is a band CENTER, not a constant: a below-band
+    * barrier_ratio with a clean steal stamp means a FAST host, and
+    * such runs are as internally clean as in-band ones (SCALING.md
+    * round 17, finding 3).
     */
   val RefBarrierMs: Double =
     sys.env.get("SPARK_GRAFT_REF_BARRIER_MS")
@@ -598,6 +606,26 @@ object BenchGates {
       Thread.sleep(30000L)
       stl = stealUnderLoadPct()
     }
+    // stale-par recovery (round 17, found by the A/B itself): a steal
+    // storm inflates the par ratio too (the 32 spins starve on stolen
+    // cores), so the par loop can exhaust its retries DURING a storm
+    // that the steal pre-wait — which runs after it — then waits out.
+    // p1 of the r17 A/B shipped valid:false from exactly that stale
+    // reading while the attempt's own in-run ratios read 1.097/1.077.
+    // One fresh probe after the steal wait decides with current
+    // evidence; the recovery is stamped, not silent.
+    var parRecovered = false
+    if (ratio > ParRatioMax && stl >= 0 && stl < StealGateMaxPct) {
+      val fresh = parNow()
+      if (fresh <= ParRatioMax) {
+        System.err.println(
+          f"[bench] par ratio recovered after the steal wait " +
+            f"($ratio%.2f -> $fresh%.2f) — the storm that inflated it " +
+            "has passed; proceeding (stamped)")
+        ratio = fresh
+        parRecovered = true
+      }
+    }
     // loadavg demotion (round 16): the 1-min loadavg measures runnable
     // PLUS uninterruptible threads, which includes the bench's OWN
     // residue — a prior attempt's writeback and the gate's own spin
@@ -623,6 +651,8 @@ object BenchGates {
       } else if (loadCleared) {
         if (stl >= 0 && stl >= StealGateMaxPct) IdleGate(valid = true,
           "steal_never_cleared", stl, residual)
+        else if (parRecovered) IdleGate(valid = true,
+          "par_recovered_after_steal_wait", stl, residual)
         else IdleGate(valid = true, "clear", stl, residual)
       } else {
         val ok = stl >= 0 && stl < 3.0
