@@ -78,16 +78,45 @@ object Bench {
     // pages) all land outside the timed region.
     // min of 3 runs — strips one-off JIT/compile noise and reduces the
     // ±20% machine-load variance a single sample carries.
-    def timeSection(targets: Seq[QueryDef]): Seq[(String, Double)] = {
+    // PER-ROW steal with burst retries (round 17): the first r17
+    // session artifact shipped valid+in-band while its headline
+    // section ran under a 5.6% steal burst — the exact within-attempt
+    // gap BenchSf1 closed in 71468ce. Same contract here: each row is
+    // min over up to 3 burst-free runs (a run at >= StealGateMaxPct
+    // steal is a load measurement and is discarded; bounded at 5 runs
+    // total), and the published run's steal is stamped per row.
+    def timeSection(targets: Seq[QueryDef])
+        : Seq[(String, Double, Double, Int)] = {
       targets.foreach(runOnce)
       targets.map { d =>
-        val runs = Seq.fill(3)(runOnce(d))
-        d.name -> (if (runs.exists(_ < 0)) -1.0 else runs.min)
+        def timedRun(): (Double, Double) = {
+          val s0 = stealTicks()
+          val t0 = System.nanoTime()
+          val sec = runOnce(d)
+          (sec, stealPct(stealTicks() - s0,
+            (System.nanoTime() - t0) / 1000000L))
+        }
+        var runs = List.empty[(Double, Double)]
+        var clean = 0
+        while (runs.length < 5 && clean < 3 && !runs.exists(_._1 < 0)) {
+          val r = timedRun()
+          runs ::= r
+          if (r._1 >= 0 && (r._2 < 0 || r._2 < StealGateMaxPct)) clean += 1
+        }
+        if (runs.exists(_._1 < 0)) (d.name, -1.0, -1.0, runs.length)
+        else {
+          val pool = runs.filter(r => r._2 < 0 || r._2 < StealGateMaxPct)
+          val best = (if (pool.nonEmpty) pool else runs).minBy(_._1)
+          (d.name, best._1, best._2, runs.length)
+        }
       }
     }
-    def toJsonObj(results: Seq[(String, Double)]): String = results
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
+    def toJsonObj(results: Seq[(String, Double, Double, Int)]): String =
+      results.map { case (k, v, _, _) => "\"" + k + "\":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
+    def toStealObj(results: Seq[(String, Double, Double, Int)]): String =
+      results.map { case (k, _, s, _) => "\"" + k + "\":" + f"$s%.2f" }
+        .mkString("{", ",", "}")
 
     // one full gated measurement: idle gate, before-calibrations, the
     // timed sections, after-calibrations → (artifact JSON, clean).
@@ -97,7 +126,7 @@ object Bench {
     // hardest (q24 3.0× on unchanged code). Publishing after a
     // contaminated attempt now waits for the barrier probe to re-enter
     // the band (bounded by SPARK_GRAFT_BENCH_ATTEMPTS).
-    def attempt(attemptNo: Int): (String, Boolean) = {
+    def attempt(attemptNo: Int): (String, Int) = {
       val gate = waitForIdle()
       val valid = gate.valid
       val loadBefore = loadavg()
@@ -188,10 +217,22 @@ object Bench {
       // host state); the after value is information.
       val barrierRatio = barrierMs.toDouble / RefBarrierMs
       val iterComparable = math.abs(barrierRatio - 1.0) <= 0.15
+      // barrier_state (round 17, from the A/B): the anchor breathes
+      // ±25% at near-zero steal, so out-of-band has a DIRECTION a
+      // reader needs — "slow" (elevation that fakes regressions) vs
+      // "fast" (a quick host window that fakes improvements). A fast
+      // window at verified-clean steal is still a valid measurement;
+      // value_per_barrier below normalizes it onto the anchor host.
+      val barrierState =
+        if (iterComparable) "band"
+        else if (barrierRatio < 1.0) "fast" else "slow"
+      val fastHostClean = validFinal && barrierState == "fast" &&
+        barrierStealPct >= 0 && barrierStealPct < StealGateMaxPct
       if (!iterComparable) System.err.println(
         f"[bench] NOTE: barrier calibration $barrierMs/$barrierAfterMs ms " +
-          f"vs idle reference ${RefBarrierMs}%.0f ms — headline AND " +
-          "scale_queries trend deltas are not cross-day comparable this run")
+          f"vs idle reference ${RefBarrierMs}%.0f ms ($barrierState host) — " +
+          "headline AND scale_queries trend deltas are not cross-day " +
+          "comparable this run except via value_per_barrier")
       if (!parClean) System.err.println(
         f"[bench] WARN: all-cores calibration ratio $parRatio%.2f/" +
           f"$parRatioAfter%.2f exceeds $ParRatioMax%.2f — another " +
@@ -202,8 +243,11 @@ object Bench {
       val attemptStealPct = stealPct(stealTicks() - attemptSt0,
         (System.nanoTime() - attemptT0) / 1000000L)
       val json =
-        f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","valid":$validFinal,"queries":$qs,"scale_total":$scaleTotal%.3f,"scale_queries":$scaleQs,"value_per_calib":$valuePerCalib%.3f,"scale_total_per_calib":$scalePerCalib%.3f,"ref_calib_ms":284,"sf":"$sfDir","loadavg_before":"$loadBefore","loadavg_after":"${loadavg()}","load_gate":"${gate.loadGate}","steal_pct_gate":${gate.gateStealPct}%.2f,"loadavg_gate_residual":${gate.residualLoad}%.2f,"cpu_calib_ms":$calibMs,"cpu_calib_after_ms":$calibAfterMs,"cpu_calib_par_ms":$parMs,"cpu_calib_par_after_ms":$parAfterMs,"par_ratio":$parRatio%.3f,"par_ratio_after":$parRatioAfter%.3f,"par_ratio_max":$ParRatioMax%.2f,"barrier_calib_ms":$barrierMs,"barrier_calib_after_ms":$barrierAfterMs,"ref_barrier_ms":${RefBarrierMs}%.0f,"barrier_ratio":$barrierRatio%.3f,"steal_pct_barrier":$barrierStealPct%.2f,"steal_pct_headline":$headStealPct%.2f,"steal_pct_scale":$scaleStealPct%.2f,"steal_pct_attempt":$attemptStealPct%.2f,"headline_comparable":$iterComparable,"iterative_comparable":$iterComparable,"attempt":$attemptNo,"compile_exceptions":$compileExceptions}"""
-      (json, validFinal && iterComparable)
+        f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","valid":$validFinal,"queries":$qs,"queries_steal_pct":${toStealObj(results)},"scale_total":$scaleTotal%.3f,"scale_queries":$scaleQs,"scale_queries_steal_pct":${toStealObj(scaleResults)},"value_per_calib":$valuePerCalib%.3f,"scale_total_per_calib":$scalePerCalib%.3f,"ref_calib_ms":284,"sf":"$sfDir","loadavg_before":"$loadBefore","loadavg_after":"${loadavg()}","load_gate":"${gate.loadGate}","steal_pct_gate":${gate.gateStealPct}%.2f,"loadavg_gate_residual":${gate.residualLoad}%.2f,"cpu_calib_ms":$calibMs,"cpu_calib_after_ms":$calibAfterMs,"cpu_calib_par_ms":$parMs,"cpu_calib_par_after_ms":$parAfterMs,"par_ratio":$parRatio%.3f,"par_ratio_after":$parRatioAfter%.3f,"par_ratio_max":$ParRatioMax%.2f,"barrier_calib_ms":$barrierMs,"barrier_calib_after_ms":$barrierAfterMs,"ref_barrier_ms":${RefBarrierMs}%.0f,"barrier_ratio":$barrierRatio%.3f,"steal_pct_barrier":$barrierStealPct%.2f,"steal_pct_headline":$headStealPct%.2f,"steal_pct_scale":$scaleStealPct%.2f,"steal_pct_attempt":$attemptStealPct%.2f,"headline_comparable":$iterComparable,"iterative_comparable":$iterComparable,"barrier_state":"$barrierState","value_per_barrier":${total / barrierRatio}%.3f,"scale_total_per_barrier":${scaleTotal / barrierRatio}%.3f,"attempt":$attemptNo,"compile_exceptions":$compileExceptions}"""
+      (json,
+        if (validFinal && iterComparable) RankClean
+        else if (fastHostClean) RankFastHost
+        else RankDirty)
     }
 
     val json = retryUntilValid("bench")(attempt)
@@ -430,6 +474,19 @@ object BenchGates {
     * is dirty the LAST attempt's flagged JSON is returned — an honest
     * record, machine-readably flagged via its own fields.
     */
+  /** Attempt quality ranks for [[retryUntilValid]]: CLEAN = valid and
+    * barrier in its comparability band (stop retrying, ship);
+    * FAST_HOST = valid, internally clean, barrier BELOW band at a
+    * verified-clean steal reading — the round-17 A/B proved this is a
+    * genuinely fast host window (the idle anchor breathes ±25% at
+    * near-zero steal), so such an attempt is a real measurement worth
+    * shipping over a storm-flagged one, machine-readably stamped
+    * `barrier_state:"fast"`; DIRTY = everything else.
+    */
+  val RankClean = 2
+  val RankFastHost = 1
+  val RankDirty = 0
+
   def retryUntilValid(
       label: String,
       maxAttempts: Int =
@@ -443,21 +500,34 @@ object BenchGates {
         sys.env.get("SPARK_GRAFT_BENCH_ATTEMPTS")
           .flatMap(s => scala.util.Try(s.toInt).toOption)
           .getOrElse(4).max(1),
-      sleepMs: Long = 60000L)(attempt: Int => (String, Boolean)): String = {
+      sleepMs: Long = 60000L)(attempt: Int => (String, Int)): String = {
+    // best-attempt shipping (round 17): retry toward a CLEAN attempt,
+    // but remember the best-ranked artifact seen — when the host never
+    // offers an in-band window (it sat FAST all session during the r17
+    // A/B), a valid fast-host measurement ships instead of whatever
+    // flagged artifact happened to be last (the r15/r16 canonical-file
+    // failure mode).
     var n = 1
-    var (json, ok) = attempt(n)
-    while (!ok && n < maxAttempts) {
+    var (json, rank) = attempt(n)
+    var best = (json, rank)
+    while (rank < RankClean && n < maxAttempts) {
       System.err.println(
         s"[$label] attempt $n/$maxAttempts contaminated or flagged — " +
           s"sleeping ${sleepMs / 1000} s and re-running the whole measurement")
       Thread.sleep(sleepMs)
       n += 1
-      val r = attempt(n); json = r._1; ok = r._2
+      val r = attempt(n); json = r._1; rank = r._2
+      if (rank >= best._2) best = (json, rank)
     }
-    if (!ok) System.err.println(
-      s"[$label] all $maxAttempts attempts contaminated or flagged — " +
-        "shipping the last artifact; its valid/comparable fields say why")
-    json
+    if (rank < RankClean) {
+      if (best._2 == RankFastHost) System.err.println(
+        s"[$label] no in-band attempt in $maxAttempts tries — shipping " +
+          "the valid fast-host measurement (barrier_state:\"fast\")")
+      else System.err.println(
+        s"[$label] all $maxAttempts attempts contaminated or flagged — " +
+          "shipping the last artifact; its valid/comparable fields say why")
+      best._1
+    } else json
   }
 
   def loadavg(): String =
@@ -710,7 +780,7 @@ object BenchSf1 {
     }
     val targets = SparkEntry.scaleBenchSf1
 
-    def attempt(attemptNo: Int): (String, Boolean) = {
+    def attempt(attemptNo: Int): (String, Int) = {
       val gate = waitForIdle()
       val valid = gate.valid
       val loadBefore = loadavg()
@@ -799,10 +869,18 @@ object BenchSf1 {
       // the after value is recorded as information, not a gate.
       val barrierRatio = barrierMs.toDouble / RefBarrierMs
       val iterComparable = math.abs(barrierRatio - 1.0) <= 0.15
+      // barrier_state + fast-host rank: same round-17 semantics as
+      // Bench (see the attempt() there and BenchGates.RankFastHost)
+      val barrierState =
+        if (iterComparable) "band"
+        else if (barrierRatio < 1.0) "fast" else "slow"
+      val fastHostClean = validFinal && barrierState == "fast" &&
+        barrierStealPct >= 0 && barrierStealPct < StealGateMaxPct
       if (!iterComparable) System.err.println(
         f"[bench-sf1] NOTE: barrier calibration $barrierMs/$barrierAfterMs ms " +
-          f"vs idle reference ${RefBarrierMs}%.0f ms — iterative-barrier " +
-          "rows (q93/q207-shaped) are not cross-day comparable this run")
+          f"vs idle reference ${RefBarrierMs}%.0f ms ($barrierState host) — " +
+          "iterative-barrier rows (q93/q207-shaped) are not cross-day " +
+          "comparable this run except via value_per_barrier")
       if (!parClean) System.err.println(
         f"[bench-sf1] WARN: all-cores calibration ratio $parRatio%.2f/" +
           f"$parRatioAfter%.2f exceeds $ParRatioMax%.2f — artifact " +
@@ -813,8 +891,11 @@ object BenchSf1 {
       val attemptStealPct = stealPct(stealTicks() - attemptSt0,
         (System.nanoTime() - attemptT0) / 1000000L)
       val json =
-        f"""{"metric":"sf1_total","value":$total%.3f,"unit":"sec","valid":$validFinal,"queries":$qs,"queries_steal_pct":$qSteal,"queries_runs":$qRuns,"value_per_calib":$valuePerCalib%.3f,"ref_calib_ms":284,"sf":"$sfDir","loadavg_before":"$loadBefore","loadavg_after":"${loadavg()}","load_gate":"${gate.loadGate}","steal_pct_gate":${gate.gateStealPct}%.2f,"loadavg_gate_residual":${gate.residualLoad}%.2f,"cpu_calib_ms":$calibMs,"cpu_calib_after_ms":$calibAfterMs,"cpu_calib_par_ms":$parMs,"cpu_calib_par_after_ms":$parAfterMs,"par_ratio":$parRatio%.3f,"par_ratio_after":$parRatioAfter%.3f,"par_ratio_max":$ParRatioMax%.2f,"barrier_calib_ms":$barrierMs,"barrier_calib_after_ms":$barrierAfterMs,"ref_barrier_ms":${RefBarrierMs}%.0f,"barrier_ratio":$barrierRatio%.3f,"steal_pct_barrier":$barrierStealPct%.2f,"steal_pct_queries":$secStealPct%.2f,"steal_pct_attempt":$attemptStealPct%.2f,"headline_comparable":$iterComparable,"iterative_comparable":$iterComparable,"attempt":$attemptNo,"compile_exceptions":$compileExceptions}"""
-      (json, validFinal && iterComparable)
+        f"""{"metric":"sf1_total","value":$total%.3f,"unit":"sec","valid":$validFinal,"queries":$qs,"queries_steal_pct":$qSteal,"queries_runs":$qRuns,"value_per_calib":$valuePerCalib%.3f,"ref_calib_ms":284,"sf":"$sfDir","loadavg_before":"$loadBefore","loadavg_after":"${loadavg()}","load_gate":"${gate.loadGate}","steal_pct_gate":${gate.gateStealPct}%.2f,"loadavg_gate_residual":${gate.residualLoad}%.2f,"cpu_calib_ms":$calibMs,"cpu_calib_after_ms":$calibAfterMs,"cpu_calib_par_ms":$parMs,"cpu_calib_par_after_ms":$parAfterMs,"par_ratio":$parRatio%.3f,"par_ratio_after":$parRatioAfter%.3f,"par_ratio_max":$ParRatioMax%.2f,"barrier_calib_ms":$barrierMs,"barrier_calib_after_ms":$barrierAfterMs,"ref_barrier_ms":${RefBarrierMs}%.0f,"barrier_ratio":$barrierRatio%.3f,"steal_pct_barrier":$barrierStealPct%.2f,"steal_pct_queries":$secStealPct%.2f,"steal_pct_attempt":$attemptStealPct%.2f,"headline_comparable":$iterComparable,"iterative_comparable":$iterComparable,"barrier_state":"$barrierState","value_per_barrier":${total / barrierRatio}%.3f,"attempt":$attemptNo,"compile_exceptions":$compileExceptions}"""
+      (json,
+        if (validFinal && iterComparable) RankClean
+        else if (fastHostClean) RankFastHost
+        else RankDirty)
     }
 
     val json = retryUntilValid("bench-sf1")(attempt)
