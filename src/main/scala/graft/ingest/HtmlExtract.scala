@@ -25,6 +25,33 @@ object HtmlExtract {
   // (?i) covers CLASS=/Class=; the captured value stays case-sensitive
   private val TagAttrClass = """(?i)class\s*=\s*["']([^"']*)["']""".r
 
+  /** Per-tag compiled open-tag patterns (round 17): `elements()` runs
+    * ~2,000 times per scraped page (once per nested selector call) and
+    * `s"<$tag...".r` re-ran Pattern.compile on every one of them —
+    * measured as a top scrape-throughput cost. The tag vocabulary is a
+    * handful of ASCII names, so a tiny concurrent memo is exact and
+    * unbounded-growth-free.
+    */
+  private val openReCache =
+    new java.util.concurrent.ConcurrentHashMap[String, scala.util.matching.Regex]()
+  private def openRe(tag: String): scala.util.matching.Regex =
+    openReCache.computeIfAbsent(tag, t => s"(?i)<$t(\\s[^>]*)?>".r)
+  private val voidReCache =
+    new java.util.concurrent.ConcurrentHashMap[String, scala.util.matching.Regex]()
+  private def voidRe(tag: String): scala.util.matching.Regex =
+    voidReCache.computeIfAbsent(tag, t => s"(?i)<$t(\\s[^>]*)?/?>".r)
+
+  /** Pre-compiled tag stripper for [[text]]/[[strippedStrings]] —
+    * `String.replaceAll`/`split` compile their pattern on every call,
+    * and these run tens of times per room record.
+    */
+  private val TagStrip = java.util.regex.Pattern.compile("<[^>]*>")
+
+  /** Pre-compiled whitespace splitter: `String.split("\\s+")` has no
+    * single-char fast path, so it too compiled a Pattern per call.
+    */
+  private val Ws = java.util.regex.Pattern.compile("\\s+")
+
   /** ASCII-only lowering: String.toLowerCase is locale-sensitive (a
     * Turkish-locale JVM lowers I→ı) and can CHANGE LENGTH (İ → i̇),
     * which would shift every index findElementEnd computes. Tag names
@@ -49,28 +76,76 @@ object HtmlExtract {
   def elementsByTag(html: String, tag: String): Vector[String] =
     elements(html, tag, None)
 
+  private def classTokensOf(attrs: String): Set[String] =
+    TagAttrClass.findFirstMatchIn(attrs)
+      .map(m => Ws.split(m.group(1)).iterator.filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+
   private def elements(html: String, tag: String,
       cls: Option[String]): Vector[String] = {
-    val wanted: Set[String] = cls.map(_.split("\\s+").toSet).getOrElse(Set.empty)
+    val wanted: Set[String] = cls.map(c => Ws.split(c).toSet).getOrElse(Set.empty)
     val out = ArrayBuffer.empty[String]
-    val openRe = s"(?i)<$tag(\\s[^>]*)?>".r
-    val it = openRe.findAllMatchIn(html)
+    val it = openRe(tag).findAllMatchIn(html)
     // lowercase once per scan — per-element lowering is quadratic on
     // MB-sized pages (it dominated scrape throughput before this)
     lazy val lower = asciiLower(html)
     var searchFrom = 0
     for (m <- it if m.start >= searchFrom) {
       val attrs = Option(m.group(1)).getOrElse("")
-      val classTokens = TagAttrClass.findFirstMatchIn(attrs)
-        .map(_.group(1).split("\\s+").filter(_.nonEmpty).toSet)
-        .getOrElse(Set.empty[String])
-      if (wanted.subsetOf(classTokens)) {
+      if (wanted.subsetOf(classTokensOf(attrs))) {
         val innerStart = m.end
         val innerEnd = findElementEnd(html, lower, tag, innerStart)
         out += html.substring(innerStart, innerEnd)
         // do not re-match nested same-class elements inside this one
         searchFrom = innerEnd
       }
+    }
+    out.toVector
+  }
+
+  /** One scan of `tag`'s open tags resolving the FIRST match for EVERY
+    * selector in `selectors` (each a whitespace-separated class-token
+    * conjunction) — the N-selector replacement for N [[firstByClass]]
+    * passes (round 17: the scrape parser ran 6 span selector passes
+    * per room record; one pass is identical because "first match in
+    * document order" is unaffected by the nested-skip rule that only
+    * changes SECOND matches). Early-exits once all selectors resolve.
+    */
+  def firstByClasses(html: String, tag: String,
+      selectors: Seq[String]): Map[String, String] = {
+    val wanted = selectors.map(c => c -> Ws.split(c).toSet)
+    var remaining = wanted.size
+    val resolved = scala.collection.mutable.Map.empty[String, String]
+    lazy val lower = asciiLower(html)
+    val it = openRe(tag).findAllMatchIn(html)
+    while (remaining > 0 && it.hasNext) {
+      val m = it.next()
+      val tokens = classTokensOf(Option(m.group(1)).getOrElse(""))
+      var innerEnd = -1 // found lazily, at most once per element
+      for ((sel, want) <- wanted
+           if !resolved.contains(sel) && want.subsetOf(tokens)) {
+        if (innerEnd < 0) innerEnd = findElementEnd(html, lower, tag, m.end)
+        resolved(sel) = html.substring(m.end, innerEnd)
+        remaining -= 1
+      }
+    }
+    resolved.toMap
+  }
+
+  /** All elements of `tag` with their class-token sets, one scan —
+    * same element set and skip-nested semantics as [[elementsByTag]],
+    * with the class tokens the caller would otherwise re-scan for.
+    */
+  def classedElementsByTag(html: String,
+      tag: String): Vector[(Set[String], String)] = {
+    val out = ArrayBuffer.empty[(Set[String], String)]
+    lazy val lower = asciiLower(html)
+    var searchFrom = 0
+    for (m <- openRe(tag).findAllMatchIn(html) if m.start >= searchFrom) {
+      val innerEnd = findElementEnd(html, lower, tag, m.end)
+      out += ((classTokensOf(Option(m.group(1)).getOrElse("")),
+        html.substring(m.end, innerEnd)))
+      searchFrom = innerEnd
     }
     out.toVector
   }
@@ -109,21 +184,15 @@ object HtmlExtract {
   /** True if any element carries the class (bs4 find(class_=...) != None). */
   def existsClass(html: String, cls: String): Boolean =
     TagAttrClass.findAllMatchIn(html)
-      .exists(_.group(1).split("\\s+").contains(cls))
+      .exists(m => Ws.split(m.group(1)).contains(cls))
 
   /** First attribute value of the first matching element. */
   def attrFirstByClass(html: String, tag: String, cls: String,
       attr: String): Option[String] = {
-    val wanted = cls.split("\\s+").toSet
-    val openRe = s"(?i)<$tag(\\s[^>]*)?>".r
-    openRe.findAllMatchIn(html).collectFirst {
-      case m if {
-        val attrs = Option(m.group(1)).getOrElse("")
-        val tokens = TagAttrClass.findFirstMatchIn(attrs)
-          .map(_.group(1).split("\\s+").filter(_.nonEmpty).toSet)
-          .getOrElse(Set.empty[String])
-        wanted.subsetOf(tokens)
-      } =>
+    val wanted = Ws.split(cls).toSet
+    openRe(tag).findAllMatchIn(html).collectFirst {
+      case m if wanted.subsetOf(
+        classTokensOf(Option(m.group(1)).getOrElse(""))) =>
         val attrs = Option(m.group(1)).getOrElse("")
         s"""$attr\\s*=\\s*["']([^"']*)["']""".r
           .findFirstMatchIn(attrs).map(_.group(1))
@@ -134,11 +203,11 @@ object HtmlExtract {
     * basic entities decoded, whitespace preserved.
     */
   def text(inner: String): String =
-    decodeEntities(inner.replaceAll("<[^>]*>", ""))
+    decodeEntities(TagStrip.matcher(inner).replaceAll(""))
 
   /** bs4 `stripped_strings`: per-text-node, trimmed, non-empty. */
   def strippedStrings(inner: String): Vector[String] =
-    inner.split("<[^>]*>").iterator
+    TagStrip.split(inner).iterator
       .map(s => decodeEntities(s).trim)
       .filter(_.nonEmpty)
       .toVector
@@ -153,7 +222,7 @@ object HtmlExtract {
     * (input, img, …) that have no closing tag and therefore no "inner".
     */
   def tagAttrs(html: String, tag: String): Vector[Map[String, String]] =
-    s"(?i)<$tag(\\s[^>]*)?/?>".r.findAllMatchIn(html).map { m =>
+    voidRe(tag).findAllMatchIn(html).map { m =>
       val attrs = Option(m.group(1)).getOrElse("")
       AttrRe.findAllMatchIn(attrs)
         .map(a => asciiLower(a.group(1)) -> a.group(2)).toMap
@@ -165,9 +234,8 @@ object HtmlExtract {
   def elementsByAttr(html: String, tag: String, attr: String,
       value: String): Vector[String] = {
     val out = ArrayBuffer.empty[String]
-    val openRe = s"(?i)<$tag(\\s[^>]*)?>".r
     lazy val lower = asciiLower(html)
-    for (m <- openRe.findAllMatchIn(html)) {
+    for (m <- openRe(tag).findAllMatchIn(html)) {
       val attrs = Option(m.group(1)).getOrElse("")
       val attrMap = AttrRe.findAllMatchIn(attrs)
         .map(a => asciiLower(a.group(1)) -> a.group(2)).toMap

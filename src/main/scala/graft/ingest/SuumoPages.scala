@@ -45,6 +45,20 @@ object SuumoPages {
 
   val SuumoUrl = "https://suumo.jp"
 
+  // hoisted from the per-room/per-page loops (round 17): inline `.r`
+  // re-ran Pattern.compile once per room record / script tag
+  private val BannerTimesRe = "&times=(\\d+)".r
+  private val HrefRe =
+    "(?i)<a\\b[^>]*href\\s*=\\s*[\"']([^\"']*)[\"']".r
+  private val JncIdRe = "jnc_([0-9]*)/".r
+  private val SpanSelectors = Seq(
+    "cassetteitem_price cassetteitem_price--rent",
+    "cassetteitem_price cassetteitem_price--administration",
+    "cassetteitem_price cassetteitem_price--deposit",
+    "cassetteitem_price cassetteitem_price--gratuity",
+    "cassetteitem_madori", "cassetteitem_menseki")
+  private val HrefTdClasses = Set("ui-text--midium", "ui-text--bold")
+
   /** S1: directory-of-HTML scan via Spark's binaryFile source — file list
     * becomes task partitions (the reference's joblib pool,
     * scraping.py:292-313, for free). mtime rounded to whole seconds like
@@ -116,20 +130,28 @@ object SuumoPages {
   def extractPage(html: String, lastModifiedAt: Double,
       sourceFile: String): Seq[RawProperty] = {
     val banner: Option[Double] = elementsByTag(html, "script").iterator
-      .flatMap(s => "&times=(\\d+)".r.findFirstMatchIn(text(s)))
+      .flatMap(s => BannerTimesRe.findFirstMatchIn(text(s)))
       .map(m => math.rint(m.group(1).toDouble / 1000.0))
       .nextOption()
 
     val out = scala.collection.mutable.ArrayBuffer.empty[RawProperty]
     var order = 0L
+    // ONE selector pass per tag instead of one per selector (round 17):
+    // the per-room span selectors dominated page parse time (6 scans ×
+    // 200 rooms/page); firstByClasses/classedElementsByTag resolve the
+    // same first-match-in-document-order results in a single scan.
     for (b <- elementsByClass(html, "div", "cassetteitem")) {
-      val category = firstByClass(b, "div", "cassetteitem_content-label").map(text)
-      val title = firstByClass(b, "div", "cassetteitem_content-title").map(text)
-      val address = firstByClass(b, "li", "cassetteitem_detail-col1").map(text)
-      val transportation = firstByClass(b, "li", "cassetteitem_detail-col2")
+      val divs = firstByClasses(b, "div",
+        Seq("cassetteitem_content-label", "cassetteitem_content-title"))
+      val category = divs.get("cassetteitem_content-label").map(text)
+      val title = divs.get("cassetteitem_content-title").map(text)
+      val lis = firstByClasses(b, "li", Seq("cassetteitem_detail-col1",
+        "cassetteitem_detail-col2", "cassetteitem_detail-col3"))
+      val address = lis.get("cassetteitem_detail-col1").map(text)
+      val transportation = lis.get("cassetteitem_detail-col2")
         .map(li => elementsByTag(li, "div").map(text))
         .getOrElse(Vector.empty)
-      val col3 = firstByClass(b, "li", "cassetteitem_detail-col3")
+      val col3 = lis.get("cassetteitem_detail-col3")
         .map(li => elementsByTag(li, "div").map(text))
         .getOrElse(Vector.empty)
       val (ageS, floorsS) = col3 match {
@@ -140,16 +162,16 @@ object SuumoPages {
         table <- elementsByClass(b, "table", "cassetteitem_other")
         room <- elementsByTag(table, "tbody")
       } {
-        def span(c: String) = firstByClass(room, "span", c).map(text)
-        val floorS = {
-          val tds = elementsByTag(room, "td")
-          if (tds.length > 2) strippedStrings(tds(2)).headOption else None
-        }
-        val href = firstByClass(room, "td", "ui-text--midium ui-text--bold")
-          .flatMap(td => "(?i)<a\\b[^>]*href\\s*=\\s*[\"']([^\"']*)[\"']".r
-            .findFirstMatchIn(td).map(_.group(1)))
+        val spans = firstByClasses(room, "span", SpanSelectors)
+        def span(c: String) = spans.get(c).map(text)
+        val tds = classedElementsByTag(room, "td")
+        val floorS =
+          if (tds.length > 2) strippedStrings(tds(2)._2).headOption else None
+        val href = tds.collectFirst {
+          case (toks, inner) if HrefTdClasses.subsetOf(toks) => inner
+        }.flatMap(td => HrefRe.findFirstMatchIn(td).map(_.group(1)))
         val jncId = href.flatMap(h =>
-          "jnc_([0-9]*)/".r.findFirstMatchIn(h).map(_.group(1)))
+          JncIdRe.findFirstMatchIn(h).map(_.group(1)))
         out += RawProperty(
           building_category = category.orNull,
           building_title = title.orNull,

@@ -372,13 +372,18 @@ object Search {
     import spark.implicits._
     val vocabIdx = terms.zipWithIndex.toSeq.toDF("tk", "idx")
     val vlen = terms.length
+    // scatter_dense (round 17): the map_from_entries + transform/
+    // element_at synthesis made this Project CodegenFallback-
+    // interpreted with an O(vocab²) boxed probe per document — the
+    // custom expression is one primitive double[vocab] scatter and
+    // keeps the stage in whole-stage codegen (identical vectors; see
+    // graft.plans.ScatterDense)
     val vecs = weighted.join(broadcast(vocabIdx), Seq("tk"))
       .groupBy(col("doc_id"))
-      .agg(map_from_entries(
-        collect_list(struct(col("idx"), col("w").cast("double")))).as("m"))
+      .agg(collect_list(struct(col("idx"), col("w").cast("double")))
+        .as("entries"))
       .select(col("doc_id"),
-        transform(sequence(lit(0), lit(vlen - 1)),
-          i => coalesce(element_at(col("m"), i), lit(0.0))).as("v"))
+        graft.plans.ScatterDense.scatter_dense(col("entries"), vlen).as("v"))
     // collapseDuplicates off: these are vocab-wide synthesized vectors
     // (~8 B × vocab each) — the duplicate-collapse group-by shuffles
     // more bytes than the tile join saves (measured +8 s on q95 sf1)

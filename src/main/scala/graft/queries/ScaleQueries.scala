@@ -46,18 +46,35 @@ object ScaleQueries {
     */
   val q30TextStats: QueryDef = QueryDef(
     "q30_text_stats",
-    (s, dir) =>
+    (s, dir) => {
+      // One-pass counts via the codegen'd text_quality_stats (round 17):
+      // the HOF stopword filter made the projection interpreted and the
+      // quality composite re-evaluated both ratio subtrees. The float
+      // ratio/score algebra below replicates the TextFunctions forms
+      // op-for-op (same operands, same order), so values — and the
+      // oracle hash — are unchanged; only the integer counts moved into
+      // the single-scan expression.
+      val st = graft.plans.TextQualityStats.text_quality_stats(
+        col("text"), TextFunctions.EnglishStopwords)
+      val nTok = st.getField("n_tokens")
+      val len = length(col("text"))
+      val praw = when(len > 0,
+        st.getField("n_punct").cast("double") / len).otherwise(lit(0.0))
+      val sraw = when(nTok > 0,
+        st.getField("n_stop").cast("double") / nTok).otherwise(lit(0.0))
       graft.operators.Explosive.ensureMapParallelism(
           Tables(s, dir, "documents"), col("doc_id"))
         .select(
           col("doc_id"),
-          TextFunctions.tokenCount(col("text")).as("n_tokens"),
-          length(col("text")).cast("long").as("n_chars"),
-          round(TextFunctions.punctRatio(col("text")), 6).as("punct_ratio"),
-          round(TextFunctions.stopwordRatio(col("text"),
-            TextFunctions.EnglishStopwords), 6).as("stop_ratio"),
-          TextFunctions.qualityScore(col("text")).as("quality"))
-        .orderBy(col("doc_id")),
+          nTok.cast("long").as("n_tokens"),
+          len.cast("long").as("n_chars"),
+          round(praw, 6).as("punct_ratio"),
+          round(sraw, 6).as("stop_ratio"),
+          round(lit(0.3) * least(lit(1.0), nTok.cast("double") / 100.0)
+            + lit(0.3) * (lit(1.0) - praw)
+            + lit(0.4) * least(lit(1.0), sraw * 5.0), 6).as("quality"))
+        .orderBy(col("doc_id"))
+    },
     Some("""
       WITH t AS (
         SELECT doc_id, text, string_split(text, ' ') AS toks,
