@@ -32,14 +32,28 @@ object Graph {
     * edge list on the src key, one map-side-combining groupBy on dst,
     * one left join back to the node table — the standard
     * Pregel-as-joins layout with the division hoisted. The edge
-    * list is hash-partitioned on `src` ONCE (an explicit repartition
-    * before the eager truncation, which localCheckpoint preserves), so
-    * the outdeg annotation AND every iteration's big join are
-    * exchange-free on the edge side — the only per-iteration shuffle
-    * is the map-side-combined in-mass aggregate, which is node-sized,
-    * not edge-sized. The round-12 sf1 profile that motivated this
-    * shape: the one-time setup (edge distinct + a second full edge
-    * exchange for the outdeg join) cost 2× the whole 3-round loop.
+    * list is hash-partitioned on `src` once and eagerly truncated.
+    *
+    * CORRECTION (round 17, from the stage profile): Dataset
+    * .localCheckpoint under AQE rebuilds the frame over an RDD scan
+    * whose outputPartitioning is UnknownPartitioning, so the SQL
+    * planner FORGETS the hash(src) layout and each iteration
+    * re-exchanges the (checkpoint-materialized) edge table — 10.2 MB
+    * of shuffle per round at sf0.1. Three alternatives were measured
+    * and all LOSE at bench scale: persist() preserves partitioning
+    * via InMemoryRelation but its columnar read + TableCacheQueryStage
+    * overhead cost more than the exchanges (3.1 → 12.0 s full q93);
+    * checkpointing with AQE disabled preserves partitioning in the
+    * LogicalRDD and removes the exchanges, but the un-coalescible
+    * 32-partition sorts outweigh the tiny exchanges (warm loop 2.12
+    * exchange vs 3.34 s exchange-free); no-checkpoint recomputes the
+    * whole edge build per round. The re-exchange is therefore the
+    * accepted trade locally; at cluster scale, where an edge-sized
+    * exchange per round is real money, re-run the A/B
+    * (PrCacheExperimentMain) before trusting this default. The
+    * round-12 sf1 profile that motivated the current shape: the
+    * one-time setup (edge distinct + a second full edge exchange for
+    * the outdeg join) cost 2× the whole 3-round loop.
     *
     * `edgesDistinct = true` is the caller's guarantee that `edges`
     * already holds DISTINCT (src, dst) rows, skipping the operator's
