@@ -93,19 +93,26 @@ object TextFunctions {
     "fr" -> Seq("le", "les", "est", "et", "une"),
     "zh" -> Seq("的", "是", "了", "在", "我"))
 
-  def langId(c: Column): Column =
-    bind(tokens(c), t => {
-      val counts = LangStopwords.map { case (lang, words) =>
-        lang -> size(filter(t, tk => tk.isin(words: _*)))
-      }
-      val allZero = counts.map(_._2 === 0).reduce(_ && _)
-      counts.zipWithIndex.foldLeft(when(allZero, lit("unknown"))) {
-        case (acc, ((lang, _), i)) =>
-          val mine = counts(i)._2
-          val isMax = counts.map(_._2).map(other => mine >= other).reduce(_ && _)
-          acc.when(isMax, lit(lang))
-      }
-    })
+  def langId(c: Column): Column = {
+    // One-pass hit counting via the codegen'd token_set_hits (round
+    // 17): the HOF filter×isin form re-scanned the token array once
+    // per language, interpreted. The argmax when-chain below is
+    // unchanged — same counts, same declaration-order tie-break, same
+    // 'unknown' fallback (element_at counts are the exact
+    // size(filter(tokens, isin(words))) values).
+    val hits = graft.plans.TokenSetHits.token_set_hits(
+      c, LangStopwords.map(_._2))
+    val counts = LangStopwords.zipWithIndex.map { case ((lang, _), i) =>
+      lang -> element_at(hits, i + 1)
+    }
+    val allZero = counts.map(_._2 === 0).reduce(_ && _)
+    counts.zipWithIndex.foldLeft(when(allZero, lit("unknown"))) {
+      case (acc, ((lang, _), i)) =>
+        val mine = counts(i)._2
+        val isMax = counts.map(_._2).map(other => mine >= other).reduce(_ && _)
+        acc.when(isMax, lit(lang))
+    }
+  }
 
   /** Document fingerprint: rolling hash of the whole text (custom
     * codegen'd Catalyst expression — see graft.plans.RollingHash).
@@ -163,7 +170,7 @@ object TextFunctions {
         org.apache.spark.sql.graft.Bridge.expression(v),
         org.apache.spark.sql.graft.Bridge.expression(s)))
 
-  private def shl(v: Column, s: Column): Column =
+  private[graft] def shl(v: Column, s: Column): Column =
     org.apache.spark.sql.graft.Bridge.column(
       org.apache.spark.sql.catalyst.expressions.ShiftLeft(
         org.apache.spark.sql.graft.Bridge.expression(v),
@@ -178,21 +185,13 @@ object TextFunctions {
     */
   def simhash(c: Column, nBits: Int = 32): Column = {
     require(nBits >= 1 && nBits <= 62, s"nBits out of range: $nBits")
-    bind(transform(tokens(c), tk => rolling_hash(tk)), hashes => {
-      val bits = transform(sequence(lit(0), lit(nBits - 1)), b => {
-        val vote = aggregate(hashes, lit(0L), (acc, h) => {
-          // RollingHash values are < 2^30, so only bits 0..29 of h are
-          // informative; bits 30+ read a second-round LCG hash (mirrored
-          // in the q32/q36 DuckDB oracle) instead of degenerating to 0.
-          val mixed = when(b < 30, h)
-            .otherwise(pmod(h * 1103515245L + 12345L, lit(1073741789L)))
-          val shift = when(b < 30, b).otherwise(pmod(b - 30, lit(30)))
-          acc + when(shr(mixed, shift.cast("int"))
-            .bitwiseAND(1L) === 1L, 1L).otherwise(-1L)
-        })
-        when(vote > 0, shl(lit(1L), b.cast("int"))).otherwise(lit(0L))
-      })
-      aggregate(bits, lit(0L), (acc, x) => acc + x)
-    })
+    // One-pass native expression (round 17): the previous higher-order
+    // tree (transform(tokens, rolling_hash) → aggregate per bit) was
+    // CodegenFallback-interpreted — per-token lambda dispatch × nBits
+    // per document. simhash_text computes the identical signature
+    // (same tokenization, same rolling hash, same LCG second round,
+    // same vote/assemble arithmetic — pinned bit-identical to the old
+    // formulation by ExprOptSpec) inside whole-stage codegen.
+    graft.plans.SimhashText.simhash_text(c, nBits)
   }
 }

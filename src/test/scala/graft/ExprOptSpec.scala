@@ -48,6 +48,75 @@ class ExprOptSpec extends SparkSpec {
     assert(e.getMessage != null)
   }
 
+  test("simhash_text equals the replaced higher-order formulation") {
+    import graft.plans.RollingHash.rolling_hash
+    import TextFunctions.{bind, shiftRight, tokens}
+    // the exact tree TextFunctions.simhash used before round 17
+    def legacySimhash(c: org.apache.spark.sql.Column,
+        nBits: Int): org.apache.spark.sql.Column =
+      bind(transform(tokens(c), tk => rolling_hash(tk)), hashes => {
+        val bits = transform(sequence(lit(0), lit(nBits - 1)), b => {
+          val vote = aggregate(hashes, lit(0L), (acc, h) => {
+            val mixed = when(b < 30, h)
+              .otherwise(pmod(h * 1103515245L + 12345L, lit(1073741789L)))
+            val shift = when(b < 30, b).otherwise(pmod(b - 30, lit(30)))
+            acc + when(shiftRight(mixed, shift.cast("int"))
+              .bitwiseAND(1L) === 1L, 1L).otherwise(-1L)
+          })
+          when(vote > 0, TextFunctions.shl(lit(1L), b.cast("int")))
+            .otherwise(lit(0L))
+        })
+        aggregate(bits, lit(0L), (acc, x) => acc + x)
+      })
+    val texts = Seq("the quick brown fox", "", "a  b ", " leading",
+      "one", "日本語 テキスト mixed ascii", "x " * 200 + "tail")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    for (nBits <- Seq(32, 62, 8)) {
+      val legacy = texts
+        .select(col("id"), legacySimhash(col("text"), nBits).as("s"))
+        .orderBy("id").collect().map(_.getLong(1)).toSeq
+      val fused = texts
+        .select(col("id"), TextFunctions.simhash(col("text"), nBits).as("s"))
+        .orderBy("id").collect().map(_.getLong(1)).toSeq
+      assert(fused === legacy, s"nBits=$nBits")
+    }
+  }
+
+  test("langId via token_set_hits equals the replaced HOF formulation") {
+    import TextFunctions.{bind, tokens, LangStopwords}
+    // the exact tree TextFunctions.langId used before round 17
+    def legacyLangId(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      bind(tokens(c), t => {
+        val counts = LangStopwords.map { case (lang, words) =>
+          lang -> size(filter(t, tk => tk.isin(words: _*)))
+        }
+        val allZero = counts.map(_._2 === 0).reduce(_ && _)
+        counts.zipWithIndex.foldLeft(when(allZero, lit("unknown"))) {
+          case (acc, ((lang, _), i)) =>
+            val mine = counts(i)._2
+            val isMax = counts.map(_._2).map(o => mine >= o).reduce(_ && _)
+            acc.when(isMax, lit(lang))
+        }
+      })
+    val texts = Seq(
+      "the cat is on a mat and so is the dog",
+      "der hund und die katze das ist gut",
+      "el perro y la casa es los",
+      "le chat est une merveille et les autres",
+      "我 是 的 了 在",
+      "nothing matches here xyz",
+      "", "the der el le 我",      // 5-way tie → declaration order (en)
+      "the the der").zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val legacy = texts.select(col("id"), legacyLangId(col("text")).as("l"))
+      .orderBy("id").collect().map(_.getString(1)).toSeq
+    val fused = texts.select(col("id"),
+        TextFunctions.langId(col("text")).as("l"))
+      .orderBy("id").collect().map(_.getString(1)).toSeq
+    assert(fused === legacy)
+  }
+
   test("text_quality_stats equals the split/regexp/filter formulations") {
     val texts = Seq(
       "the quick brown fox, jumps! over the lazy dog.",
