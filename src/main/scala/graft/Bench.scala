@@ -159,6 +159,23 @@ object Bench {
       // the attempt averaged 1.2% — so each timed section records the
       // steal it actually ran under, which is the first field to read
       // when a single section moves across rounds
+      // PRE-SECTION par re-probe (round 18, r17 verdict item 1): the
+      // r17 canonical artifact shipped q24/q30/q34 at 2.4-4.7× under a
+      // ~5-core residual load the startup gate had steal-adjudicated
+      // away — the contender was IN-GUEST (a finished-but-draining sbt
+      // session), invisible to hypervisor steal and measured only once,
+      // minutes before the headline section ran. Each timed section now
+      // re-probes the all-cores ratio immediately before it starts;
+      // a section that began contended is machine-readably so
+      // (par_ratio_headline / par_ratio_scale), contributes to
+      // valid:false, and de-couples headline_comparable from
+      // iterative_comparable (they were the same variable before —
+      // What's wrong #6 of the r17 verdict).
+      def parNow(): Double = {
+        val single = cpuCalibMs()
+        cpuCalibParMs().toDouble / single.toDouble
+      }
+      val parRatioHeadline = parNow()
       val headSt0 = stealTicks()
       val headT0 = System.nanoTime()
       val results = timeSection(SparkEntry.headline)
@@ -169,6 +186,7 @@ object Bench {
       // second section (round 9): the 100 TB scale families — APSS,
       // stored-index near-dedup, BPE training, PageRank, DBSCAN, HLL —
       // previously invisible to the per-round artifact
+      val parRatioScale = parNow() // pre-section re-probe, see above
       val scaleSt0 = stealTicks()
       val scaleT0 = System.nanoTime()
       val scaleResults = timeSection(SparkEntry.scaleBench)
@@ -201,7 +219,11 @@ object Bench {
       // single ratio, before and after, is what actually sees it.
       val parRatio = parMs.toDouble / calibMs.toDouble
       val parRatioAfter = parAfterMs.toDouble / calibAfterMs.toDouble
-      val parClean = parRatio <= ParRatioMax && parRatioAfter <= ParRatioMax
+      // pre-section probes count toward validity (round 18): a section
+      // that started under in-guest contention is a load measurement
+      // even when the attempt's endpoint probes read clean
+      val parClean = parRatio <= ParRatioMax && parRatioAfter <= ParRatioMax &&
+        parRatioHeadline <= ParRatioMax && parRatioScale <= ParRatioMax
       val validFinal = valid && calibDrift <= 0.15 && parClean
       // barrier-state comparability (round 15, widened round 16): NOT
       // folded into `valid` — an elevated barrier state means cross-day
@@ -226,8 +248,21 @@ object Bench {
       val barrierState =
         if (iterComparable) "band"
         else if (barrierRatio < 1.0) "fast" else "slow"
+      // per-section comparability (round 18): each section's flag now
+      // reads ITS OWN pre-section par probe on top of the shared
+      // barrier probe — the fields used to print the same variable
+      // (r17 verdict What's wrong #6) while the r17 contamination was
+      // section-local.
+      val headComparable = iterComparable && parRatioHeadline <= ParRatioMax
+      val scaleComparable = iterComparable && parRatioScale <= ParRatioMax
       val fastHostClean = validFinal && barrierState == "fast" &&
         barrierStealPct >= 0 && barrierStealPct < StealGateMaxPct
+      if (parRatioHeadline > ParRatioMax || parRatioScale > ParRatioMax)
+        System.err.println(
+          f"[bench] WARN: pre-section all-cores ratio headline=" +
+            f"$parRatioHeadline%.2f scale=$parRatioScale%.2f exceeds " +
+            f"$ParRatioMax%.2f — that section started contended; " +
+            "artifact carries \"valid\":false")
       if (!iterComparable) System.err.println(
         f"[bench] NOTE: barrier calibration $barrierMs/$barrierAfterMs ms " +
           f"vs idle reference ${RefBarrierMs}%.0f ms ($barrierState host) — " +
@@ -243,7 +278,7 @@ object Bench {
       val attemptStealPct = stealPct(stealTicks() - attemptSt0,
         (System.nanoTime() - attemptT0) / 1000000L)
       val json =
-        f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","valid":$validFinal,"queries":$qs,"queries_steal_pct":${toStealObj(results)},"scale_total":$scaleTotal%.3f,"scale_queries":$scaleQs,"scale_queries_steal_pct":${toStealObj(scaleResults)},"value_per_calib":$valuePerCalib%.3f,"scale_total_per_calib":$scalePerCalib%.3f,"ref_calib_ms":284,"sf":"$sfDir","loadavg_before":"$loadBefore","loadavg_after":"${loadavg()}","load_gate":"${gate.loadGate}","steal_pct_gate":${gate.gateStealPct}%.2f,"loadavg_gate_residual":${gate.residualLoad}%.2f,"cpu_calib_ms":$calibMs,"cpu_calib_after_ms":$calibAfterMs,"cpu_calib_par_ms":$parMs,"cpu_calib_par_after_ms":$parAfterMs,"par_ratio":$parRatio%.3f,"par_ratio_after":$parRatioAfter%.3f,"par_ratio_max":$ParRatioMax%.2f,"barrier_calib_ms":$barrierMs,"barrier_calib_after_ms":$barrierAfterMs,"ref_barrier_ms":${RefBarrierMs}%.0f,"barrier_ratio":$barrierRatio%.3f,"steal_pct_barrier":$barrierStealPct%.2f,"steal_pct_headline":$headStealPct%.2f,"steal_pct_scale":$scaleStealPct%.2f,"steal_pct_attempt":$attemptStealPct%.2f,"headline_comparable":$iterComparable,"iterative_comparable":$iterComparable,"barrier_state":"$barrierState","value_per_barrier":${total / barrierRatio}%.3f,"scale_total_per_barrier":${scaleTotal / barrierRatio}%.3f,"attempt":$attemptNo,"compile_exceptions":$compileExceptions}"""
+        f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","valid":$validFinal,"queries":$qs,"queries_steal_pct":${toStealObj(results)},"scale_total":$scaleTotal%.3f,"scale_queries":$scaleQs,"scale_queries_steal_pct":${toStealObj(scaleResults)},"value_per_calib":$valuePerCalib%.3f,"scale_total_per_calib":$scalePerCalib%.3f,"ref_calib_ms":284,"sf":"$sfDir","loadavg_before":"$loadBefore","loadavg_after":"${loadavg()}","load_gate":"${gate.loadGate}","steal_pct_gate":${gate.gateStealPct}%.2f,"loadavg_gate_residual":${gate.residualLoad}%.2f,"cpu_calib_ms":$calibMs,"cpu_calib_after_ms":$calibAfterMs,"cpu_calib_par_ms":$parMs,"cpu_calib_par_after_ms":$parAfterMs,"par_ratio":$parRatio%.3f,"par_ratio_after":$parRatioAfter%.3f,"par_ratio_headline":$parRatioHeadline%.3f,"par_ratio_scale":$parRatioScale%.3f,"par_ratio_max":$ParRatioMax%.2f,"barrier_calib_ms":$barrierMs,"barrier_calib_after_ms":$barrierAfterMs,"ref_barrier_ms":${RefBarrierMs}%.0f,"barrier_ratio":$barrierRatio%.3f,"steal_pct_barrier":$barrierStealPct%.2f,"steal_pct_headline":$headStealPct%.2f,"steal_pct_scale":$scaleStealPct%.2f,"steal_pct_attempt":$attemptStealPct%.2f,"headline_comparable":$headComparable,"iterative_comparable":$scaleComparable,"barrier_state":"$barrierState","value_per_barrier":${total / barrierRatio}%.3f,"scale_total_per_barrier":${scaleTotal / barrierRatio}%.3f,"attempt":$attemptNo,"compile_exceptions":$compileExceptions}"""
       (json,
         if (validFinal && iterComparable) RankClean
         else if (fastHostClean) RankFastHost
@@ -610,6 +645,17 @@ object BenchGates {
     sys.env.get("SPARK_GRAFT_STEAL_GATE_MAX")
       .flatMap(s => scala.util.Try(s.toDouble).toOption).getOrElse(2.0)
 
+  /** Hard ceiling for the lingering-loadavg steal adjudication (round
+    * 18, r17 verdict item 1): a residual 1-min load above this is a
+    * contender no matter what the indirect signals say — the gate
+    * refuses to proceed on steal/par evidence alone. 3.0 leaves room
+    * for the bench's own probe/writeback residue (~1 core) plus lag
+    * while staying far below the r17 false-proceed's 5.37.
+    */
+  val LoadAdjudicateMax: Double =
+    sys.env.get("SPARK_GRAFT_LOAD_ADJUDICATE_MAX")
+      .flatMap(s => scala.util.Try(s.toDouble).toOption).getOrElse(3.0)
+
   /** Load gate: a bench started on a busy machine measures the load,
     * not the code. Waits for idle (up to 10×30 s per signal); the
     * returned [[IdleGate]] carries the verdict AND the evidence.
@@ -639,6 +685,14 @@ object BenchGates {
           s"sleeping 30 s (retry $loadWaits/10)")
       Thread.sleep(30000L)
     }
+    // residual sampled HERE, before the gate's own probes (round 18):
+    // the par/steal probes below spin all cores for ~20 s, which
+    // re-inflates the 1-min loadavg above any honest ceiling — sampling
+    // after them turned every retry attempt's own instrumentation into
+    // a "contender" under the hard adjudication ceiling. A contender
+    // arriving DURING the probes is caught by the probes themselves
+    // (par ratio, loaded steal) and by the per-section re-probes.
+    val residual = load1()
     // all-cores pre-gate (round 13): the 1-min loadavg lags ~60 s and
     // misses a contender that leaves one core free; probe the
     // parallel/single spin ratio directly before letting a timed run
@@ -709,7 +763,6 @@ object BenchGates {
     // (advisor: a single 2-spin window could read clean inside a
     // storm). Steal unavailable (non-Linux, -1) keeps the old strict
     // behavior.
-    val residual = load1()
     val loadCleared = residual <= loadMax
     val ratioCleared = ratio <= ParRatioMax
     val gate =
@@ -725,11 +778,23 @@ object BenchGates {
           "par_recovered_after_steal_wait", stl, residual)
         else IdleGate(valid = true, "clear", stl, residual)
       } else {
-        val ok = stl >= 0 && stl < 3.0
+        // HARD adjudication ceiling (round 18, r17 verdict item 1): the
+        // r16 verdict predicted a contender that moves neither steal nor
+        // the par ratio, and the very first steal-adjudicated canonical
+        // run (r17, residual 5.37) shipped q24/q30/q34 at 2.4-4.7× with
+        // valid:true. Self-residue from the bench's own probes cannot
+        // exceed ~1 sustained core plus writeback — a residual above
+        // [[LoadAdjudicateMax]] is a contender by definition, no matter
+        // how clean the indirect signals read, and the gate refuses to
+        // adjudicate it away.
+        val ok = stl >= 0 && stl < 3.0 && residual <= LoadAdjudicateMax
         System.err.println(
           f"[bench] loadavg $residual%.2f never cleared but ratio " +
             f"$ratio%.2f is clean; steal under load $stl%.2f%% — " +
             (if (ok) "self-residue, proceeding (stamped steal_adjudicated)"
+             else if (residual > LoadAdjudicateMax)
+               f"residual above the $LoadAdjudicateMax%.1f adjudication " +
+                 "ceiling, artifact will carry \"valid\":false"
              else "contention confirmed, artifact will carry \"valid\":false"))
         if (ok) IdleGate(valid = true, "steal_adjudicated", stl, residual)
         else IdleGate(valid = false, "failed_loadavg_steal", stl, residual)
