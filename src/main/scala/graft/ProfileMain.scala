@@ -43,7 +43,10 @@ object ProfileMain {
     val targets =
       if (args.length > 2) {
         val byName = SparkEntry.defs.map(d => d.name -> d).toMap
-        args.drop(2).toSeq.map(byName)
+        args.drop(2).toSeq.map(n => byName.getOrElse(n,
+          throw new IllegalArgumentException(
+            s"unknown query '$n'; valid names: " +
+              SparkEntry.defs.map(_.name).sorted.mkString(", "))))
       } else all
 
     val dir = java.nio.file.Paths.get("plans", tag)

@@ -93,15 +93,23 @@ object TextFunctions {
     "fr" -> Seq("le", "les", "est", "et", "une"),
     "zh" -> Seq("的", "是", "了", "在", "我"))
 
-  def langId(c: Column): Column = {
-    // One-pass hit counting via the codegen'd token_set_hits (round
-    // 17): the HOF filter×isin form re-scanned the token array once
-    // per language, interpreted. The argmax when-chain below is
-    // unchanged — same counts, same declaration-order tie-break, same
-    // 'unknown' fallback (element_at counts are the exact
-    // size(filter(tokens, isin(words))) values).
-    val hits = graft.plans.TokenSetHits.token_set_hits(
-      c, LangStopwords.map(_._2))
+  /** The per-language hit-count array feeding [[langIdFromHits]] — one
+    * codegen'd byte pass over the text (round 17). Split out (round 18,
+    * r17 verdict item 6) so call sites can materialize it ONCE in an
+    * intermediate projection: the fused [[langId]] form repeats the
+    * array expression textually per argmax comparison (~25×) and relies
+    * on codegen subexpression elimination to collapse them — fine
+    * today, but one interpreted neighbor away from 25 byte-passes/row.
+    */
+  def langIdHits(c: Column): Column =
+    graft.plans.TokenSetHits.token_set_hits(c, LangStopwords.map(_._2))
+
+  /** Argmax when-chain over a [[langIdHits]] array: same counts, same
+    * declaration-order tie-break, same 'unknown' fallback as the
+    * original fused form (element_at counts are the exact
+    * size(filter(tokens, isin(words))) values).
+    */
+  def langIdFromHits(hits: Column): Column = {
     val counts = LangStopwords.zipWithIndex.map { case ((lang, _), i) =>
       lang -> element_at(hits, i + 1)
     }
@@ -113,6 +121,8 @@ object TextFunctions {
         acc.when(isMax, lit(lang))
     }
   }
+
+  def langId(c: Column): Column = langIdFromHits(langIdHits(c))
 
   /** Document fingerprint: rolling hash of the whole text (custom
     * codegen'd Catalyst expression — see graft.plans.RollingHash).

@@ -135,6 +135,14 @@ object HtmlExtract {
   /** All elements of `tag` with their class-token sets, one scan —
     * same element set and skip-nested semantics as [[elementsByTag]],
     * with the class tokens the caller would otherwise re-scan for.
+    *
+    * TOP-LEVEL-ONLY semantics (r17 advisor): the skip-nested rule
+    * skips ALL nested same-tag elements, including a class-matching
+    * element nested inside a NON-matching ancestor — the replaced
+    * per-class firstByClass scan would have found it. Equivalent for
+    * the known Suumo layout (no nested tables inside the cassette
+    * tds); a caller parsing markup that nests matching elements under
+    * non-matching ancestors must walk the inner HTML explicitly.
     */
   def classedElementsByTag(html: String,
       tag: String): Vector[(Set[String], String)] = {

@@ -22,34 +22,49 @@ object PropertiesFrame {
 
   /** Raw string records → the 29-column properties frame (+ jnc_id and
     * the source-order bookkeeping columns used by keep-first dedup).
+    *
+    * Plan shape (round 18, r17 verdict item 3): every parser column is
+    * wrapped in [[graft.plans.Fence]] so the validity filter directly
+    * above cannot be pushed below the projection by substituting —
+    * and thereby RE-EVALUATING — the parse trees (the round-17 plan
+    * paid every regex twice, once in the Filter and once in the
+    * Project). The per-entry walk-time HOF chain (`transform(filter(
+    * bt, ...), parse)` + exists/size/array_min/aggregate consumers) is
+    * fused into the codegen'd [[graft.plans.WalkTimeStats]] — the HOFs
+    * were CodegenFallback and dropped the whole parse stage out of
+    * whole-stage codegen. One evaluation per parser per row, all
+    * codegen'd; surviving rows and all output values are unchanged
+    * (pinned by IngestSpec/ScrapeSpec and the scrape-family oracles).
     */
   def fromRaw(raw: DataFrame, fetchedAt: Option[Double] = None): DataFrame = {
-    val walkTimes = transform(
-      filter(col("building_transportation"), t => t =!= ""),
-      t => Parsers.parseTransportation(t))
-
-    val parsed = raw
-      .withColumn("building_age", Parsers.parseAge(col("building_age_s")))
-      .withColumn("building_floors", Parsers.parseFloors(col("building_floors_s")))
-      .withColumn("rent", Parsers.parseMoney(col("rent_s"), "万円"))
-      .withColumn("admin_fee", Parsers.parseMoney(col("admin_fee_s"), "円"))
-      .withColumn("deposit", Parsers.parseMoney(col("deposit_s"), "万円"))
-      .withColumn("gratuity", Parsers.parseMoney(col("gratuity_s"), "万円"))
-      .withColumn("area", Parsers.parseArea(col("area_s")))
-      .withColumn("__floor_range", Parsers.parseFloorRange(col("floor_s")))
-      .withColumn("__layout", Parsers.parseLayout(col("layout")))
-      .withColumn("ward", Parsers.parseWard(col("building_address")))
-      .withColumn("district", Parsers.parseDistrict(col("building_address")))
-      .withColumn("__walk_times", walkTimes)
+    import graft.plans.Fence.fence
+    val parsed = raw.select(
+      col("*"),
+      fence(Parsers.parseAge(col("building_age_s"))).as("building_age"),
+      fence(Parsers.parseFloors(col("building_floors_s")))
+        .as("building_floors"),
+      fence(Parsers.parseMoney(col("rent_s"), "万円")).as("rent"),
+      fence(Parsers.parseMoney(col("admin_fee_s"), "円")).as("admin_fee"),
+      fence(Parsers.parseMoney(col("deposit_s"), "万円")).as("deposit"),
+      fence(Parsers.parseMoney(col("gratuity_s"), "万円")).as("gratuity"),
+      fence(Parsers.parseArea(col("area_s"))).as("area"),
+      fence(Parsers.parseFloorRange(col("floor_s"))).as("__floor_range"),
+      fence(Parsers.parseLayout(col("layout"))).as("__layout"),
+      fence(Parsers.parseWard(col("building_address"))).as("ward"),
+      fence(Parsers.parseDistrict(col("building_address"))).as("district"),
+      fence(graft.plans.WalkTimeStats
+        .walk_time_stats(col("building_transportation"))).as("__wt"))
 
     // Row-skip: any required parse failed, any non-empty transportation
     // entry unparseable (ParsingError in the feature block), or no
     // stations at all (min()/mean() of an empty list fails upstream).
+    // n_bad = 0 ⇔ !exists(__walk_times, isNull); n_stations ⇔
+    // size(__walk_times) — see WalkTimeStats' equivalence notes.
     val valid = requiredParsed
       .map(col(_).isNotNull)
       .reduce(_ && _) &&
-      !exists(col("__walk_times"), _.isNull) &&
-      size(col("__walk_times")) >= 1
+      col("__wt").getField("n_bad") === 0 &&
+      col("__wt").getField("n_stations") >= 1
 
     val fetched: Column = fetchedAt
       .map(ts => lit(ts))
@@ -80,10 +95,9 @@ object PropertiesFrame {
       col("__layout").getField("living_room").as("living_room"),
       col("__layout").getField("dining_room").as("dining_room"),
       col("__layout").getField("kitchen").as("kitchen"),
-      size(col("__walk_times")).cast("long").as("n_stations"),
-      array_min(col("__walk_times")).as("walk_time_station_min"),
-      (aggregate(col("__walk_times"), lit(0.0), (a, x) => a + x) /
-        size(col("__walk_times"))).as("walk_time_station_avg"),
+      col("__wt").getField("n_stations").as("n_stations"),
+      col("__wt").getField("wmin").as("walk_time_station_min"),
+      col("__wt").getField("wavg").as("walk_time_station_avg"),
       col("ward"),
       col("district"),
       fetched.as("html_file_fetched_at"),

@@ -440,11 +440,15 @@ object Dedup {
         TextFunctions.simhash(col("__text"), nBits).as("sig"))
     val sig = sigQuery.truncated
     val groups = sig.select(col("sig")).distinct().truncated
+    // band slices spelled as a literal array, not transform(sequence):
+    // `chunks` is a plan-time constant, and the higher-order transform
+    // is CodegenFallback — it kept the posexplode Generate interpreted
+    // (round 18; same values, same positions, now whole-stage codegen)
     val blocked = groups.select(col("sig"),
-      posexplode(transform(sequence(lit(0), lit(chunks - 1)), ch =>
+      posexplode(array((0 until chunks).map(ch =>
         graft.functions.TextFunctions.shiftRight(col("sig"),
-            (ch * chunkBits).cast("int"))
-          .bitwiseAND((1L << chunkBits) - 1))))
+            lit(ch * chunkBits).cast("int"))
+          .bitwiseAND((1L << chunkBits) - 1)): _*)))
       .withColumnRenamed("pos", "chunk")
       .withColumnRenamed("col", "chunk_val")
     // chunk self-join: same explosive-blocker shape, same gated pin

@@ -63,8 +63,12 @@ object DedupIndex {
         graft.plans.MinhashSignature.minhash_signature(col("sh"),
           bands * rowsPerBand))
       .select(col("id"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          bd => slice(col("sig"), bd * rowsPerBand + 1, lit(rowsPerBand)))))
+        // literal-unrolled band slices (round 18): `bands` is a
+        // plan-time constant and transform(sequence(...)) is
+        // CodegenFallback — it kept this Generate interpreted (same
+        // slices, same positions, now whole-stage codegen)
+        posexplode(array((0 until bands).map(bd =>
+          slice(col("sig"), bd * rowsPerBand + 1, rowsPerBand)): _*)))
       .select(col("id"), xxhash64(col("pos"), col("col")).as("bkey"))
 
   /** The exact-dedup representative table: (k → hist_rep = min id).

@@ -97,10 +97,21 @@ object Graph {
     // exchange-free on both keyed sides.
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
       .truncated
-    val nodes = e.select(col("src").as("node"))
+    // node count folded into the checkpoint's own materialization job
+    // via Observation (round 18, r17 verdict item 4) — the separate
+    // nodes.count() was one more full job barrier per pageRank call.
+    // NOT under the reliable knob: checkpoint() executes the plan twice
+    // and the observed count may double (Checkpoints' documented
+    // caveat), and n feeds init math that must be exact — reliable mode
+    // keeps the explicit count.
+    val nodesPre = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-      .truncated
-    val n = nodes.count()
+    val nodesObs =
+      if (Checkpoints.reliable(nodesPre)) None
+      else Some(new org.apache.spark.sql.Observation)
+    val nodes = nodesObs.fold(nodesPre)(o =>
+      nodesPre.observe(o, count(lit(1)).as("n"))).truncated
+    val n = nodesObs.fold(nodes.count())(o => o.get("n").asInstanceOf[Long])
     require(n > 0, "pageRank: empty edge list (no nodes)")
     require(scale >= n,
       s"pageRank: scale=$scale < n=$n would floor init to 0 (all-zero ranks)")

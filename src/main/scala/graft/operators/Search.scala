@@ -216,12 +216,16 @@ object Search {
     */
   private[graft] def tfFrame(docs: DataFrame, id: Column,
       text: Column): DataFrame =
+    // (doc, term) never crosses documents, so the tf aggregate is
+    // computable row-locally: token_tf scans each text once and emits
+    // (tk, tf) entries, replacing explode → filter → groupBy(doc_id,
+    // tk) — the full token-stream Exchange + hash aggregate that round
+    // 17 measured as the largest q95 shuffle (guide §2.4; identical
+    // non-empty token counts, see TokenTf's equivalence notes)
     Explosive.ensureMapParallelism(
         docs.select(id.as("doc_id"), text.as("__text")), col("doc_id"))
       .select(col("doc_id"),
-        explode(graft.functions.TextFunctions.tokens(col("__text"))).as("tk"))
-      .filter(col("tk") =!= "")
-      .groupBy(col("doc_id"), col("tk")).agg(count(lit(1)).as("tf"))
+        inline(graft.plans.TokenTf.token_tf(col("__text"))))
 
   /** The IDF-weighted posting frame both strategies score from. N and
     * df ride one-row / vocab-sized broadcast joins (lazy, like

@@ -27,6 +27,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType,
   *
   * Entries must be non-null structs of (int idx in [0, len), double
   * w); an out-of-range idx throws rather than silently mis-scoring.
+  *
+  * DUPLICATE idx values overwrite (last wins) — where the replaced
+  * map_from_entries form threw under mapKeyDedupPolicy=EXCEPTION.
+  * Accepted because duplicates are impossible by construction at the
+  * only call site (entries come from a per-(doc, term) aggregate
+  * inner-joined to a DISTINCT vocabulary index, so one idx per doc at
+  * most) and a per-entry seen-check would put a branch + bitmap in
+  * the hot scatter loop; any NEW caller must either guarantee the
+  * same per-key-distinct invariant or dedup first.
   */
 case class ScatterDense(child: Expression, len: Int)
     extends UnaryExpression {

@@ -32,6 +32,14 @@ object CoreQueries {
     * of floor(x+0.5) lives only within 1 ulp of exact halves, which
     * the contract excludes); equality verified against round() on all
     * graded SFs (RoundExperimentMain).
+    *
+    * CALLER GUARD (r17 advisor): nothing here enforces the contract —
+    * a caller passing a column with MORE true decimals than `digits`
+    * (e.g. fsum(price * ratio, 2) where the product carries full
+    * double precision) silently changes sums vs round(). New call
+    * sites must pass the column's exact fixed-point scale, or verify
+    * against round() on a sample first (RoundExperimentMain is the
+    * harness for that).
     */
   private def fsum(c: Column, digits: Int): Column = {
     val scale = math.pow(10, digits)

@@ -1589,8 +1589,16 @@ object CurationQueries {
             maxTokens = 10000, maxDupTokenFrac = 0.6,
             maxDupBigramFrac = 0.05))
         .filter(col("keep")).select("doc_id")
+      // hits array computed once behind a fence (round 18, r17 verdict
+      // item 6): unfenced, PushPredicateThroughNonJoin substitutes the
+      // projection back into the filter and the when-chain re-evaluates
+      // the byte-pass per comparison in any non-CSE context
       val gated = corpus.join(keep, Seq("doc_id"), "left_semi")
-        .filter(graft.functions.TextFunctions.langId(col("text")) === "en")
+        .withColumn("__lang_hits", graft.plans.Fence.fence(
+          graft.functions.TextFunctions.langIdHits(col("text"))))
+        .filter(graft.functions.TextFunctions
+          .langIdFromHits(col("__lang_hits")) === "en")
+        .drop("__lang_hits")
       val reps = Dedup.exactByKey(gated,
           substring(col("text"), 1, 100), col("doc_id"))
         .select(col("rep_id").as("doc_id"))

@@ -110,6 +110,30 @@ class CodegenEnforcementSpec extends AnyFunSuite {
     }
   }
 
+  test("token_tf compiles under CODEGEN_ONLY and matches interpreted") {
+    check("token_tf") { s =>
+      textDf(s).select(col("id"),
+        TokenTf.token_tf(col("text")).as("tf"))
+    }
+  }
+
+  test("walk_time_stats compiles under CODEGEN_ONLY and matches interpreted") {
+    check("walk_time_stats") { s =>
+      textDf(s).select(col("id"),
+        WalkTimeStats.walk_time_stats(
+          split(concat(col("text"), lit(" 歩5分,バス3分, ,歩12分")), ","))
+          .as("wt"))
+    }
+  }
+
+  test("fence compiles under CODEGEN_ONLY and matches interpreted") {
+    check("fence") { s =>
+      textDf(s).select(col("id"),
+        Fence.fence(upper(col("text"))).as("u"),
+        Fence.fence(col("id") * 3).as("v"))
+    }
+  }
+
   test("rolling_hash compiles under CODEGEN_ONLY and matches interpreted") {
     check("rolling_hash") { s =>
       textDf(s).select(col("id"),

@@ -148,4 +148,113 @@ class ExprOptSpec extends SparkSpec {
       .map(r => (r.getLong(1), r.getInt(2), r.getInt(3)))
     assert(fused.toSeq === legacy.toSeq)
   }
+
+  // ---- round-18 pins -----------------------------------------------
+
+  test("walk_time_stats equals the replaced HOF chain") {
+    import graft.functions.Parsers
+    val rows: Seq[(Long, Seq[String])] = Seq(
+      1L -> Seq("ＪＲ山手線/恵比寿駅 歩５分", "東京メトロ/駅 歩12分"),
+      2L -> Seq("バス20分", "歩8分"),          // one unparseable entry
+      3L -> Seq("", "何か 歩3分", ""),          // empties dropped
+      4L -> Seq.empty[String],                  // no stations
+      5L -> Seq("車5分"),                       // all unparseable
+      6L -> Seq(null, "歩7分"),                 // null entry dropped
+      7L -> Seq("x 歩0１0分"),                  // mixed-width digits
+      8L -> null,                               // null array
+    )
+    val df = rows.toDF("id", "bt")
+    val wt = transform(filter(col("bt"), t => t =!= ""),
+      t => Parsers.parseTransportation(t))
+    val legacy = df.select(col("id"),
+        exists(wt, _.isNull).as("has_bad"),
+        size(wt).cast("long").as("n"),
+        array_min(wt).as("wmin"),
+        // guarded like production: the old avg sits ABOVE the validity
+        // filter (size >= 1), so under ANSI it never divides by zero
+        when(size(wt) >= 1,
+          aggregate(wt, lit(0.0), (a, x) => a + x) / size(wt)).as("wavg"))
+      .orderBy("id").collect()
+    val st = graft.plans.WalkTimeStats.walk_time_stats(col("bt"))
+    val fused = df.select(col("id"),
+        (st.getField("n_bad") > 0).as("has_bad"),
+        st.getField("n_stations").as("n"),
+        st.getField("wmin").as("wmin"),
+        st.getField("wavg").as("wavg"))
+      .orderBy("id").collect()
+    legacy.zip(fused).foreach { case (l, f) =>
+      assert(l.isNullAt(1) === f.isNullAt(1), s"has_bad nullness ${l.getLong(0)}")
+      if (!l.isNullAt(1)) {
+        assert(f.getBoolean(1) === l.getBoolean(1), s"has_bad ${l.getLong(0)}")
+        assert(f.getLong(2) === l.getLong(2), s"n ${l.getLong(0)}")
+        // min/avg only feed rows the validity filter keeps (no bad
+        // entries, >= 1 station) — the old avg is NULL-poisoned by a
+        // bad entry, the fused form skips it; compare where it matters
+        if (!l.getBoolean(1) && l.getLong(2) >= 1) {
+          assert(f.getDouble(3) === l.getDouble(3), s"wmin ${l.getLong(0)}")
+          assert(f.getDouble(4) === l.getDouble(4), s"wavg ${l.getLong(0)}")
+        }
+      }
+    }
+  }
+
+  test("token_tf equals explode + filter + groupBy counts") {
+    val texts = Seq(
+      "the quick the quick the fox",
+      "a b  c",              // double space → empty segment dropped
+      "",                    // empty doc → no rows
+      " leading and trailing ",
+      "dup dup dup dup",
+      "日本語 テキスト 日本語 mixed",
+      "single",
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val legacy = texts
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tk"))
+      .filter(col("tk") =!= "")
+      .groupBy(col("doc_id"), col("tk")).agg(count(lit(1)).as("tf"))
+      .orderBy("doc_id", "tk")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val fused = texts
+      .select(col("doc_id"), inline(graft.plans.TokenTf.token_tf(col("text"))))
+      .orderBy("doc_id", "tk")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(fused.toSeq === legacy.toSeq)
+  }
+
+  test("fence is value-transparent and blocks filter-pushdown duplication") {
+    import graft.plans.Fence.fence
+    val df = spark.range(100).toDF("v")
+    val expensive = concat(lit("p"), (col("v") * 3 % 7).cast("string"))
+    val plain = df.select(col("v"), expensive.as("k"))
+      .filter(col("k") =!= "p0").orderBy("v").collect().map(_.getString(1))
+    val fenced = df.select(col("v"), fence(expensive).as("k"))
+      .filter(col("k") =!= "p0").orderBy("v").collect().map(_.getString(1))
+    assert(fenced.toSeq === plain.toSeq)
+    // single evaluation: the filter must test the ATTRIBUTE, not a
+    // substituted copy of the expression
+    val fencedPlan = df.select(col("v"), fence(expensive).as("k"))
+      .filter(col("k") =!= "p0").queryExecution.executedPlan.toString
+    val occurrences = fencedPlan.sliding("concat(p".length)
+      .count(_ == "concat(p")
+    assert(occurrences === 1, s"fenced expression duplicated:\n$fencedPlan")
+  }
+
+  test("langIdFromHits over a materialized hits column equals fused langId") {
+    val texts = Seq(
+      "the cat is on the mat", "der hund und die katze ist",
+      "el la los es y", "le les est et une", "的 是 了 在 我",
+      "nothing matches here xyz", "", "the der el le 的",
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val fusedCol = texts.select(col("doc_id"),
+        TextFunctions.langId(col("text")).as("l"))
+      .orderBy("doc_id").collect().map(_.getString(1)).toSeq
+    val split2 = texts.select(col("doc_id"),
+        TextFunctions.langIdHits(col("text")).as("__hits"))
+      .select(col("doc_id"),
+        TextFunctions.langIdFromHits(col("__hits")).as("l"))
+      .orderBy("doc_id").collect().map(_.getString(1)).toSeq
+    assert(split2 === fusedCol)
+  }
 }

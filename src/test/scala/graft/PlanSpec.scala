@@ -59,6 +59,51 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"shuffle on raw page bytes:\n$plan")
   }
 
+  test("scrape parse layer: one evaluation per parser, no HOFs, " +
+      "filter tests attributes only") {
+    val dir = graft.ingest.SyntheticSuumo.writePages(
+      java.nio.file.Files.createTempDirectory("graft_plan_parse"), 2)
+    val df = graft.ingest.PropertiesFrame.scrape(spark, dir.toString,
+      fetchedAt = Some(1.6254e9))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the validity Filter must reference the fenced parse COLUMNS, not
+    // substituted copies of the parser trees (the round-17 plan paid
+    // every regex twice — r17 verdict item 3)
+    plan.linesIterator.filter(_.contains("Filter ")).foreach { l =>
+      assert(!l.contains("regexp_extract"),
+        s"parser tree duplicated into the validity filter:\n$l")
+    }
+    // one evaluation site per parser: extractOrNull spells its regex
+    // twice (null-guard + value), so a single site = exactly 2 textual
+    // occurrences of the age pattern in the whole plan
+    val agePat = "築(\\d+)年"
+    val n = plan.sliding(agePat.length).count(_ == agePat)
+    assert(n === 2, s"expected one parseAge site (2 occurrences), got $n")
+    // the per-entry walk-time HOF chain is gone — the parse stage can
+    // whole-stage-codegen (HOFs are CodegenFallback)
+    assert(!plan.contains("lambdafunction"),
+      s"interpreted higher-order function left in the parse path:\n$plan")
+    assert(plan.contains("walk_time_stats"), "walk_time_stats missing")
+  }
+
+  test("q95 tf frame computes tf row-locally (token_tf replaces the " +
+      "(doc, term) aggregate and its exchange)") {
+    val docs = Tables(spark, sfDir, "documents")
+    val tf = graft.operators.Search.tfFrame(
+      docs, org.apache.spark.sql.functions.col("doc_id"),
+      org.apache.spark.sql.functions.col("text"))
+    val plan = tf.queryExecution.executedPlan.toString
+    // the only Exchange allowed is ensureMapParallelism's optional
+    // split-starvation lift; the (doc, term) AGGREGATE (and the
+    // token-stream shuffle feeding it) must be gone
+    assert(!plan.contains("HashAggregate"),
+      s"tf frame still aggregates the token stream:\n$plan")
+    assert(plan.contains("token_tf"), "token_tf missing from the tf frame")
+    assert(!plan.contains("lambdafunction"),
+      s"interpreted HOF in the tf frame:\n$plan")
+  }
+
   test("split ranking range-partitions, never a single-partition window") {
     val df = spark.range(1000).toDF("v")
     val plan = graft.operators.Splits.rangeKeyed(df, xxhash64(col("v"), lit(7)))
